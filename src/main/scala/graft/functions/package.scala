@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers for the engine's custom Catalyst expressions and the
+  * partitioning arithmetic the reference uses (util/common.go:13-18,40-56).
+  */
+package object functions {
+
+  /** FNV-1a 32-bit, sign bit cleared — bit-compatible with the reference's
+    * stored `aggregate_id_hash`.
+    */
+  def fnv1a32(c: Column): Column =
+    ExpressionUtils.column(Fnv1a32(ExpressionUtils.expression(c)))
+
+  /** Millisecond epoch time encoded in a ULID id column. */
+  def ulid_millis(c: Column): Column =
+    ExpressionUtils.column(UlidMillis(ExpressionUtils.expression(c)))
+
+  /** 1-based partition assignment: `(hash % partitions) + 1`
+    * (reference: util/common.go:13-18). `hash` is already non-negative.
+    */
+  def calc_partition(hash: Column, partitions: Int): Column =
+    if (partitions <= 1) lit(1) else pmod(hash, lit(partitions)) + lit(1)
+
+  /** 0-based split selector used by catchup workers:
+    * `MOD(aggregate_id_hash, splits) IN splitIds`
+    * (reference: store/postgresql/store.go:536-548).
+    */
+  def split_of(hash: Column, splits: Int): Column = pmod(hash, lit(splits))
+
+  /** Register SQL names for the custom expressions so `spark.sql` queries and
+    * `expr(...)` strings can use them too.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fnv1a32", es => Fnv1a32(es.head), "builtin")
+    reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "builtin")
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+Runs each oracle_sql.json query in DuckDB over <sfdir>'s parquet tables,
+loads the engine's parquet result, sorts columns by name and rows by all
+columns, and compares values (exact for ints/strings, tolerant for floats).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def load(sfdir, out):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+def main(sfdir, outdir):
+    con = load(sfdir, outdir)
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        resdir = f"{outdir}/{name}"
+        try:
+            got = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{resdir}/*.parquet"))], ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: engine result unreadable: {e}"); n_fail += 1; continue
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}"); n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        ok = True
+        for c in g.columns:
+            a, b = g[c], e[c]
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                af = a.astype(float).to_numpy(); bf = b.astype(float).to_numpy()
+                eq = np.isclose(af, bf, rtol=1e-9, atol=1e-9, equal_nan=True)
+                exact = np.array_equal(af, bf, equal_nan=True)
+                if not eq.all():
+                    print(f"FAIL {name}: col {c} differs, e.g. {af[~eq][:3]} vs {bf[~eq][:3]}"); ok = False; break
+                if not exact:
+                    print(f"  WARN {name}: col {c} float not bit-exact (close though)")
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    d = a.astype(str) != b.astype(str)
+                    print(f"FAIL {name}: col {c} differs, e.g. {a[d][:3].tolist()} vs {b[d][:3].tolist()}"); ok = False; break
+        if ok: n_pass += 1; print(f"PASS {name} ({len(g)} rows)")
+        else: n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
