@@ -175,6 +175,52 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // ── A1: per-stream ORDERED fold (the event-sourcing core) ─────────────
+    // (eventstore.go:249-300) — typed sorted-group fold, no collect_list
+    // materialization: balance resets on 'error', accumulates purchases.
+    // Order-dependence makes this a genuine fold, yet it stays
+    // SQL-checkable via the last-reset formulation.
+    "a1_rehydrate_fold" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("event_id")) { (uid, it) =>
+          var balance = 0.0
+          var n = 0L
+          it.foreach { case (_, _, tpe, v) =>
+            tpe match {
+              case "error" => balance = 0.0
+              case "purchase" => balance += v
+              case _ =>
+            }
+            n += 1
+          }
+          Iterator((uid, math.rint(balance * 100) / 100, n))
+        }
+        .toDF("user_id", "balance", "n_events")
+    }),
+
+    // ── M1 Forget: columnar body scrub, row count unchanged ───────────────
+    // (eventstore.go:405-432) — the copy-on-write rewrite expression.
+    "m1_forget_scrub" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type") === "signup", lit("{}"))
+            .otherwise(col("props")).as("props"))
+    }),
+
+    // ── M3 upcast-at-read: lift old payload shape to new ──────────────────
+    // (encoding/jsoncodec/codec.go:51-80)
+    "m3_upcast_read" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          to_json(struct((get_json_object(col("props"), "$.k").cast("int") * 2).as("k2")))
+            .as("props_v2"))
+    }),
+
     // ── Set op: union of filtered subsets (§2.7) ──────────────────────────
     "u1_union_kinds" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -267,6 +313,29 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_rehydrate_fold" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |         coalesce(max(event_id) FILTER (WHERE event_type = 'error'), -1) AS rid,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id,
+        |       round(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+        |                               AND e.event_id > r.rid THEN e.value END), 0), 2) AS balance,
+        |       any_value(r.n_events) AS n_events
+        |FROM events e JOIN r ON e.user_id = r.user_id
+        |GROUP BY e.user_id""".stripMargin,
+
+    "m1_forget_scrub" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN event_type = 'signup' THEN '{}' ELSE props END AS props
+        |FROM events""".stripMargin,
+
+    "m3_upcast_read" ->
+      """SELECT event_id,
+        |       json_object('k2', CAST(json_extract_string(props, '$.k') AS INT) * 2)::VARCHAR AS props_v2
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -1,0 +1,338 @@
+package graft.log
+
+import graft.core.{EventSchema, EventRow, SnapshotRow, Ulid}
+import graft.functions.Fnv1a32
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One event payload inside an append transaction. */
+case class EventDetail(kind: String, body: String)
+
+/** A write-side record: all events of one transaction for one aggregate
+  * (reference: EventRecord, eventstore.go:137-149).
+  */
+case class AppendRecord(
+    aggregateId: String,
+    aggregateKind: String,
+    expectedVersion: Int, // optimistic-concurrency base: current max version of the stream
+    discriminator: Map[String, String],
+    details: Seq[EventDetail])
+
+class ConcurrentModificationException(msg: String) extends RuntimeException(msg)
+
+/** Result of migrating one stream: its new head after the rewrite. */
+case class MigratedStream(
+    aggregateId: String,
+    lastVersion: Int,
+    lastEventId: String,
+    details: Seq[EventDetail],
+    discriminator: Map[String, String])
+
+/** The global append-only event log over bucketed Parquet.
+  *
+  * Layout: `<path>/events/bucket=N/…` with `bucket = pmod(fnv1a32(aggregate_id),
+  * numBuckets)` and files written in `id` (ULID) order, so
+  *  - point scans of one stream prune to a single bucket directory,
+  *  - global `(after, until]` range scans skip whole files via Parquet min/max
+  *    stats on the lexicographically time-ordered `id`,
+  *  - downstream `groupBy(aggregate_id)` folds shuffle at most once, and the
+  *    bucket column gives catchup workers their split selector for free.
+  *
+  * Mutation semantics mirror the reference: append-only except Forget (in-place
+  * body scrub, M1), Migration (flag rows inactive + append replacements, M2)
+  * and snapshot inserts — all implemented as copy-on-write rewrites of ONLY the
+  * affected bucket partitions (dynamic partition overwrite), never the full
+  * table. Optimistic concurrency (the reference's UNIQUE(aggregate_id,
+  * aggregate_version) index, store/postgresql/store.go:702) is enforced by a
+  * per-log single-writer commit section that validates the stream's max version
+  * before committing; a lost race surfaces as ConcurrentModificationException
+  * (eventstore.go:21).
+  */
+class EventLog(
+    val spark: SparkSession,
+    val path: String,
+    val numBuckets: Int = 32,
+    discriminatorKeys: Set[String] = Set.empty,
+    ulidSeed: Option[Long] = None) {
+
+  import EventLog._
+
+  private val eventsPath = s"$path/events"
+  private val snapshotsPath = s"$path/snapshots"
+  private val gen = new Ulid.Generator(seed = ulidSeed)
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  def bucketOf(aggregateId: String): Int =
+    Math.floorMod(Fnv1a32.hashString(aggregateId), numBuckets)
+
+  // ── reads ────────────────────────────────────────────────────────────────
+
+  /** Full envelope incl. the physical bucket partition column. */
+  def eventsWithBucket: DataFrame =
+    if (!exists(eventsPath)) emptyEvents(withBucket = true)
+    else spark.read.schema(addBucket(EventSchema.events)).parquet(eventsPath)
+
+  /** The logical event table (no physical layout columns). */
+  def events: DataFrame = eventsWithBucket.drop("bucket")
+
+  /** Active (non-invalidated) rows only — what every query sees by default. */
+  def activeEvents: DataFrame = events.filter(col("migration") === 0)
+
+  def snapshots: DataFrame =
+    if (!exists(snapshotsPath)) emptySnapshots
+    else spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+      .drop("bucket")
+
+  /** S1: one stream's active events after a version, in version order
+    * (store/postgresql/store.go:423-444). Bucket-pruned point scan.
+    */
+  def streamEvents(aggregateId: String, sinceVersion: Int = 0): DataFrame =
+    eventsWithBucket
+      .filter(col("bucket") === bucketOf(aggregateId) &&
+        col("aggregate_id") === aggregateId &&
+        col("migration") === 0 &&
+        col("aggregate_version") > sinceVersion)
+      .drop("bucket")
+      .orderBy(col("aggregate_version"))
+
+  /** S2: latest snapshot of one stream (store/postgresql/store.go:295-323). */
+  def latestSnapshot(aggregateId: String): Option[SnapshotRow] = {
+    import spark.implicits._
+    snapshots
+      .filter(col("aggregate_id") === aggregateId)
+      .orderBy(col("id").desc)
+      .limit(1)
+      .as[SnapshotRow]
+      .collect()
+      .headOption
+  }
+
+  /** S3: global `(after, until]` keyset range scan in ULID order
+    * (store/postgresql/store.go:497-518). Predicates push to Parquet; the
+    * `id` sort order within files makes min/max skipping effective.
+    */
+  def range(afterId: String, untilId: String): DataFrame =
+    activeEvents
+      .filter((if (afterId.isEmpty) lit(true) else col("id") > afterId) &&
+        (if (untilId.isEmpty) lit(true) else col("id") <= untilId))
+
+  /** S4: id IN (...) fetch (store/postgresql/store.go:665-674). */
+  def byIds(ids: Seq[String]): DataFrame =
+    events.filter(col("id").isin(ids: _*))
+
+  // ── append (S-write) ─────────────────────────────────────────────────────
+
+  /** Append one or more transactions. Returns the assigned event ids.
+    *
+    * Single-writer commit section per log path; validates each stream's
+    * current max version against `expectedVersion` and throws
+    * [[ConcurrentModificationException]] on a lost race — the Spark
+    * restatement of the unique-index violation. On a real deployment this
+    * section is the table-format commit (e.g. a transactional manifest);
+    * the validation query prunes to the touched buckets only.
+    */
+  def append(records: Seq[AppendRecord], nowMs: => Long = System.currentTimeMillis()): Seq[String] =
+    withLogLock(path) {
+      val touched = records.map(_.aggregateId).distinct
+      val current = maxVersions(touched)
+      records.foreach { r =>
+        val cur = current.getOrElse(r.aggregateId, 0)
+        if (cur != r.expectedVersion)
+          throw new ConcurrentModificationException(
+            s"stream ${r.aggregateId}: expected version ${r.expectedVersion}, log has $cur")
+      }
+      val rows = records.flatMap { r =>
+        val disc = filterDiscriminator(r.discriminator)
+        r.details.zipWithIndex.map { case (d, i) =>
+          EventRow(
+            id = gen.next(nowMs),
+            aggregate_id = r.aggregateId,
+            aggregate_id_hash = Fnv1a32.hashString(r.aggregateId),
+            aggregate_version = r.expectedVersion + i + 1,
+            aggregate_kind = r.aggregateKind,
+            kind = d.kind,
+            body = d.body,
+            discriminator = disc,
+            created_at = new Timestamp(nowMs),
+            migration = 0,
+            migrated = false)
+        }
+      }
+      writeEvents(rows, SaveMode.Append)
+      rows.map(_.id)
+    }
+
+  def saveSnapshot(snap: SnapshotRow): Unit = {
+    import spark.implicits._
+    Seq(snap).toDS()
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(snapshotsPath)
+  }
+
+  // ── batch rewrites (M1/M2) ───────────────────────────────────────────────
+
+  /** M1 Forget/GDPR: scrub event bodies (and snapshot bodies) of one stream
+    * for the given kinds, via a user JSON-rewrite function. Copy-on-write of
+    * only the stream's bucket partition (eventstore.go:405-432).
+    */
+  def forget(aggregateId: String, eventKinds: Set[String],
+      scrubEvent: String => String, scrubSnapshot: String => String): Unit =
+    withLogLock(path) {
+      val b = bucketOf(aggregateId)
+      val scrubE = udf(scrubEvent)
+      rewriteBucket(eventsPath, EventSchema.events, b) { df =>
+        df.withColumn("body",
+          when(col("aggregate_id") === aggregateId && col("kind").isin(eventKinds.toSeq: _*),
+            scrubE(col("body"))).otherwise(col("body")))
+      }
+      if (exists(snapshotsPath)) {
+        val scrubS = udf(scrubSnapshot)
+        rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
+          df.withColumn("body",
+            when(col("aggregate_id") === aggregateId, scrubS(col("body")))
+              .otherwise(col("body")))
+        }
+      }
+    }
+
+  /** M2 MigrateInPlaceCopyReplace: for every active stream containing one of
+    * `targetKinds`, run the user handler over its full event sequence; if it
+    * rewrites anything, flag the old rows `migration = revision`, drop the
+    * stream's snapshots, and append an `Invalidated` fence plus the migrated
+    * copies (`migrated = true`) — exactly the reference's 9-row golden shape
+    * (store/postgresql/events_migration.go:18-206).
+    *
+    * The handler maps the ordered active events of one stream to the new
+    * event list (kind/body pairs), or None to leave the stream untouched.
+    */
+  def migrate(revision: Int, targetKinds: Set[String],
+      handler: Seq[EventRow] => Option[Seq[EventDetail]],
+      nowMs: => Long = System.currentTimeMillis()): Seq[MigratedStream] =
+    withLogLock(path) {
+      import spark.implicits._
+      require(revision > 0, "migration revision must be > 0")
+      val streams = activeEvents
+        .filter(col("kind").isin(targetKinds.toSeq: _*))
+        .select("aggregate_id").distinct().as[String].collect().sorted
+
+      streams.flatMap { aggId =>
+        var result = Option.empty[MigratedStream]
+        val evs = streamEvents(aggId).as[EventRow].collect().toSeq
+        handler(evs).foreach { migratedDetails =>
+          val b = bucketOf(aggId)
+          val maxV = evs.map(_.aggregate_version).max
+          val kindAgg = evs.head.aggregate_kind
+          val disc = evs.head.discriminator
+          // 1. invalidate old rows (copy-on-write on the stream's bucket)
+          rewriteBucket(eventsPath, EventSchema.events, b) { df =>
+            df.withColumn("migration",
+              when(col("aggregate_id") === aggId && col("migration") === 0,
+                lit(revision)).otherwise(col("migration")))
+          }
+          // 2. drop snapshots of the stream
+          if (exists(snapshotsPath)) {
+            rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
+              df.filter(col("aggregate_id") =!= aggId)
+            }
+          }
+          // 3. fence + migrated copies
+          val fence = EventRow(gen.next(nowMs), aggId, Fnv1a32.hashString(aggId),
+            maxV + 1, kindAgg, KindInvalidated, "{}", disc,
+            new Timestamp(nowMs), revision, false)
+          val copies = migratedDetails.zipWithIndex.map { case (d, i) =>
+            EventRow(gen.next(nowMs), aggId, Fnv1a32.hashString(aggId),
+              maxV + 2 + i, kindAgg, d.kind, d.body, disc,
+              new Timestamp(nowMs), 0, true)
+          }
+          writeEvents(fence +: copies, SaveMode.Append)
+          result = Some(MigratedStream(aggId, copies.last.aggregate_version,
+            copies.last.id, migratedDetails, disc))
+        }
+        result
+      }.toSeq
+    }
+
+  // ── internals ────────────────────────────────────────────────────────────
+
+  private def maxVersions(aggregateIds: Seq[String]): Map[String, Int] = {
+    if (!exists(eventsPath)) return Map.empty
+    val buckets = aggregateIds.map(bucketOf).distinct
+    eventsWithBucket
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("aggregate_id").isin(aggregateIds: _*))
+      .groupBy("aggregate_id")
+      .agg(max("aggregate_version").as("v"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+  }
+
+  private def filterDiscriminator(d: Map[String, String]): Map[String, String] =
+    if (discriminatorKeys.isEmpty) d
+    else d.view.filterKeys(k => discriminatorKeys.contains(k.toLowerCase)).toMap
+
+  private def writeEvents(rows: Seq[EventRow], mode: SaveMode): Unit = {
+    import spark.implicits._
+    rows.toDS()
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .sortWithinPartitions("id")
+      .write.mode(mode).partitionBy("bucket").parquet(eventsPath)
+  }
+
+  /** Copy-on-write rewrite of a single bucket partition via dynamic partition
+    * overwrite — the only partitions touched on disk are the ones written.
+    */
+  private def rewriteBucket(tablePath: String, schema: org.apache.spark.sql.types.StructType,
+      bucket: Int)(f: DataFrame => DataFrame): Unit = {
+    val cur = spark.read.schema(addBucket(schema)).parquet(tablePath)
+      .filter(col("bucket") === bucket)
+      .drop("bucket")
+    val out = f(cur).localCheckpoint() // materialize before overwriting the source files
+    if (out.isEmpty) {
+      // Dynamic partition overwrite never touches partitions absent from the
+      // written data, so an emptied bucket must be removed explicitly.
+      deleteRecursively(new java.io.File(s"$tablePath/bucket=$bucket"))
+    } else {
+      out
+        .withColumn("bucket", lit(bucket))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tablePath)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  private def exists(p: String): Boolean = {
+    val dir = new java.io.File(p)
+    dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty
+  }
+
+  private def addBucket(s: org.apache.spark.sql.types.StructType) =
+    s.add("bucket", org.apache.spark.sql.types.IntegerType, nullable = true)
+
+  private def emptyEvents(withBucket: Boolean): DataFrame = {
+    val schema = if (withBucket) addBucket(EventSchema.events) else EventSchema.events
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  private def emptySnapshots: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], EventSchema.snapshots)
+}
+
+object EventLog {
+  /** The migration fence kind (reference: eventstore.go:17). */
+  val KindInvalidated = "Invalidated"
+  /** The projection-migration fence kind (reference: eventstore.go:123-131). */
+  val KindNoOp = "NoOp"
+
+  private val locks = new ConcurrentHashMap[String, Object]()
+  private def withLogLock[A](path: String)(f: => A): A = {
+    val lock = locks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized(f)
+  }
+}

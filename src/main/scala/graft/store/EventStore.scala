@@ -1,0 +1,169 @@
+package graft.store
+
+import graft.codec.Codec
+import graft.core.{EventRow, SnapshotRow, Ulid}
+import graft.log.{AppendRecord, EventDetail, EventLog}
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain contract: how to fold events of one aggregate kind into state.
+  * The Spark counterpart of the reference's handler registry
+  * (rootaggregate.go:54-103) — a pattern-match fold instead of reflection.
+  */
+trait AggregateType[T] extends Serializable {
+  def kind: String
+  def empty: T
+  /** Fold one (event kind, JSON body) into the state. */
+  def fold(state: T, eventKind: String, body: String): T
+  def encodeState(state: T): String
+  def decodeState(body: String): T
+}
+
+case class Retrieved[T](state: T, version: Int, eventsSinceSnapshot: Int)
+
+class UnknownAggregateException(id: String)
+  extends RuntimeException(s"unknown aggregate id: $id")
+
+/** Aggregate read-modify-write API over the event log, reproducing the
+  * reference lifecycle (eventstore.go:230-403): retrieve = snapshot +
+  * ordered tail fold; save = optimistic append with monotonic ULIDs; a
+  * snapshot is written when `eventsSinceSnapshot + new >= snapshotThreshold`.
+  */
+class EventStore[T](
+    val log: EventLog,
+    val agg: AggregateType[T],
+    val codec: Codec = new Codec,
+    val snapshotThreshold: Int = 0,
+    discriminator: Map[String, String] = Map.empty) {
+
+  private val spark = log.spark
+  import spark.implicits._
+
+  /** Create a stream: append the first events (expected version 0). */
+  def create(aggregateId: String, events: Seq[EventDetail],
+      nowMs: => Long = System.currentTimeMillis()): Unit =
+    save(aggregateId, 0, events, nowMs)
+
+  /** Point read of one aggregate: latest snapshot (S2) + active tail events
+    * (S1) folded in version order, with decode-time upcasting (M3).
+    */
+  def retrieve(aggregateId: String): Retrieved[T] = {
+    val snap = log.latestSnapshot(aggregateId)
+    val (base, snapVersion) = snap match {
+      case Some(s) => (agg.decodeState(s.body), s.aggregate_version)
+      case None => (agg.empty, 0)
+    }
+    val tail = log.streamEvents(aggregateId, snapVersion)
+      .select("kind", "body", "aggregate_version")
+      .collect()
+    if (snap.isEmpty && tail.isEmpty) throw new UnknownAggregateException(aggregateId)
+    var state = base
+    var version = snapVersion
+    tail.foreach { r =>
+      val (k, b) = codec.upcastJson(r.getString(0), r.getString(1))
+      state = agg.fold(state, k, b)
+      version = r.getInt(2)
+    }
+    Retrieved(state, version, tail.length)
+  }
+
+  /** Read-modify-write: fold current state, let `mutate` emit new events,
+    * append them at the stream's current version (optimistic), snapshot if
+    * over threshold. Returns the new version.
+    */
+  def update(aggregateId: String)(mutate: T => Seq[EventDetail],
+      nowMs: => Long = System.currentTimeMillis()): Int = {
+    val cur = retrieve(aggregateId)
+    val events = mutate(cur.state)
+    if (events.isEmpty) cur.version
+    else save(aggregateId, cur.version, events, nowMs, Some(cur))
+  }
+
+  private def save(aggregateId: String, baseVersion: Int, events: Seq[EventDetail],
+      nowMs: Long, retrieved: Option[Retrieved[T]] = None): Int = {
+    val ids = log.append(Seq(AppendRecord(
+      aggregateId, agg.kind, baseVersion, discriminator, events)), nowMs)
+    val newVersion = baseVersion + events.size
+    maybeSnapshot(aggregateId, ids.last, newVersion, events, retrieved, nowMs)
+    newVersion
+  }
+
+  /** Snapshot threshold logic (eventstore.go:381-400): count events since the
+    * last snapshot; if `pending + new >= threshold`, fold forward and persist
+    * the state alongside the last event's id/version.
+    */
+  private def maybeSnapshot(aggregateId: String, lastId: String, newVersion: Int,
+      newEvents: Seq[EventDetail], retrieved: Option[Retrieved[T]], nowMs: Long): Unit = {
+    if (snapshotThreshold <= 0) return
+    // `retrieved` is the pre-append read (update path); on the create path the
+    // stream didn't exist before this append, so the pre-state is empty.
+    val pre = retrieved.getOrElse(Retrieved(agg.empty, 0, 0))
+    // `pre` was taken before this append, so its tail counter excludes newEvents.
+    if (pre.eventsSinceSnapshot + newEvents.size >= snapshotThreshold) {
+      var state = pre.state
+      newEvents.foreach { d =>
+        val (k, b) = codec.upcastJson(d.kind, d.body)
+        state = agg.fold(state, k, b)
+      }
+      log.saveSnapshot(SnapshotRow(lastId, aggregateId, newVersion, agg.kind,
+        agg.encodeState(state), new Timestamp(nowMs), discriminator))
+    }
+  }
+
+  /** M1 Forget/GDPR: scrub payload fields of one stream (events of the given
+    * kinds + all its snapshots) via user JSON rewrites. Event count and
+    * versions are untouched (eventstore.go:405-432).
+    */
+  def forget(aggregateId: String, eventKinds: Set[String])(
+      scrubEvent: String => String, scrubSnapshot: String => String): Unit =
+    log.forget(aggregateId, eventKinds, scrubEvent, scrubSnapshot)
+
+  /** M2 migration: rewrite every stream containing `targetKinds` via
+    * `handler`, then snapshot the migrated streams that cross the threshold
+    * under the NEW aggregate type (eventstore.go:434-454).
+    */
+  def migrate[S](revision: Int, targetKinds: Set[String], newAgg: AggregateType[S],
+      newCodec: Codec = new Codec)(handler: Seq[EventRow] => Option[Seq[EventDetail]],
+      nowMs: => Long = System.currentTimeMillis()): Seq[graft.log.MigratedStream] = {
+    val migrated = log.migrate(revision, targetKinds, handler, nowMs)
+    if (snapshotThreshold > 0) migrated.foreach { m =>
+      if (m.details.size >= snapshotThreshold) {
+        var state = newAgg.empty
+        m.details.foreach { d =>
+          val (k, b) = newCodec.upcastJson(d.kind, d.body)
+          state = newAgg.fold(state, k, b)
+        }
+        log.saveSnapshot(SnapshotRow(m.lastEventId, m.aggregateId, m.lastVersion,
+          newAgg.kind, newAgg.encodeState(state), new Timestamp(nowMs), m.discriminator))
+      }
+    }
+    migrated
+  }
+
+  /** A1 at scale: rehydrate EVERY stream of this aggregate kind in one
+    * distributed pass — sorted per-key iterator fold inside `flatMapGroups`
+    * (no `collect_list` materialization; Spark's group sort spills). One
+    * shuffle on the stream key; with the log bucketed by hash the shuffle
+    * is the only wide stage.
+    */
+  def rehydrateAll()(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
+    val codecB = codec
+    val aggB = agg
+    log.activeEvents
+      .filter(col("aggregate_kind") === agg.kind)
+      .select("aggregate_id", "aggregate_version", "kind", "body")
+      .as[(String, Int, String, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+        var state = aggB.empty
+        var any = false
+        it.foreach { case (_, _, k0, b0) =>
+          val (k, b) = codecB.upcastJson(k0, b0)
+          state = aggB.fold(state, k, b)
+          any = true
+        }
+        if (any) Iterator((id, state)) else Iterator.empty
+      }
+  }
+}

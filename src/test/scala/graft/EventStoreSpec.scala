@@ -1,0 +1,194 @@
+package graft
+
+import graft.codec.Codec
+import graft.core.EventRow
+import graft.log.{AppendRecord, ConcurrentModificationException, EventDetail, EventLog}
+import graft.store.EventStore
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden scenarios from the reference test suite (FIXTURES.md §3), re-run
+  * against the Parquet event log: G1 rehydration, G5 forget, G6 migration,
+  * G8 optimistic concurrency.
+  */
+class EventStoreSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def freshLog(buckets: Int = 4): EventLog = {
+    val dir = Files.createTempDirectory("graftlog").toFile.getAbsolutePath
+    new EventLog(spark, dir, numBuckets = buckets, ulidSeed = Some(42L))
+  }
+
+  test("G1: save/retrieve — fold with snapshot threshold 3, balance 136") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 3)
+    val id = "01HXAMPLEACCT00000000000A1"
+    store.create(id, Seq(
+      AccountType.created(100, "Paulo"),
+      AccountType.deposited(10),
+      AccountType.deposited(20)), nowMs = 1700000000000L)
+
+    // snapshot written at version 3 with the exact golden body
+    val snap = store.log.latestSnapshot(id).get
+    assert(snap.aggregate_version == 3)
+    assert(snap.body == """{"status":"OPEN","balance":130,"owner":"Paulo"}""")
+
+    val v = store.update(id)(_ => Seq(
+      AccountType.deposited(5), AccountType.deposited(1)), nowMs = 1700000001000L)
+    assert(v == 5)
+
+    val got = store.retrieve(id)
+    assert(got.state == Account("OPEN", 136, "Paulo"))
+    assert(got.version == 5)
+
+    // log shape: versions 1..5, kinds as per golden
+    val rows = store.log.streamEvents(id).collect()
+    assert(rows.map(_.getAs[Int]("aggregate_version")).toSeq == (1 to 5))
+    assert(rows.map(_.getAs[String]("kind")).toSeq ==
+      Seq("AccountCreated", "MoneyDeposited", "MoneyDeposited", "MoneyDeposited", "MoneyDeposited"))
+    // no snapshot past version 3 (2 new events < threshold)
+    assert(store.log.latestSnapshot(id).get.aggregate_version == 3)
+  }
+
+  test("G8: two writers at the same base version — exactly one succeeds") {
+    val log = freshLog()
+    val store = new EventStore(log, AccountType)
+    val id = "01HXAMPLEACCT00000000000B2"
+    store.create(id, Seq(AccountType.created(100, "P")))
+    // both writers read version 1, then race their appends
+    log.append(Seq(AppendRecord(id, "Account", 1, Map.empty,
+      Seq(AccountType.deposited(5)))))
+    val ex = intercept[ConcurrentModificationException] {
+      log.append(Seq(AppendRecord(id, "Account", 1, Map.empty,
+        Seq(AccountType.deposited(7)))))
+    }
+    assert(ex.getMessage.contains("expected version 1"))
+    assert(store.retrieve(id).state.balance == 105)
+  }
+
+  test("G5: forget scrubs owner from OwnerUpdated events and snapshots, count unchanged") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 2)
+    val id = "01HXAMPLEACCT00000000000C3"
+    store.create(id, Seq(AccountType.created(100, "Paulo"), AccountType.ownerUpdated("Paulo Pereira")))
+    store.update(id)(_ => Seq(AccountType.deposited(10), AccountType.ownerUpdated("Paulo Quintans")))
+
+    def scrubOwner(body: String): String = {
+      val n = Codec.parse(body).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (n.has("owner")) n.put("owner", "")
+      Codec.write(n)
+    }
+    store.forget(id, Set("OwnerUpdated"))(scrubOwner, scrubOwner)
+
+    val evs = store.log.streamEvents(id).collect()
+    assert(evs.length == 4) // count unchanged
+    val owners = evs.filter(_.getAs[String]("kind") == "OwnerUpdated")
+      .map(r => Codec.parse(r.getAs[String]("body")).get("owner").asText())
+    assert(owners.length == 2 && owners.forall(_ == ""))
+    // AccountCreated keeps its owner (only targeted kinds are scrubbed)
+    val created = evs.filter(_.getAs[String]("kind") == "AccountCreated")
+      .map(r => Codec.parse(r.getAs[String]("body")).get("owner").asText())
+    assert(created.head == "Paulo")
+    // all snapshots scrubbed
+    val snaps = store.log.snapshots.filter(org.apache.spark.sql.functions.col("aggregate_id") === id).collect()
+    assert(snaps.nonEmpty)
+    snaps.foreach { r =>
+      assert(Codec.parse(r.getAs[String]("body")).get("owner").asText() == "")
+    }
+  }
+
+  test("G6: migration — 9-row golden log and Account_V2 snapshot, balance 105") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 3)
+    val id = "01HXAMPLEACCT00000000000D4"
+    store.create(id, Seq(
+      AccountType.created(100, "Paulo Pereira"),
+      AccountType.deposited(20),
+      AccountType.withdrawn(15),
+      AccountType.ownerUpdated("Paulo Quintans Pereira")), nowMs = 1700000000000L)
+
+    store.migrate(1, Set("AccountCreated", "OwnerUpdated"), AccountV2Type)(evs => {
+      val out = evs.map { e =>
+        e.kind match {
+          case "AccountCreated" =>
+            val n = Codec.parse(e.body)
+            val (f, l) = AccountV2Type.splitName(n.get("owner").asText())
+            AccountV2Type.createdV2(n.get("money").asLong(), f, l)
+          case "OwnerUpdated" =>
+            val n = Codec.parse(e.body)
+            val (f, l) = AccountV2Type.splitName(n.get("owner").asText())
+            AccountV2Type.ownerUpdatedV2(f, l)
+          case _ => EventDetail(e.kind, e.body)
+        }
+      }
+      Some(out)
+    }, nowMs = 1700000002000L)
+
+    import org.apache.spark.sql.functions.col
+    val all = store.log.events.filter(col("aggregate_id") === id)
+      .orderBy("aggregate_version").collect()
+    assert(all.length == 9, "exactly 9 rows after migration")
+
+    // rows 1-4: originals, invalidated by revision 1
+    (0 to 3).foreach { i =>
+      assert(all(i).getAs[Int]("migration") == 1)
+      assert(!all(i).getAs[Boolean]("migrated"))
+    }
+    assert(all.take(4).map(_.getAs[String]("kind")).toSeq ==
+      Seq("AccountCreated", "MoneyDeposited", "MoneyWithdrawn", "OwnerUpdated"))
+    // row 5: the Invalidated fence
+    assert(all(4).getAs[String]("kind") == "Invalidated")
+    assert(all(4).getAs[Int]("aggregate_version") == 5)
+    assert(all(4).getAs[Int]("migration") == 1)
+    assert(all(4).getAs[String]("body") == "{}")
+    // rows 6-9: migrated copies, active
+    assert(all.drop(5).map(_.getAs[String]("kind")).toSeq ==
+      Seq("AccountCreated_V2", "MoneyDeposited", "MoneyWithdrawn", "OwnerUpdated_V2"))
+    assert(all.drop(5).map(_.getAs[Int]("aggregate_version")).toSeq == Seq(6, 7, 8, 9))
+    all.drop(5).foreach { r =>
+      assert(r.getAs[Int]("migration") == 0)
+      assert(r.getAs[Boolean]("migrated"))
+    }
+
+    // exactly one snapshot: the migrated state at version 9, golden body
+    val snaps = store.log.snapshots.filter(col("aggregate_id") === id).collect()
+    assert(snaps.length == 1)
+    assert(snaps.head.getAs[String]("aggregate_kind") == "Account_V2")
+    assert(snaps.head.getAs[Int]("aggregate_version") == 9)
+    assert(snaps.head.getAs[String]("body") ==
+      """{"status":"OPEN","balance":105,"owner":{"firstName":"Paulo","lastName":"Quintans Pereira"}}""")
+
+    // V2 store reads the migrated stream: balance 105
+    val storeV2 = new EventStore(store.log, AccountV2Type, snapshotThreshold = 3)
+    val got = storeV2.retrieve(id)
+    assert(got.state == AccountV2("OPEN", 105, "Paulo", "Quintans Pereira"))
+    assert(got.version == 9)
+  }
+
+  test("M3: upcast-at-read lifts V1 payloads through the chain") {
+    val store = new EventStore(freshLog(), AccountV2Type, codec = AccountV2Type.upcasters)
+    val id = "01HXAMPLEACCT00000000000E5"
+    // V1-shaped payloads in the log...
+    store.log.append(Seq(AppendRecord(id, "Account_V2", 0, Map.empty, Seq(
+      AccountType.created(100, "Paulo Pereira"),
+      AccountType.deposited(20),
+      AccountType.ownerUpdated("Paulo Quintans Pereira")))))
+    // ...read through the upcaster chain as V2
+    val got = store.retrieve(id)
+    assert(got.state == AccountV2("OPEN", 120, "Paulo", "Quintans Pereira"))
+  }
+
+  test("A1 at scale: rehydrateAll folds every stream in one distributed pass") {
+    val log = freshLog()
+    val store = new EventStore(log, AccountType)
+    val ids = (1 to 20).map(i => f"01HXAMPLEACCTBULK${i}%09d")
+    ids.zipWithIndex.foreach { case (id, i) =>
+      store.create(id, Seq(AccountType.created(100 * (i + 1), s"owner$i")))
+      store.update(id)(_ => Seq(AccountType.deposited(i)))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val states = store.rehydrateAll().collect().toMap
+    assert(states.size == 20)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      assert(states(id) == Account("OPEN", 100L * (i + 1) + i, s"owner$i"))
+    }
+  }
+}
