@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.core.Ulid
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-(projection, partition) resume/dedup token — the reference's KV
+  * checkpoint rows (projection/checkpoints.go, projection/types.go:129-153):
+  * `eventId` is the catchup/dedup watermark, `sequence` the live bus
+  * sequence, `done` marks a finished catchup split.
+  */
+case class Checkpoint(
+    projection: String,
+    partition: Int,
+    event_id: String,
+    sequence: Long,
+    done: Boolean)
+
+/** Tiny append-only parquet KV: the latest row per key wins (ULID-stamped).
+  * This is deliberately a *table*, not an opaque offset file, for API parity
+  * with the reference's resume tokens — Spark's own streaming checkpoints
+  * still handle source offsets; this table carries the projection-level
+  * dedup watermarks that must survive engine switches.
+  */
+class CheckpointStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private val gen = new Ulid.Generator()
+
+  def save(cps: Seq[Checkpoint]): Unit = {
+    if (cps.isEmpty) return
+    cps.map(c => (c.projection, c.partition, c.event_id, c.sequence, c.done, gen.next()))
+      .toDF("projection", "partition", "event_id", "sequence", "done", "saved_at")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def load(projection: String): Map[Int, Checkpoint] = {
+    if (!new java.io.File(path).exists()) return Map.empty
+    val w = Window.partitionBy(col("partition")).orderBy(col("saved_at").desc)
+    spark.read.parquet(path)
+      .filter(col("projection") === projection)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .as[(String, Int, String, Long, Boolean, String, Int)]
+      .collect()
+      .map { case (p, part, id, seq, done, _, _) => part -> Checkpoint(p, part, id, seq, done) }
+      .toMap
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.core.{EventSchema, Ulid}
+import graft.log.EventLog
+import graft.replay.{EventFilter, Player}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** A projection message: the reference's `projection.Message` envelope —
+  * `Meta{name, kind, partition, sequence}` + the event
+  * (projection/types.go:165-183), flattened to one row.
+  * `meta_kind` ∈ catchup | switch | live; the switch row carries the catchup
+  * watermark in `id` and a zero aggregate id (projection/projection.go:220-232).
+  */
+case class ProjMessage(
+    meta_kind: String,
+    partition: Int,
+    sequence: Long,
+    id: String,
+    aggregate_id: String,
+    aggregate_kind: String,
+    kind: String,
+    body: String,
+    created_at: Timestamp)
+
+private case class DedupState(lastId: String)
+
+/** The projection runtime: catchup → switch → live, with the reference's
+  * exactly-once dedup semantics (T1-T6, projection/projection.go +
+  * projection/checkpoints.go) restated on Spark:
+  *
+  *  - **catchup** = ONE bounded batch replay of `(resume, until]` where
+  *    `until = now − startOffset` (default 1 min, the overlap window). The
+  *    reference's K parallel split workers collapse into Spark tasks — the
+  *    `partition` column (`calc_partition(fnv1a32_hash, n)`) is preserved so
+  *    checkpoints stay per-partition and bit-compatible.
+  *  - **switch** = checkpoint rows `{done, until}` for every partition plus a
+  *    control message to the handler.
+  *  - **live** = Structured Streaming over the log's file source (new parquet
+  *    files appear as the log appends; a broker source mounts behind the same
+  *    shape). Late/duplicate rejection (T4): a per-partition
+  *    `flatMapGroupsWithState` keeps the last seen id, seeded from the saved
+  *    checkpoints — reject `id <= checkpoint.id`, exactly
+  *    projection/checkpoints.go:58-92.
+  *  - the handler runs inside `foreachBatch` together with the checkpoint
+  *    save — the reference's handle+checkpoint-in-one-transaction (T5);
+  *    with a transactional table format both writes share one commit.
+  */
+class Projector(
+    val log: EventLog,
+    val name: String,
+    val statePath: String,
+    filter: EventFilter = EventFilter(),
+    partitions: Int = 1,
+    untilOffsetMs: Long = 60000L) {
+
+  val spark: SparkSession = log.spark
+  val checkpoints = new CheckpointStore(spark, s"$statePath/checkpoints")
+  import spark.implicits._
+
+  private def shaped(df: DataFrame, metaKind: String): Dataset[ProjMessage] =
+    df.select(
+      lit(metaKind).as("meta_kind"),
+      graft.functions.calc_partition(col("aggregate_id_hash"), partitions).as("partition"),
+      lit(0L).as("sequence"),
+      col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
+      col("body"), col("created_at"))
+      .as[ProjMessage]
+
+  /** T1+T2: catchup replay then switch. Returns the switch watermark ULID. */
+  def catchup(handle: Dataset[ProjMessage] => Unit,
+      nowMs: Long = System.currentTimeMillis()): String = {
+    val cps = checkpoints.load(name)
+    val after = {
+      val resumed = cps.values.filterNot(_.done)
+      if (cps.isEmpty) ""
+      else if (resumed.nonEmpty) resumed.map(_.event_id).min
+      else cps.values.map(_.event_id).min
+    }
+    val until = Ulid.timeMax(nowMs - untilOffsetMs)
+    val batch = shaped(new Player(log).replay(after, until, filter), "catchup")
+    handle(batch)
+    // switch: pin the dedup watermark for every partition (tokens done@until)
+    checkpoints.save((1 to partitions).map(p => Checkpoint(name, p, until, 0L, done = true)))
+    val switchMsg = Seq(ProjMessage("switch", 0, 0L, until, "", "", "", "",
+      new Timestamp(nowMs))).toDS()
+    handle(switchMsg)
+    until
+  }
+
+  /** T3+T4: live stream with per-partition monotonic dedup. The handler and
+    * the checkpoint save share each micro-batch (T5).
+    */
+  def live(handle: Dataset[ProjMessage] => Unit): StreamingQuery = {
+    val initial: Map[Int, String] =
+      checkpoints.load(name).map { case (p, c) => p -> c.event_id }
+    val nparts = partitions
+
+    val src = spark.readStream
+      .schema(EventSchema.events)
+      .parquet(s"${log.path}/events/bucket=*")
+      .filter(col("migration") === 0 && filter.toColumn)
+
+    val deduped = shaped(src, "live")
+      .groupByKey(_.partition)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (part: Int, it: Iterator[ProjMessage], state: GroupState[DedupState]) =>
+          var last = state.getOption.map(_.lastId)
+            .getOrElse(initial.getOrElse(part, ""))
+          // micro-batches are small slices; sort by id for in-order handling
+          val out = it.toSeq.sortBy(_.id).flatMap { m =>
+            if (m.id > last) { last = m.id; Some(m) } else None
+          }
+          state.update(DedupState(last))
+          out.iterator
+      }
+
+    val cpStore = checkpoints
+    val projName = name
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$statePath/stream_checkpoint")
+      .foreachBatch { (batch: Dataset[ProjMessage], _: Long) =>
+        val b = batch.persist()
+        try {
+          handle(b)
+          val tokens = b.groupBy(col("partition"))
+            .agg(max(col("id")).as("event_id"), max(col("sequence")).as("sequence"))
+            .collect()
+            .map(r => Checkpoint(projName, r.getInt(0), r.getString(1), r.getLong(2), done = true))
+          cpStore.save(tokens.toSeq)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+}
