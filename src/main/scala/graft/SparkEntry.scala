@@ -221,6 +221,80 @@ object SparkEntry {
             .as("props_v2"))
     }),
 
+    // ═══ LLM-pipeline operators (graft.ops) over documents/embeddings ═════
+
+    // ── text analysis: token counting ─────────────────────────────────────
+    "t1_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+    }),
+
+    // ── text analysis: quality scoring ────────────────────────────────────
+    "t2_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        ops.TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        ops.TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+    }),
+
+    // ── text analysis: language ID (stopword-overlap heuristic) ───────────
+    "t3_lang_id" -> ((s, dir) => {
+      val lid = ops.TextAnalysis.langId(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        lid.getField("lang").as("predicted_lang"),
+        lid.getField("score").as("lang_score"))
+    }),
+
+    // ── text analysis: document fingerprint ───────────────────────────────
+    "t4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ── dedup: exact groups by fingerprint ────────────────────────────────
+    "d1_exact_dedup" -> ((s, dir) =>
+      ops.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── dedup: MinHash + banded LSH candidate pairs ───────────────────────
+    "d2_minhash_lsh" -> ((s, dir) =>
+      ops.Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── dedup: 32-bit SimHash per document ────────────────────────────────
+    "d3_simhash" -> ((s, dir) =>
+      ops.Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("sh_id", "doc_id")),
+
+    // ── dedup: n-gram Jaccard verification of the LSH candidates ──────────
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dedup.jaccardVerify(docs,
+        ops.Dedup.lshCandidatePairs(docs, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.2)
+    }),
+
+    // ── similarity: exact brute-force cosine top-k ────────────────────────
+    "e1_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ── similarity: sign-LSH bucketed ANN top-k ───────────────────────────
+    "e2_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, bits = 8)
+    }),
+
+    // ── multimodal: binary packing + metadata + frame fingerprint ─────────
+    "mm_binary_meta" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      ops.Multimodal.frameSample(packed, frameBytes = 16)
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("frame_fp"))
+    }),
+
     // ── Set op: union of filtered subsets (§2.7) ──────────────────────────
     "u1_union_kinds" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -336,6 +410,118 @@ object SparkEntry {
       """SELECT event_id,
         |       json_object('k2', CAST(json_extract_string(props, '$.k') AS INT) * 2)::VARCHAR AS props_v2
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "t1_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       length(text) AS len_chars
+        |FROM documents""".stripMargin,
+
+    "t2_quality_score" ->
+      """SELECT doc_id,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+        |        / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          t -> list_contains(['the','and','of','to','a','in','is','on','for','with'], t))) * 1.0
+        |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS stopword_ratio,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+        |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH langs(lang, words) AS (VALUES
+        |  ('en', ['the','and','of','to','a','in','is','on','for','with']),
+        |  ('de', ['der','die','das','und','ist','nicht','mit','ein','auf','für']),
+        |  ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        |  ('fr', ['le','la','de','et','un','est','pour','dans','que','sur']),
+        |  ('zh', ['的','是','在','了','和','有','我','不','人','这'])),
+        |tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |              len(list_filter(ws, t -> list_contains(words, t))) AS score
+        |       FROM tok CROSS JOIN langs),
+        |r AS (SELECT doc_id, lang, score,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rn
+        |      FROM sc)
+        |SELECT doc_id, lang AS predicted_lang, score AS lang_score FROM r WHERE rn = 1""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, b, min(md5(b::VARCHAR || '|' || shingle)) AS sig
+        |       FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) GROUP BY doc_id, b)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM mh a JOIN mh b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "d3_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) t FROM documents),
+        |th AS (SELECT doc_id,
+        |              (((md5_number(t) % 4294967296) + 4294967296) % 4294967296)::BIGINT AS h
+        |       FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+        |         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, b, min(md5(b::VARCHAR || '|' || shingle)) AS sig
+        |       FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) GROUP BY doc_id, b),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM mh a JOIN mh b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3)
+        |SELECT doc_a, doc_b,
+        |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+        |             / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+        |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+        |      / len(list_distinct(sa.sh || sb.sh)) >= 0.2""".stripMargin,
+
+    "e1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT qid, e.vec_id,
+        |             round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "e2_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
+        |         CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END +
+        |         CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END +
+        |         CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END +
+        |         CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END +
+        |         CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END +
+        |         CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END +
+        |         CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 20),
+        |c AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qe, e.emb), 6) AS sim
+        |      FROM q JOIN e USING (bucket) WHERE e.vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
+        |       md5(substr(text, 1, 16)) AS frame_fp
+        |FROM documents""".stripMargin,
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

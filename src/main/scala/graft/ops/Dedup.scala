@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (fingerprint group-by), MinHash+LSH banded
+  * candidate generation, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every step is a hash-bucket shuffle, never an all-pairs
+  * product — candidate pairs come from banded signature buckets (documents
+  * only meet if a band collides), and the quadratic Jaccard verify runs on
+  * the candidate set only. Hash functions are md5-derived so results are
+  * engine-portable (and DuckDB-checkable).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text (empty if fewer than n
+    * tokens — mirrors the `len(ws) >= n` guard on the SQL side; without it,
+    * `sequence(0, negative)` would count DOWN and corrupt the shingle list).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = TextAnalysis.tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", (1 to n).map(j => element_at(ws, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup groups: fingerprint → surviving (minimum) id + group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: one row per (id, band) with the band's min-hash over
+    * the shingle set. `bands` independent hash functions are derived by
+    * salting md5 with the band index.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("mh_id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col("mh_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("shingle"))
+      .groupBy(col("mh_id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle")))).as("sig"))
+
+  /** LSH candidate pairs: ids sharing any (band, signature) bucket. The join
+    * is an equi-join on the bucket key — shuffle-partitioned, broadcastable
+    * when one side is small, never quadratic in the corpus.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val mh = minhashSignatures(df, idCol, textCol, bands, shingleSize)
+    val a = mh.select(col("band"), col("sig"), col("mh_id").as("doc_a"))
+    val b = mh.select(col("band"), col("sig"), col("mh_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Jaccard similarity of the distinct shingle sets, computed only for the
+    * given candidate pairs (columns doc_a, doc_b).
+    */
+  def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sets = df.select(col(idCol).as("jv_id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    candidates
+      .join(sets.select(col("jv_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("jv_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over the token multiset: per bit, sum ±1 contributions of
+    * every token hash; bit set iff the sum is positive. Computed with
+    * higher-order functions over the per-document token-hash list — no 32×
+    * row blowup, one shuffle on the id.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextAnalysis.tokenHash32(col("t")))
+      .groupBy(col("sh_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+          |  IF(aggregate(hs, 0L, (a2, h) -> a2 +
+          |       IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, b), 0L))""".stripMargin))
+      .select(col("sh_id"), col("simhash"))
+
+  /** Near-dup candidates by embedding cosine: delegates to Similarity — kept
+    * here so the dedup namespace covers all five families (exact, minhash,
+    * simhash, ngram-jaccard, embedding).
+    */
+  def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(emb, idCol, vecCol, threshold)
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *  - `cosineTopK` is the exact baseline: broadcast the (small) query set,
+  *    scan the corpus once, per-query top-k via window. Cost = one corpus
+  *    scan per batch of queries — the right exact method at any corpus size
+  *    as long as the query batch stays broadcastable.
+  *  - `signLshTopK` is the scale path: an axis-sign LSH bucket key (a
+  *    random-hyperplane LSH specialized to the first `bits` axes) turns the
+  *    cross join into an equi-join on the bucket — candidates shrink ~2^bits.
+  *  - `cosinePairs` (all-pairs ≥ threshold) also goes through the bucket join.
+  *
+  * Dot products use `zip_with`/`aggregate` higher-order expressions on
+  * double-cast values — sequential left-to-right accumulation, bit-stable
+  * across engines.
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query row. Output: qid, vec_id, sim, rn. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce"))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** Axis-sign LSH bucket key over the first `bits` dimensions. */
+  def signBucket(vec: Column, bits: Int = 8): Column =
+    (1 to bits).map(i =>
+      when(element_at(vec, i) >= 0, lit(1 << (bits - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket. Equi-join on
+    * the bucket key instead of a cross join; recall trades off with `bits`.
+    */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** All pairs with cosine ≥ threshold, via the LSH bucket equi-join
+    * (embedding near-dup detection).
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4): DataFrame = {
+    val e = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pe"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = e.select(col("bucket"), col("pid").as("id_a"), col("pe").as("e_a"))
+    val b = e.select(col("bucket"), col("pid").as("id_b"), col("pe").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

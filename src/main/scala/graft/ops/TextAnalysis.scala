@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure Column
+  * expressions (whole-stage codegen, no UDFs) so they run at scan speed and
+  * push work into Tungsten at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: alnum runs + punctuation as separate tokens. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "([^\\p{L}\\p{N}]+)"), t => t =!= "")).cast("long")
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
+  /** Mean token length (chars without spaces / token count). */
+  def avgTokenLen(text: Column): Column =
+    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)), 4)
+
+  val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "dans", "que", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"))
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Stopword-token ratio against the English list (quality signal). */
+  def stopwordRatio(text: Column): Column =
+    round(stopwordHits(text, stopwordsByLang.head._2).cast("double") /
+      greatest(size(tokens(text)), lit(1)), 4)
+
+  /** N-gram/stopword-overlap language ID: score each language's stopword
+    * list, pick the best (ties broken by language code). Returns a struct
+    * `{lang, score}`.
+    */
+  def langId(text: Column): Column = {
+    // sort ascending on (-score, lang): max score first, then lexical lang
+    val scored = array(stopwordsByLang.map { case (lang, words) =>
+      struct((-stopwordHits(text, words)).as("negscore"), lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(array_sort(scored), 1)
+    struct(best.getField("lang").as("lang"), (-best.getField("negscore")).cast("long").as("score"))
+  }
+
+  /** Document fingerprint: hash of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 32-bit token hash: little-endian reading of the first 4 md5 bytes.
+    * Chosen because it is reproducible everywhere — equal to DuckDB's
+    * `md5_number(t) % 2^32` (made non-negative) and trivially portable.
+    */
+  def tokenHash32(t: Column): Column =
+    conv(concat(
+      substring(md5(t), 7, 2), substring(md5(t), 5, 2),
+      substring(md5(t), 3, 2), substring(md5(t), 1, 2)), 16, 10).cast("long")
+}

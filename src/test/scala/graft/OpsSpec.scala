@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup groups duplicates regardless of whitespace/case") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "something else"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates, jaccard verifies, unrelated docs don't collide") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark query engines and parquet files here"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+    val verified = Dedup.jaccardVerify(df, Dedup.lshCandidatePairs(df, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.3).collect()
+    assert(verified.length == 1 && verified.head.getAs[Double]("jaccard") > 0.3)
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("kappa", "sigma")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val hs = Dedup.simhash32(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(3L)) < hamming(hs(1L), hs(4L)))
+  }
+
+  test("cosine top-k: exact ranking on known vectors") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rn").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("sign-LSH ANN recalls same-bucket neighbours") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3)
+    val ann = Similarity.signLshTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3, bits = 4)
+    // ANN returns rows for every query; every ANN hit must appear in the
+    // exact full ranking with identical sim, and can never beat exact top-1
+    // (the candidate set is a subset of the corpus).
+    assert(ann.groupBy("qid").count().count() == 10)
+    val exactTop1 = exact.filter($"rn" === 1).select("qid", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactSims = exact.select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.collect().foreach { r =>
+      val (q, v, s) = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))
+      assert(s <= exactTop1(q) + 1e-9)
+      exactSims.get((q, v)).foreach(es => assert(math.abs(es - s) < 1e-9))
+    }
+  }
+
+  test("multimodal: pack → frame sample → batched feature extraction plumbing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val packed = Multimodal.pack(docs, "doc_id", "text", "text/plain")
+    assert(packed.schema("content").dataType.typeName == "binary")
+    assert(packed.schema("meta").dataType.typeName == "struct")
+
+    val framed = Multimodal.frameSample(packed, 16)
+    val f = framed.select("frame").head().getAs[Array[Byte]](0)
+    assert(f.length == 16)
+
+    val feats = Multimodal.extractFeatures(framed, dim = 8, batchSize = 16)
+    assert(feats.schema("features").dataType.typeName == "array")
+    val rows = feats.select("media_id", "features").collect()
+    assert(rows.length == 100)
+    rows.foreach(r => assert(r.getSeq[Float](1).length == 8))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(framed, dim = 8, batchSize = 32)
+      .select("media_id", "features").collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap)
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y la casa de un gato"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").getField("lang").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+}
