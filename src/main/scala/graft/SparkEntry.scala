@@ -221,6 +221,87 @@ object SparkEntry {
             .as("props_v2"))
     }),
 
+    // ── F6: kind-prefix subscription matcher ("prefix*" | exact) ──────────
+    // (store/eventbus.go:61-83)
+    "f6_prefix_match" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").startsWith("p") || col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // ── F8/S11: event → bus message shaping (key = stream key, value =
+    //    JSON envelope) — the Kafka sink projection (sink/sink.go:118-129) ──
+    "f8_message_shaping" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"))
+    }),
+
+    // ── J3: snapshot ⋈ tail-events stitch (retrieve shape) ────────────────
+    // (eventstore.go:249-300): state at a cutoff + fold of the tail.
+    "j3_snapshot_stitch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def bal = sum(when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "error", -col("value")).otherwise(lit(0.0)))
+      val snap = ev.filter(col("event_id") <= 5000).groupBy(col("user_id"))
+        .agg(bal.as("snap_balance"), max(col("event_id")).as("snap_id"))
+      val tail = ev.filter(col("event_id") > 5000).groupBy(col("user_id"))
+        .agg(bal.as("tail_balance"), max(col("event_id")).as("last_id"))
+      snap.join(tail, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          round(coalesce(col("snap_balance"), lit(0.0)) +
+            coalesce(col("tail_balance"), lit(0.0)), 2).as("balance"),
+          coalesce(col("snap_id"), lit(-1L)).as("snap_id"),
+          coalesce(col("last_id"), col("snap_id")).as("last_id"))
+    }),
+
+    // ── T8: tumbling event-time window aggregation ────────────────────────
+    "t8_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // ── T8: session window (30-minute gap) per stream ─────────────────────
+    "t8_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("total_value"))
+    }),
+
+    // ── Q3-style shipping-priority join (bench headline) ──────────────────
+    "q3_shipping" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), col("revenue"))
+    }),
+
+    // ── Q5-style local-supplier multi-join (bench headline) ───────────────
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // ═══ LLM-pipeline operators (graft.ops) over documents/embeddings ═════
 
     // ── text analysis: token counting ─────────────────────────────────────
@@ -410,6 +491,72 @@ object SparkEntry {
       """SELECT event_id,
         |       json_object('k2', CAST(json_extract_string(props, '$.k') AS INT) * 2)::VARCHAR AS props_v2
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "f6_prefix_match" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE event_type LIKE 'p%' OR event_type = 'click'
+        |GROUP BY event_type""".stripMargin,
+
+    "f8_message_shaping" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+        |       json_object('event_id', event_id, 'event_type', event_type, 'value', value)::VARCHAR AS value
+        |FROM events WHERE event_id < 100""".stripMargin,
+
+    "j3_snapshot_stitch" ->
+      """WITH snap AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN value
+        |                  WHEN event_type = 'error' THEN -value ELSE 0.0 END) AS snap_balance,
+        |         max(event_id) AS snap_id
+        |  FROM events WHERE event_id <= 5000 GROUP BY user_id),
+        |tail AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN value
+        |                  WHEN event_type = 'error' THEN -value ELSE 0.0 END) AS tail_balance,
+        |         max(event_id) AS last_id
+        |  FROM events WHERE event_id > 5000 GROUP BY user_id)
+        |SELECT coalesce(snap.user_id, tail.user_id) AS user_id,
+        |       round(coalesce(snap_balance, 0.0) + coalesce(tail_balance, 0.0), 2) AS balance,
+        |       coalesce(snap_id, -1) AS snap_id,
+        |       coalesce(last_id, snap_id) AS last_id
+        |FROM snap FULL OUTER JOIN tail ON snap.user_id = tail.user_id""".stripMargin,
+
+    "t8_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "t8_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "t1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

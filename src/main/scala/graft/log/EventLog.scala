@@ -255,6 +255,32 @@ class EventLog(
       }.toSeq
     }
 
+  /** M4 support: append a `NoOp` fence event to EVERY active stream of one
+    * aggregate kind, in a single distributed write (one shuffle to compute
+    * per-stream max versions — no driver-side per-stream loop, unlike the
+    * reference's paged iteration, store/postgresql/projection_migration.go).
+    * Fences bump each stream's version so concurrent writers started before
+    * the rebuild lose their optimistic check (eventstore.go:123-131).
+    */
+  def appendNoOpFences(aggregateKind: String, nowMs: => Long = System.currentTimeMillis()): Long =
+    withLogLock(path) {
+      import spark.implicits._
+      val heads = activeEvents
+        .filter(col("aggregate_kind") === aggregateKind)
+        .groupBy(col("aggregate_id"))
+        .agg(max(col("aggregate_version")).as("v"),
+          first(col("discriminator")).as("disc"))
+        .as[(String, Int, Map[String, String])]
+        .collect() // one row per stream: bounded by stream count, not event count
+      val t = nowMs
+      val rows = heads.map { case (aggId, v, disc) =>
+        EventRow(gen.next(t), aggId, Fnv1a32.hashString(aggId), v + 1,
+          aggregateKind, KindNoOp, "{}", disc, new Timestamp(t), 0, false)
+      }
+      writeEvents(rows.toSeq, SaveMode.Append)
+      rows.length.toLong
+    }
+
   // ── internals ────────────────────────────────────────────────────────────
 
   private def maxVersions(aggregateIds: Seq[String]): Map[String, Int] = {

@@ -14,17 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text (empty if fewer than n
-    * tokens — mirrors the `len(ws) >= n` guard on the SQL side; without it,
-    * `sequence(0, negative)` would count DOWN and corrupt the shingle list).
+  /** Word n-gram shingles from a MATERIALIZED token-array column (empty if
+    * fewer than n tokens — mirrors the `len(ws) >= n` guard on the SQL side;
+    * without it, `sequence(0, negative)` would count DOWN and corrupt the
+    * shingle list).
+    *
+    * `ws` must be a plain column attribute, not the `split()` expression
+    * itself: the transform references it ~3× per shingle, and Catalyst
+    * re-evaluates non-attribute subexpressions per reference inside lambda
+    * bodies — inlining the tokenizer here made shingling ~6× slower than
+    * tokenizing (measured at sf0.1). Callers project tokens into a column
+    * first (`withColumn("__ws", TextAnalysis.tokens(...))`); CollapseProject
+    * keeps the projections separate because the expression is non-cheap and
+    * multiply referenced.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = TextAnalysis.tokens(text)
+  def shinglesFromTokens(ws: Column, n: Int = 3): Column =
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - lit(n)),
         i => concat_ws(" ", (1 to n).map(j => element_at(ws, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form — see `shinglesFromTokens` for why
+    * pipelines should materialize tokens first instead.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
 
   /** Exact dedup groups: fingerprint → surviving (minimum) id + group size. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -37,33 +51,42 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    df.select(col(idCol).as("mh_id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    df.select(col(idCol).as("mh_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col("mh_id"), explode(shinglesFromTokens(col("__ws"), shingleSize)).as("shingle"))
       .select(col("mh_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("shingle"))
       .groupBy(col("mh_id"), col("band"))
       .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle")))).as("sig"))
 
-  /** LSH candidate pairs: ids sharing any (band, signature) bucket. The join
-    * is an equi-join on the bucket key — shuffle-partitioned, broadcastable
-    * when one side is small, never quadratic in the corpus.
+  /** LSH candidate pairs: ids sharing any (band, signature) bucket.
+    * Implemented as ONE aggregation to bucket id-lists plus an in-bucket
+    * pair expansion — a signature self-join would execute the whole
+    * shingle→minhash subplan twice and shuffle it twice; this computes it
+    * once and only ever materializes pairs inside a colliding bucket (bucket
+    * sizes are tiny for real near-dup workloads, so the expansion is linear
+    * in candidates, never quadratic in the corpus).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, shingleSize: Int = 3): DataFrame = {
-    val mh = minhashSignatures(df, idCol, textCol, bands, shingleSize)
-    val a = mh.select(col("band"), col("sig"), col("mh_id").as("doc_a"))
-    val b = mh.select(col("band"), col("sig"), col("mh_id").as("doc_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    minhashSignatures(df, idCol, textCol, bands, shingleSize)
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("mh_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        i => transform(
+          slice(col("ids"), i + 1, size(col("ids")) - i),
+          b => struct(element_at(col("ids"), i).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Jaccard similarity of the distinct shingle sets, computed only for the
     * given candidate pairs (columns doc_a, doc_b).
     */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sets = df.select(col(idCol).as("jv_id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    val sets = df.select(col(idCol).as("jv_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col("jv_id"), array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
     candidates
       .join(sets.select(col("jv_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("jv_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

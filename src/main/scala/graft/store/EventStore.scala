@@ -141,6 +141,18 @@ class EventStore[T](
     migrated
   }
 
+  /** M4 consistent-projection rebuild: optionally fence every stream with a
+    * `NoOp` (so writers racing the rebuild fail their optimistic append),
+    * then fold all streams into the read model in one distributed pass
+    * (store/postgresql/projection_migration.go:44-149 restated; under pure
+    * batch isolation the fence is optional — Spark jobs see a stable
+    * snapshot of the log's files).
+    */
+  def rebuildProjection(fence: Boolean = false)(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
+    if (fence) log.appendNoOpFences(agg.kind)
+    rehydrateAll()
+  }
+
   /** A1 at scale: rehydrate EVERY stream of this aggregate kind in one
     * distributed pass — sorted per-key iterator fold inside `flatMapGroups`
     * (no `collect_list` materialization; Spark's group sort spills). One
