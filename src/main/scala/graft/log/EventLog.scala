@@ -281,6 +281,43 @@ class EventLog(
       rows.length.toLong
     }
 
+  /** Compaction: every append writes new files, so a hot log accumulates
+    * small files (the classic small-files problem — fatal at 100 TB where
+    * scan cost is dominated by file opens). Rewrites the given buckets (or
+    * all) into one sorted file per bucket: restores the ULID sort order that
+    * makes parquet min/max skipping effective on time-range scans. On a real
+    * deployment this runs incrementally, a bucket subset per maintenance
+    * window — which is why `buckets` is a parameter.
+    */
+  def compact(buckets: Option[Seq[Int]] = None): Unit = withLogLock(path) {
+    if (!exists(eventsPath)) return
+    val scoped = buckets match {
+      case Some(bs) => eventsWithBucket.filter(col("bucket").isin(bs: _*))
+      case None => eventsWithBucket
+    }
+    val all = scoped.localCheckpoint() // materialize before overwriting source files
+    all.repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(eventsPath)
+  }
+
+  /** Snapshot compaction: drop superseded snapshots, keeping the latest per
+    * stream (the only one `latestSnapshot` ever serves).
+    */
+  def compactSnapshots(): Unit = withLogLock(path) {
+    if (!exists(snapshotsPath)) return
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("aggregate_id")).orderBy(col("id").desc)
+    val latest = spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    latest
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotsPath)
+  }
+
   // ── internals ────────────────────────────────────────────────────────────
 
   private def maxVersions(aggregateIds: Seq[String]): Map[String, Int] = {

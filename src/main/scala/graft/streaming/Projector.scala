@@ -91,9 +91,12 @@ class Projector(
   }
 
   /** T3+T4: live stream with per-partition monotonic dedup. The handler and
-    * the checkpoint save share each micro-batch (T5).
+    * the checkpoint save share each micro-batch (T5). `trigger` reproduces
+    * the reference's poller cadence when set (S13: 200 ms default there);
+    * None = as-fast-as-possible micro-batches.
     */
-  def live(handle: Dataset[ProjMessage] => Unit): StreamingQuery = {
+  def live(handle: Dataset[ProjMessage] => Unit,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
     val initial: Map[Int, String] =
       checkpoints.load(name).map { case (p, c) => p -> c.event_id }
     val nparts = partitions
@@ -119,9 +122,11 @@ class Projector(
 
     val cpStore = checkpoints
     val projName = name
-    deduped.writeStream
+    val writer0 = deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$statePath/stream_checkpoint")
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer
       .foreachBatch { (batch: Dataset[ProjMessage], _: Long) =>
         val b = batch.persist()
         try {

@@ -1,0 +1,83 @@
+package graft
+
+import graft.log.EventLog
+import graft.sources.Bus
+import graft.store.EventStore
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactionSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("compact merges small append files, preserves data, restores id sort order") {
+    val dir = Files.createTempDirectory("graftcompact").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(31L))
+    val store = new EventStore(log, AccountType)
+    // 15 separate appends → many small files
+    (1 to 15).foreach { i =>
+      store.create(f"01HXCOMPACT${i}%015d", Seq(AccountType.created(i, s"o$i")))
+    }
+    val before = parquetFiles(s"$dir/events")
+    assert(before >= 15)
+    val dataBefore = log.events.orderBy("id").collect().toSeq
+
+    log.compact()
+    val after = parquetFiles(s"$dir/events")
+    assert(after <= 2, s"expected ≤1 file per bucket, got $after")
+    assert(log.events.orderBy("id").collect().toSeq == dataBefore)
+
+    // appends still work after compaction, optimistic check intact
+    store.update("01HXCOMPACT000000000000001")(_ => Seq(AccountType.deposited(1)))
+    assert(store.retrieve("01HXCOMPACT000000000000001").state.balance == 2)
+  }
+
+  test("compactSnapshots keeps only the latest snapshot per stream") {
+    val dir = Files.createTempDirectory("graftsnapcompact").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(32L))
+    val store = new EventStore(log, AccountType, snapshotThreshold = 1)
+    val id = "01HXSNAPCOMPACT0000000001"
+    store.create(id, Seq(AccountType.created(100, "P")))
+    store.update(id)(_ => Seq(AccountType.deposited(1)))
+    store.update(id)(_ => Seq(AccountType.deposited(2)))
+    assert(log.snapshots.filter(col("aggregate_id") === id).count() == 3)
+    log.compactSnapshots()
+    val left = log.snapshots.filter(col("aggregate_id") === id).collect()
+    assert(left.length == 1)
+    assert(left.head.getAs[Int]("aggregate_version") == 3)
+    assert(store.retrieve(id).state.balance == 103)
+  }
+
+  test("bus frames: kafka key/value envelope and nats explicit partitions") {
+    val dir = Files.createTempDirectory("graftbus").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(33L))
+    val store = new EventStore(log, AccountType)
+    store.create("01HXBUSACCT00000000000001", Seq(
+      AccountType.created(100, "P"), AccountType.deposited(5)))
+
+    val kf = Bus.kafkaFrame(log.activeEvents, "events-topic").collect()
+    assert(kf.length == 2)
+    kf.foreach { r =>
+      assert(r.getAs[String]("key") == "01HXBUSACCT00000000000001")
+      assert(r.getAs[String]("topic") == "events-topic")
+      val v = graft.codec.Codec.parse(r.getAs[String]("value"))
+      assert(v.get("aggregate_id").asText() == "01HXBUSACCT00000000000001")
+      assert(Seq("AccountCreated", "MoneyDeposited").contains(v.get("kind").asText()))
+    }
+
+    val nf = Bus.natsFrame(log.activeEvents, "events", 4).collect()
+    val expectedPart = Math.floorMod(
+      graft.functions.Fnv1a32.hashString("01HXBUSACCT00000000000001"), 4) + 1
+    nf.foreach { r =>
+      assert(r.getAs[Int]("partition") == expectedPart)
+      assert(r.getAs[String]("subject") == s"events.$expectedPart")
+    }
+  }
+}
