@@ -288,13 +288,14 @@ object SparkEntry {
 
     // ── Q5-style local-supplier multi-join (bench headline) ───────────────
     "q5_local_supplier" -> ((s, dir) => {
+      // one shuffle join (lineitem ⋈ orders); every dimension broadcasts
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -349,9 +350,10 @@ object SparkEntry {
     // ── dedup: n-gram Jaccard verification of the LSH candidates ──────────
     "d4_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      ops.Dedup.jaccardVerify(docs,
-        ops.Dedup.lshCandidatePairs(docs, "doc_id", "text"),
-        "doc_id", "text", threshold = 0.2)
+      // candidates are consumed twice downstream (both join sides resolve
+      // against them) — checkpoint so the minhash subplan runs once
+      val cands = ops.Dedup.lshCandidatePairs(docs, "doc_id", "text").localCheckpoint()
+      ops.Dedup.jaccardVerify(docs, cands, "doc_id", "text", threshold = 0.2)
     }),
 
     // ── similarity: exact brute-force cosine top-k ────────────────────────

@@ -51,6 +51,12 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    // NOTE on shape: a fully per-row formulation (array_min over a transform
+    // of the shingle array, no explode) looks cheaper but measures 2× SLOWER
+    // at sf0.1 — CollapseProject inlines the once-referenced shingle array
+    // into the per-band lambda and re-derives it `bands` times per row. The
+    // explode→groupBy form keeps a hard barrier (the Generate/aggregation),
+    // so tokens and shingles are computed exactly once per document.
     df.select(col(idCol).as("mh_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("mh_id"), explode(shinglesFromTokens(col("__ws"), shingleSize)).as("shingle"))
       .select(col("mh_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("shingle"))
@@ -103,6 +109,10 @@ object Dedup {
     * row blowup, one shuffle on the id.
     */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Same CollapseProject caveat as minhashSignatures: the explode→
+    // collect_list shuffle is a barrier that guarantees each token hash is
+    // computed once; the "cheaper" pure-array form re-evaluates the hash
+    // array inside the 32-iteration bit loop and measures 4× slower.
     df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("h", TextAnalysis.tokenHash32(col("t")))
       .groupBy(col("sh_id"))
