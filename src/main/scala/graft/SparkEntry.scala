@@ -370,6 +370,30 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, bits = 8)
     }),
 
+    // ── similarity: IVF cell-probe ANN (the second scale path) ────────────
+    "e3_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+    }),
+
+    // ── dedup: embedding-cosine near-dup pairs (bucketed) ─────────────────
+    "d5_embedding_dedup" -> ((s, dir) =>
+      ops.Dedup.embeddingCandidates(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.15)),
+
+    // ── codec: base64 body encode/decode round trip (§2.10) ───────────────
+    "c1_base64" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          // Spark's base64 is MIME-wrapped (76-char CRLF lines); normalize
+          // to the standard unwrapped form
+          regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+          (unbase64(base64(col("text").cast("binary"))).cast("string") === col("text"))
+            .as("roundtrip_ok"))
+    }),
+
     // ── multimodal: binary packing + metadata + frame fingerprint ─────────
     "mm_binary_meta" -> ((s, dir) => {
       val packed = ops.Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -666,6 +690,46 @@ object SparkEntry {
         |      FROM q JOIN e USING (bucket) WHERE e.vec_id != qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "e3_ivf_ann" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |cassign AS (SELECT vec_id, ce, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, ce, cent_id,
+        |                         round(list_cosine_similarity(ce, cent), 6) AS csim
+        |                  FROM corpus CROSS JOIN cents)),
+        |ccells AS (SELECT vec_id, ce, cell FROM cassign WHERE crn = 1),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        |      WHERE vec_id BETWEEN 100 AND 109),
+        |qassign AS (SELECT qid, qe, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT qid, qe, cent_id,
+        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+        |                  FROM q CROSS JOIN cents)),
+        |qcells AS (SELECT qid, qe, cell FROM qassign WHERE crn <= 2),
+        |c AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
+        |      FROM ccells JOIN qcells USING (cell) WHERE vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "d5_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+        |         CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+        |         CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+        |         CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        |       FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15""".stripMargin,
+
+    "c1_base64" ->
+      """SELECT doc_id, to_base64(text::BLOB) AS b64,
+        |       decode(from_base64(to_base64(text::BLOB))) = text AS roundtrip_ok
+        |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,

@@ -68,6 +68,39 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * centroid cell, probe only the query's `nprobe` nearest cells. The cell
+    * build is a one-off broadcast pass (nlist ≪ corpus); the search joins on
+    * the cell id — candidates shrink ~nlist/nprobe versus brute force.
+    * Centroids here are the deterministic head of the corpus (pluggable —
+    * swap in k-means output without changing the plan shape); everything is
+    * DataFrame ops, no driver-side loops.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent"))
+    def cells(df: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("csim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nCells)
+        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    }
+    val corpusCells = cells(corpus, "vec_id", "ce", 1)
+    val queryCells = cells(queries, "qid", "qe", nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
+  }
+
   /** All pairs with cosine ≥ threshold, via the LSH bucket equi-join
     * (embedding near-dup detection).
     */
