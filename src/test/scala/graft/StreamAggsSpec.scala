@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.StreamAggs
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamAggsSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("windowed aggregation: identical results in batch and streaming modes, late events dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftstream").toFile.getAbsolutePath
+
+    def row(minute: Int, kind: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), kind, v)
+    val batch1 = Seq(row(1, "a", 1.0), row(2, "a", 2.0), row(7, "b", 3.0))
+    // after batch1 the watermark is max(10:07) − 5min = 10:02, so the 9:58
+    // event lands in window [9:55,10:00) whose end ≤ watermark → dropped
+    val batch2 = Seq(row(9, "b", 4.0), (java.sql.Timestamp.valueOf("2024-01-01 09:58:00"), "a", 99.0))
+
+    batch1.toDF("ts", "kind", "value").write.parquet(s"$dir/in")
+
+    // batch mode over batch1
+    val batchRes = StreamAggs.windowedByKind(
+      spark.read.parquet(s"$dir/in"), "ts", "kind", "value", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(batchRes == Set(
+      ("2024-01-01 10:00:00.0", "a", 2L, 3.0),
+      ("2024-01-01 10:05:00.0", "b", 1L, 3.0)))
+
+    // streaming mode: same helper, append output with watermark
+    val stream = spark.readStream
+      .schema("ts timestamp, kind string, value double")
+      .parquet(s"$dir/in")
+    val agg = StreamAggs.windowedByKind(stream, "ts", "kind", "value",
+      "5 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("winagg")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch2 arrives late: the 10:00 event is behind the watermark
+      batch2.toDF("ts", "kind", "value").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // force watermark advance + window close with a fresh late-window event
+      Seq(row(30, "c", 0.0)).toDF("ts", "kind", "value").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val out = spark.sql("select * from winagg")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      // closed windows: [10:00) a×2, [10:05) b×2 (3.0 + 4.0); the 9:58
+      // late event must have been dropped entirely (no [9:55) window)
+      assert(out.contains(("2024-01-01 10:00:00.0", "a", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 10:05:00.0", "b", 2L, 7.0)))
+      assert(!out.exists(_._4 == 99.0), "late event must be dropped")
+      assert(!out.exists(_._1.startsWith("2024-01-01 09:55")))
+    } finally q.stop()
+  }
+
+  test("session windows by key (batch)") {
+    val s = spark
+    import s.implicits._
+    def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:$min%02d:00")
+    val df = Seq((1L, at(0)), (1L, at(10)), (1L, at(45)), (2L, at(5)))
+      .toDF("user_id", "ts")
+    val sessions = StreamAggs.sessionsByKey(df, "ts", "user_id", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+    assert(sessions == Set(
+      (1L, "2024-01-01 09:00:00.0", 2L), // 0 + 10 merge (gap < 30m)
+      (1L, "2024-01-01 09:45:00.0", 1L), // 45 is a new session
+      (2L, "2024-01-01 09:05:00.0", 1L)))
+  }
+}
