@@ -211,6 +211,19 @@ object SparkEntry {
             .otherwise(col("props")).as("props"))
     }),
 
+    // ── F7: envelope→domain decode via the kind registry (from_json) ──────
+    // (encoding/jsoncodec/codec.go:26-44): per-kind schema, parsed struct.
+    "f7_codec_decode" -> ((s, dir) => {
+      val reg = new codec.Codec().register("purchase",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          reg.decoded(col("event_type"), col("props"), "purchase").getField("k").as("k"))
+    }),
+
     // ── M3 upcast-at-read: lift old payload shape to new ──────────────────
     // (encoding/jsoncodec/codec.go:51-80)
     "m3_upcast_read" -> ((s, dir) => {
@@ -512,6 +525,10 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       CASE WHEN event_type = 'signup' THEN '{}' ELSE props END AS props
         |FROM events""".stripMargin,
+
+    "f7_codec_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "m3_upcast_read" ->
       """SELECT event_id,

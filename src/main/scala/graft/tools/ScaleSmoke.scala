@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.core.{EventRow, Ulid}
+import graft.functions.Fnv1a32
+import graft.log.EventLog
+import graft.replay.{EventFilter, Player}
+import graft.store.EventStore
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesize a log ~30× the sf0.1 events table (200k events /
+  * 20k streams) DIRECTLY as bucketed parquet (bulk load path), then time the
+  * core operations. Demonstrates the design holds as volume grows: bulk
+  * ingest is one distributed write, folds are one shuffle, point ops are
+  * bucket-pruned, maintenance is partition-scoped.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nStreams = 20000
+    val perStream = 10
+    val dir = Files.createTempDirectory("graftscale").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 64)
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // ── bulk ingest: generate EventRows distributed, write bucketed ──────
+    time(s"bulk ingest ${nStreams * perStream} events") {
+      val rows = spark.range(nStreams.toLong * perStream).mapPartitions { it =>
+        val gen = new Ulid.Generator(seed = Some(7L))
+        it.map { i =>
+          val stream = (i / perStream).toString
+          val v = (i % perStream).toInt + 1
+          val aggId = f"01HXSCALE${stream.toLong}%017d"
+          val kind = if (v == 1) "AccountCreated" else "MoneyDeposited"
+          val body = if (v == 1) s"""{"money":${100 + i % 50},"owner":"o$stream"}"""
+            else s"""{"money":${i % 10}}"""
+          EventRow(gen.next(1700000000000L + i), aggId, Fnv1a32.hashString(aggId),
+            v, "Account", kind, body, Map("tenant" -> (if (i % 2 == 0) "xyz" else "abc")),
+            new Timestamp(1700000000000L), 0, false)
+        }
+      }
+      rows.toDF()
+        .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(64)))
+        .sortWithinPartitions("bucket", "id")
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$dir/events")
+    }
+
+    val store = new EventStore(log, graft.tools.ScaleAccount)
+    time("rehydrateAll (20k streams, 1 shuffle)") {
+      val n = store.rehydrateAll().count()
+      require(n == nStreams, s"expected $nStreams states, got $n")
+    }
+    time("point retrieve (bucket-pruned)") {
+      val r = store.retrieve(f"01HXSCALE${42L}%017d")
+      require(r.version == perStream)
+    }
+    time("range scan last 10% by ULID id") {
+      val after = Ulid.timeOnly(1700000000000L + nStreams.toLong * perStream * 9 / 10)
+      log.range(after, "").count()
+    }
+    time("filtered catchup (tenant + split 0/4)") {
+      new Player(log).replay("", "", EventFilter(
+        discriminator = Map("tenant" -> Seq("xyz")), splits = 4, splitIds = Seq(0))).count()
+    }
+    time("forget one stream (1 bucket rewritten)") {
+      log.forget(f"01HXSCALE${7L}%017d", Set("AccountCreated"), _ => "{}", _ => "{}")
+    }
+    time("optimistic append + conflict check") {
+      log.append(Seq(graft.log.AppendRecord(f"01HXSCALE${99L}%017d", "Account",
+        perStream, Map.empty, Seq(graft.log.EventDetail("MoneyDeposited", """{"money":1}""")))))
+    }
+    time("compact 64 buckets") { log.compact() }
+    time("rehydrateAll after compact") {
+      require(store.rehydrateAll().count() == nStreams)
+    }
+    spark.stop()
+  }
+}
+
+/** Minimal Account fold for the smoke (the test fixture lives in test scope). */
+object ScaleAccount extends graft.store.AggregateType[(String, Long)] {
+  val kind = "Account"
+  val empty = ("", 0L)
+  def fold(s: (String, Long), k: String, body: String): (String, Long) = {
+    val n = graft.codec.Codec.parse(body)
+    // defensive on missing fields: forget (GDPR) may have scrubbed the body
+    def str(f: String) = Option(n.get(f)).map(_.asText()).getOrElse("")
+    def num(f: String) = Option(n.get(f)).map(_.asLong()).getOrElse(0L)
+    k match {
+      case "AccountCreated" => (str("owner"), num("money"))
+      case "MoneyDeposited" => (s._1, s._2 + num("money"))
+      case _ => s
+    }
+  }
+  def encodeState(s: (String, Long)): String = s"""{"owner":"${s._1}","balance":${s._2}}"""
+  def decodeState(b: String): (String, Long) = {
+    val n = graft.codec.Codec.parse(b)
+    (n.get("owner").asText(), n.get("balance").asLong())
+  }
+}

@@ -83,6 +83,31 @@ class ProjectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("live stream picks up a NEW bucket directory created after the stream started") {
+    val log = new EventLog(spark, tempDir, numBuckets = 64, ulidSeed = Some(13L))
+    val store = new EventStore(log, AccountType)
+    val t0 = 1700000000000L
+    // seed one stream so the source has an initial directory
+    store.create("01HXNEWBUCKETSEED00000001", Seq(AccountType.created(1, "Seed")), nowMs = t0)
+
+    val proj = new Projector(log, "newbucket", tempDir, partitions = 2)
+    val buf = ArrayBuffer[ProjMessage]()
+    proj.catchup(ds => buf.synchronized { buf ++= ds.collect(); () }, nowMs = t0 + 120000L)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      val before = buf.size
+      // a brand-new aggregate whose fnv bucket directory did not exist yet
+      val freshId = (1 to 1000).map(i => f"01HXNEWBUCKETFRESH${i}%07d")
+        .find(id => log.bucketOf(id) != log.bucketOf("01HXNEWBUCKETSEED00000001")).get
+      store.create(freshId, Seq(AccountType.created(42, "Fresh")), nowMs = t0 + 300000L)
+      q.processAllAvailable()
+      val live = buf.drop(before)
+      assert(live.exists(m => m.aggregate_id == freshId && m.kind == "AccountCreated"),
+        s"expected the new-bucket event to arrive, got ${live.map(m => (m.meta_kind, m.aggregate_id))}")
+    } finally q.stop()
+  }
+
   test("filter: discriminator AND-of-ORs and split selector") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(12L))
     import graft.log.{AppendRecord, EventDetail}
