@@ -12,8 +12,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *  - NATS (sink/nats/sink.go:140-174): the producer computes the partition
   *    itself — `calc_partition(fnv1a32(aggregate_id), n)` — and addresses
   *    topic `name.p`; we emit the partition as an explicit column.
-  * No broker runs in this container, so integration stops at the
-  * `DataStreamWriter`; the frame shaping (the testable part) is pure columns.
+  * No broker (and no spark-sql-kafka connector jar) ships in this container,
+  * so integration stops at the `DataStreamWriter`; the frame shaping (the
+  * testable part) is pure columns and `kafkaWriter`/`kafkaSource` activate on
+  * a deployment with the connector on the classpath.
   */
 object Bus {
 

@@ -40,10 +40,15 @@ class EventStore[T](
   private val spark = log.spark
   import spark.implicits._
 
-  /** Create a stream: append the first events (expected version 0). */
+  /** Create a stream: append the first events (expected version 0).
+    * `callDiscriminator` merges over the store-level discriminator — the
+    * repo-config + per-call-context merge of the reference
+    * (store/store.go:195-228); the log then filters to allowed keys.
+    */
   def create(aggregateId: String, events: Seq[EventDetail],
-      nowMs: => Long = System.currentTimeMillis()): Unit =
-    save(aggregateId, 0, events, nowMs)
+      nowMs: => Long = System.currentTimeMillis(),
+      callDiscriminator: Map[String, String] = Map.empty): Unit =
+    save(aggregateId, 0, events, nowMs, callDisc = callDiscriminator)
 
   /** Point read of one aggregate: latest snapshot (S2) + active tail events
     * (S1) folded in version order, with decode-time upcasting (M3).
@@ -73,17 +78,19 @@ class EventStore[T](
     * over threshold. Returns the new version.
     */
   def update(aggregateId: String)(mutate: T => Seq[EventDetail],
-      nowMs: => Long = System.currentTimeMillis()): Int = {
+      nowMs: => Long = System.currentTimeMillis(),
+      callDiscriminator: Map[String, String] = Map.empty): Int = {
     val cur = retrieve(aggregateId)
     val events = mutate(cur.state)
     if (events.isEmpty) cur.version
-    else save(aggregateId, cur.version, events, nowMs, Some(cur))
+    else save(aggregateId, cur.version, events, nowMs, Some(cur), callDiscriminator)
   }
 
   private def save(aggregateId: String, baseVersion: Int, events: Seq[EventDetail],
-      nowMs: Long, retrieved: Option[Retrieved[T]] = None): Int = {
+      nowMs: Long, retrieved: Option[Retrieved[T]] = None,
+      callDisc: Map[String, String] = Map.empty): Int = {
     val ids = log.append(Seq(AppendRecord(
-      aggregateId, agg.kind, baseVersion, discriminator, events)), nowMs)
+      aggregateId, agg.kind, baseVersion, discriminator ++ callDisc, events)), nowMs)
     val newVersion = baseVersion + events.size
     maybeSnapshot(aggregateId, ids.last, newVersion, events, retrieved, nowMs)
     newVersion

@@ -25,7 +25,7 @@ case class ProjMessage(
     body: String,
     created_at: Timestamp)
 
-private case class DedupState(lastId: String)
+private case class DedupState(lastId: String, lastSeq: Long)
 
 /** The projection runtime: catchup → switch → live, with the reference's
   * exactly-once dedup semantics (T1-T6, projection/projection.go +
@@ -97,9 +97,8 @@ class Projector(
     */
   def live(handle: Dataset[ProjMessage] => Unit,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
-    val initial: Map[Int, String] =
-      checkpoints.load(name).map { case (p, c) => p -> c.event_id }
-    val nparts = partitions
+    val initial: Map[Int, (String, Long)] =
+      checkpoints.load(name).map { case (p, c) => p -> (c.event_id, c.sequence) }
 
     val src = spark.readStream
       .schema(EventSchema.events)
@@ -110,13 +109,21 @@ class Projector(
       .groupByKey(_.partition)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (part: Int, it: Iterator[ProjMessage], state: GroupState[DedupState]) =>
-          var last = state.getOption.map(_.lastId)
-            .getOrElse(initial.getOrElse(part, ""))
-          // micro-batches are small slices; sort by id for in-order handling
+          val init = state.getOption
+            .orElse(initial.get(part).map { case (id, seq) => DedupState(id, seq) })
+            .getOrElse(DedupState("", 0L))
+          var last = init.lastId
+          var seq = init.lastSeq
+          // micro-batches are small slices; sort by id for in-order handling.
+          // Survivors get the per-partition monotonic bus sequence the
+          // reference's live consumers carry (projection/checkpoints.go:58-92
+          // rejects on BOTH id ≤ checkpoint.id and seq ≤ checkpoint.seq);
+          // sequence continuity is restored from the checkpoint on restart.
           val out = it.toSeq.sortBy(_.id).flatMap { m =>
-            if (m.id > last) { last = m.id; Some(m) } else None
+            if (m.id > last) { last = m.id; seq += 1; Some(m.copy(sequence = seq)) }
+            else None
           }
-          state.update(DedupState(last))
+          state.update(DedupState(last, seq))
           out.iterator
       }
 

@@ -65,6 +65,8 @@ class ProjectorSpec extends AnyFunSuite {
       store.update(accId)(_ => Seq(AccountType.withdrawn(15)), nowMs = t0 + 300000L)
       q.processAllAvailable()
       assert(buf.count(_.meta_kind == "live") == 1)
+      assert(buf.find(_.meta_kind == "live").get.sequence == 1L,
+        "live messages carry the per-partition bus sequence")
       assert(buf.size == 5, "golden: 5 messages total")
       assert(fold(buf.toSeq) == Map("Paulo" -> 115L)) // golden: balance 115
     } finally q.stop()
