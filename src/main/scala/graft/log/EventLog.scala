@@ -98,11 +98,17 @@ class EventLog(
       .drop("bucket")
       .orderBy(col("aggregate_version"))
 
-  /** S2: latest snapshot of one stream (store/postgresql/store.go:295-323). */
+  /** S2: latest snapshot of one stream (store/postgresql/store.go:295-323).
+    * Bucket-pruned like the event point scan — a point read must never list
+    * more than one partition directory.
+    */
   def latestSnapshot(aggregateId: String): Option[SnapshotRow] = {
     import spark.implicits._
-    snapshots
-      .filter(col("aggregate_id") === aggregateId)
+    if (!exists(snapshotsPath)) return None
+    spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+      .filter(col("bucket") === bucketOf(aggregateId) &&
+        col("aggregate_id") === aggregateId)
+      .drop("bucket")
       .orderBy(col("id").desc)
       .limit(1)
       .as[SnapshotRow]

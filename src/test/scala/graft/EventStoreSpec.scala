@@ -49,6 +49,29 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.log.latestSnapshot(id).get.aggregate_version == 3)
   }
 
+  test("retrieve of an unknown stream raises UnknownAggregateException") {
+    val store = new EventStore(freshLog(), AccountType)
+    intercept[graft.store.UnknownAggregateException] {
+      store.retrieve("01HXNOSUCHSTREAM000000000")
+    }
+  }
+
+  test("snapshot threshold accumulates across updates (tail counter survives)") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 3)
+    val id = "01HXSNAPACCUM000000000001"
+    store.create(id, Seq(AccountType.created(100, "P"))) // 1 < 3: no snapshot
+    assert(store.log.latestSnapshot(id).isEmpty)
+    store.update(id)(_ => Seq(AccountType.deposited(1))) // tail 2 < 3
+    assert(store.log.latestSnapshot(id).isEmpty)
+    store.update(id)(_ => Seq(AccountType.deposited(2))) // tail 3 >= 3: snapshot at v3
+    val snap = store.log.latestSnapshot(id).get
+    assert(snap.aggregate_version == 3)
+    assert(AccountType.decodeState(snap.body).balance == 103)
+    store.update(id)(_ => Seq(AccountType.deposited(3))) // 1 since snap: none
+    assert(store.log.latestSnapshot(id).get.aggregate_version == 3)
+    assert(store.retrieve(id).state.balance == 106)
+  }
+
   test("G8: two writers at the same base version — exactly one succeeds") {
     val log = freshLog()
     val store = new EventStore(log, AccountType)
