@@ -16,7 +16,17 @@ import org.apache.spark.sql.types.StructType
   *  - a row-level JSON form (`upcastJson`) used by the point-read
   *    `EventStore.retrieve` fold and by migrations.
   */
-final case class Upcaster(fromKind: String, toKind: String, lift: JsonNode => JsonNode)
+final case class Upcaster(
+    fromKind: String,
+    toKind: String,
+    lift: JsonNode => JsonNode,
+    /** Optional Catalyst form of the same lift: transforms the PARSED struct
+      * (fromKind's schema) into the toKind shape. When every link of a chain
+      * provides one, decoding + upcasting runs entirely inside whole-stage
+      * codegen — the 100 TB path; the JsonNode form remains the row-level
+      * fallback for point reads and migrations.
+      */
+    columnLift: Option[Column => Column] = None)
 
 class Codec extends Serializable {
   private var schemas = Map.empty[String, StructType]
@@ -51,15 +61,38 @@ class Codec extends Serializable {
     (k, Codec.mapper.writeValueAsString(node))
   }
 
-  /** Column-level decode of a body for one kind: rows of that kind get a
-    * parsed struct, everything else null. Composes with `filter(kind === …)`
-    * so Catalyst prunes both rows and JSON fields.
+  /** Column-level decode of a body for one kind: parse with the kind's OWN
+    * schema, then apply the column-level upcaster chain so the result is in
+    * the terminal kind's shape. Rows of other kinds get null; composes with
+    * `filter(kind === …)` so Catalyst prunes both rows and JSON fields.
+    * Falls back to the kind's own shape un-lifted if a chain link lacks a
+    * `columnLift` (callers can still `upcastJson` row-level).
     */
-  def decoded(kindCol: Column, bodyCol: Column, kind: String): Column =
-    schemaFor(resolveKind(kind)) match {
-      case Some(s) => when(kindCol === kind, from_json(bodyCol, s))
+  def decoded(kindCol: Column, bodyCol: Column, kind: String): Column = {
+    val ownSchema = schemaFor(kind).orElse(schemaFor(resolveKind(kind)))
+    ownSchema match {
+      case Some(s) =>
+        var c = from_json(bodyCol, s)
+        var k = kind
+        while (upcasters.contains(k) && upcasters(k).columnLift.isDefined) {
+          val u = upcasters(k)
+          c = u.columnLift.get(c)
+          k = u.toKind
+        }
+        when(kindCol === kind, c)
       case None => lit(null)
     }
+  }
+
+  /** Decode a MIXED column of kinds into one terminal-shaped struct: each
+    * kind in `kinds` is parsed with its own schema and lifted through its
+    * chain; the first matching branch wins (schema-on-read dispatch).
+    */
+  def decodedAny(kindCol: Column, bodyCol: Column, kinds: Seq[String]): Column =
+    kinds.map(k => (k, decoded(kindCol, bodyCol, k)))
+      .foldRight(lit(null): Column) { case ((k, c), acc) =>
+        when(kindCol === k, c).otherwise(acc)
+      }
 }
 
 object Codec {
