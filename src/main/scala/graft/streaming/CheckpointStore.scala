@@ -36,6 +36,21 @@ class CheckpointStore(spark: SparkSession, path: String) {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Drop superseded token rows (the table is append-only; only the latest
+    * row per (projection, partition) is ever read). Same maintenance story
+    * as the log/snapshot compaction.
+    */
+  def compact(): Unit = {
+    if (!new java.io.File(path).exists()) return
+    val w = Window.partitionBy(col("projection"), col("partition"))
+      .orderBy(col("saved_at").desc)
+    val latest = spark.read.parquet(path)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def load(projection: String): Map[Int, Checkpoint] = {
     if (!new java.io.File(path).exists()) return Map.empty
     val w = Window.partitionBy(col("partition")).orderBy(col("saved_at").desc)

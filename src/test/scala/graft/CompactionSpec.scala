@@ -55,6 +55,20 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.retrieve(id).state.balance == 103)
   }
 
+  test("checkpoint store compaction keeps the latest token per key") {
+    val dir = Files.createTempDirectory("graftcpcompact").toFile.getAbsolutePath
+    val cp = new graft.streaming.CheckpointStore(spark, s"$dir/cp")
+    (1 to 5).foreach { i =>
+      cp.save(Seq(graft.streaming.Checkpoint("p", 1, s"id$i", i.toLong, done = true)))
+    }
+    cp.save(Seq(graft.streaming.Checkpoint("q", 2, "other", 9L, done = false)))
+    cp.compact()
+    assert(spark.read.parquet(s"$dir/cp").count() == 2) // one per (projection, partition)
+    val loaded = cp.load("p")
+    assert(loaded(1).event_id == "id5" && loaded(1).sequence == 5L)
+    assert(cp.load("q")(2).event_id == "other")
+  }
+
   test("bus frames: kafka key/value envelope and nats explicit partitions") {
     val dir = Files.createTempDirectory("graftbus").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(33L))
