@@ -322,6 +322,7 @@ object SparkEntry {
     "t1_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        ops.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
         length(col("text")).cast("long").as("len_chars"))
     }),
 
@@ -603,6 +604,8 @@ object SparkEntry {
 
     "t1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |                       t -> t != '')) AS n_bpeish,
         |       length(text) AS len_chars
         |FROM documents""".stripMargin,
 

@@ -15,9 +15,12 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword proxy: alnum runs + punctuation as separate tokens. */
+  /** BPE-ish subword proxy: count of letter/digit runs (punctuation and
+    * whitespace both split) — the cheap upper-bound token estimate pipelines
+    * use before real BPE.
+    */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(lower(text), "([^\\p{L}\\p{N}]+)"), t => t =!= "")).cast("long")
+    size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= "")).cast("long")
 
   /** Punctuation chars / total chars. */
   def punctRatio(text: Column): Column =

@@ -49,6 +49,27 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.log.latestSnapshot(id).get.aggregate_version == 3)
   }
 
+  test("G8b: genuinely concurrent writers (threads) — exactly one append wins") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val log = freshLog()
+    val id = "01HXAMPLERACE000000000001"
+    log.append(Seq(AppendRecord(id, "Account", 0, Map.empty,
+      Seq(AccountType.created(100, "R")))))
+    // both writers observed version 1; they race the commit section
+    val attempts = Future.traverse(1 to 2) { i =>
+      Future {
+        try { log.append(Seq(AppendRecord(id, "Account", 1, Map.empty,
+          Seq(AccountType.deposited(i))))); true }
+        catch { case _: ConcurrentModificationException => false }
+      }
+    }
+    val results = Await.result(attempts, 120.seconds)
+    assert(results.count(identity) == 1, s"exactly one writer must win, got $results")
+    assert(log.streamEvents(id).count() == 2)
+  }
+
   test("retrieve of an unknown stream raises UnknownAggregateException") {
     val store = new EventStore(freshLog(), AccountType)
     intercept[graft.store.UnknownAggregateException] {
