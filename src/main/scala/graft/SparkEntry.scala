@@ -316,6 +316,17 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // ── approx sketches (engine capability beyond the reference; no SQL
+    //    oracle — HLL estimates are engine-specific, driver records the
+    //    weaker rows-only check) ─────────────────────────────────────────
+    "x1_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+          count(lit(1)).as("n"))
+    }),
+
     // ═══ LLM-pipeline operators (graft.ops) over documents/embeddings ═════
 
     // ── text analysis: token counting ─────────────────────────────────────

@@ -85,6 +85,27 @@ object ScaleSmoke {
     time("rehydrateAll after compact") {
       require(store.rehydrateAll().count() == nStreams)
     }
+
+    // ── celebrity stream: one key with 300k events (hard part #6) ────────
+    // flatMapSortedGroups sorts/spills instead of materializing the group,
+    // so a pathological hot key folds without OOM.
+    time("ingest 300k-event celebrity stream") {
+      val hot = "01HXSCALECELEBRITY0000001"
+      val rows = spark.range(300000L).mapPartitions { it =>
+        val gen = new Ulid.Generator(seed = Some(8L))
+        it.map { i =>
+          EventRow(gen.next(1710000000000L + i), hot, Fnv1a32.hashString(hot),
+            (i + nStreams.toLong * perStream).toInt + 1, "Account", "MoneyDeposited",
+            s"""{"money":1}""", Map.empty, new Timestamp(1710000000000L), 0, false)
+        }
+      }
+      rows.toDF()
+        .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(64)))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$dir/events")
+    }
+    time("rehydrateAll incl. celebrity (spillable fold)") {
+      require(store.rehydrateAll().count() == nStreams + 1)
+    }
     spark.stop()
   }
 }
