@@ -661,10 +661,22 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
         |       FROM tok WHERE len(ws) >= 3),
-        |mh AS (SELECT doc_id, b, min(md5(b::VARCHAR || '|' || shingle)) AS sig
-        |       FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) GROUP BY doc_id, b)
+        |xs AS (SELECT doc_id,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id),
+        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM mh a JOIN mh b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+        |FROM mh a JOIN mh b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
     "d3_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) t FROM documents),
@@ -683,10 +695,22 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
         |       FROM tok WHERE len(ws) >= 3),
-        |mh AS (SELECT doc_id, b, min(md5(b::VARCHAR || '|' || shingle)) AS sig
-        |       FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) GROUP BY doc_id, b),
+        |xs AS (SELECT doc_id,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id),
+        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM mh a JOIN mh b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |         FROM mh a JOIN mh b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
         |         FROM tok WHERE len(ws) >= 3)

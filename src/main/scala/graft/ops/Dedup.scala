@@ -49,19 +49,38 @@ object Dedup {
     * the shingle set. `bands` independent hash functions are derived by
     * salting md5 with the band index.
     */
+  /** The classic universal-hash MinHash family: `h_b(x) = (a_b·x + c_b) mod p`
+    * over ONE base hash `x` per shingle. Constants are fixed primes; p =
+    * 2^31−1 keeps `a·x` inside signed 64-bit. One md5 per shingle (not per
+    * band) and no band explode: the per-band minima are `bands` aggregate
+    * columns over the same shingle rows, unpivoted afterwards — the shuffle
+    * carries |shingles| rows instead of |shingles|·bands.
+    */
+  private val MinhashP = 2147483647L // 2^31 − 1
+  private val MinhashA = Seq(1299721L, 50331653L, 2750159L, 198491317L)
+  private val MinhashC = Seq(104729L, 15485863L, 32452843L, 982451653L)
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    // NOTE on shape: a fully per-row formulation (array_min over a transform
-    // of the shingle array, no explode) looks cheaper but measures 2× SLOWER
-    // at sf0.1 — CollapseProject inlines the once-referenced shingle array
-    // into the per-band lambda and re-derives it `bands` times per row. The
-    // explode→groupBy form keeps a hard barrier (the Generate/aggregation),
-    // so tokens and shingles are computed exactly once per document.
-    df.select(col(idCol).as("mh_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(bands <= MinhashA.length, s"at most ${MinhashA.length} bands configured")
+    // NOTE on shape: per-row array formulations (array_min over a transform,
+    // no explode) measure SLOWER — CollapseProject inlines once-referenced
+    // arrays into iterating lambdas and re-derives them per iteration. The
+    // explode→groupBy form keeps a hard barrier, so tokens/shingles/md5 are
+    // computed exactly once per shingle.
+    val sigCols = (0 until bands).map { b =>
+      min((lit(MinhashA(b)) * col("x") + lit(MinhashC(b))) % MinhashP).as(s"sig$b")
+    }
+    val perDoc = df
+      .select(col(idCol).as("mh_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("mh_id"), explode(shinglesFromTokens(col("__ws"), shingleSize)).as("shingle"))
-      .select(col("mh_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("shingle"))
-      .groupBy(col("mh_id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle")))).as("sig"))
+      .select(col("mh_id"), (TextAnalysis.tokenHash32(col("shingle")) % MinhashP).as("x"))
+      .groupBy(col("mh_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
+    perDoc.select(col("mh_id"),
+      expr(s"stack($bands, $stackExpr)").as(Seq("band", "sig")))
+  }
 
   /** LSH candidate pairs: ids sharing any (band, signature) bucket.
     * Implemented as ONE aggregation to bucket id-lists plus an in-bucket
