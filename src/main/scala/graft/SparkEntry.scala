@@ -150,6 +150,17 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_streams"))
     }),
 
+    // ── P1/P2: the custom Fnv1a32 Catalyst expression + CalcPartition,
+    //    checked against a byte-level FNV-1a emulation in the oracle ───────
+    "p1_fnv_hash" -> ((s, dir) => {
+      import graft.functions.{fnv1a32, calc_partition}
+      t(s, dir, "events")
+        .select(col("event_type")).distinct()
+        .select(col("event_type"),
+          fnv1a32(col("event_type")).cast("long").as("h"),
+          calc_partition(fnv1a32(col("event_type")), 4).cast("long").as("partition"))
+    }),
+
     // ── J2: broadcast dim join (snapshot ⋈ tail-events shape) ─────────────
     "j2_broadcast_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -500,6 +511,17 @@ object SparkEntry {
       """SELECT user_id % 4 AS split, count(*) AS n,
         |       count(DISTINCT user_id) AS n_streams
         |FROM events GROUP BY user_id % 4""".stripMargin,
+
+    "p1_fnv_hash" ->
+      """WITH d AS (SELECT DISTINCT event_type FROM events),
+        |f AS (SELECT event_type,
+        |             list_reduce(
+        |               list_prepend(2166136261::BIGINT,
+        |                 list_transform(range(length(event_type)),
+        |                   i -> ascii(substr(event_type, (i+1)::INT, 1))::BIGINT)),
+        |               (h, c) -> (xor(h, c) * 16777619) % 4294967296) & 2147483647 AS h
+        |      FROM d)
+        |SELECT event_type, h, h % 4 + 1 AS partition FROM f""".stripMargin,
 
     "j2_broadcast_join" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS total_price,
