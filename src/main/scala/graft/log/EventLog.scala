@@ -401,7 +401,10 @@ object EventLog {
 
   private val locks = new ConcurrentHashMap[String, Object]()
   private def withLogLock[A](path: String)(f: => A): A = {
-    val lock = locks.computeIfAbsent(path, _ => new Object)
+    // canonicalize so two EventLog instances addressing the same directory
+    // through different spellings share one commit section
+    val key = try new java.io.File(path).getCanonicalPath catch { case _: Exception => path }
+    val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized(f)
   }
 }
