@@ -36,7 +36,7 @@ package object functions {
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("fnv1a32", es => Fnv1a32(es.head), "builtin")
-    reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "builtin")
+    reg.createOrReplaceTempFunction("fnv1a32", es => Fnv1a32(es.head), "internal")
+    reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "internal")
   }
 }

@@ -129,6 +129,18 @@ class EventLog(
   def byIds(ids: Seq[String]): DataFrame =
     events.filter(col("id").isin(ids: _*))
 
+  /** SQL surface: register the log as temp views (`<prefix>_events`,
+    * `<prefix>_events_active`, `<prefix>_snapshots`) and the engine's SQL
+    * functions (`fnv1a32`, `ulid_millis`), so `spark.sql` queries run
+    * against the log directly.
+    */
+  def registerViews(prefix: String = "graft"): Unit = {
+    graft.functions.registerAll(spark)
+    events.createOrReplaceTempView(s"${prefix}_events")
+    activeEvents.createOrReplaceTempView(s"${prefix}_events_active")
+    snapshots.createOrReplaceTempView(s"${prefix}_snapshots")
+  }
+
   // ── append (S-write) ─────────────────────────────────────────────────────
 
   /** Append one or more transactions. Returns the assigned event ids.
