@@ -307,7 +307,8 @@ class EventLog(
     * deployment this runs incrementally, a bucket subset per maintenance
     * window — which is why `buckets` is a parameter.
     */
-  def compact(buckets: Option[Seq[Int]] = None): Unit = withLogLock(path) {
+  def compact(buckets: Option[Seq[Int]] = None,
+      maxRecordsPerFile: Long = 0L): Unit = withLogLock(path) {
     if (!exists(eventsPath)) return
     val scoped = buckets match {
       case Some(bs) => eventsWithBucket.filter(col("bucket").isin(bs: _*))
@@ -316,7 +317,11 @@ class EventLog(
     val all = scoped.localCheckpoint() // materialize before overwriting source files
     all.repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(eventsPath)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .option("compression", EventLog.Compression)
+      // bound file sizes so a hot bucket still compacts into scannable units
+      .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
+      .parquet(eventsPath)
   }
 
   /** Snapshot compaction: drop superseded snapshots, keeping the latest per
@@ -360,7 +365,9 @@ class EventLog(
     rows.toDS()
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .sortWithinPartitions("id")
-      .write.mode(mode).partitionBy("bucket").parquet(eventsPath)
+      .write.mode(mode).partitionBy("bucket")
+      .option("compression", EventLog.Compression)
+      .parquet(eventsPath)
   }
 
   /** Copy-on-write rewrite of a single bucket partition via dynamic partition
@@ -406,6 +413,11 @@ class EventLog(
 }
 
 object EventLog {
+  /** zstd: best scan-speed/size trade-off for a log that is written once and
+    * range-scanned many times (catchup replays at 100 TB are IO-bound).
+    */
+  val Compression = "zstd"
+
   /** The migration fence kind (reference: eventstore.go:17). */
   val KindInvalidated = "Invalidated"
   /** The projection-migration fence kind (reference: eventstore.go:123-131). */

@@ -110,8 +110,12 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+    // materialized once: both join sides (doc_a, doc_b) consume the same
+    // shingle sets — without the checkpoint the whole tokenize+shingle
+    // subplan runs twice
     val sets = df.select(col(idCol).as("jv_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("jv_id"), array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
+      .localCheckpoint()
     candidates
       .join(sets.select(col("jv_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("jv_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
