@@ -327,6 +327,21 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
+    // (the temporal query an event log exists for; id bound pushes down)
+    "a8_asof_state" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      t(s, dir, "events")
+        .filter(col("ts") <= cutoff)
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .when(col("event_type") === "error", -col("value"))
+            .otherwise(lit(0.0))), 2).as("balance_asof"),
+          max(col("event_id")).as("version_asof"),
+          count(lit(1)).as("n_events_asof"))
+    }),
+
     // ── approx sketches (engine capability beyond the reference; no SQL
     //    oracle — HLL estimates are engine-specific, driver records the
     //    weaker rows-only check) ─────────────────────────────────────────
@@ -634,6 +649,16 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "a8_asof_state" ->
+      """SELECT user_id,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                      WHEN event_type = 'error' THEN -value
+        |                      ELSE 0.0 END), 2) AS balance_asof,
+        |       max(event_id) AS version_asof,
+        |       count(*) AS n_events_asof
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id""".stripMargin,
 
     "t1_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -50,6 +50,53 @@ class EventStore[T](
       callDiscriminator: Map[String, String] = Map.empty): Unit =
     save(aggregateId, 0, events, nowMs, callDisc = callDiscriminator)
 
+  /** As-of (time-travel) read: the aggregate's state at `asOfMs` — the fold
+    * of the stream's events whose ULID time component is ≤ the instant. The
+    * log IS the history, so temporal reads are a filtered fold; the id
+    * bound pushes to parquet (ULID order == time order), no snapshot is
+    * consulted (snapshots may postdate the instant).
+    */
+  def retrieveAt(aggregateId: String, asOfMs: Long): Retrieved[T] = {
+    val bound = graft.core.Ulid.timeMax(asOfMs)
+    val rows = log.streamEvents(aggregateId)
+      .filter(col("id") <= bound)
+      .select("kind", "body", "aggregate_version")
+      .collect()
+    if (rows.isEmpty) throw new UnknownAggregateException(aggregateId)
+    var state = agg.empty
+    var version = 0
+    rows.foreach { r =>
+      val (k, b) = codec.upcastJson(r.getString(0), r.getString(1))
+      state = agg.fold(state, k, b)
+      version = r.getInt(2)
+    }
+    Retrieved(state, version, rows.length)
+  }
+
+  /** As-of rehydration of EVERY stream: same distributed fold as
+    * `rehydrateAll`, bounded by the ULID time bound.
+    */
+  def rehydrateAllAt(asOfMs: Long)(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
+    val bound = graft.core.Ulid.timeMax(asOfMs)
+    val codecB = codec
+    val aggB = agg
+    log.activeEvents
+      .filter(col("aggregate_kind") === agg.kind && col("id") <= bound)
+      .select("aggregate_id", "aggregate_version", "kind", "body")
+      .as[(String, Int, String, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+        var state = aggB.empty
+        var any = false
+        it.foreach { case (_, _, k0, b0) =>
+          val (k, b) = codecB.upcastJson(k0, b0)
+          state = aggB.fold(state, k, b)
+          any = true
+        }
+        if (any) Iterator((id, state)) else Iterator.empty
+      }
+  }
+
   /** Point read of one aggregate: latest snapshot (S2) + active tail events
     * (S1) folded in version order, with decode-time upcasting (M3).
     */

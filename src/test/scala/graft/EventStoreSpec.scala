@@ -93,6 +93,31 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.retrieve(id).state.balance == 106)
   }
 
+  test("as-of read: state at an instant ignores later events and later snapshots") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 2)
+    val id = "01HXASOFACCT0000000000001"
+    val t1 = 1700000000000L
+    val t2 = t1 + 86400000L // +1 day
+    store.create(id, Seq(AccountType.created(100, "P"), AccountType.deposited(10)), nowMs = t1)
+    store.update(id)(_ => Seq(AccountType.deposited(50), AccountType.ownerUpdated("Q")), nowMs = t2)
+
+    val asOf = store.retrieveAt(id, t1 + 3600000L) // one hour after the first tx
+    assert(asOf.state == Account("OPEN", 110, "P"))
+    assert(asOf.version == 2)
+    val now = store.retrieve(id)
+    assert(now.state == Account("OPEN", 160, "Q") && now.version == 4)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val all = store.rehydrateAllAt(t1 + 3600000L).collect().toMap
+    assert(all(id) == Account("OPEN", 110, "P"))
+    // before the stream existed → empty / unknown
+    assert(store.rehydrateAllAt(t1 - 1000L).isEmpty)
+    intercept[graft.store.UnknownAggregateException] {
+      store.retrieveAt(id, t1 - 1000L)
+    }
+  }
+
   test("G8: two writers at the same base version — exactly one succeeds") {
     val log = freshLog()
     val store = new EventStore(log, AccountType)
