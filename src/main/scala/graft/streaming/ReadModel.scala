@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A durable projection read model over parquet: latest-row-per-key upsert
+  * semantics (the reference's `UPDATE read_model SET …` inside the
+  * projection handler, test/integration/projection_mock.go:62-106).
+  *
+  * Writes are append-only versioned rows (ULID-stamped); reads resolve the
+  * latest version per key — the same latest-wins pattern as the checkpoint
+  * store, so a projection handler inside `foreachBatch` stays idempotent
+  * under micro-batch redelivery: re-appending the same batch changes no
+  * resolved row. `compact()` rewrites to one row per key. On a table-format
+  * deployment the append+resolve pair becomes a MERGE in the same commit as
+  * the checkpoint save.
+  */
+class ReadModel(spark: SparkSession, path: String, keyCol: String) {
+
+  private val gen = new graft.core.Ulid.Generator()
+
+  /** Upsert a batch: every row in `batch` becomes the key's new state. */
+  def merge(batch: DataFrame): Unit = {
+    require(batch.columns.contains(keyCol), s"batch must carry key column $keyCol")
+    val stamp = gen.next()
+    batch
+      .withColumn("__rm_version", concat(lit(stamp), lit("-"), monotonically_increasing_id()))
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Current state: the latest row per key. */
+  def current(): DataFrame = {
+    if (!new java.io.File(path).exists())
+      throw new IllegalStateException(s"read model at $path has no data yet")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__rm_version")
+  }
+
+  /** Drop superseded versions (same maintenance story as the log). */
+  def compact(): Unit = {
+    val latest = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
+      spark.read.parquet(path)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .localCheckpoint()
+    }
+    latest.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

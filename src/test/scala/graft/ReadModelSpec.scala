@@ -1,0 +1,76 @@
+package graft
+
+import graft.log.EventLog
+import graft.replay.EventFilter
+import graft.store.EventStore
+import graft.streaming.{ProjMessage, Projector, ReadModel}
+import java.nio.file.Files
+import org.apache.spark.sql.Dataset
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A4 end-to-end: projection messages fold into a durable parquet read
+  * model with upsert semantics; redelivery leaves the state unchanged.
+  */
+class ReadModelSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("catchup + live fold into a durable read model; redelivery is idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrm").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(71L))
+    val store = new EventStore(log, AccountType)
+    val t0 = 1700000000000L
+    store.create("01HXRMACCTA00000000000001",
+      Seq(AccountType.created(100, "Paulo"), AccountType.deposited(30)), nowMs = t0)
+    store.create("01HXRMACCTB00000000000002",
+      Seq(AccountType.created(50, "Ana")), nowMs = t0)
+
+    val rm = new ReadModel(spark, s"$dir/balances", "aggregate_id")
+    // handler: fold the batch's messages per aggregate and upsert
+    def apply(ds: Dataset[ProjMessage]): Unit = {
+      val msgs = ds.collect().filter(m => m.meta_kind != "switch")
+      if (msgs.isEmpty) return
+      // batch-local fold on top of current state (read model = prior state)
+      val prior: Map[String, (String, Long)] =
+        try rm.current().as[(String, String, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        catch { case _: IllegalStateException => Map.empty }
+      val folded = msgs.sortBy(_.id).groupBy(_.aggregate_id).map { case (aid, ms) =>
+        var acc = prior.get(aid)
+          .map { case (o, b) => Account("OPEN", b, o) }
+          .getOrElse(AccountType.empty)
+        ms.foreach(m => acc = AccountType.fold(acc, m.kind, m.body))
+        (aid, acc.owner, acc.balance)
+      }.toSeq
+      rm.merge(folded.toDF("aggregate_id", "owner", "balance"))
+    }
+
+    val proj = new Projector(log, "balances-rm", dir,
+      filter = EventFilter(aggregateKinds = Seq("Account")), partitions = 2)
+    proj.catchup(apply, nowMs = t0 + 120000L)
+    def state(): Map[String, Long] =
+      rm.current().select("aggregate_id", "balance").as[(String, Long)].collect().toMap
+    assert(state() == Map(
+      "01HXRMACCTA00000000000001" -> 130L, "01HXRMACCTB00000000000002" -> 50L))
+
+    val q = proj.live(apply)
+    try {
+      store.update("01HXRMACCTA00000000000001")(_ => Seq(AccountType.withdrawn(15)),
+        nowMs = t0 + 300000L)
+      q.processAllAvailable()
+      assert(state() == Map(
+        "01HXRMACCTA00000000000001" -> 115L, "01HXRMACCTB00000000000002" -> 50L))
+    } finally q.stop()
+
+    // redelivering an identical projection batch leaves resolved state unchanged
+    rm.merge(Seq(("01HXRMACCTA00000000000001", "Paulo", 115L))
+      .toDF("aggregate_id", "owner", "balance"))
+    assert(state()("01HXRMACCTA00000000000001") == 115L)
+
+    rm.compact()
+    assert(state() == Map(
+      "01HXRMACCTA00000000000001" -> 115L, "01HXRMACCTB00000000000002" -> 50L))
+    assert(spark.read.parquet(s"$dir/balances").count() == 2) // one row per key
+  }
+}
