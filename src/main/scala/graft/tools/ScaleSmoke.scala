@@ -10,11 +10,12 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale smoke: synthesize a log ~30× the sf0.1 events table (200k events /
-  * 20k streams) DIRECTLY as bucketed parquet (bulk load path), then time the
-  * core operations. Demonstrates the design holds as volume grows: bulk
-  * ingest is one distributed write, folds are one shuffle, point ops are
-  * bucket-pruned, maintenance is partition-scoped.
+/** Scale smoke: synthesize a log well beyond the sf0.1 events table (default
+  * 200k events / 20k streams; SCALE_STREAMS=100000 → 1M events) DIRECTLY as
+  * bucketed parquet (bulk load path), then time the core operations.
+  * Demonstrates the design holds as volume grows: bulk ingest is one
+  * distributed write, folds are one shuffle, point ops are bucket-pruned,
+  * maintenance is partition-scoped.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -25,7 +26,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val nStreams = 20000
+    val nStreams = sys.env.getOrElse("SCALE_STREAMS", "20000").toInt
     val perStream = 10
     val dir = Files.createTempDirectory("graftscale").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 64)
@@ -58,7 +59,7 @@ object ScaleSmoke {
     }
 
     val store = new EventStore(log, graft.tools.ScaleAccount)
-    time("rehydrateAll (20k streams, 1 shuffle)") {
+    time(s"rehydrateAll ($nStreams streams, 1 shuffle)") {
       val n = store.rehydrateAll().count()
       require(n == nStreams, s"expected $nStreams states, got $n")
     }

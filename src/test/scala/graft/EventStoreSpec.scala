@@ -93,6 +93,19 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.retrieve(id).state.balance == 106)
   }
 
+  test("aggregate kinds are isolated: two stores share one log without crosstalk") {
+    val log = freshLog()
+    val accounts = new EventStore(log, AccountType)
+    accounts.create("01HXMIXACCT00000000000001", Seq(AccountType.created(100, "P")))
+    log.append(Seq(AppendRecord("01HXMIXORDER0000000000002", "Order", 0, Map.empty,
+      Seq(EventDetail("OrderPlaced", """{"sku":"x"}""")))))
+    val spark2 = spark
+    import spark2.implicits._
+    val states = accounts.rehydrateAll().collect().toMap
+    assert(states.keySet == Set("01HXMIXACCT00000000000001"))
+    assert(log.activeEvents.count() == 2) // both kinds live in the log
+  }
+
   test("as-of read: state at an instant ignores later events and later snapshots") {
     val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 2)
     val id = "01HXASOFACCT0000000000001"
