@@ -368,7 +368,8 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         ops.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         ops.TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        ops.TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+        ops.TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+        ops.TextAnalysis.distinctRatio(col("text")).as("distinct_ratio"))
     }),
 
     // ── text analysis: language ID (stopword-overlap heuristic) ───────────
@@ -675,7 +676,9 @@ object SparkEntry {
         |          t -> list_contains(['the','and','of','to','a','in','is','on','for','with'], t))) * 1.0
         |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS stopword_ratio,
         |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-        |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
+        |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len,
+        |  round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+        |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS distinct_ratio
         |FROM documents""".stripMargin,
 
     "t3_lang_id" ->

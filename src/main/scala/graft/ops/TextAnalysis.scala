@@ -44,6 +44,13 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(arr, t)))
   }
 
+  /** Distinct-token ratio: low values flag repetitive/boilerplate documents
+    * (a standard pre-training quality filter).
+    */
+  def distinctRatio(text: Column): Column =
+    round(size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)), 4)
+
   /** Stopword-token ratio against the English list (quality signal). */
   def stopwordRatio(text: Column): Column =
     round(stopwordHits(text, stopwordsByLang.head._2).cast("double") /

@@ -85,6 +85,21 @@ class ProjectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("live stream starts on an EMPTY log and picks up the first-ever event") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(14L))
+    val proj = new Projector(log, "emptystart", tempDir, partitions = 2)
+    val buf = ArrayBuffer[ProjMessage]()
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable() // empty log: no batches, no crash
+      assert(buf.isEmpty)
+      new EventStore(log, AccountType)
+        .create("01HXEMPTYSTART00000000001", Seq(AccountType.created(9, "E")))
+      q.processAllAvailable()
+      assert(buf.map(_.aggregate_id).toSeq == Seq("01HXEMPTYSTART00000000001"))
+    } finally q.stop()
+  }
+
   test("live stream picks up a NEW bucket directory created after the stream started") {
     val log = new EventLog(spark, tempDir, numBuckets = 64, ulidSeed = Some(13L))
     val store = new EventStore(log, AccountType)
