@@ -239,7 +239,7 @@ class EventLog(
       streams.flatMap { aggId =>
         var result = Option.empty[MigratedStream]
         val evs = streamEvents(aggId).as[EventRow].collect().toSeq
-        handler(evs).foreach { migratedDetails =>
+        handler(evs).filter(_.nonEmpty).foreach { migratedDetails =>
           val b = bucketOf(aggId)
           val maxV = evs.map(_.aggregate_version).max
           val kindAgg = evs.head.aggregate_kind
