@@ -298,6 +298,14 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("total_value"))
     }),
 
+    // ── T8: sliding window (2h width, 1h slide) ───────────────────────────
+    "t8_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("total_value"))
+    }),
+
     // ── Q3-style shipping-priority join (bench headline) ──────────────────
     "q3_shipping" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
@@ -632,6 +640,14 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n,
         |       round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "t8_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events)
+        |SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM w GROUP BY window_start""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
