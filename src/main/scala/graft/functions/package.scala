@@ -19,6 +19,11 @@ package object functions {
   def ulid_millis(c: Column): Column =
     ExpressionUtils.column(UlidMillis(ExpressionUtils.expression(c)))
 
+  /** Codegen'd cosine similarity of two array<double> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** 1-based partition assignment: `(hash % partitions) + 1`
     * (reference: util/common.go:13-18). `hash` is already non-negative.
     */
@@ -38,5 +43,6 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("fnv1a32", es => Fnv1a32(es.head), "internal")
     reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "internal")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "internal")
   }
 }

@@ -29,7 +29,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the codegen'd CosineSim expression — one fused loop, same
+    * left-to-right accumulation order as the HOF formulation (bit-identical
+    * results), ~no interpreted lambda overhead.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.cosine_sim(a, b)
+
+  /** The pure higher-order-function formulation (kept for reference and for
+    * engines without the custom expression).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbours for each query row. Output: qid, vec_id, sim, rn. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
