@@ -24,6 +24,11 @@ package object functions {
     ExpressionUtils.column(CosineSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Codegen'd Jaccard similarity of two distinct array<string> sets. */
+  def jaccard_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** 1-based partition assignment: `(hash % partitions) + 1`
     * (reference: util/common.go:13-18). `hash` is already non-negative.
     */
@@ -44,5 +49,6 @@ package object functions {
     reg.createOrReplaceTempFunction("fnv1a32", es => Fnv1a32(es.head), "internal")
     reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "internal")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("jaccard_sim", es => JaccardSim(es(0), es(1)), "internal")
   }
 }
