@@ -42,6 +42,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object CosineSim {
+  /** Prefix cosine on length mismatch: dot AND both norms run over the
+    * common prefix only (embedding corpora are fixed-dimension; the guard
+    * just prevents out-of-bounds on malformed rows).
+    */
   def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0

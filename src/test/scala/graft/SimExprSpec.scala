@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{cosine_sim, jaccard_sim}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases for the codegen'd similarity expressions. */
+class SimExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine_sim: known values, null propagation, length mismatch") {
+    val df = Seq(
+      (1, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))),   // identical → 1.0
+      (2, Some(Seq(1.0, 0.0)), Some(Seq(0.0, 1.0))),   // orthogonal → 0.0
+      (3, Some(Seq(1.0, 0.0)), Some(Seq(-1.0, 0.0))),  // opposite → -1.0
+      (4, None, Some(Seq(1.0, 0.0))),                   // null input → null
+      (5, Some(Seq(1.0, 0.0, 5.0)), Some(Seq(1.0, 0.0)))) // prefix cosine: extra dims ignored entirely
+      .toDF("id", "a", "b")
+    val got = df.select($"id", cosine_sim($"a", $"b").as("c")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1).get == 1.0)
+    assert(got(2).get == 0.0)
+    assert(got(3).get == -1.0)
+    assert(got(4).isEmpty)
+    assert(got(5).get == 1.0) // dot, |a|, |b| all over the common prefix
+  }
+
+  test("jaccard_sim: overlap, disjoint, empty") {
+    val df = Seq(
+      (1, Seq("a", "b", "c"), Seq("b", "c", "d")),  // 2/4
+      (2, Seq("a"), Seq("b")),                       // 0/2
+      (3, Seq("a", "b"), Seq("a", "b")),             // 1.0
+      (4, Seq.empty[String], Seq.empty[String]))     // defined as 0.0
+      .toDF("id", "a", "b")
+    val got = df.select($"id", jaccard_sim($"a", $"b").as("j")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1 -> 0.5, 2 -> 0.0, 3 -> 1.0, 4 -> 0.0))
+  }
+
+  test("expressions evaluate identically with codegen disabled (interpreted path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(0.3, -0.7, 2.0), Seq(1.5, 0.2, -0.1), Seq("x", "y"), Seq("y", "z")))
+      .toDF("a", "b", "sa", "sb")
+    def run(): (Double, Double) = {
+      val r = df.select(cosine_sim($"a", $"b"), jaccard_sim($"sa", $"sb")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(run() == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
