@@ -416,6 +416,11 @@ object SparkEntry {
       ops.Dedup.jaccardVerify(docs, cands, "doc_id", "text", threshold = 0.2)
     }),
 
+    // ── dedup: survivors via connected components of the near-dup graph ───
+    "d6_dedup_survivors" -> ((s, dir) =>
+      ops.Dedup.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, rounds = 3)),
+
     // ── similarity: exact brute-force cosine top-k ────────────────────────
     "e1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -786,6 +791,48 @@ object SparkEntry {
         |FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
         |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.2""".stripMargin,
+
+    "d6_dedup_survivors" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id),
+        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM mh a JOIN mh b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        |          JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+        |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+        |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+        |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
+        |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
+        |       GROUP BY l0.node, l0.label),
+        |l2 AS (SELECT l1.node, least(l1.label, coalesce(min(n.label), l1.label)) AS label
+        |       FROM l1 LEFT JOIN edges e ON e.src = l1.node LEFT JOIN l1 n ON n.node = e.dst
+        |       GROUP BY l1.node, l1.label),
+        |l3 AS (SELECT l2.node, least(l2.label, coalesce(min(n.label), l2.label)) AS label
+        |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
+        |       GROUP BY l2.node, l2.label)
+        |SELECT node AS doc_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
 
     "e1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

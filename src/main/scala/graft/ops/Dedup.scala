@@ -146,6 +146,37 @@ object Dedup {
           |     shiftleft(1L, b), 0L))""".stripMargin))
       .select(col("sh_id"), col("simhash"))
 
+  /** Near-dup groups as connected components of the verified pair graph,
+    * via `rounds` iterations of min-label propagation (one hop per round —
+    * near-dup clusters are shallow, so a small fixed `rounds` converges;
+    * fixed rounds also keep the operator deterministic and SQL-mirrorable).
+    * Returns (id, component, is_survivor): the component's minimum id is the
+    * kept document — the end-user dedup operator (feed `filter(is_survivor)`
+    * into the next pipeline stage).
+    */
+  def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, rounds: Int = 3, shingleSize: Int = 3): DataFrame = {
+    val pairs = jaccardVerify(df, lshCandidatePairs(df, idCol, textCol, shingleSize = shingleSize),
+      idCol, textCol, shingleSize, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // consumed once per round
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+    (1 to rounds).foreach { _ =>
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+      labels = labels
+        .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // cut the growing lineage per round
+    }
+    labels.select(col("node").as(idCol), col("label").as("component"),
+      (col("node") === col("label")).as("is_survivor"))
+  }
+
   /** Near-dup candidates by embedding cosine: delegates to Similarity — kept
     * here so the dedup namespace covers all five families (exact, minhash,
     * simhash, ngram-jaccard, embedding).

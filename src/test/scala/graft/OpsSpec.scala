@@ -32,6 +32,23 @@ class OpsSpec extends AnyFunSuite {
     assert(verified.length == 1 && verified.head.getAs[Double]("jaccard") > 0.3)
   }
 
+  test("dedup survivors: transitive near-dup chain collapses to one component") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),   // ~ 1
+      (3L, base.replace("lazy", "sleepy").replace("quick", "rapid")), // ~ 2, maybe not ~ 1
+      (4L, "entirely different words about query engines and columnar storage here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSurvivors(df, "doc_id", "text", threshold = 0.3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1,2,3 share one component labeled by the min id; 4 is its own
+    assert(out(1L) == (1L, true))
+    assert(out(2L)._1 == 1L && !out(2L)._2)
+    assert(out(3L)._1 == 1L && !out(3L)._2)
+    assert(out(4L) == (4L, true))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming distance") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = base.replace("kappa", "sigma")
