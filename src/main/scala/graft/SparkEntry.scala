@@ -388,6 +388,19 @@ object SparkEntry {
         lid.getField("score").as("lang_score"))
     }),
 
+    // ── text analysis: corpus-statistics pass — per-doc rare-word signal
+    //    (avg document frequency of its tokens + hapax count) ──────────────
+    "t5_rare_word_ratio" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(ops.TextAnalysis.tokens(col("text"))).as("t"))
+      val dfreq = toks.distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      toks.join(dfreq, Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(col("df")), 4).as("avg_token_df"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    }),
+
     // ── text analysis: document fingerprint ───────────────────────────────
     "t4_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -717,6 +730,14 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rn
         |      FROM sc)
         |SELECT doc_id, lang AS predicted_lang, score AS lang_score FROM r WHERE rn = 1""".stripMargin,
+
+    "t5_rare_word_ratio" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |              FROM documents),
+        |dfreq AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY t)
+        |SELECT doc_id, round(avg(df), 4) AS avg_token_df,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM toks JOIN dfreq USING (t) GROUP BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
