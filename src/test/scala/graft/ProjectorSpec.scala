@@ -85,6 +85,34 @@ class ProjectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("incremental catchup: a second run resumes from the previous switch watermark") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(15L))
+    val store = new EventStore(log, AccountType)
+    val t0 = 1700000000000L
+    val id = "01HXINCRCATCHUP0000000001"
+    store.create(id, Seq(AccountType.created(100, "P"), AccountType.deposited(1)), nowMs = t0)
+
+    val proj = new Projector(log, "incr", tempDir, partitions = 2)
+    val buf = ArrayBuffer[ProjMessage]()
+    val handle: org.apache.spark.sql.Dataset[ProjMessage] => Unit =
+      ds => buf.synchronized { buf ++= ds.collect(); () }
+
+    proj.catchup(handle, nowMs = t0 + 120000L)
+    assert(buf.count(_.meta_kind == "catchup") == 2)
+
+    // more history lands after the first catchup finished
+    store.update(id)(_ => Seq(AccountType.deposited(2)), nowMs = t0 + 300000L)
+    store.update(id)(_ => Seq(AccountType.deposited(3)), nowMs = t0 + 310000L)
+
+    buf.clear()
+    proj.catchup(handle, nowMs = t0 + 600000L)
+    // ONLY the two new events replay — history before the previous switch
+    // watermark is not re-delivered
+    val second = buf.filter(_.meta_kind == "catchup")
+    assert(second.length == 2, s"expected incremental replay of 2, got ${second.length}")
+    assert(second.map(m => graft.codec.Codec.parse(m.body).get("money").asLong()).sorted == Seq(2L, 3L))
+  }
+
   test("live stream starts on an EMPTY log and picks up the first-ever event") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(14L))
     val proj = new Projector(log, "emptystart", tempDir, partitions = 2)
