@@ -51,6 +51,23 @@ class Fnv1a32Spec extends AnyFunSuite {
       assert(graft.functions.Fnv1a32.hashString(s) >= 0)
     }
   }
+
+  test("partition assignment is stable: Scala-side == Catalyst-side for random ids (FIXTURES §4)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(7)
+    val ids = (1 to 1000).map(_ => rnd.alphanumeric.take(26).mkString)
+    val scalaSide = ids.map(id =>
+      id -> (Math.floorMod(graft.functions.Fnv1a32.hashString(id), 8) + 1)).toMap
+    val columnSide = ids.toDF("id")
+      .select(col("id"),
+        graft.functions.calc_partition(graft.functions.fnv1a32(col("id")), 8).as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(scalaSide == columnSide)
+    // every partition is within range and the split selector covers disjointly
+    assert(columnSide.values.forall(p => p >= 1 && p <= 8))
+  }
 }
 
 class UlidSpec extends AnyFunSuite {
