@@ -418,17 +418,49 @@ object EventLog {
     */
   val Compression = "zstd"
 
+  /** Commit lock acquisition timeout / staleness horizon. */
+  val LockAcquireTimeoutMs = 60000L
+  val StaleLockMs = 120000L
+
   /** The migration fence kind (reference: eventstore.go:17). */
   val KindInvalidated = "Invalidated"
   /** The projection-migration fence kind (reference: eventstore.go:123-131). */
   val KindNoOp = "NoOp"
 
   private val locks = new ConcurrentHashMap[String, Object]()
+
+  /** The single-writer commit section. Two layers:
+    *  - a JVM-level monitor (writers inside one driver serialize cheaply);
+    *  - a filesystem lock file created with atomic create-if-absent
+    *    (`O_CREAT|O_EXCL` semantics), so writers in SEPARATE drivers on
+    *    shared POSIX storage also exclude each other. Stale locks (holder
+    *    died) are broken after [[StaleLockMs]]. On object stores without
+    *    atomic create, swap this for the table-format commit (README
+    *    roadmap #1) — the section's scope stays identical.
+    */
   private def withLogLock[A](path: String)(f: => A): A = {
     // canonicalize so two EventLog instances addressing the same directory
     // through different spellings share one commit section
     val key = try new java.io.File(path).getCanonicalPath catch { case _: Exception => path }
     val lock = locks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized(f)
+    lock.synchronized {
+      val lockFile = new java.io.File(key, ".graft.commit.lock")
+      lockFile.getParentFile.mkdirs()
+      val deadline = System.currentTimeMillis() + LockAcquireTimeoutMs
+      var acquired = false
+      while (!acquired) {
+        acquired = try lockFile.createNewFile() catch { case _: java.io.IOException => false }
+        if (!acquired) {
+          val age = System.currentTimeMillis() - lockFile.lastModified()
+          if (lockFile.exists() && age > StaleLockMs) {
+            lockFile.delete(): Unit // break a stale lock (holder died mid-commit)
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"could not acquire commit lock $lockFile within ${LockAcquireTimeoutMs} ms")
+          } else Thread.sleep(20)
+        }
+      }
+      try f finally { lockFile.delete(): Unit }
+    }
   }
 }

@@ -93,6 +93,21 @@ class EventStoreSpec extends AnyFunSuite {
     assert(store.retrieve(id).state.balance == 106)
   }
 
+  test("commit lock file: held during append, released after, stale locks broken") {
+    val log = freshLog()
+    val lockFile = new java.io.File(log.path, ".graft.commit.lock")
+    log.append(Seq(AppendRecord("01HXLOCKFILE0000000000001", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "L")))))
+    assert(!lockFile.exists(), "lock must be released after the commit section")
+    // a stale lock (e.g. a crashed writer) does not wedge the log forever
+    assert(lockFile.createNewFile())
+    lockFile.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000L)
+    log.append(Seq(AppendRecord("01HXLOCKFILE0000000000001", "Account", 1, Map.empty,
+      Seq(AccountType.deposited(1)))))
+    assert(!lockFile.exists())
+    assert(new EventStore(log, AccountType).retrieve("01HXLOCKFILE0000000000001").version == 2)
+  }
+
   test("aggregate kinds are isolated: two stores share one log without crosstalk") {
     val log = freshLog()
     val accounts = new EventStore(log, AccountType)
