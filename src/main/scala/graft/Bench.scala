@@ -28,7 +28,7 @@ object Bench {
     }
 
     // repeats > 1: report the minimum (steady-state) time per query
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
