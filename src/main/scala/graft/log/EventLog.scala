@@ -188,6 +188,7 @@ class EventLog(
     Seq(snap).toDS()
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(snapshotsPath)
+    graft.sources.GraftMeta.write(spark, snapshotsPath, numBuckets)
   }
 
   // ── batch rewrites (M1/M2) ───────────────────────────────────────────────
@@ -322,6 +323,9 @@ class EventLog(
       // bound file sizes so a hot bucket still compacts into scannable units
       .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
       .parquet(eventsPath)
+    // full-table Overwrite deletes the directory, marker included — restore it
+    graft.sources.GraftMeta.invalidate(eventsPath)
+    graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
   }
 
   /** Snapshot compaction: drop superseded snapshots, keeping the latest per
@@ -339,6 +343,8 @@ class EventLog(
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotsPath)
+    graft.sources.GraftMeta.invalidate(snapshotsPath)
+    graft.sources.GraftMeta.write(spark, snapshotsPath, numBuckets)
   }
 
   // ── internals ────────────────────────────────────────────────────────────
@@ -368,6 +374,7 @@ class EventLog(
       .write.mode(mode).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(eventsPath)
+    graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
   }
 
   /** Copy-on-write rewrite of a single bucket partition via dynamic partition

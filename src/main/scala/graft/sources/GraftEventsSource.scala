@@ -1,0 +1,223 @@
+package graft.sources
+
+import graft.functions.Fnv1a32
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileDataSourceV2
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.concurrent.TrieMap
+
+/** DataSource V2 facade over the graft event-log layout:
+  *
+  * {{{
+  *   spark.read.format("graft-events").load(logRoot)                       // events
+  *   spark.read.format("graft-events").option("table", "snapshots").load(logRoot)
+  * }}}
+  *
+  * External tools get the layout's scan optimizations without knowing it
+  * exists: the scan builder derives `bucket = pmod(fnv1a32(aggregate_id), n)`
+  * partition predicates from pushed `aggregate_id` point/IN filters, so a
+  * point lookup lists ONE `bucket=N/` directory instead of the whole table —
+  * the property that keeps stream reads O(stream) instead of O(log) at
+  * 100 TB. Everything else (vectorized parquet, min/max skipping on the
+  * ULID-sorted `id`, column pruning, AQE) is delegated to Spark's own
+  * parquet DSv2 implementation, the same way the built-in avro connector
+  * builds on [[FileTable]].
+  *
+  * The modulus comes from the `_graft_meta.json` marker [[GraftMeta]] that
+  * [[graft.log.EventLog]] maintains inside each table directory — a reader
+  * must never guess `numBuckets`, a wrong modulus would silently drop rows.
+  *
+  * Reference behavior mirrored: the store's point scans hit the
+  * `(aggregate_id, aggregate_version)` index (store/postgresql/store.go:423);
+  * here the bucket directory is that index's leading level.
+  */
+class GraftEventsDataSource extends FileDataSourceV2 {
+  // DataFrameWriter routes FileDataSourceV2 saves through the V1 fallback
+  // format, not newWriteBuilder — so the fallback must refuse writes too.
+  override def fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
+    classOf[ReadOnlyGraftParquetFormat]
+
+  override def shortName(): String = "graft-events"
+
+  override def getTable(options: CaseInsensitiveStringMap): Table = {
+    val paths = tablePaths(options)
+    new GraftEventsTable(getTableName(options, paths), sparkSession,
+      getOptionsWithoutPaths(options), paths, None)
+  }
+
+  override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table = {
+    val paths = tablePaths(options)
+    new GraftEventsTable(getTableName(options, paths), sparkSession,
+      getOptionsWithoutPaths(options), paths, Some(schema))
+  }
+
+  /** `load(root)` addresses the log root; `table` picks the inner table. */
+  private def tablePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val table = Option(options.get("table")).getOrElse("events")
+    require(table == "events" || table == "snapshots",
+      s"graft-events: unknown table '$table' (expected events|snapshots)")
+    getPaths(options).map(r => s"${r.stripSuffix("/")}/$table")
+  }
+}
+
+/** A [[ParquetTable]] whose scans derive bucket partition filters. Writes are
+  * refused: appends must go through `EventLog.append`, whose commit section
+  * enforces the per-stream optimistic version check — a raw parquet append
+  * would bypass it (reference: the UNIQUE(aggregate_id, aggregate_version)
+  * index, store/postgresql/store.go:702).
+  */
+class GraftEventsTable(
+    tableName: String,
+    sparkSession0: SparkSession,
+    options0: CaseInsensitiveStringMap,
+    paths0: Seq[String],
+    userSpecifiedSchema0: Option[StructType])
+  extends ParquetTable(tableName, sparkSession0, options0, paths0,
+    userSpecifiedSchema0, classOf[ReadOnlyGraftParquetFormat]) {
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder = {
+    val numBuckets = paths0.headOption.flatMap(p => GraftMeta.numBuckets(sparkSession0, p))
+    new GraftScanBuilder(sparkSession0, fileIndex, schema, dataSchema,
+      mergedOptions(options), numBuckets)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    throw new UnsupportedOperationException(
+      "graft-events is read-only: append through EventLog.append so the " +
+        "commit section can enforce per-stream optimistic versions")
+}
+
+/** Parquet in every read respect, but refuses to produce writers: raw
+  * appends to the log would bypass the per-stream optimistic version check.
+  */
+class ReadOnlyGraftParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft-events is read-only: append through EventLog.append so the " +
+        "commit section can enforce per-stream optimistic versions")
+}
+
+/** Intercepts catalyst filter pushdown to add derived bucket predicates
+  * before the stock parquet builder splits partition vs data filters (the
+  * split is by attribute name, so a synthesized `bucket` reference lands in
+  * the partition set and prunes directory listing).
+  */
+class GraftScanBuilder(
+    spark: SparkSession,
+    fileIndex: PartitioningAwareFileIndex,
+    schema: StructType,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    numBuckets: Option[Int])
+  extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val derived = numBuckets match {
+      case Some(n) => GraftBucketDerivation.derive(filters,
+        () => AttributeReference("bucket", IntegerType)(), n)
+      case None => Nil
+    }
+    super.pushFilters(filters ++ derived)
+  }
+}
+
+/** Derives bucket partition predicates from aggregate-id predicates. Shared
+  * by the DSv2 scan builder and the V1 optimizer rule [[GraftBucketPruning]].
+  */
+object GraftBucketDerivation {
+
+  def bucketFor(aggregateId: String, numBuckets: Int): Int =
+    Math.floorMod(Fnv1a32.hashString(aggregateId), numBuckets)
+
+  /** For every conjunct that pins `aggregate_id` to literals, emit the
+    * implied predicate on the physical `bucket` column. `mkBucketAttr`
+    * supplies the attribute (the relation's resolved attribute on the V1
+    * path; a name-only reference on the V2 path).
+    */
+  def derive(conjuncts: Seq[Expression], mkBucketAttr: () => Expression,
+      numBuckets: Int): Seq[Expression] = {
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def isAggId(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase("aggregate_id")
+      case _ => false
+    }
+    def bucketLits(ids: Iterable[String]): Seq[Expression] =
+      ids.map(bucketFor(_, numBuckets)).toSeq.distinct.sorted.map(Literal(_))
+
+    conjuncts.flatMap {
+      case EqualTo(a, l) if isAggId(a) && strLit(l).isDefined =>
+        Some(EqualTo(mkBucketAttr(), bucketLits(strLit(l)).head))
+      case EqualTo(l, a) if isAggId(a) && strLit(l).isDefined =>
+        Some(EqualTo(mkBucketAttr(), bucketLits(strLit(l)).head))
+      case EqualNullSafe(a, l) if isAggId(a) && strLit(l).isDefined =>
+        Some(EqualTo(mkBucketAttr(), bucketLits(strLit(l)).head))
+      case In(a, vs) if isAggId(a) && vs.nonEmpty && vs.forall(strLit(_).isDefined) =>
+        Some(In(mkBucketAttr(), bucketLits(vs.flatMap(strLit))))
+      case InSet(a, hset) if isAggId(a) && hset.nonEmpty &&
+          hset.forall(_.isInstanceOf[UTF8String]) =>
+        Some(In(mkBucketAttr(), bucketLits(hset.map(_.asInstanceOf[UTF8String].toString))))
+      case _ => None
+    }
+  }
+}
+
+/** The layout marker `_graft_meta.json` inside each table directory. Records
+  * the bucket modulus (and layout version) so readers never guess it. The
+  * underscore prefix keeps it invisible to parquet file listing and partition
+  * discovery. Written through the Hadoop FS API — works on HDFS/object
+  * stores, not just local disk.
+  */
+object GraftMeta {
+  private val cache = TrieMap.empty[String, Option[Int]]
+
+  def write(spark: SparkSession, tableDir: String, numBuckets: Int): Unit = {
+    val p = metaPath(tableDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(
+        s"""{"layout":"graft-bucketed-v1","numBuckets":$numBuckets}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    cache.put(cacheKey(tableDir), Some(numBuckets)): Unit
+  }
+
+  /** None when the directory carries no marker (not a graft table). Cached:
+    * the optimizer rule consults this on every plan.
+    */
+  def numBuckets(spark: SparkSession, tableDir: String): Option[Int] =
+    cache.getOrElseUpdate(cacheKey(tableDir), {
+      try {
+        val p = metaPath(tableDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
+        }
+      } catch { case _: Exception => None }
+    })
+
+  /** Tests rewrite log dirs; let them reset the negative/positive cache. */
+  def invalidate(tableDir: String): Unit = { cache.remove(cacheKey(tableDir)): Unit }
+
+  private def metaPath(tableDir: String) = new Path(tableDir, "_graft_meta.json")
+  private def cacheKey(tableDir: String) = new Path(tableDir).toString
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.log.{AppendRecord, EventDetail, EventLog}
+import graft.sources.GraftBucketDerivation
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 facade (`spark.read.format("graft-events")`) and the V1
+  * bucket-pruning optimizer rule: external readers must get the layout's
+  * point-scan pruning without knowing the layout.
+  */
+class GraftSourceSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graftsource").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 8, ulidSeed = Some(11L))
+    (1 to 40).foreach { i =>
+      log.append(Seq(AppendRecord(s"acct-$i", "Account", 0, Map.empty,
+        Seq(EventDetail("Created", s"""{"owner":"o$i"}"""),
+          EventDetail("Deposited", """{"amount":5}""")))))
+    }
+    dir
+  }
+  private lazy val log = new EventLog(spark, root, numBuckets = 8)
+
+  private def facade = spark.read.format("graft-events").load(root)
+
+  /** The files the scan node actually selects after partition pruning —
+    * `df.inputFiles` would list the whole relation and prove nothing.
+    */
+  private def prunedFiles(df: DataFrame): Seq[String] =
+    stripAqe(df.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString)).toSeq
+      case b: BatchScanExec => b.scan match {
+        case fs: FileScan =>
+          fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString)).toSeq
+        case other => fail(s"unexpected scan: $other")
+      }
+    }.getOrElse(fail(s"no scan node in:\n${df.queryExecution.executedPlan}"))
+
+  private def stripAqe(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => stripAqe(a.executedPlan)
+      case other => other
+    }
+
+  test("facade reads the whole log with the layout's schema") {
+    assert(facade.count() === 80L)
+    assert(facade.columns.contains("bucket"), "partition column surfaces")
+    val cols = log.eventsWithBucket.columns
+    val viaLog = log.eventsWithBucket.select(cols.map(col): _*).orderBy("id").collect().toSeq
+    val viaFacade = facade.select(cols.map(col): _*).orderBy("id").collect().toSeq
+    assert(viaFacade === viaLog)
+  }
+
+  test("facade point scan matches streamEvents and prunes to one bucket directory") {
+    val filtered = facade.filter(col("aggregate_id") === "acct-7" && col("migration") === 0)
+      .drop("bucket")
+    assert(filtered.orderBy("aggregate_version").collect().map(_.getString(0)).toSeq ===
+      log.streamEvents("acct-7").collect().map(_.getString(0)).toSeq)
+    val b = GraftBucketDerivation.bucketFor("acct-7", 8)
+    val files = prunedFiles(filtered)
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")),
+      s"scan listed beyond bucket=$b:\n${files.mkString("\n")}")
+  }
+
+  test("facade IN-list scan prunes to the union of buckets") {
+    val ids = Seq("acct-3", "acct-19", "acct-31")
+    val bs = ids.map(GraftBucketDerivation.bucketFor(_, 8)).toSet
+    assert(bs.size < 8, "fixture should not cover every bucket")
+    val df = facade.filter(col("aggregate_id").isin(ids: _*))
+    assert(df.count() === 6L)
+    val files = prunedFiles(df)
+    assert(files.nonEmpty && files.forall(f => bs.exists(b => f.contains(s"bucket=$b"))),
+      s"scan listed beyond $bs:\n${files.mkString("\n")}")
+  }
+
+  test("facade refuses writes (appends must go through the commit section)") {
+    val e = intercept[Exception] {
+      facade.limit(1).write.format("graft-events").mode("append").save(root)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("EventLog.append")), e.toString)
+  }
+
+  test("snapshots table is addressable via option") {
+    val snapRoot = Files.createTempDirectory("graftsnap").toFile.getAbsolutePath
+    val snapLog = new EventLog(spark, snapRoot, numBuckets = 4, ulidSeed = Some(12L))
+    snapLog.append(Seq(AppendRecord("s-1", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", "{}")))))
+    snapLog.saveSnapshot(graft.core.SnapshotRow("01HXSNAP00000000000000001", "s-1",
+      1, "Account", "{\"balance\":1}", new java.sql.Timestamp(0L), Map.empty))
+    val snapDf = spark.read.format("graft-events")
+      .option("table", "snapshots").load(snapRoot)
+    assert(snapDf.count() === 1L)
+    assert(snapDf.select("aggregate_id").head().getString(0) === "s-1")
+  }
+
+  test("V1 rule: plain parquet reads through EventLog prune on derived bucket filters") {
+    Graft.enable(spark)
+    val df = log.events.filter(col("aggregate_id") === "acct-23")
+    assert(df.count() === 2L)
+    val b = GraftBucketDerivation.bucketFor("acct-23", 8)
+    val files = prunedFiles(df)
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")),
+      s"V1 scan listed beyond bucket=$b:\n${files.mkString("\n")}")
+  }
+
+  test("V1 rule leaves non-graft parquet tables alone") {
+    Graft.enable(spark)
+    val plain = Files.createTempDirectory("plainpq").toFile.getAbsolutePath + "/t"
+    spark.range(10).withColumn("aggregate_id", concat(lit("a-"), col("id")))
+      .withColumn("bucket", (col("id") % 2).cast("int"))
+      .write.partitionBy("bucket").parquet(plain)
+    val df = spark.read.parquet(plain).filter(col("aggregate_id") === "a-3")
+    assert(df.count() === 1L)
+    // without the marker nothing is derived: both bucket dirs stay listed
+    val files = prunedFiles(df)
+    assert(files.exists(_.contains("bucket=0")) && files.exists(_.contains("bucket=1")))
+  }
+
+  test("Graft.enable is idempotent") {
+    Graft.enable(spark); Graft.enable(spark)
+    val n = spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.GraftBucketPruning])
+    assert(n === 1)
+  }
+}
