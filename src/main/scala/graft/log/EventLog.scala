@@ -22,6 +22,18 @@ case class AppendRecord(
 
 class ConcurrentModificationException(msg: String) extends RuntimeException(msg)
 
+/** How appends exclude each other (reads are identical in both modes):
+  *  - [[CommitMode.Lock]]: the single-writer lock-file section — correct on
+  *    POSIX/HDFS, where atomic create-if-absent is guaranteed;
+  *  - [[CommitMode.Manifest]]: the [[ManifestCommitLog]] claim chain — the
+  *    object-store-safe protocol whose only primitive is conditional put.
+  */
+sealed trait CommitMode
+object CommitMode {
+  case object Lock extends CommitMode
+  case object Manifest extends CommitMode
+}
+
 /** Result of migrating one stream: its new head after the rewrite. */
 case class MigratedStream(
     aggregateId: String,
@@ -55,7 +67,8 @@ class EventLog(
     val path: String,
     val numBuckets: Int = 32,
     discriminatorKeys: Set[String] = Set.empty,
-    ulidSeed: Option[Long] = None) {
+    ulidSeed: Option[Long] = None,
+    val commitMode: CommitMode = CommitMode.Lock) {
 
   import EventLog._
 
@@ -153,35 +166,83 @@ class EventLog(
     * the validation query prunes to the touched buckets only.
     */
   def append(records: Seq[AppendRecord], nowMs: => Long = System.currentTimeMillis()): Seq[String] =
-    withLogLock(path) {
-      val touched = records.map(_.aggregateId).distinct
-      val current = maxVersions(touched)
-      records.foreach { r =>
-        val cur = current.getOrElse(r.aggregateId, 0)
-        if (cur != r.expectedVersion)
-          throw new ConcurrentModificationException(
-            s"stream ${r.aggregateId}: expected version ${r.expectedVersion}, log has $cur")
-      }
-      val rows = records.flatMap { r =>
-        val disc = filterDiscriminator(r.discriminator)
-        r.details.zipWithIndex.map { case (d, i) =>
-          EventRow(
-            id = gen.next(nowMs),
-            aggregate_id = r.aggregateId,
-            aggregate_id_hash = Fnv1a32.hashString(r.aggregateId),
-            aggregate_version = r.expectedVersion + i + 1,
-            aggregate_kind = r.aggregateKind,
-            kind = d.kind,
-            body = d.body,
-            discriminator = disc,
-            created_at = new Timestamp(nowMs),
-            migration = 0,
-            migrated = false)
+    commitMode match {
+      case CommitMode.Lock =>
+        withLogLock(path) {
+          validateVersions(records, maxVersions(records.map(_.aggregateId).distinct))
+          val rows = buildRows(records, nowMs)
+          writeEvents(rows, SaveMode.Append)
+          rows.map(_.id)
         }
-      }
-      writeEvents(rows, SaveMode.Append)
-      rows.map(_.id)
+      case CommitMode.Manifest => appendViaManifest(records, nowMs)
     }
+
+  /** The claim-chain append (see [[ManifestCommitLog]]): validate against
+    * `max(parquet head, reserved head)`, claim the next manifest slot, write
+    * data only after the claim sticks. A lost claim race retries from a fresh
+    * read of the chain; a conflicting reservation on one of OUR streams
+    * surfaces as [[ConcurrentModificationException]], exactly like the lock
+    * path's lost optimistic check.
+    */
+  private def appendViaManifest(records: Seq[AppendRecord], nowMs: => Long): Seq[String] = {
+    val touched = records.map(_.aggregateId).distinct
+    var attempts = 0
+    while (attempts < 100) {
+      val tip = manifest.refresh()
+      val parquetHeads = maxVersions(touched)
+      val heads = touched.map(s =>
+        s -> math.max(parquetHeads.getOrElse(s, 0), manifest.reservedHead(s))).toMap
+      validateVersions(records, heads)
+      val rows = buildRows(records, nowMs)
+      val claimed = records.map(r =>
+        r.aggregateId -> (r.expectedVersion, r.expectedVersion + r.details.size)).toMap
+      val claim = CommitClaim(tip + 1, claimed, rows.map(_.id), writerId,
+        System.currentTimeMillis(), done = false)
+      if (manifest.tryClaim(claim)) {
+        writeEventsIsolated(rows, s"c${claim.n}")
+        manifest.markDone(claim.n)
+        return rows.map(_.id)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit for $touched lost ${attempts} claim races — giving up")
+  }
+
+  private def validateVersions(records: Seq[AppendRecord], current: Map[String, Int]): Unit =
+    records.foreach { r =>
+      val cur = current.getOrElse(r.aggregateId, 0)
+      if (cur != r.expectedVersion)
+        throw new ConcurrentModificationException(
+          s"stream ${r.aggregateId}: expected version ${r.expectedVersion}, log has $cur")
+    }
+
+  private def buildRows(records: Seq[AppendRecord], nowMs: => Long): Seq[EventRow] =
+    records.flatMap { r =>
+      val disc = filterDiscriminator(r.discriminator)
+      r.details.zipWithIndex.map { case (d, i) =>
+        EventRow(
+          id = gen.next(nowMs),
+          aggregate_id = r.aggregateId,
+          aggregate_id_hash = Fnv1a32.hashString(r.aggregateId),
+          aggregate_version = r.expectedVersion + i + 1,
+          aggregate_kind = r.aggregateKind,
+          kind = d.kind,
+          body = d.body,
+          discriminator = disc,
+          created_at = new Timestamp(nowMs),
+          migration = 0,
+          migrated = false)
+      }
+    }
+
+  /** The commit chain (lazily materialized; also usable for inspection in
+    * Lock mode, where it simply stays empty).
+    */
+  lazy val manifest = new ManifestCommitLog(spark, path)
+
+  private val writerId =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName // pid@host
 
   def saveSnapshot(snap: SnapshotRow): Unit = {
     import spark.implicits._
@@ -374,6 +435,40 @@ class EventLog(
       .write.mode(mode).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(eventsPath)
+    graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
+  }
+
+  /** Manifest-mode data write: concurrent `.parquet(eventsPath)` appends are
+    * unsafe even with versions reserved — Spark jobs writing one output path
+    * share a `_temporary/` staging directory and clobber each other. Each
+    * commit therefore writes to its own claim-scoped temp dir (its own
+    * staging) and MOVES the finished part files into the bucket directories;
+    * renames of finished files never conflict, so data writes stay parallel.
+    * Visibility may be out of claim order — harmless, versions are already
+    * reserved and readers order by id/version, never by file arrival.
+    */
+  private def writeEventsIsolated(rows: Seq[EventRow], token: String): Unit = {
+    import spark.implicits._
+    val tmpDir = s"$eventsPath/.commit-tmp/$token"
+    rows.toDS()
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .option("compression", EventLog.Compression)
+      .parquet(tmpDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = tmp.getFileSystem(conf)
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { bdir =>
+      val dest = new org.apache.hadoop.fs.Path(eventsPath, bdir.getPath.getName)
+      fs.mkdirs(dest)
+      fs.listStatus(bdir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, s"$token-${f.getPath.getName}")): Unit
+        }
+    }
+    fs.delete(tmp, true)
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
   }
 

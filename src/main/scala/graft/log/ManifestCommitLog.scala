@@ -1,0 +1,194 @@
+package graft.log
+
+import java.net.{URLDecoder, URLEncoder}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** One committed (or reserved) append: manifest number, per-stream version
+  * movement, the event ids it wrote.
+  */
+case class CommitClaim(
+    n: Long,
+    streams: Map[String, (Int, Int)], // aggregate_id -> (baseVersion, newHead)
+    eventIds: Seq[String],
+    writer: String,
+    tsMs: Long,
+    done: Boolean)
+
+/** The object-store-safe commit protocol (README roadmap #1): a claim chain
+  * under `<path>/_graft_commit/` where commit `N` is the file `v{N}.tsv`,
+  * created with create-if-absent. That single primitive — atomic on
+  * HDFS/POSIX `O_CREAT|O_EXCL`, a conditional PUT (`If-None-Match: *`) on
+  * object stores — serializes writers without any wall-clock lock:
+  *
+  *  1. a writer reads the chain tip `N` and computes each touched stream's
+  *     head as `max(parquet head, highest claimed head in the chain)`;
+  *  2. validates the caller's `expectedVersion` against that head (the
+  *     reference's UNIQUE(aggregate_id, aggregate_version) check,
+  *     store/postgresql/store.go:702);
+  *  3. claims `v{N+1}.tsv` listing the version range it RESERVES;
+  *     a lost race (file already exists) loops back to 1;
+  *  4. only after the claim succeeds does it write the parquet data, then
+  *     drops a `v{N+1}.done` marker.
+  *
+  * Reservation semantics make crashes safe without rollback machinery: a
+  * claimant that dies after step 3 leaves a claim whose versions are never
+  * reused (later writers see the reserved head), so the worst outcome of a
+  * crash is a version GAP for a commit that was never acknowledged — never a
+  * duplicate (stream, version) pair, even if the dead writer's parquet write
+  * lands minutes later. Folds order by version and are gap-tolerant.
+  *
+  * Scope: serializes APPENDS. Bucket-rewriting maintenance (forget, migrate,
+  * compact) still requires quiescing appends — at scale those run in a
+  * maintenance window or under a full table format with manifest-scoped
+  * reads, which is the documented next step beyond this protocol.
+  */
+class ManifestCommitLog(spark: SparkSession, logPath: String) {
+  import ManifestCommitLog._
+
+  private val dir = new Path(logPath, CommitDir)
+  private def fs: FileSystem = dir.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // claims are immutable once created — cache by number; `done` can flip once
+  private val cache = TrieMap.empty[Long, CommitClaim]
+
+  /** List the chain, load any claims not yet cached, return the tip (0 when
+    * the chain is empty). One LIST per refresh — the object-store cost of a
+    * commit round-trip.
+    */
+  def refresh(): Long = {
+    val f = fs
+    if (!f.exists(dir)) return cache.keys.foldLeft(0L)(math.max)
+    val statuses = f.listStatus(dir)
+    val doneSet = statuses.iterator.map(_.getPath.getName)
+      .collect { case DoneRe(n) => n.toLong }.toSet
+    var tip = 0L
+    statuses.foreach { st =>
+      st.getPath.getName match {
+        case ClaimRe(nStr) =>
+          val n = nStr.toLong
+          tip = math.max(tip, n)
+          val cached = cache.get(n)
+          if (cached.isEmpty) {
+            cache.put(n, readClaim(f, n, doneSet.contains(n))): Unit
+          } else if (doneSet.contains(n) && !cached.get.done) {
+            cache.put(n, cached.get.copy(done = true)): Unit
+          }
+        case _ =>
+      }
+    }
+    tip
+  }
+
+  /** Highest reserved head for a stream across the cached chain (0 when the
+    * chain never touched it). Call after [[refresh]].
+    */
+  def reservedHead(aggregateId: String): Int =
+    cache.values.foldLeft(0) { (acc, c) =>
+      math.max(acc, c.streams.get(aggregateId).map(_._2).getOrElse(0))
+    }
+
+  /** Step 3: conditional create of claim `n`. False = lost the race. */
+  def tryClaim(claim: CommitClaim): Boolean = {
+    val f = fs
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val p = claimPath(claim.n)
+    val out =
+      try f.create(p, /* overwrite = */ false)
+      catch { case _: java.io.IOException => return false } // exists → lost race
+    try out.write(render(claim).getBytes("UTF-8")) finally out.close()
+    cache.put(claim.n, claim)
+    true
+  }
+
+  /** Step 4: mark the claim's data as visible (idempotent, unconditional). */
+  def markDone(n: Long): Unit = {
+    val f = fs
+    val out = f.create(new Path(dir, s"v$n.done"), true)
+    out.close()
+    cache.get(n).foreach(c => cache.put(n, c.copy(done = true)))
+  }
+
+  /** The chain, oldest first (for inspection and tests). */
+  def claims(): Seq[CommitClaim] = {
+    refresh(): Unit
+    cache.values.toSeq.sortBy(_.n)
+  }
+
+  /** Drop chain entries whose reservations are fully reflected in `heads`
+    * (the parquet per-stream maxima) — safe to forget because later writers
+    * recompute the same heads from the data itself. Claims not yet `done`
+    * are kept unless older than `staleMs` (a crashed claimant's gap becomes
+    * permanent once pruned, which is exactly its semantics).
+    */
+  def prune(heads: Map[String, Int], staleMs: Long = 24L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    refresh(): Unit
+    val f = fs
+    val tip = cache.keys.foldLeft(0L)(math.max)
+    val removable = cache.values.filter { c =>
+      c.n != tip && // keep the tip so refresh() never regresses the chain
+        (c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head } ||
+          (!c.done && nowMs - c.tsMs > staleMs))
+    }.toSeq
+    removable.foreach { c =>
+      f.delete(claimPath(c.n), false)
+      f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
+      // keep the cache entry: it still carries the reservation in-memory,
+      // protecting concurrent local writers; fresh processes rely on `heads`.
+    }
+    removable.size
+  }
+
+  private def claimPath(n: Long) = new Path(dir, s"v$n.tsv")
+
+  private def readClaim(f: FileSystem, n: Long, done: Boolean): CommitClaim = {
+    val in = f.open(claimPath(n))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parse(n, body, done)
+  }
+}
+
+object ManifestCommitLog {
+  val CommitDir = "_graft_commit"
+  private val ClaimRe = "v(\\d+)\\.tsv".r
+  private val DoneRe = "v(\\d+)\\.done".r
+
+  /** TSV, ids URL-encoded — no JSON library dependency, trivially greppable:
+    * {{{
+    * meta\t<writer>\t<tsMs>
+    * stream\t<id>\t<base>\t<head>
+    * event\t<eventId>
+    * }}}
+    */
+  def render(c: CommitClaim): String = {
+    val sb = new StringBuilder
+    sb.append("meta\t").append(enc(c.writer)).append('\t').append(c.tsMs).append('\n')
+    c.streams.toSeq.sortBy(_._1).foreach { case (s, (base, head)) =>
+      sb.append("stream\t").append(enc(s)).append('\t').append(base)
+        .append('\t').append(head).append('\n')
+    }
+    c.eventIds.foreach(id => sb.append("event\t").append(enc(id)).append('\n'))
+    sb.toString
+  }
+
+  def parse(n: Long, body: String, done: Boolean): CommitClaim = {
+    var writer = ""
+    var ts = 0L
+    val streams = Map.newBuilder[String, (Int, Int)]
+    val events = Seq.newBuilder[String]
+    body.linesIterator.foreach { line =>
+      line.split('\t') match {
+        case Array("meta", w, t) => writer = dec(w); ts = t.toLong
+        case Array("stream", s, base, head) => streams += dec(s) -> (base.toInt, head.toInt)
+        case Array("event", id) => events += dec(id)
+        case _ =>
+      }
+    }
+    CommitClaim(n, streams.result(), events.result(), writer, ts, done)
+  }
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+}
