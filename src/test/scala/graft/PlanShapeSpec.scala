@@ -46,6 +46,46 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected partial + final aggregate pair")
   }
 
+  test("per-query shuffle budgets hold (regression fence from tools/PlanStats)") {
+    // Measured ceilings: a query exceeding its budget gained a shuffle it
+    // never needed — the failure mode that silently kills 100 TB runs.
+    val budgets = Map(
+      "a1_rehydrate_fold" -> 1, "a4_projection_state" -> 1, "a5_distinct_streams" -> 1,
+      "a6_resume_bounds" -> 1, "a8_asof_state" -> 1, "c1_base64" -> 0,
+      "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 3, "d3_simhash" -> 1,
+      "d4_ngram_jaccard" -> 0, "d5_embedding_dedup" -> 0, "d6_dedup_survivors" -> 0,
+      "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
+      "f1_composite_filter" -> 0, "f6_prefix_match" -> 1, "f7_codec_decode" -> 0,
+      "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
+      "m1_forget_scrub" -> 0, "m3_upcast_read" -> 0, "mm_binary_meta" -> 0,
+      "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
+      "q3_shipping" -> 1, "q5_local_supplier" -> 1, "s1_stream_scan" -> 0,
+      "s2_latest_per_key" -> 1, "s3_range_scan" -> 0, "s4_by_ids" -> 0,
+      "s5_outbox_batch" -> 0, "t1_token_count" -> 0, "t2_quality_score" -> 0,
+      "t3_lang_id" -> 0, "t4_fingerprint" -> 0, "t5_rare_word_ratio" -> 3,
+      "t8_session_window" -> 1, "t8_sliding_window" -> 1, "t8_tumbling_window" -> 1,
+      "u1_union_kinds" -> 0, "w2_version_assign" -> 1, "w3_keyset_page" -> 0,
+      "x1_approx_distinct" -> 1)
+    val exchangeRe = "Exchange (hash|range|single)".r
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty, s"no shuffle budget declared for: $missing")
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val n = exchangeRe.findAllIn(p).size
+      if (n > budget) Some(s"$name: $n exchanges (budget $budget)") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+
+  test("no sort-merge joins outside the snapshot stitch (dims broadcast)") {
+    val smjAllowed = Set("j3_snapshot_stitch") // snapshot ⋈ tail is a true big-big join
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        .contains("SortMergeJoin")
+    }
+    assert(offenders.isEmpty, s"unexpected sort-merge joins in: $offenders")
+  }
+
   test("event-log ULID range scan pushes string id bounds to parquet") {
     val tmp = Files.createTempDirectory("graftplan").toFile.getAbsolutePath
     val log = new EventLog(spark, tmp, numBuckets = 2, ulidSeed = Some(5L))
