@@ -423,10 +423,10 @@ object SparkEntry {
     // ── dedup: n-gram Jaccard verification of the LSH candidates ──────────
     "d4_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // candidates are consumed twice downstream (both join sides resolve
-      // against them) — checkpoint so the minhash subplan runs once
-      val cands = ops.Dedup.lshCandidatePairs(docs, "doc_id", "text").localCheckpoint()
-      ops.Dedup.jaccardVerify(docs, cands, "doc_id", "text", threshold = 0.2)
+      // one materialized tokenize→shingle pass feeds LSH and verification
+      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").localCheckpoint()
+      ops.Dedup.jaccardVerifyFromSets(sets,
+        ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
     }),
 
     // ── dedup: survivors via connected components of the near-dup graph ───

@@ -60,6 +60,20 @@ object Dedup {
   private val MinhashA = Seq(1299721L, 50331653L, 2750159L, 198491317L)
   private val MinhashC = Seq(104729L, 15485863L, 32452843L, 982451653L)
 
+  /** The distinct shingle set of every document: `(set_id, sh)`. This is the
+    * ONE place the tokenize→shingle work happens when stages share it —
+    * callers running multiple stages (LSH + verify, the d4/d6 shape)
+    * `localCheckpoint()` the result and pass it to the `...FromSets`
+    * variants, halving the dominant md5/concat work. MinHash over the
+    * distinct set equals MinHash over the multiset (min is duplicate-
+    * invariant), so candidates are unchanged.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("set_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col("set_id"),
+        array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(bands <= MinhashA.length, s"at most ${MinhashA.length} bands configured")
@@ -92,7 +106,31 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    minhashSignatures(df, idCol, textCol, bands, shingleSize)
+    lshFromSignatures(minhashSignatures(df, idCol, textCol, bands, shingleSize))
+
+  /** MinHash signatures computed from a (materialized) shingle-set frame —
+    * skips re-tokenizing when the sets are shared with verification.
+    */
+  def minhashSignaturesFromSets(sets: DataFrame, bands: Int = 4): DataFrame = {
+    require(bands <= MinhashA.length, s"at most ${MinhashA.length} bands configured")
+    val sigCols = (0 until bands).map { b =>
+      min((lit(MinhashA(b)) * col("x") + lit(MinhashC(b))) % MinhashP).as(s"sig$b")
+    }
+    val perDoc = sets
+      .select(col("set_id").as("mh_id"), explode(col("sh")).as("shingle"))
+      .select(col("mh_id"), (TextAnalysis.tokenHash32(col("shingle")) % MinhashP).as("x"))
+      .groupBy(col("mh_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
+    perDoc.select(col("mh_id"),
+      expr(s"stack($bands, $stackExpr)").as(Seq("band", "sig")))
+  }
+
+  def lshCandidatePairsFromSets(sets: DataFrame, bands: Int = 4): DataFrame =
+    lshFromSignatures(minhashSignaturesFromSets(sets, bands))
+
+  private def lshFromSignatures(signatures: DataFrame): DataFrame =
+    signatures
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("mh_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -109,42 +147,49 @@ object Dedup {
     * given candidate pairs (columns doc_a, doc_b).
     */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame =
     // materialized once: both join sides (doc_a, doc_b) consume the same
     // shingle sets — without the checkpoint the whole tokenize+shingle
     // subplan runs twice
-    val sets = df.select(col(idCol).as("jv_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
-      .select(col("jv_id"), array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
-      .localCheckpoint()
+    jaccardVerifyFromSets(
+      shingleSets(df, idCol, textCol, shingleSize).localCheckpoint(),
+      candidates, threshold)
+
+  /** Verification against pre-built (normally checkpointed) shingle sets. */
+  def jaccardVerifyFromSets(sets: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.0): DataFrame =
     candidates
-      .join(sets.select(col("jv_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("jv_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("set_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("set_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         round(graft.functions.jaccard_sim(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** 32-bit SimHash over the token multiset: per bit, sum ±1 contributions of
     * every token hash; bit set iff the sum is positive. Computed with
     * higher-order functions over the per-document token-hash list — no 32×
     * row blowup, one shuffle on the id.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // Same CollapseProject caveat as minhashSignatures: the explode→
-    // collect_list shuffle is a barrier that guarantees each token hash is
-    // computed once; the "cheaper" pure-array form re-evaluates the hash
-    // array inside the 32-iteration bit loop and measures 4× slower.
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // 32 algebraic sum columns, one per bit: partial (map-side) aggregation
+    // shrinks the shuffle to 32 ints per document, instead of shipping every
+    // token hash to a collect_list and looping 32× over it post-shuffle
+    // (measured ~2× at sf0.1; the gap widens with document length, which is
+    // what matters at 100 TB). Bit-sums are order-independent, so the result
+    // is identical to the sequential form.
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val packed = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
     df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("h", TextAnalysis.tokenHash32(col("t")))
       .groupBy(col("sh_id"))
-      .agg(collect_list(col("h")).as("hs"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
-          |  IF(aggregate(hs, 0L, (a2, h) -> a2 +
-          |       IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0,
-          |     shiftleft(1L, b), 0L))""".stripMargin))
-      .select(col("sh_id"), col("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sh_id"), packed.as("simhash"))
+  }
 
   /** Near-dup groups as connected components of the verified pair graph,
     * via `rounds` iterations of min-label propagation (one hop per round —
@@ -156,14 +201,15 @@ object Dedup {
     */
   def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, rounds: Int = 3, shingleSize: Int = 3): DataFrame = {
-    val pairs = jaccardVerify(df, lshCandidatePairs(df, idCol, textCol, shingleSize = shingleSize),
-      idCol, textCol, shingleSize, threshold)
+    // one tokenize+shingle pass feeds BOTH candidate generation and verify
+    val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
+    val pairs = jaccardVerifyFromSets(sets, lshCandidatePairsFromSets(sets), threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint() // consumed once per round
     var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
@@ -171,7 +217,11 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint() // cut the growing lineage per round
+      // Cut lineage every few rounds, not every round: each checkpoint is a
+      // blocking job, and a 2-3-join-deep tree is exactly what AQE handles
+      // well in one shot. Unconditional per-round checkpointing measured
+      // ~25% of d6's wall time at sf0.1.
+      if (r % 4 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels.select(col("node").as(idCol), col("label").as("component"),
       (col("node") === col("label")).as("is_survivor"))
