@@ -407,6 +407,27 @@ object SparkEntry {
         ops.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // ── text analysis: blocklist screening + redaction (PII-filter shape) ─
+    "t6_blocklist_scrub" -> ((s, dir) => {
+      val terms = Seq("spark", "customer", "vector", "window")
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.blocklistHits(col("text"), terms).as("n_hits"),
+        md5(ops.TextAnalysis.blocklistScrub(col("text"), terms)).as("scrub_md5"))
+    }),
+
+    // ── text analysis: corpus-level bigram frequencies (top-k) ────────────
+    "t7_bigram_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        // materialize tokens before shingling (CollapseProject re-evaluates
+        // non-attribute subexpressions per lambda reference)
+        .select(ops.TextAnalysis.tokens(col("text")).as("__ws"))
+        .select(explode(ops.Dedup.shinglesFromTokens(col("__ws"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // ── dedup: exact groups by fingerprint ────────────────────────────────
     "d1_exact_dedup" -> ((s, dir) =>
       ops.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
@@ -459,6 +480,28 @@ object SparkEntry {
     "d5_embedding_dedup" -> ((s, dir) =>
       ops.Dedup.embeddingCandidates(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.15)),
+
+    // ── dedup: embedding near-dup components + survivors ──────────────────
+    "d7_embedding_survivors" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = ops.Dedup.embeddingCandidates(emb, "vec_id", "embedding",
+          threshold = 0.15)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      ops.Dedup.labelPropagation(emb.select(col("vec_id").as("node")), pairs, rounds = 3)
+        .select(col("node").as("vec_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_survivor"))
+    }),
+
+    // ── skew: salted two-phase aggregation (== plain aggregate) ───────────
+    "w4_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        // exact decimal sums: both engines agree regardless of combine order
+        .withColumn("__v", col("value").cast("decimal(18,6)"))
+      ops.Skew.saltedSumCount(ev, "event_type", "__v",
+          saltExpr = pmod(col("user_id"), lit(16)), salts = 16)
+        .select(col("event_type"), col("n_rows"),
+          col("total").cast("double").as("total"))
+    }),
 
     // ── codec: base64 body encode/decode round trip (§2.10) ───────────────
     "c1_base64" -> ((s, dir) => {
@@ -903,6 +946,47 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
 
+    "t6_blocklist_scrub" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('spark','customer','vector','window')))::BIGINT AS n_hits,
+        |  md5(regexp_replace(lower(trim(text)),
+        |      '\b(spark|customer|vector|window)\b', '[X]', 'g')) AS scrub_md5
+        |FROM documents""".stripMargin,
+    "t7_bigram_topk" ->
+      """WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(len(ws)-1),
+        |                i -> ws[i+1] || ' ' || ws[i+2])) AS bigram
+        |       FROM tok WHERE len(ws) >= 2)
+        |SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "d7_embedding_survivors" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+        |         CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+        |         CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+        |         CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        |       FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+        |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
+        |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
+        |       GROUP BY l0.node, l0.label),
+        |l2 AS (SELECT l1.node, least(l1.label, coalesce(min(n.label), l1.label)) AS label
+        |       FROM l1 LEFT JOIN edges e ON e.src = l1.node LEFT JOIN l1 n ON n.node = e.dst
+        |       GROUP BY l1.node, l1.label),
+        |l3 AS (SELECT l2.node, least(l2.label, coalesce(min(n.label), l2.label)) AS label
+        |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
+        |       GROUP BY l2.node, l2.label)
+        |SELECT node AS vec_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+    "w4_salted_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |       (sum((value)::DECIMAL(18,6)))::DOUBLE AS total
+        |FROM events GROUP BY event_type""".stripMargin,
     "d5_embedding_dedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |        (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +

@@ -205,10 +205,23 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
     val pairs = jaccardVerifyFromSets(sets, lshCandidatePairsFromSets(sets), threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    labelPropagation(df.select(col(idCol).as("node")), pairs, rounds)
+      .select(col("node").as(idCol), col("label").as("component"),
+        (col("node") === col("label")).as("is_survivor"))
+  }
+
+  /** Min-label propagation over an undirected pair graph (`doc_a`, `doc_b`):
+    * `rounds` one-hop iterations of taking the minimum label among self and
+    * neighbors. Returns `(node, label)` — nodes sharing a label after
+    * convergence are one near-dup component. Shared by the text (d6) and
+    * embedding (d7) survivor operators; any near-dup pair source plugs in.
+    */
+  def labelPropagation(nodes: DataFrame, pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint() // consumed once per round
-    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+    var labels = nodes.select(col("node"), col("node").as("label"))
     (1 to rounds).foreach { r =>
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
@@ -223,8 +236,7 @@ object Dedup {
       // ~25% of d6's wall time at sf0.1.
       if (r % 4 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
-    labels.select(col("node").as(idCol), col("label").as("component"),
-      (col("node") === col("label")).as("is_survivor"))
+    labels
   }
 
   /** Near-dup candidates by embedding cosine: delegates to Similarity — kept

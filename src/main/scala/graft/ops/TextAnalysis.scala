@@ -69,6 +69,25 @@ object TextAnalysis {
     struct(best.getField("lang").as("lang"), (-best.getField("negscore")).cast("long").as("score"))
   }
 
+  /** Number of tokens hitting a blocklist (dictionary-based content filter —
+    * the shape used for term-level PII/unsafe-content screening at corpus
+    * scale; the list is broadcast as an array literal, no join).
+    */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    val arr = array(terms.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Redact blocklisted terms (word-boundary match on the normalized text).
+    * Pure regexp_replace — runs inside whole-stage codegen.
+    */
+  def blocklistScrub(text: Column, terms: Seq[String], replacement: String = "[X]"): Column = {
+    require(terms.nonEmpty && terms.forall(_.matches("[\\p{L}\\p{N}]+")),
+      "blocklist terms must be plain words (no regex metacharacters)")
+    regexp_replace(lower(trim(text)), s"\\b(${terms.mkString("|")})\\b",
+      java.util.regex.Matcher.quoteReplacement(replacement))
+  }
+
   /** Document fingerprint: hash of the whitespace-normalized, lower-cased
     * text — the exact-dedup key.
     */

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{Dedup, Skew, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 operators: salted aggregation, blocklist scrub, bigram stats,
+  * generalized label propagation.
+  */
+class SkewTextOpsSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  // events.parquet carries TIMESTAMP(NANOS) — the w4 query (which reads via
+  // SparkEntry's nanos-aware loader) is the integration path; here we only
+  // need the numeric columns, so drop ts at scan time via an explicit schema
+  private def events0: org.apache.spark.sql.DataFrame =
+    spark.read.schema("event_id long, user_id long, event_type string, value double")
+      .parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("salted aggregation equals the plain aggregate (algebraic property)") {
+    val ev = events0.withColumn("__v", col("value").cast("decimal(18,6)"))
+    val salted = Skew.saltedSumCount(ev, "event_type", "__v",
+        saltExpr = pmod(col("user_id"), lit(16)), salts = 16)
+      .orderBy("event_type").collect().toSeq
+    val plain = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"), sum(col("__v")).as("total"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("salted aggregation has exactly two exchanges (salt phase + combine)") {
+    val ev = events0
+    val p = Skew.saltedSumCount(ev, "event_type", "value",
+      pmod(col("user_id"), lit(8)), 8).queryExecution.executedPlan.toString
+    assert("Exchange hash".r.findAllIn(p).size === 2)
+  }
+
+  test("blocklist scrub redacts word-boundary hits and counts them") {
+    val df = spark.createDataFrame(
+      Seq((1, "The Spark sparkles near the customer"), (2, "no hits here")))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.blocklistHits(col("text"), Seq("spark", "customer")).as("hits"),
+      TextAnalysis.blocklistScrub(col("text"), Seq("spark", "customer")).as("scrubbed"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 2L, "exact-token hits: 'spark' + 'customer', not 'sparkles'")
+    assert(out(0).getString(2) === "the [X] sparkles near the [X]",
+      "word-boundary match: 'sparkles' must survive, case-normalized text scrubbed")
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).getString(2) === "no hits here")
+  }
+
+  test("blocklist terms must be plain words") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScrub(lit("x"), Seq("a|b"))
+    }
+  }
+
+  test("label propagation finds min-label components on a hand graph") {
+    // components: {1,2,3} (chain), {4,5}, {6} isolated
+    val nodes = spark.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3),
+      Tuple1(4), Tuple1(5), Tuple1(6))).toDF("node")
+    val pairs = spark.createDataFrame(Seq((1, 2), (2, 3), (4, 5)))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.labelPropagation(nodes, pairs, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
+  }
+}
