@@ -476,6 +476,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
     }),
 
+    // ── similarity: ANN quality — recall@k of sign-LSH vs exact ───────────
+    "e4_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      ops.Similarity.recallAtK(
+        ops.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3),
+        ops.Similarity.signLshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8),
+        k = 3)
+    }),
+
+    // ── similarity: recall with the multi-table OR-construction ───────────
+    "e5_multitable_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      ops.Similarity.recallAtK(
+        ops.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3),
+        ops.Similarity.signLshTopKMulti(emb, queries, "vec_id", "embedding",
+          k = 3, bits = 8, tables = 4),
+        k = 3)
+    }),
+
     // ── dedup: embedding-cosine near-dup pairs (bucketed) ─────────────────
     "d5_embedding_dedup" -> ((s, dir) =>
       ops.Dedup.embeddingCandidates(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -532,6 +553,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     })
   )
+
+  /** The sign-bucket CASE chain over dims `offset+1 .. offset+bits` — the
+    * SQL twin of `Similarity.signBucketAt`, generated to keep the per-table
+    * oracles mechanical.
+    */
+  private def signBucketSql(offset: Int, bits: Int = 8): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN embedding[${offset + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   /** DuckDB-equivalent SQL per query (same table names = parquet basenames). */
   def oracleSql: Map[String, String] = Map(
@@ -983,6 +1013,61 @@ object SparkEntry {
         |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
         |       GROUP BY l2.node, l2.label)
         |SELECT node AS vec_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+    "e4_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
+        |         CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END +
+        |         CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END +
+        |         CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END +
+        |         CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END +
+        |         CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END +
+        |         CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END +
+        |         CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 20),
+        |exc AS (SELECT qid, e.vec_id,
+        |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
+        |        FROM (SELECT qid, qe FROM q) CROSS JOIN e WHERE e.vec_id != qid),
+        |ex AS (SELECT qid, vec_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM exc)
+        |       WHERE rn <= 3),
+        |apc AS (SELECT qid, e.vec_id,
+        |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
+        |        FROM q JOIN e USING (bucket) WHERE e.vec_id != qid),
+        |ap AS (SELECT qid, vec_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM apc)
+        |       WHERE rn <= 3)
+        |SELECT ex.qid, count(*)::BIGINT AS n_exact,
+        |       sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+        |       round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3, 4) AS recall
+        |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+        |GROUP BY ex.qid""".stripMargin,
+    "e5_multitable_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        ${signBucketSql(0)} AS b0,
+        |        ${signBucketSql(8)} AS b1,
+        |        ${signBucketSql(16)} AS b2,
+        |        ${signBucketSql(24)} AS b3
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, b0, b1, b2, b3 FROM e WHERE vec_id < 20),
+        |exc AS (SELECT qid, e.vec_id,
+        |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
+        |        FROM (SELECT qid, qe FROM q) CROSS JOIN e WHERE e.vec_id != qid),
+        |ex AS (SELECT qid, vec_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM exc)
+        |       WHERE rn <= 3),
+        |apc AS (SELECT q.qid, e.vec_id,
+        |               round(list_cosine_similarity(q.qe, e.emb), 6) AS sim
+        |        FROM q JOIN e ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+        |        WHERE e.vec_id != q.qid),
+        |ap AS (SELECT qid, vec_id FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM apc)
+        |       WHERE rn <= 3)
+        |SELECT ex.qid, count(*)::BIGINT AS n_exact,
+        |       sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+        |       round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3, 4) AS recall
+        |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+        |GROUP BY ex.qid""".stripMargin,
     "w4_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |       (sum((value)::DECIMAL(18,6)))::DOUBLE AS total

@@ -61,6 +61,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "d7_embedding_survivors" -> 14, "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
       "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
+      // recall metrics join the exact and approx top-k subplans; their SMJ is
+      // the left join of two tiny rank outputs (AQE broadcasts at runtime)
+      "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,
       "f1_composite_filter" -> 0, "f6_prefix_match" -> 1, "f7_codec_decode" -> 0,
       "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
       "m1_forget_scrub" -> 0, "m3_upcast_read" -> 0, "mm_binary_meta" -> 0,
@@ -87,7 +90,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // j3: snapshot ⋈ tail is a true big-big join. d6: the label-propagation
     // joins read post-aggregate frames whose size statistics only exist at
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
-    val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors", "d7_embedding_survivors")
+    val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
+      "d7_embedding_survivors", "e4_ann_recall", "e5_multitable_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
       SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         .contains("SortMergeJoin")

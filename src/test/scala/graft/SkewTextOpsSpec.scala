@@ -57,6 +57,22 @@ class SkewTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH recall dominates single-table recall (OR-construction)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = graft.ops.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .localCheckpoint() // consumed by both recall computations
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Similarity.recallAtK(exact, approx, 3)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val single = meanRecall(graft.ops.Similarity.signLshTopK(
+      emb, queries, "vec_id", "embedding", k = 3, bits = 8))
+    val multi = meanRecall(graft.ops.Similarity.signLshTopKMulti(
+      emb, queries, "vec_id", "embedding", k = 3, bits = 8, tables = 4))
+    assert(multi >= single, s"OR-construction must not lose recall: $multi < $single")
+    assert(multi > 0.0, "4 tables over 32 dims must recover something")
+  }
+
   test("label propagation finds min-label components on a hand graph") {
     // components: {1,2,3} (chain), {4,5}, {6} isolated
     val nodes = spark.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3),
