@@ -513,6 +513,16 @@ object SparkEntry {
           (col("node") === col("label")).as("is_survivor"))
     }),
 
+    // ── sketch/stats: exact per-group quantiles (sorted-agg path) ─────────
+    "x2_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("__p50"),
+          percentile(col("value"), lit(0.95)).as("__p95"))
+        .select(col("event_type"), round(col("__p50"), 6).as("p50"),
+          round(col("__p95"), 6).as("p95"))
+    }),
+
     // ── skew: salted two-phase aggregation (== plain aggregate) ───────────
     "w4_salted_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1068,6 +1078,11 @@ object SparkEntry {
         |       round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3, 4) AS recall
         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
         |GROUP BY ex.qid""".stripMargin,
+    "x2_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "w4_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |       (sum((value)::DECIMAL(18,6)))::DOUBLE AS total

@@ -94,6 +94,26 @@ class EventLog(
   /** Active (non-invalidated) rows only — what every query sees by default. */
   def activeEvents: DataFrame = events.filter(col("migration") === 0)
 
+  /** Read-committed view (manifest mode): excludes rows of claims whose
+    * `done` marker is absent — in-flight appends whose multi-bucket data is
+    * only partially visible, or crashed claimants. Possible because
+    * manifest-mode commits prefix every data file with their claim token
+    * (`c{N}-…`), so commit membership is recoverable from the file name; the
+    * predicate evaluates per-row post-scan and costs nothing when every
+    * claim is done. Lock-mode files carry no token and always pass. This is
+    * the first half of manifest-scoped reads (README roadmap #1); full
+    * add/remove file manifests would extend the same mechanism to the
+    * bucket-rewriting maintenance ops.
+    */
+  def committedEvents: DataFrame = {
+    val pending =
+      if (commitMode == CommitMode.Lock) Seq.empty
+      else manifest.claims().filterNot(_.done).map(c => s"c${c.n}")
+    if (pending.isEmpty) events
+    else events.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
+      .isin(pending: _*))
+  }
+
   def snapshots: DataFrame =
     if (!exists(snapshotsPath)) emptySnapshots
     else spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)

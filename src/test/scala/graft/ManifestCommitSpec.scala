@@ -102,6 +102,21 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log2.streamEvents("m-p").collect().map(_.getInt(3)).toSeq === (1 to 5))
   }
 
+  test("committedEvents hides claims whose done marker is missing (read-committed)") {
+    val log = newLog()
+    log.append(Seq(rec("rc-a", 0)))
+    log.append(Seq(rec("rc-b", 0, 2)))
+    assert(log.committedEvents.count() === 3L)
+    // simulate a claimant that wrote data but died before markDone
+    val dir = new java.io.File(log.path, graft.log.ManifestCommitLog.CommitDir)
+    assert(new java.io.File(dir, "v2.done").delete(), "fixture must delete the marker")
+    val log2 = new EventLog(spark, log.path, numBuckets = 4, commitMode = CommitMode.Manifest)
+    assert(log2.events.count() === 3L, "raw view still sees the files")
+    assert(log2.committedEvents.count() === 1L, "read-committed view hides claim 2")
+    assert(log2.committedEvents.select("aggregate_id").collect().map(_.getString(0)).toSeq
+      === Seq("rc-a"))
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))
