@@ -91,9 +91,13 @@ object Similarity {
     * DataFrame ops, no driver-side loops.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent"))
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // default: the deterministic first-nlist seed (the e3 oracle's form);
+    // pass kmeansCentroids(...) for Lloyd-refined cells with better recall
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent")))
     def cells(df: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("csim").desc, col("cent_id"))
@@ -113,6 +117,63 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** Deterministic farthest-first seeding (the k-means++ idea without
+    * randomness): start from the minimum-id vector, then repeatedly take the
+    * vector LEAST similar to every chosen centroid (ties by id). One small
+    * broadcast-scan per centroid — at full corpus scale run it on a sample,
+    * the seeds only need to straddle the clusters. Unlike a first-`nlist`
+    * seed, this cannot start degenerate (all seeds inside one cluster),
+    * which Lloyd iterations alone provably cannot escape once every far
+    * point assigns to a single centroid.
+    */
+  def farthestFirstCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cent"))
+      .localCheckpoint()
+    (2 to nlist).foreach { _ =>
+      val next = corpus
+        .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
+        .join(broadcast(cents), lit(true))
+        .groupBy(col("cid"))
+        .agg(max(round(cosine(col("v"), col("cent")), 6)).as("maxsim"),
+          first(col("v")).as("v"))
+        .orderBy(col("maxsim").asc, col("cid").asc).limit(1)
+        .select(col("cid").as("cent_id"), col("v").as("cent"))
+      cents = cents.union(next).localCheckpoint()
+    }
+    cents
+  }
+
+  /** Lloyd-refined IVF centroids: deterministic farthest-first seed, then
+    * `iters` rounds of assign-to-nearest (broadcast centroids — the corpus
+    * is scanned, never shuffled on vectors) + per-dimension mean (posexplode
+    * → two partial aggregations; the shuffle carries nlist×dims cells, not
+    * vectors). Deterministic end to end: ties broken by cent_id, means are
+    * exact per-dimension averages.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, iters: Int = 2): DataFrame = {
+    var cents = farthestFirstCentroids(corpus, idCol, vecCol, nlist)
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("rid")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = corpus
+        .select(col(idCol).as("rid"), asDouble(col(vecCol)).as("v"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim", round(cosine(col("v"), col("cent")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cent"))
+        .localCheckpoint() // broadcast next round / by the caller
+    }
+    cents
   }
 
   /** Multi-table sign-LSH ANN (OR-construction): `tables` independent bucket

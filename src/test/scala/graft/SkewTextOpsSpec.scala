@@ -73,6 +73,46 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(multi > 0.0, "4 tables over 32 dims must recover something")
   }
 
+  test("kmeans refinement recovers true cluster directions from a degenerate seed") {
+    // 4 well-separated direction clusters × 100 points, deterministic jitter.
+    // ivfTopK's deterministic seed (first nlist by id) lands ENTIRELY inside
+    // cluster 0 — the worst case for IVF cells. Lloyd iterations must escape
+    // it; on isotropic data (the e3/e5 corpus) refinement is a measured wash,
+    // so the clustered corpus is where this operator earns its keep.
+    val pts = for { c <- 0 until 4; j <- 0 until 100 } yield {
+      val v = Array.tabulate(8)(d => if (d == c) 1.0f else 0.0f)
+      v(4 + j % 3) = 0.05f + 0.01f * (j % 7) // shared-dim jitter, deterministic
+      (c * 100 + j, v.toSeq)
+    }
+    val emb = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+    val cents1 = graft.ops.Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 4, iters = 3)
+    val cents2 = graft.ops.Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 4, iters = 3)
+    assert(cents1.orderBy("cent_id").collect().toSeq ===
+      cents2.orderBy("cent_id").collect().toSeq, "Lloyd refinement must be deterministic")
+    // each true direction must have a refined centroid at cosine > 0.9;
+    // the unrefined seed (4 near-identical cluster-0 points) covers only c=0
+    def coverage(cents: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      val cs = cents.collect().map(_.getSeq[Double](1))
+      (0 until 4).filter { c =>
+        cs.exists { cent =>
+          val dot = cent(c)
+          val norm = math.sqrt(cent.map(x => x * x).sum)
+          dot / norm > 0.9
+        }
+      }
+    }
+    val seed = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").cast("long").as("cent_id"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("cent"))
+    val seedCov = coverage(seed)
+    val refinedCov = coverage(cents1)
+    info(s"direction coverage: seed=$seedCov refined=$refinedCov")
+    assert(seedCov === Seq(0), "degenerate seed covers only cluster 0")
+    assert(refinedCov === Seq(0, 1, 2, 3), "refinement must recover all four directions")
+  }
+
   test("label propagation finds min-label components on a hand graph") {
     // components: {1,2,3} (chain), {4,5}, {6} isolated
     val nodes = spark.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3),
