@@ -89,15 +89,46 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
       math.max(acc, c.streams.get(aggregateId).map(_._2).getOrElse(0))
     }
 
-  /** Step 3: conditional create of claim `n`. False = lost the race. */
+  /** Step 3: conditional create of claim `n`. False = lost the race.
+    *
+    * The content is fully written to a writer-private temp file first and
+    * the CLAIM is the atomic rename onto `v{n}.tsv` (rename-to-existing
+    * returns false on HDFS and POSIX) — so no reader can ever observe a
+    * half-written claim and under-count its reservations. On an object
+    * store the conditional PUT uploads the full body atomically, which is
+    * the same guarantee.
+    */
   def tryClaim(claim: CommitClaim): Boolean = {
     val f = fs
     if (!f.exists(dir)) f.mkdirs(dir)
     val p = claimPath(claim.n)
-    val out =
-      try f.create(p, /* overwrite = */ false)
-      catch { case _: java.io.IOException => return false } // exists → lost race
+    if (f.exists(p)) return false // cheap pre-check before writing the temp
+    val tmp = new Path(dir, s".v${claim.n}.tmp.${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
     try out.write(render(claim).getBytes("UTF-8")) finally out.close()
+    // The claim must be atomic-exclusive WITH full content. Local
+    // filesystems get a hard link (POSIX link(2) fails EEXIST — note plain
+    // rename(2) OVERWRITES an existing destination, so rename is NOT a
+    // valid claim primitive here); HDFS gets rename, which is atomic and
+    // refuses existing destinations; object stores swap this for a
+    // conditional PUT, which uploads the body atomically.
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        try f.rename(tmp, p)
+        catch { case _: java.io.IOException => false }
+      }
+    f.delete(tmp, false): Unit // raw link target cleaned up either way
+    if (!won) return false
     cache.put(claim.n, claim)
     true
   }

@@ -107,6 +107,43 @@ object ScaleSmoke {
     time("rehydrateAll incl. celebrity (spillable fold)") {
       require(store.rehydrateAll().count() == nStreams + 1)
     }
+
+    // ── manifest-commit throughput: concurrent writers, no lock service ──
+    {
+      // Modest size on purpose: every commit is a full round-trip (chain
+      // refresh + bucket-pruned validation query + conditional claim + data
+      // write), and a lost claim race repeats the validation — the protocol
+      // targets coordination safety on object stores, not high-frequency
+      // single-row OLTP. Writers needing throughput batch many records per
+      // AppendRecord/commit, exactly like the reference's per-transaction
+      // batching.
+      val mdir = Files.createTempDirectory("graftscalemanifest").toFile.getAbsolutePath
+      val writers = 4
+      val commitsEach = 3
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      time(s"manifest commits: $writers writers x $commitsEach txns") {
+        val futures = (0 until writers).map { wtr =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val wlog = new EventLog(spark, mdir, numBuckets = 16,
+                commitMode = graft.log.CommitMode.Manifest)
+              (0 until commitsEach).foreach { v =>
+                wlog.append(Seq(graft.log.AppendRecord(s"mstream-$wtr", "Account", v,
+                  Map.empty, Seq(graft.log.EventDetail("MoneyDeposited", """{"money":1}""")))))
+              }
+            }
+          })
+        }
+        // shutdownNow in finally: a throwing writer must not leave non-daemon
+        // pool threads pinning the JVM open after main dies
+        try futures.foreach(_.get())
+        finally { pool.shutdownNow(); () }
+        val mlog = new EventLog(spark, mdir, numBuckets = 16,
+          commitMode = graft.log.CommitMode.Manifest)
+        require(mlog.committedEvents.count() == writers.toLong * commitsEach)
+        require(mlog.manifest.claims().size == writers * commitsEach)
+      }
+    }
     spark.stop()
   }
 }

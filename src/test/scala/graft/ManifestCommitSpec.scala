@@ -64,29 +64,34 @@ class ManifestCommitSpec extends AnyFunSuite {
       "versions 2..3 stay a permanent gap; no duplicates")
   }
 
-  test("two writers race safely: every commit lands, claims stay unique") {
+  test("racing writers commit safely: every commit lands, claims stay unique") {
+    // 4 writers: 2-writer contention failed to surface the local-rename
+    // overwrite bug that 4-writer contention caught in ScaleSmoke — the
+    // claim primitive must be atomic-exclusive, and this is its fence
+    val writers = 4
+    val rounds = 3
     val logA = newLog()
-    val logB = new EventLog(spark, logA.path, numBuckets = 4,
-      ulidSeed = Some(22L), commitMode = CommitMode.Manifest)
-    val rounds = 6
-    val pool = Executors.newFixedThreadPool(2)
+    val logs = logA +: (1 until writers).map(i => new EventLog(spark, logA.path,
+      numBuckets = 4, ulidSeed = Some(22L + i), commitMode = CommitMode.Manifest))
+    val pool = Executors.newFixedThreadPool(writers)
     val start = new CountDownLatch(1)
-    def run(log: EventLog, stream: String) = pool.submit(new Runnable {
-      override def run(): Unit = {
-        start.await()
-        (0 until rounds).foreach(v => log.append(Seq(rec(stream, v))))
-      }
-    })
-    val fa = run(logA, "race-a")
-    val fb = run(logB, "race-b")
+    val futures = logs.zipWithIndex.map { case (log, i) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          (0 until rounds).foreach(v => log.append(Seq(rec(s"race-$i", v))))
+        }
+      })
+    }
     start.countDown()
-    fa.get(120, TimeUnit.SECONDS)
-    fb.get(120, TimeUnit.SECONDS)
-    pool.shutdown()
-    assert(logA.streamEvents("race-a").count() === rounds.toLong)
-    assert(logA.streamEvents("race-b").count() === rounds.toLong)
+    try futures.foreach(_.get(180, TimeUnit.SECONDS))
+    finally { pool.shutdownNow(); () }
+    (0 until writers).foreach { i =>
+      assert(logA.streamEvents(s"race-$i").count() === rounds.toLong)
+    }
     val ns = logA.manifest.claims().map(_.n)
-    assert(ns === (1L to 2L * rounds), s"claim chain must be dense and unique, got $ns")
+    assert(ns === (1L to writers.toLong * rounds),
+      s"claim chain must be dense and unique, got $ns")
   }
 
   test("pruned chain keeps committing (heads recovered from parquet)") {
