@@ -152,9 +152,15 @@ class EventLog(
   /** S3: global `(after, until]` keyset range scan in ULID order
     * (store/postgresql/store.go:497-518). Predicates push to Parquet; the
     * `id` sort order within files makes min/max skipping effective.
+    *
+    * Reads through [[committedEvents]]: catchup replay must never process an
+    * in-flight commit's partially-visible data (identical to `activeEvents`
+    * in Lock mode, where the view adds no predicate). The reference gets the
+    * same guarantee from SQL transaction isolation; the overlap re-read +
+    * idempotent dedup (T4/T7) still covers the live streaming path.
     */
   def range(afterId: String, untilId: String): DataFrame =
-    activeEvents
+    committedEvents.filter(col("migration") === 0)
       .filter((if (afterId.isEmpty) lit(true) else col("id") > afterId) &&
         (if (untilId.isEmpty) lit(true) else col("id") <= untilId))
 

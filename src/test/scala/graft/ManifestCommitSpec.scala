@@ -120,6 +120,8 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log2.committedEvents.count() === 1L, "read-committed view hides claim 2")
     assert(log2.committedEvents.select("aggregate_id").collect().map(_.getString(0)).toSeq
       === Seq("rc-a"))
+    // catchup replay reads the same view: the pending claim must not replay
+    assert(log2.range("", "").count() === 1L)
   }
 
   test("lock-mode logs keep an empty chain") {
