@@ -186,6 +186,19 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // ── TPC-H Q6: tight-filter revenue scan (pure pushdown + exact sum) ───
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        // per-row product in double (identical both engines), then exact
+        // decimal sum — combine order can never change the result
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    }),
+
     // ── A1: per-stream ORDERED fold (the event-sourcing core) ─────────────
     // (eventstore.go:249-300) — typed sorted-group fold, no collect_list
     // materialization: balance resets on 'error', accumulates purchases.
@@ -1023,6 +1036,11 @@ object SparkEntry {
         |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
         |       GROUP BY l2.node, l2.label)
         |SELECT node AS vec_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT (sum((l_extendedprice * l_discount)::DECIMAL(18,4)))::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "e4_ann_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |        (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
