@@ -468,6 +468,21 @@ object SparkEntry {
       ops.Dedup.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2, rounds = 3)),
 
+    // ── dedup: survivors elected by QUALITY, not min id (pipeline shape) ──
+    "d8_quality_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = ops.Dedup.dedupSurvivors(docs, "doc_id", "text",
+          threshold = 0.2, rounds = 3)
+        .select(col("doc_id"), col("component"))
+      val scored = docs.select(col("doc_id"),
+        ops.TextAnalysis.distinctRatio(col("text")).as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.join(scored, Seq("doc_id"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("component"), col("quality"), col("keep"))
+    }),
+
     // ── similarity: exact brute-force cosine top-k ────────────────────────
     "e1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -585,6 +600,51 @@ object SparkEntry {
     (1 to bits).map(i =>
       s"CASE WHEN embedding[${offset + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  /** The MinHash-LSH → Jaccard-verify → 3-round label-propagation CTE chain
+    * (through `l3(node, label)`), shared by the d6 and d8 oracles — one SQL
+    * restatement of the component machinery, two survivor policies on top.
+    */
+  private val dedupComponentsCte: String =
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+      |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+      |       FROM tok WHERE len(ws) >= 3),
+      |xs AS (SELECT doc_id,
+      |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+      |                % 2147483647 AS x
+      |       FROM sh),
+      |mh0 AS (SELECT doc_id,
+      |               min((1299721*x + 104729) % 2147483647) AS sig0,
+      |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+      |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+      |               min((198491317*x + 982451653) % 2147483647) AS sig3
+      |        FROM xs GROUP BY doc_id),
+      |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+      |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+      |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+      |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM mh a JOIN mh b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+      |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+      |         FROM tok WHERE len(ws) >= 3),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      |          JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+      |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+      |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+      |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
+      |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
+      |       GROUP BY l0.node, l0.label),
+      |l2 AS (SELECT l1.node, least(l1.label, coalesce(min(n.label), l1.label)) AS label
+      |       FROM l1 LEFT JOIN edges e ON e.src = l1.node LEFT JOIN l1 n ON n.node = e.dst
+      |       GROUP BY l1.node, l1.label),
+      |l3 AS (SELECT l2.node, least(l2.label, coalesce(min(n.label), l2.label)) AS label
+      |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
+      |       GROUP BY l2.node, l2.label)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same table names = parquet basenames). */
   def oracleSql: Map[String, String] = Map(
@@ -910,46 +970,18 @@ object SparkEntry {
         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.2""".stripMargin,
 
     "d6_dedup_survivors" ->
-      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
-        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
-        |       FROM tok WHERE len(ws) >= 3),
-        |xs AS (SELECT doc_id,
-        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
-        |                % 2147483647 AS x
-        |       FROM sh),
-        |mh0 AS (SELECT doc_id,
-        |               min((1299721*x + 104729) % 2147483647) AS sig0,
-        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
-        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
-        |               min((198491317*x + 982451653) % 2147483647) AS sig3
-        |        FROM xs GROUP BY doc_id),
-        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
-        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
-        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
-        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM mh a JOIN mh b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
-        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
-        |         FROM tok WHERE len(ws) >= 3),
-        |pairs AS (SELECT doc_a, doc_b FROM cand
-        |          JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
-        |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-        |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
-        |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
-        |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
-        |       GROUP BY l0.node, l0.label),
-        |l2 AS (SELECT l1.node, least(l1.label, coalesce(min(n.label), l1.label)) AS label
-        |       FROM l1 LEFT JOIN edges e ON e.src = l1.node LEFT JOIN l1 n ON n.node = e.dst
-        |       GROUP BY l1.node, l1.label),
-        |l3 AS (SELECT l2.node, least(l2.label, coalesce(min(n.label), l2.label)) AS label
-        |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
-        |       GROUP BY l2.node, l2.label)
+      s"""$dedupComponentsCte
         |SELECT node AS doc_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+
+    "d8_quality_survivors" ->
+      s"""$dedupComponentsCte,
+        |q AS (SELECT doc_id,
+        |        round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) * 1.0
+        |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 4) AS quality
+        |      FROM documents)
+        |SELECT l3.node AS doc_id, l3.label AS component, q.quality,
+        |       (row_number() OVER (PARTITION BY l3.label ORDER BY q.quality DESC, l3.node)) = 1 AS keep
+        |FROM l3 JOIN q ON q.doc_id = l3.node""".stripMargin,
 
     "e1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

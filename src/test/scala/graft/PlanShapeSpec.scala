@@ -58,7 +58,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // label/edge frames those exchanges move are candidate-sized, not
       // corpus-sized
       "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 0, "d6_dedup_survivors" -> 14,
-      "d7_embedding_survivors" -> 14, "t6_blocklist_scrub" -> 0,
+      "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 15,
+      "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
       "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
       // recall metrics join the exact and approx top-k subplans; their SMJ is
@@ -92,7 +93,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // joins read post-aggregate frames whose size statistics only exist at
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
-      "d7_embedding_survivors", "e4_ann_recall", "e5_multitable_recall")
+      "d7_embedding_survivors", "d8_quality_survivors",
+      "e4_ann_recall", "e5_multitable_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
       SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         .contains("SortMergeJoin")
