@@ -106,12 +106,39 @@ class EventLog(
     * bucket-rewriting maintenance ops.
     */
   def committedEvents: DataFrame = {
-    val pending =
-      if (commitMode == CommitMode.Lock) Seq.empty
-      else manifest.claims().filterNot(_.done).map(c => s"c${c.n}")
-    if (pending.isEmpty) events
-    else events.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
-      .isin(pending: _*))
+    if (commitMode == CommitMode.Lock) return events
+    val claims = manifest.claims()
+    val pending = claims.filterNot(_.done).map(c => s"c${c.n}")
+    // files superseded by a completed rewrite: excluded from reads until the
+    // lazy physical delete (gcReplaced) catches up — done-flip is the atomic
+    // visibility switch, so no reader ever sees both versions of a file.
+    // Matched on basename: part-file names carry task UUIDs, never reused.
+    val replaced = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1))
+    var df = events
+    if (pending.nonEmpty)
+      df = df.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
+        .isin(pending: _*))
+    if (replaced.nonEmpty)
+      df = df.where(!substring_index(input_file_name(), "/", -1).isin(replaced: _*))
+    df
+  }
+
+  /** Physically delete files superseded by completed rewrites (lazy GC —
+    * reads are already correct without it; this just reclaims space and
+    * lets `manifest.prune` retire the rewrite claims).
+    */
+  def gcReplaced(): Int = {
+    if (commitMode == CommitMode.Lock) return 0
+    val conf = spark.sessionState.newHadoopConf()
+    var n = 0
+    manifest.claims().filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+      .flatMap(_.replaced).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        if (fs.exists(hp) && fs.delete(hp, false)) n += 1
+      }
+    n
   }
 
   def snapshots: DataFrame =
@@ -398,6 +425,14 @@ class EventLog(
   def compact(buckets: Option[Seq[Int]] = None,
       maxRecordsPerFile: Long = 0L): Unit = withLogLock(path) {
     if (!exists(eventsPath)) return
+    if (commitMode == CommitMode.Manifest) {
+      // incremental, append-safe form: one file-level rewrite claim per
+      // bucket (identity transform + id sort), exactly the maintenance-
+      // window-free cadence a 100 TB log needs
+      buckets.getOrElse((0 until numBuckets).toSeq)
+        .foreach(b => rewriteBucketManifest(b)(df => df))
+      return
+    }
     val scoped = buckets match {
       case Some(bs) => eventsWithBucket.filter(col("bucket").isin(bs: _*))
       case None => eventsWithBucket
@@ -498,10 +533,73 @@ class EventLog(
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
   }
 
-  /** Copy-on-write rewrite of a single bucket partition via dynamic partition
-    * overwrite — the only partitions touched on disk are the ones written.
+  /** Copy-on-write rewrite of one bucket. Lock mode overwrites the partition
+    * directory (proven, but unsafe against concurrent appends — which lock
+    * mode serializes anyway). Manifest mode rewrites at FILE granularity
+    * behind a rewrite claim, so appends moving new files into the same
+    * bucket concurrently are never lost. Snapshot-table rewrites always use
+    * the directory form: snapshots are a rebuildable cache, and a racing
+    * saveSnapshot losing is benign (rehydration falls back to events).
     */
   private def rewriteBucket(tablePath: String, schema: org.apache.spark.sql.types.StructType,
+      bucket: Int)(f: DataFrame => DataFrame): Unit =
+    if (commitMode == CommitMode.Manifest && tablePath == eventsPath)
+      rewriteBucketManifest(bucket)(f)
+    else rewriteBucketOverwrite(tablePath, schema, bucket)(f)
+
+  /** Manifest-mode file-level rewrite (the second half of README roadmap #1):
+    *  1. list the bucket's current files and claim a `rewrite` slot naming
+    *     them — concurrent appends keep committing; their files aren't in
+    *     the replaced set and survive untouched;
+    *  2. write the transformed rows under the claim token (hidden from
+    *     committed readers while the claim is pending);
+    *  3. `markDone` — the single atomic create that flips visibility: new
+    *     files in, replaced files out;
+    *  4. physically delete the replaced files (lazy GC; reads are correct
+    *     even if this never runs).
+    * A crash at any point leaves exactly one version visible.
+    */
+  private def rewriteBucketManifest(bucket: Int)(f: DataFrame => DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val bdir = new org.apache.hadoop.fs.Path(s"$eventsPath/bucket=$bucket")
+    val hfs = bdir.getFileSystem(conf)
+    if (!hfs.exists(bdir)) return
+    val inputs = hfs.listStatus(bdir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    if (inputs.isEmpty) return
+    var claimed: Option[CommitClaim] = None
+    var attempts = 0
+    while (claimed.isEmpty && attempts < 100) {
+      val tip = manifest.refresh()
+      val c = CommitClaim(tip + 1, Map.empty, Seq.empty, writerId,
+        System.currentTimeMillis(), done = false, CommitClaim.KindRewrite, inputs)
+      if (manifest.tryClaim(c)) claimed = Some(c) else attempts += 1
+    }
+    val claim = claimed.getOrElse(
+      throw new IllegalStateException(s"bucket $bucket rewrite lost $attempts claim races"))
+    val cur = spark.read.schema(EventSchema.events).parquet(inputs: _*)
+    val out = f(cur).localCheckpoint() // materialize before any deletes
+    if (!out.isEmpty) {
+      val tmpDir = s"$eventsPath/.commit-tmp/c${claim.n}"
+      out.sortWithinPartitions("id")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", EventLog.Compression).parquet(tmpDir)
+      val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+      hfs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { fi =>
+        hfs.rename(fi.getPath,
+          new org.apache.hadoop.fs.Path(bdir, s"c${claim.n}-${fi.getPath.getName}")): Unit
+      }
+      hfs.delete(tmp, true)
+    }
+    manifest.markDone(claim.n) // atomic visibility switch
+    gcReplaced(): Unit
+  }
+
+  /** Directory-overwrite rewrite via dynamic partition overwrite — the only
+    * partitions touched on disk are the ones written.
+    */
+  private def rewriteBucketOverwrite(tablePath: String, schema: org.apache.spark.sql.types.StructType,
       bucket: Int)(f: DataFrame => DataFrame): Unit = {
     val cur = spark.read.schema(addBucket(schema)).parquet(tablePath)
       .filter(col("bucket") === bucket)

@@ -5,8 +5,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
-/** One committed (or reserved) append: manifest number, per-stream version
-  * movement, the event ids it wrote.
+/** One committed (or reserved) commit: manifest number, per-stream version
+  * movement (appends), the event ids it wrote, and — for `kind = "rewrite"`
+  * — the data files it replaces. A rewrite claim's `done` marker is the
+  * atomic visibility switch: before it, readers see the replaced files and
+  * ignore the claim's new files (pending token); after it, the new files are
+  * visible and the replaced ones are excluded until physically deleted.
   */
 case class CommitClaim(
     n: Long,
@@ -14,7 +18,14 @@ case class CommitClaim(
     eventIds: Seq[String],
     writer: String,
     tsMs: Long,
-    done: Boolean)
+    done: Boolean,
+    kind: String = CommitClaim.KindAppend,
+    replaced: Seq[String] = Nil) // full paths of files this rewrite supersedes
+
+object CommitClaim {
+  val KindAppend = "append"
+  val KindRewrite = "rewrite"
+}
 
 /** The object-store-safe commit protocol (README roadmap #1): a claim chain
   * under `<path>/_graft_commit/` where commit `N` is the file `v{N}.tsv`,
@@ -160,8 +171,15 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     val tip = cache.keys.foldLeft(0L)(math.max)
     val removable = cache.values.filter { c =>
       c.n != tip && // keep the tip so refresh() never regresses the chain
-        (c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head } ||
-          (!c.done && nowMs - c.tsMs > staleMs))
+        (c.kind match {
+          // a rewrite claim still carries read-path semantics (exclude the
+          // replaced files) until those files are physically gone
+          case CommitClaim.KindRewrite =>
+            c.done && c.replaced.forall(p => !f.exists(new Path(p)))
+          case _ =>
+            c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head } ||
+              (!c.done && nowMs - c.tsMs > staleMs)
+        })
     }.toSeq
     removable.foreach { c =>
       f.delete(claimPath(c.n), false)
@@ -195,29 +213,35 @@ object ManifestCommitLog {
     */
   def render(c: CommitClaim): String = {
     val sb = new StringBuilder
-    sb.append("meta\t").append(enc(c.writer)).append('\t').append(c.tsMs).append('\n')
+    sb.append("meta\t").append(enc(c.writer)).append('\t').append(c.tsMs)
+      .append('\t').append(c.kind).append('\n')
     c.streams.toSeq.sortBy(_._1).foreach { case (s, (base, head)) =>
       sb.append("stream\t").append(enc(s)).append('\t').append(base)
         .append('\t').append(head).append('\n')
     }
     c.eventIds.foreach(id => sb.append("event\t").append(enc(id)).append('\n'))
+    c.replaced.foreach(p => sb.append("replace\t").append(enc(p)).append('\n'))
     sb.toString
   }
 
   def parse(n: Long, body: String, done: Boolean): CommitClaim = {
     var writer = ""
     var ts = 0L
+    var kind = CommitClaim.KindAppend
     val streams = Map.newBuilder[String, (Int, Int)]
     val events = Seq.newBuilder[String]
+    val replaced = Seq.newBuilder[String]
     body.linesIterator.foreach { line =>
       line.split('\t') match {
         case Array("meta", w, t) => writer = dec(w); ts = t.toLong
+        case Array("meta", w, t, k) => writer = dec(w); ts = t.toLong; kind = k
         case Array("stream", s, base, head) => streams += dec(s) -> (base.toInt, head.toInt)
         case Array("event", id) => events += dec(id)
+        case Array("replace", p) => replaced += dec(p)
         case _ =>
       }
     }
-    CommitClaim(n, streams.result(), events.result(), writer, ts, done)
+    CommitClaim(n, streams.result(), events.result(), writer, ts, done, kind, replaced.result())
   }
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")

@@ -124,6 +124,78 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log2.range("", "").count() === 1L)
   }
 
+  test("manifest forget: file-level rewrite, atomic visibility, GC retires originals") {
+    val log = newLog()
+    log.append(Seq(AppendRecord("fg-a", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", """{"owner":"secret"}""")))))
+    log.append(Seq(rec("fg-a", 1)))
+    log.forget("fg-a", Set("Created"),
+      b => b.replace("secret", "[gone]"), identity)
+    // scrubbed body visible, one consistent version of every row
+    val bodies = log.committedEvents.filter(col("aggregate_id") === "fg-a")
+      .orderBy("aggregate_version").select("body").collect().map(_.getString(0))
+    assert(bodies.head.contains("[gone]") && !bodies.exists(_.contains("secret")))
+    assert(log.committedEvents.filter(col("aggregate_id") === "fg-a").count() === 2L)
+    val rw = log.manifest.claims().filter(_.kind === graft.log.CommitClaim.KindRewrite)
+    assert(rw.nonEmpty && rw.forall(_.done))
+    // eager GC already deleted the replaced originals
+    val conf = spark.sessionState.newHadoopConf()
+    rw.flatMap(_.replaced).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      assert(!hp.getFileSystem(conf).exists(hp), s"replaced file survived: $p")
+    }
+    // the rewrite claims are now prunable; append claims keep the tip rule
+    assert(log.manifest.prune(Map("fg-a" -> 2)) >= rw.size)
+  }
+
+  test("appends racing a forget rewrite in the same bucket are never lost") {
+    val log = newLog(buckets = 1) // one bucket: maximum interference
+    log.append(Seq(AppendRecord("hot-x", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", """{"owner":"secret"}""")))))
+    val writer = new EventLog(spark, log.path, numBuckets = 1,
+      ulidSeed = Some(31L), commitMode = CommitMode.Manifest)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val appender = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        (0 until 4).foreach(v => writer.append(Seq(rec("hot-y", v))))
+      }
+    })
+    val forgetter = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        log.forget("hot-x", Set("Created"), b => b.replace("secret", "[gone]"), identity)
+      }
+    })
+    start.countDown()
+    try { appender.get(180, TimeUnit.SECONDS); forgetter.get(180, TimeUnit.SECONDS) }
+    finally { pool.shutdownNow(); () }
+    // the directory-overwrite form would have deleted whichever hot-y files
+    // landed during the rewrite; the file-level form must keep all of them
+    assert(log.committedEvents.filter(col("aggregate_id") === "hot-y").count() === 4L,
+      "concurrent appends lost to the rewrite")
+    assert(!log.committedEvents.filter(col("aggregate_id") === "hot-x")
+      .select("body").collect().exists(_.getString(0).contains("secret")))
+  }
+
+  test("a pending rewrite claim keeps the old files visible (crash before done)") {
+    val log = newLog()
+    log.append(Seq(rec("pr-a", 0)))
+    log.manifest.refresh()
+    // simulate a rewriter that claimed + staged files but died before done
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.toString).toSeq
+    assert(log.manifest.tryClaim(graft.log.CommitClaim(2L, Map.empty, Seq.empty,
+      "dead-rewriter", System.currentTimeMillis(), done = false,
+      graft.log.CommitClaim.KindRewrite, orig)))
+    // no done marker: originals stay visible, nothing excluded
+    assert(log.committedEvents.count() === 1L)
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))
