@@ -105,23 +105,30 @@ class EventLog(
     * add/remove file manifests would extend the same mechanism to the
     * bucket-rewriting maintenance ops.
     */
-  def committedEvents: DataFrame = {
-    if (commitMode == CommitMode.Lock) return events
+  def committedEvents: DataFrame = committedView(events)
+
+  /** Claim-aware read filter (manifest mode; identity under Lock):
+    * hides pending claims' token-prefixed files and files superseded by a
+    * completed rewrite — excluded until the lazy physical delete
+    * (gcReplaced) catches up. The done-flip is the atomic visibility
+    * switch, so no reader ever sees both versions of a file. Replaced files
+    * are matched on basename: part-file names carry task UUIDs, never
+    * reused. Applies to events and snapshots alike (claims carry absolute
+    * paths; both tables share the one chain).
+    */
+  private def committedView(df: DataFrame): DataFrame = {
+    if (commitMode == CommitMode.Lock) return df
     val claims = manifest.claims()
     val pending = claims.filterNot(_.done).map(c => s"c${c.n}")
-    // files superseded by a completed rewrite: excluded from reads until the
-    // lazy physical delete (gcReplaced) catches up — done-flip is the atomic
-    // visibility switch, so no reader ever sees both versions of a file.
-    // Matched on basename: part-file names carry task UUIDs, never reused.
     val replaced = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
       .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1))
-    var df = events
+    var out = df
     if (pending.nonEmpty)
-      df = df.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
+      out = out.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
         .isin(pending: _*))
     if (replaced.nonEmpty)
-      df = df.where(!substring_index(input_file_name(), "/", -1).isin(replaced: _*))
-    df
+      out = out.where(!substring_index(input_file_name(), "/", -1).isin(replaced: _*))
+    out
   }
 
   /** Physically delete files superseded by completed rewrites (lazy GC —
@@ -143,7 +150,8 @@ class EventLog(
 
   def snapshots: DataFrame =
     if (!exists(snapshotsPath)) emptySnapshots
-    else spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+    else committedView(
+      spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath))
       .drop("bucket")
 
   /** S1: one stream's active events after a version, in version order
@@ -165,7 +173,7 @@ class EventLog(
   def latestSnapshot(aggregateId: String): Option[SnapshotRow] = {
     import spark.implicits._
     if (!exists(snapshotsPath)) return None
-    spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+    committedView(spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath))
       .filter(col("bucket") === bucketOf(aggregateId) &&
         col("aggregate_id") === aggregateId)
       .drop("bucket")
@@ -430,7 +438,7 @@ class EventLog(
       // bucket (identity transform + id sort), exactly the maintenance-
       // window-free cadence a 100 TB log needs
       buckets.getOrElse((0 until numBuckets).toSeq)
-        .foreach(b => rewriteBucketManifest(b)(df => df))
+        .foreach(b => rewriteBucketManifest(eventsPath, EventSchema.events, b)(df => df))
       return
     }
     val scoped = buckets match {
@@ -457,6 +465,16 @@ class EventLog(
     if (!exists(snapshotsPath)) return
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("aggregate_id")).orderBy(col("id").desc)
+    if (commitMode == CommitMode.Manifest) {
+      // bucket-local latest-per-key IS global latest-per-key (aggregate_id
+      // determines the bucket) — per-bucket rewrite claims, append-race-safe
+      (0 until numBuckets).foreach { b =>
+        rewriteBucketManifest(snapshotsPath, EventSchema.snapshots, b) { df =>
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        }
+      }
+      return
+    }
     val latest = spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
@@ -543,8 +561,8 @@ class EventLog(
     */
   private def rewriteBucket(tablePath: String, schema: org.apache.spark.sql.types.StructType,
       bucket: Int)(f: DataFrame => DataFrame): Unit =
-    if (commitMode == CommitMode.Manifest && tablePath == eventsPath)
-      rewriteBucketManifest(bucket)(f)
+    if (commitMode == CommitMode.Manifest)
+      rewriteBucketManifest(tablePath, schema, bucket)(f)
     else rewriteBucketOverwrite(tablePath, schema, bucket)(f)
 
   /** Manifest-mode file-level rewrite (the second half of README roadmap #1):
@@ -559,9 +577,11 @@ class EventLog(
     *     even if this never runs).
     * A crash at any point leaves exactly one version visible.
     */
-  private def rewriteBucketManifest(bucket: Int)(f: DataFrame => DataFrame): Unit = {
+  private def rewriteBucketManifest(tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, bucket: Int)
+      (f: DataFrame => DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val bdir = new org.apache.hadoop.fs.Path(s"$eventsPath/bucket=$bucket")
+    val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$bucket")
     val hfs = bdir.getFileSystem(conf)
     if (!hfs.exists(bdir)) return
     val inputs = hfs.listStatus(bdir)
@@ -578,10 +598,10 @@ class EventLog(
     }
     val claim = claimed.getOrElse(
       throw new IllegalStateException(s"bucket $bucket rewrite lost $attempts claim races"))
-    val cur = spark.read.schema(EventSchema.events).parquet(inputs: _*)
+    val cur = spark.read.schema(schema).parquet(inputs: _*)
     val out = f(cur).localCheckpoint() // materialize before any deletes
     if (!out.isEmpty) {
-      val tmpDir = s"$eventsPath/.commit-tmp/c${claim.n}"
+      val tmpDir = s"$tablePath/.commit-tmp/c${claim.n}"
       out.sortWithinPartitions("id")
         .write.mode(SaveMode.Overwrite)
         .option("compression", EventLog.Compression).parquet(tmpDir)

@@ -196,6 +196,22 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log.committedEvents.count() === 1L)
   }
 
+  test("snapshot rewrites go through claims too: compact keeps only the latest") {
+    val log = newLog()
+    log.append(Seq(rec("sn-a", 0)))
+    log.append(Seq(rec("sn-a", 1)))
+    Seq(1, 2).foreach { v =>
+      log.saveSnapshot(graft.core.SnapshotRow(f"01HXSNAPMANIF$v%012d", "sn-a", v,
+        "Account", s"""{"balance":$v}""", new java.sql.Timestamp(v.toLong), Map.empty))
+    }
+    assert(log.snapshots.count() === 2L)
+    log.compactSnapshots()
+    assert(log.snapshots.count() === 1L)
+    assert(log.latestSnapshot("sn-a").map(_.aggregate_version) === Some(2))
+    assert(log.manifest.claims().exists(c =>
+      c.kind === graft.log.CommitClaim.KindRewrite && c.done))
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))
