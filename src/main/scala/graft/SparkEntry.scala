@@ -186,6 +186,18 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // ── J4: as-of join (latest error at-or-before each signup, per user) ──
+    "j4_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "error")
+      ops.AsOf.asofJoin(l, r, "user_id", "ts", "ts",
+          valueCols = Seq("event_id", "value"), rightOrd = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id"), col("asof_value"))
+    }),
+
     // ── TPC-H Q6: tight-filter revenue scan (pure pushdown + exact sum) ───
     "q6_forecast_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1068,6 +1080,22 @@ object SparkEntry {
         |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
         |       GROUP BY l2.node, l2.label)
         |SELECT node AS vec_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+    "j4_asof_join" ->
+      """WITH l AS (SELECT user_id AS k, ts, event_id,
+        |                  NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val,
+        |                  1 AS side, NULL::VARCHAR AS ordkey
+        |           FROM events WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, NULL, event_id, value, 0, event_id::VARCHAR
+        |      FROM events WHERE event_type = 'error'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (SELECT *,
+        |        last_value(r_eid IGNORE NULLS) OVER w AS a_eid,
+        |        last_value(r_val IGNORE NULLS) OVER w AS a_val
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY k ORDER BY ts, side, ordkey
+        |                   ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, k AS user_id, ts, a_eid AS asof_event_id, a_val AS asof_value
+        |FROM c WHERE side = 1""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT (sum((l_extendedprice * l_discount)::DECIMAL(18,4)))::DOUBLE AS revenue
         |FROM lineitem

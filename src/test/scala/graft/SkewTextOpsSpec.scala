@@ -113,6 +113,37 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(refinedCov === Seq(0, 1, 2, 3), "refinement must recover all four directions")
   }
 
+  test("as-of join: latest right row at-or-before each left row, per key") {
+    val left = spark.createDataFrame(Seq(
+      (1, "k1", 10L), (2, "k1", 20L), (3, "k1", 5L), (4, "k2", 50L)))
+      .toDF("lid", "k", "t")
+    val right = spark.createDataFrame(Seq(
+      (101, "k1", 10L, 1.0), (102, "k1", 15L, 2.0), (103, "k2", 60L, 3.0)))
+      .toDF("rid", "k", "t", "v")
+    val out = graft.ops.AsOf.asofJoin(left, right, "k", "t", "t",
+        valueCols = Seq("rid", "v"), rightOrd = "rid")
+      .orderBy("lid").collect()
+    // lid=1 t=10: equal-ts right row 101 matches (<= bound)
+    assert(out(0).getInt(3) === 101 && out(0).getDouble(4) === 1.0)
+    // lid=2 t=20: latest preceding is 102 (t=15)
+    assert(out(1).getInt(3) === 102)
+    // lid=3 t=5: nothing precedes -> nulls
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // lid=4 k2 t=50: right t=60 is in the future -> null
+    assert(out(3).isNullAt(3))
+  }
+
+  test("as-of join shuffles once (no range-join explosion)") {
+    val left = spark.range(100).select(col("id").as("lid"),
+      (col("id") % 5).as("k"), col("id").as("t"))
+    val right = spark.range(50).select(col("id").as("rid"),
+      (col("id") % 5).as("k"), col("id").as("t"), lit(1.0).as("v"))
+    val p = graft.ops.AsOf.asofJoin(left, right, "k", "t", "t", Seq("rid"), "rid")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hash".r.findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("label propagation finds min-label components on a hand graph") {
     // components: {1,2,3} (chain), {4,5}, {6} isolated
     val nodes = spark.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(3),
