@@ -86,14 +86,73 @@ class GraftEventsTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder = {
     val numBuckets = paths0.headOption.flatMap(p => GraftMeta.numBuckets(sparkSession0, p))
-    new GraftScanBuilder(sparkSession0, fileIndex, schema, dataSchema,
+    // Read-committed by default: exclude files of pending claims and files a
+    // completed rewrite replaced, using the log's commit chain (empty/absent
+    // on lock-mode logs → no wrapping). option("committed","false") reads raw.
+    val committed = Option(options.get("committed")).forall(_.toBoolean)
+    val idx =
+      if (!committed) fileIndex
+      else claimExclusion() match {
+        case Some(excl) => new CommittedFileIndex(sparkSession0, fileIndex, excl)
+        case None => fileIndex
+      }
+    new GraftScanBuilder(sparkSession0, idx, schema, dataSchema,
       mergedOptions(options), numBuckets)
+  }
+
+  /** Basename-exclusion predicate from the commit chain, or None when there
+    * is nothing to exclude.
+    */
+  private def claimExclusion(): Option[String => Boolean] = {
+    val logRoot = paths0.headOption.map(p =>
+      p.stripSuffix("/").stripSuffix("/events").stripSuffix("/snapshots"))
+    logRoot.flatMap { root =>
+      val claims = new graft.log.ManifestCommitLog(sparkSession0, root).claims()
+      val pending = claims.filterNot(_.done).map(c => s"c${c.n}-")
+      val replaced = claims
+        .filter(c => c.done && c.kind == graft.log.CommitClaim.KindRewrite)
+        .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      if (pending.isEmpty && replaced.isEmpty) None
+      else Some(name => replaced.contains(name) || pending.exists(name.startsWith))
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     throw new UnsupportedOperationException(
       "graft-events is read-only: append through EventLog.append so the " +
         "commit section can enforce per-stream optimistic versions")
+}
+
+/** A delegating file index that hides files by basename — the facade's
+  * read-committed view. Only the two leaf-file accessors filter; every
+  * listing/size/pruning method of [[PartitioningAwareFileIndex]] derives
+  * from them, so partition pruning and min/max skipping behave exactly as
+  * on the raw index.
+  */
+class CommittedFileIndex(
+    spark: SparkSession,
+    underlying: PartitioningAwareFileIndex,
+    exclude: String => Boolean)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private lazy val filtered: Seq[org.apache.hadoop.fs.FileStatus] =
+    underlying.allFiles().filterNot(f => exclude(f.getPath.getName))
+
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    underlying.partitionSpec()
+
+  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, org.apache.hadoop.fs.FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, org.apache.hadoop.fs.FileStatus]
+    filtered.foreach(f => m.put(f.getPath, f))
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[org.apache.hadoop.fs.FileStatus]] =
+    filtered.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+
+  override def refresh(): Unit = underlying.refresh()
 }
 
 /** Parquet in every read respect, but refuses to produce writers: raw

@@ -128,6 +128,22 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(files.exists(_.contains("bucket=0")) && files.exists(_.contains("bucket=1")))
   }
 
+  test("facade is read-committed on manifest logs (raw view on request)") {
+    val dir = Files.createTempDirectory("graftsrcmanifest").toFile.getAbsolutePath
+    val mlog = new graft.log.EventLog(spark, dir, numBuckets = 4,
+      ulidSeed = Some(41L), commitMode = graft.log.CommitMode.Manifest)
+    mlog.append(Seq(graft.log.AppendRecord("fm-a", "Account", 0, Map.empty,
+      Seq(graft.log.EventDetail("Created", "{}")))))
+    mlog.append(Seq(graft.log.AppendRecord("fm-b", "Account", 0, Map.empty,
+      Seq(graft.log.EventDetail("Created", "{}")))))
+    // simulate an in-flight writer: drop claim 2's done marker
+    assert(new java.io.File(s"$dir/${graft.log.ManifestCommitLog.CommitDir}/v2.done").delete())
+    val committed = spark.read.format("graft-events").load(dir)
+    assert(committed.count() === 1L, "pending claim files must be hidden")
+    val raw = spark.read.format("graft-events").option("committed", "false").load(dir)
+    assert(raw.count() === 2L, "raw view on request")
+  }
+
   test("Graft.enable is idempotent") {
     Graft.enable(spark); Graft.enable(spark)
     val n = spark.experimental.extraOptimizations
