@@ -33,6 +33,25 @@ object StreamAggs {
         col(kindCol), col("n"), col("total_value"))
   }
 
+  /** Windowed approximate-distinct per kind (HyperLogLog++): the
+    * bounded-state way to track per-window cardinalities (unique users per
+    * hour, unique streams per day) on an unbounded stream — an exact
+    * distinct would grow state with cardinality, a sketch keeps it constant
+    * per window. `rsd` is the HLL relative standard error.
+    */
+  def approxDistinctByWindow(events: DataFrame, timeCol: String, kindCol: String,
+      distinctCol: String, width: String, rsd: Double = 0.05,
+      lateness: String = "1 minute"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(timeCol, lateness) else events
+    withWm
+      .groupBy(window(col(timeCol), width).as("w"), col(kindCol))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(kindCol), col("approx_distinct"), col("n"))
+  }
+
   /** Gap-based session windows per key (session_window), watermarked on
     * streaming inputs.
     */

@@ -61,6 +61,45 @@ class StreamAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed approx-distinct: batch == streaming, sketch exact at small cardinality") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftstreamhll").toFile.getAbsolutePath
+    def row(minute: Int, kind: String, user: Long) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), kind, user)
+    // window [10:00): kind a sees users {1,2} (2 distinct over 3 events)
+    val data = Seq(row(1, "a", 1L), row(2, "a", 2L), row(3, "a", 1L), row(7, "b", 9L))
+    data.toDF("ts", "kind", "user_id").write.parquet(s"$dir/in")
+
+    val batchRes = StreamAggs.approxDistinctByWindow(
+      spark.read.parquet(s"$dir/in"), "ts", "kind", "user_id", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batchRes == Set(
+      ("2024-01-01 10:00:00.0", "a", 2L, 3L),
+      ("2024-01-01 10:05:00.0", "b", 1L, 1L)))
+
+    val stream = spark.readStream
+      .schema("ts timestamp, kind string, user_id long")
+      .parquet(s"$dir/in")
+    val q = StreamAggs.approxDistinctByWindow(stream, "ts", "kind", "user_id",
+        "5 minutes", lateness = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hllagg")
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      Seq(row(30, "c", 0L)).toDF("ts", "kind", "user_id")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val out = spark.sql("select * from hllagg")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "a", 2L, 3L)))
+      assert(out.contains(("2024-01-01 10:05:00.0", "b", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("session windows by key (batch)") {
     val s = spark
     import s.implicits._
