@@ -198,6 +198,24 @@ object SparkEntry {
           col("asof_event_id"), col("asof_value"))
     }),
 
+    // ── TPC-H Q10: returned-item revenue (fact ⋈ fact + broadcast dims) ───
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ── TPC-H Q6: tight-filter revenue scan (pure pushdown + exact sum) ───
     "q6_forecast_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1096,6 +1114,17 @@ object SparkEntry {
         |                   ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, k AS user_id, ts, a_eid AS asof_event_id, a_val AS asof_value
         |FROM c WHERE side = 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT (sum((l_extendedprice * l_discount)::DECIMAL(18,4)))::DOUBLE AS revenue
         |FROM lineitem

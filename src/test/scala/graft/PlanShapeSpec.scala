@@ -71,6 +71,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "m1_forget_scrub" -> 0, "m3_upcast_read" -> 0, "mm_binary_meta" -> 0,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
+      "q10_returned_items" -> 1,
       "s1_stream_scan" -> 0,
       "s2_latest_per_key" -> 1, "s3_range_scan" -> 0, "s4_by_ids" -> 0,
       "s5_outbox_batch" -> 0, "t1_token_count" -> 0, "t2_quality_score" -> 0,

@@ -133,6 +133,26 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))
   }
 
+  test("as-of join matches the brute-force definition on randomized data") {
+    // deterministic pseudo-random corpus; the brute force is the definition:
+    // for each left row, the right row maximizing (t, rid) with t <= left.t
+    val rnd = new scala.util.Random(4242)
+    val leftRows = (1 to 120).map(i => (i, s"k${rnd.nextInt(6)}", rnd.nextInt(40).toLong))
+    val rightRows = (1 to 80).map(i => (i + 1000, s"k${rnd.nextInt(6)}", rnd.nextInt(40).toLong, rnd.nextDouble()))
+    val left = spark.createDataFrame(leftRows).toDF("lid", "k", "t")
+    val right = spark.createDataFrame(rightRows).toDF("rid", "k", "t", "v")
+    val out = graft.ops.AsOf.asofJoin(left, right, "k", "t", "t", Seq("rid"), "rid")
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    val rightByKey = rightRows.groupBy(_._2)
+    leftRows.foreach { case (lid, k, t) =>
+      val expect = rightByKey.getOrElse(k, Seq.empty)
+        .filter(_._3 <= t)
+        .sortBy(r => (r._3, r._1.toString)) // same (t, ord-string) order as the operator
+        .lastOption.map(_._1)
+      assert(out(lid) === expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
   test("as-of join shuffles once (no range-join explosion)") {
     val left = spark.range(100).select(col("id").as("lid"),
       (col("id") % 5).as("k"), col("id").as("t"))
