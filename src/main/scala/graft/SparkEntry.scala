@@ -612,6 +612,28 @@ object SparkEntry {
           col("frame_fp"))
     }),
 
+    // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
+    "u2_active_minus_error" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bigClickUsers = ev.filter(col("event_type") === "click" && col("value") > 250)
+        .select("user_id")
+      val signupUsers = ev.filter(col("event_type") === "signup").select("user_id")
+      val bigErrorUsers = ev.filter(col("event_type") === "error" && col("value") > 300)
+        .select("user_id")
+      // signed-up heavy clickers with no heavy errors
+      bigClickUsers.intersect(signupUsers).except(bigErrorUsers)
+    }),
+
+    // ── window: percentile rank of doc quality within its source (§2.5) ───
+    "w5_quality_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          ops.TextAnalysis.distinctRatio(col("text")).as("quality"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+    }),
+
     // ── Set op: union of filtered subsets (§2.7) ──────────────────────────
     "u1_union_kinds" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1098,6 +1120,21 @@ object SparkEntry {
         |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
         |       GROUP BY l2.node, l2.label)
         |SELECT node AS vec_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+    "u2_active_minus_error" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND value > 250
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300""".stripMargin,
+    "w5_quality_rank" ->
+      """SELECT doc_id, source,
+        |  round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+        |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS quality,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY
+        |    round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+        |          / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4), doc_id), 6)
+        |    AS pct_rank
+        |FROM documents""".stripMargin,
     "j4_asof_join" ->
       """WITH l AS (SELECT user_id AS k, ts, event_id,
         |                  NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val,

@@ -91,8 +91,11 @@ class EventLog(
   /** The logical event table (no physical layout columns). */
   def events: DataFrame = eventsWithBucket.drop("bucket")
 
-  /** Active (non-invalidated) rows only — what every query sees by default. */
-  def activeEvents: DataFrame = events.filter(col("migration") === 0)
+  /** Active (non-invalidated) rows only — what every query sees by default.
+    * Claim-aware in manifest mode: replaced-but-not-yet-GCed files would
+    * otherwise double-count every rewritten row.
+    */
+  def activeEvents: DataFrame = committedView(events).filter(col("migration") === 0)
 
   /** Read-committed view (manifest mode): excludes rows of claims whose
     * `done` marker is absent — in-flight appends whose multi-bucket data is
@@ -131,15 +134,23 @@ class EventLog(
     out
   }
 
-  /** Physically delete files superseded by completed rewrites (lazy GC —
-    * reads are already correct without it; this just reclaims space and
-    * lets `manifest.prune` retire the rewrite claims).
+  /** Physically delete files superseded by completed rewrites (VACUUM
+    * semantics — reads are already correct without it; this reclaims space
+    * and lets `manifest.prune` retire the rewrite claims). `retentionMs`
+    * guards in-flight readers: a scan that listed a file just before the
+    * rewrite's visibility flip may still be executing, so only rewrites
+    * older than the retention window are collected. Eager deletion inside
+    * the rewrite itself caused exactly that race (FILE_NOT_EXIST on a
+    * concurrent reader) — never GC inline.
     */
-  def gcReplaced(): Int = {
+  def gcReplaced(retentionMs: Long = 10 * 60 * 1000L,
+      nowMs: Long = System.currentTimeMillis()): Int = {
     if (commitMode == CommitMode.Lock) return 0
     val conf = spark.sessionState.newHadoopConf()
     var n = 0
-    manifest.claims().filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+    manifest.claims()
+      .filter(c => c.done && c.kind == CommitClaim.KindRewrite &&
+        nowMs - c.tsMs >= retentionMs)
       .flatMap(_.replaced).foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
@@ -158,7 +169,7 @@ class EventLog(
     * (store/postgresql/store.go:423-444). Bucket-pruned point scan.
     */
   def streamEvents(aggregateId: String, sinceVersion: Int = 0): DataFrame =
-    eventsWithBucket
+    committedView(eventsWithBucket)
       .filter(col("bucket") === bucketOf(aggregateId) &&
         col("aggregate_id") === aggregateId &&
         col("migration") === 0 &&
@@ -201,7 +212,7 @@ class EventLog(
 
   /** S4: id IN (...) fetch (store/postgresql/store.go:665-674). */
   def byIds(ids: Seq[String]): DataFrame =
-    events.filter(col("id").isin(ids: _*))
+    committedView(events).filter(col("id").isin(ids: _*))
 
   /** SQL surface: register the log as temp views (`<prefix>_events`,
     * `<prefix>_events_active`, `<prefix>_snapshots`) and the engine's SQL
@@ -584,8 +595,17 @@ class EventLog(
     val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$bucket")
     val hfs = bdir.getFileSystem(conf)
     if (!hfs.exists(bdir)) return
+    // rewrite only LIVE files: skip files a previous (not-yet-GCed) rewrite
+    // already replaced — copying them back in would resurrect stale rows —
+    // and skip pending claims' files, which are not yet committed
+    val claims = { manifest.refresh(): Unit; manifest.claims() }
+    val staleNames = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
     val inputs = hfs.listStatus(bdir)
       .filter(_.getPath.getName.endsWith(".parquet"))
+      .filterNot(f => staleNames.contains(f.getPath.getName) ||
+        pendingTokens.exists(f.getPath.getName.startsWith))
       .map(_.getPath.toString).toSeq.sorted
     if (inputs.isEmpty) return
     var claimed: Option[CommitClaim] = None
@@ -612,8 +632,7 @@ class EventLog(
       }
       hfs.delete(tmp, true)
     }
-    manifest.markDone(claim.n) // atomic visibility switch
-    gcReplaced(): Unit
+    manifest.markDone(claim.n) // atomic visibility switch; GC is separate
   }
 
   /** Directory-overwrite rewrite via dynamic partition overwrite — the only

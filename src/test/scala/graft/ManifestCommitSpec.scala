@@ -138,7 +138,10 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log.committedEvents.filter(col("aggregate_id") === "fg-a").count() === 2L)
     val rw = log.manifest.claims().filter(_.kind === graft.log.CommitClaim.KindRewrite)
     assert(rw.nonEmpty && rw.forall(_.done))
-    // eager GC already deleted the replaced originals
+    // replaced originals survive the retention window (in-flight readers),
+    // then VACUUM collects them
+    assert(log.gcReplaced() === 0, "default retention must protect fresh rewrites")
+    assert(log.gcReplaced(retentionMs = 0L) > 0)
     val conf = spark.sessionState.newHadoopConf()
     rw.flatMap(_.replaced).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)

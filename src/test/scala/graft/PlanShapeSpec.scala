@@ -77,7 +77,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "s5_outbox_batch" -> 0, "t1_token_count" -> 0, "t2_quality_score" -> 0,
       "t3_lang_id" -> 0, "t4_fingerprint" -> 0, "t5_rare_word_ratio" -> 3,
       "t8_session_window" -> 1, "t8_sliding_window" -> 1, "t8_tumbling_window" -> 1,
-      "u1_union_kinds" -> 0, "w2_version_assign" -> 1, "w3_keyset_page" -> 0,
+      "u1_union_kinds" -> 0, "u2_active_minus_error" -> 1,
+      "w2_version_assign" -> 1, "w3_keyset_page" -> 0, "w5_quality_rank" -> 1,
       "x1_approx_distinct" -> 1, "x2_quantiles" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
