@@ -216,6 +216,37 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── TPC-H Q14: promo revenue share (fact ⋈ broadcast part) ────────────
+    "q14_promo_effect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      val part = t(s, dir, "part")
+      // exact decimal sums; the final ratio is one double division of two
+      // combine-order-independent operands
+      val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", disc).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("__promo"),
+          sum(disc).as("__all"))
+        .select(round(lit(100.0) * col("__promo").cast("double") /
+          col("__all").cast("double"), 6).as("promo_pct"))
+    }),
+
+    // ── J5: full dimension-hierarchy rollup (region ⋈ nation ⋈ supplier) ──
+    "j5_dim_rollup" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .withColumn("__bal", col("s_acctbal").cast("decimal(18,4)"))
+      sup
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(avg(col("__bal")).cast("double"), 4).as("avg_acctbal"))
+    }),
+
     // ── TPC-H Q6: tight-filter revenue scan (pure pushdown + exact sum) ───
     "q6_forecast_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1151,6 +1182,21 @@ object SparkEntry {
         |                   ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, k AS user_id, ts, a_eid AS asof_event_id, a_val AS asof_value
         |FROM c WHERE side = 1""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * (sum(CASE WHEN p_type = 'ECONOMY'
+        |        THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+        |        ELSE 0::DECIMAL(18,4) END))::DOUBLE
+        |      / (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)))::DOUBLE, 6)
+        |      AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "j5_dim_rollup" ->
+      """SELECT r_name, count(*)::BIGINT AS n_suppliers,
+        |       round((avg((s_acctbal)::DECIMAL(18,4)))::DOUBLE, 4) AS avg_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)))::DOUBLE AS revenue

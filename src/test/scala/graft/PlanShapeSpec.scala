@@ -67,7 +67,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,
       "f1_composite_filter" -> 0, "f6_prefix_match" -> 1, "f7_codec_decode" -> 0,
       "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
-      "j4_asof_join" -> 1,
+      "j4_asof_join" -> 1, "j5_dim_rollup" -> 1, "q14_promo_effect" -> 0,
       "m1_forget_scrub" -> 0, "m3_upcast_read" -> 0, "mm_binary_meta" -> 0,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
