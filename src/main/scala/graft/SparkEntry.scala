@@ -643,6 +643,31 @@ object SparkEntry {
           col("frame_fp"))
     }),
 
+    // ── multimodal: every fixed-size frame, one row per frame (video) ─────
+    "mm2_frame_sample" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "video/raw")
+      ops.Multimodal.frameSampleAll(packed, frameBytes = 16)
+        .select(col("media_id"), col("frame_no"), col("frame_fp"))
+    }),
+
+    // ── multimodal: resize stub (stride byte-sample, metadata update) ─────
+    "mm3_resize" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "image/raw")
+      ops.Multimodal.resize(packed, factor = 2)
+        .select(col("media_id"), col("resized_meta.n_bytes").as("out_bytes"),
+          md5(hex(col("resized"))).as("resized_fp"))
+    }),
+
+    // ── multimodal: batched decode kernel (exact-integer stub, verified) ──
+    "mm4_features" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "audio/raw")
+        .filter(col("media_id") < 50)
+      ops.Multimodal.extractFeatureSums(packed, dim = 8)
+        .select(col("media_id"), posexplode(col("feature_sums")).as(Seq("j", "sum_b")))
+        .select(col("media_id"), col("j").cast("long").as("j"),
+          round(col("sum_b") / 255.0, 4).as("f"))
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1298,6 +1323,33 @@ object SparkEntry {
       """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
         |       md5(substr(text, 1, 16)) AS frame_fp
         |FROM documents""".stripMargin,
+
+    "mm2_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |                  unnest(range(octet_length(text::BLOB)//16)) AS frame_no
+        |           FROM documents)
+        |SELECT media_id, frame_no,
+        |       md5(substring(hx, frame_no*32+1, 32)) AS frame_fp
+        |FROM f""".stripMargin,
+
+    "mm3_resize" ->
+      """WITH h AS (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |                  octet_length(text::BLOB) AS n
+        |           FROM documents)
+        |SELECT media_id, (n+1)//2 AS out_bytes,
+        |       md5(array_to_string(list_transform(range(0, (n+1)//2),
+        |           i -> substring(hx, i*4+1, 2)), '')) AS resized_fp
+        |FROM h""".stripMargin,
+
+    "mm4_features" ->
+      """WITH h AS (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |                  octet_length(text::BLOB) AS n
+        |           FROM documents WHERE doc_id < 50),
+        |e AS (SELECT media_id, unnest(range(n)) AS i, hx FROM h)
+        |SELECT media_id, i % 8 AS j,
+        |       round(sum((strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1))-1)*16
+        |               + (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1))-1))/255.0, 4) AS f
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

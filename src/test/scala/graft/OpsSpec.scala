@@ -113,6 +113,48 @@ class OpsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap)
   }
 
+  test("multimodal: frameSampleAll covers every complete frame, resize strides bytes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val packed = Multimodal.pack(docs, "doc_id", "text", "video/raw")
+
+    val frames = Multimodal.frameSampleAll(packed, frameBytes = 16)
+    // per media: n_frames == n_bytes / 16, frame_no dense from 0
+    frames.groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.max("frame_no").as("mx"),
+        org.apache.spark.sql.functions.min("frame_no").as("mn"),
+        org.apache.spark.sql.functions.first($"meta.n_bytes").as("nb"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n") == r.getAs[Long]("nb") / 16)
+        assert(r.getAs[Long]("mn") == 0L && r.getAs[Long]("mx") == r.getAs[Long]("n") - 1)
+      }
+    // every frame is exactly frameBytes and matches a direct slice
+    val one = frames.filter($"media_id" === 1 && $"frame_no" === 1)
+      .select("frame").head().getAs[Array[Byte]](0)
+    val raw = packed.filter($"media_id" === 1).select("content").head().getAs[Array[Byte]](0)
+    assert(one.toSeq == raw.slice(16, 32).toSeq)
+
+    val resized = Multimodal.resize(packed, factor = 3)
+    resized.select($"media_id", $"content", $"resized", $"resized_meta.n_bytes")
+      .collect().foreach { r =>
+        val full = r.getAs[Array[Byte]]("content")
+        val out = r.getAs[Array[Byte]]("resized")
+        assert(out.length == (full.length + 2) / 3)
+        assert(r.getAs[Long]("n_bytes") == out.length.toLong)
+        out.zipWithIndex.foreach { case (b, i) => assert(b == full(i * 3)) }
+      }
+
+    // exact-integer kernel agrees with a driver-side byte loop
+    val sums = Multimodal.extractFeatureSums(packed, dim = 4, batchSize = 8)
+      .select("media_id", "content", "feature_sums").collect()
+    sums.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      val expect = new Array[Long](4)
+      bytes.zipWithIndex.foreach { case (b, i) => expect(i % 4) += (b & 0xff).toLong }
+      assert(r.getSeq[Long](2).toList == expect.toList)
+    }
+  }
+
   test("language id picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),

@@ -69,6 +69,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
       "j4_asof_join" -> 1, "j5_dim_rollup" -> 1, "q14_promo_effect" -> 0,
       "m1_forget_scrub" -> 0, "m3_upcast_read" -> 0, "mm_binary_meta" -> 0,
+      "mm2_frame_sample" -> 0, "mm3_resize" -> 0, "mm4_features" -> 0,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
