@@ -65,4 +65,26 @@ object StreamAggs {
       .select(col(keyCol), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"))
   }
+
+  /** Streaming exact dedup by content fingerprint: keeps the first document
+    * seen per fingerprint; on a streaming input the dedup state is bounded
+    * by the watermark (`dropDuplicatesWithinWatermark`), so an unbounded
+    * ingest stream holds state only for the lateness horizon instead of the
+    * full corpus — the streaming half of `Dedup.exactGroups` for a pipeline
+    * that dedups AT INGEST (batch backfill and live feed share the
+    * fingerprint definition, so survivors agree across both paths).
+    * Duplicates separated by more than `lateness` in event time can both
+    * survive; the batch dedup over the compacted log is the exactness
+    * backstop, exactly like the reference's catchup-overlap + idempotent
+    * reject pairing.
+    */
+  def dedupByFingerprint(docs: DataFrame, timeCol: String, textCol: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val fp = docs.withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+    val out =
+      if (fp.isStreaming)
+        fp.withWatermark(timeCol, lateness).dropDuplicatesWithinWatermark("__fp")
+      else fp.dropDuplicates("__fp")
+    out.drop("__fp")
+  }
 }

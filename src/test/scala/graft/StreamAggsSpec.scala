@@ -100,6 +100,47 @@ class StreamAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup by fingerprint: first doc survives, in-watermark dups dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftsdedup").toFile.getAbsolutePath
+
+    def row(minute: Int, id: Long, text: String) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), id, text)
+    // batch1: two exact dups of "alpha beta" (different whitespace/case —
+    // fingerprint normalizes), one unique
+    val batch1 = Seq(row(1, 1L, "alpha beta"), row(2, 2L, "Alpha  beta"),
+      row(3, 3L, "gamma delta"))
+    batch1.toDF("ts", "doc_id", "text").write.parquet(s"$dir/in")
+
+    // batch mode: one survivor per fingerprint
+    val batchRes = StreamAggs.dedupByFingerprint(
+      spark.read.parquet(s"$dir/in"), "ts", "text")
+    assert(batchRes.count() == 2)
+
+    val stream = spark.readStream
+      .schema("ts timestamp, doc_id long, text string")
+      .parquet(s"$dir/in")
+    val dd = StreamAggs.dedupByFingerprint(stream, "ts", "text", lateness = "5 minutes")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a later micro-batch re-sends the same content within the watermark →
+      // still dropped (cross-batch state), plus one genuinely new doc
+      Seq(row(4, 4L, "ALPHA BETA"), row(5, 5L, "epsilon zeta"))
+        .toDF("ts", "doc_id", "text").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val ids = spark.sql("select doc_id from sdedup").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.contains(5L))
+      assert((ids & Set(1L, 2L)).size == 1, s"exactly one alpha-beta survivor: $ids")
+      assert(!ids.contains(4L), "in-watermark duplicate must be dropped")
+    } finally q.stop()
+  }
+
   test("session windows by key (batch)") {
     val s = spark
     import s.implicits._
