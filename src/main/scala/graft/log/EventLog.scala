@@ -214,6 +214,16 @@ class EventLog(
   def byIds(ids: Seq[String]): DataFrame =
     committedView(events).filter(col("id").isin(ids: _*))
 
+  /** A5: distinct stream ids, optionally restricted to one aggregate kind.
+    * The reference pages this scan 100 ids at a time
+    * (store/postgresql/projection_migration.go:180); here it is one
+    * distributed distinct — partial-aggregated map-side, so the exchange
+    * carries unique ids per partition, not the event count.
+    */
+  def distinctStreams(kind: Option[String] = None): DataFrame =
+    kind.fold(activeEvents)(k => activeEvents.filter(col("aggregate_kind") === k))
+      .select(col("aggregate_id")).distinct()
+
   /** SQL surface: register the log as temp views (`<prefix>_events`,
     * `<prefix>_events_active`, `<prefix>_snapshots`) and the engine's SQL
     * functions (`fnv1a32`, `ulid_millis`), so `spark.sql` queries run

@@ -70,6 +70,36 @@ class EventStoreSpec extends AnyFunSuite {
     assert(log.streamEvents(id).count() == 2)
   }
 
+  test("S4/A5/F4: byIds point fetch, distinct streams per kind, custom filter predicate") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 99)
+    val ids = Seq("01HXAMPLEACCT00000000000A1", "01HXAMPLEACCT00000000000A2",
+      "01HXAMPLEACCT00000000000A3")
+    ids.zipWithIndex.foreach { case (id, i) =>
+      store.create(id, Seq(AccountType.created(100 + i, s"owner$i"),
+        AccountType.deposited(i)), nowMs = 1700000000000L + i)
+    }
+
+    // S4: fetch exactly the requested event ids (store.go:665-674 semantics)
+    val twoIds = store.log.streamEvents(ids.head).collect().map(_.getAs[String]("id")).toSeq
+    val got = store.log.byIds(twoIds).collect()
+    assert(got.map(_.getAs[String]("id")).toSet == twoIds.toSet)
+    assert(got.forall(_.getAs[String]("aggregate_id") == ids.head))
+
+    // A5: one row per stream, restricted by kind
+    assert(store.log.distinctStreams(Some("Account")).collect()
+      .map(_.getString(0)).toSet == ids.toSet)
+    assert(store.log.distinctStreams(Some("NoSuchKind")).count() == 0)
+    assert(store.log.distinctStreams(None).count() == 3)
+
+    // F4: arbitrary custom predicate composes into the pushdown conjunction
+    import org.apache.spark.sql.functions.col
+    val f = graft.replay.EventFilter(aggregateKinds = Seq("Account"),
+      custom = Some(col("kind") === "AccountCreated"))
+    val created = store.log.activeEvents.filter(f.toColumn).collect()
+    assert(created.length == 3)
+    assert(created.forall(_.getAs[String]("kind") == "AccountCreated"))
+  }
+
   test("retrieve of an unknown stream raises UnknownAggregateException") {
     val store = new EventStore(freshLog(), AccountType)
     intercept[graft.store.UnknownAggregateException] {
