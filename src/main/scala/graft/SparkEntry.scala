@@ -612,6 +612,20 @@ object SparkEntry {
           round(col("__p95"), 6).as("p95"))
     }),
 
+    // ── sampling: stratified deterministic mixture (per-source rates) ─────
+    "x3_hash_sample" -> ((s, dir) =>
+      ops.Sampling.hashSampleBy(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1, salt = "mix")
+        .select(col("doc_id"), col("source"))),
+
+    // ── sampling: train/val/test split assignment by id hash ──────────────
+    "x4_split_assign" -> ((s, dir) =>
+      ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id", salt = "split")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source")).as("n_sources"))),
+
     // ── skew: salted two-phase aggregation (== plain aggregate) ───────────
     "w4_salted_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1298,6 +1312,25 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "x3_hash_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  (((md5_number('mix' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                           WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "x4_split_assign" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  (((md5_number('split' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n, count(DISTINCT source)::BIGINT AS n_sources
+        |FROM b GROUP BY 1""".stripMargin,
+
     "w4_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |       (sum((value)::DECIMAL(18,6)))::DOUBLE AS total

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, coordination-free sampling for training-data pipelines.
+  *
+  * Everything keys off a stable hash bucket of the row id — NOT `rand()` —
+  * because at 100 TB the properties that matter are reproducibility (the
+  * same sample on every re-run, resubmit, and engine), stability under
+  * repartitioning (no dependence on row order or task count), and
+  * consistency across tables (the same id lands in the same split
+  * everywhere, so features and labels never straddle train/test). Plain
+  * `sample()` guarantees none of these.
+  *
+  * The bucket hash is `TextAnalysis.tokenHash32` (md5-derived), so every
+  * decision here is reproducible in any engine with md5 — the DuckDB oracle
+  * checks the sampled/split row sets bit-for-bit (x3/x4).
+  */
+object Sampling {
+
+  /** Stable bucket in `[0, granularity)` for an id (salted: different salts
+    * give independent samples).
+    */
+  def hashBucket(id: Column, salt: String = "", granularity: Int = 10000): Column =
+    pmod(TextAnalysis.tokenHash32(concat(lit(salt), id.cast("string"))), lit(granularity))
+
+  /** Keep ~`rate` of rows, deterministically by id hash. A row's fate
+    * depends only on (salt, id): re-runs, retries, and other tables agree.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, salt: String = "",
+      granularity: Int = 10000): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate in [0,1]")
+    df.filter(hashBucket(col(idCol), salt, granularity) <
+      math.round(rate * granularity).toInt)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g. down-
+    * sample boilerplate-heavy sources, keep rare ones whole) — the data-
+    * mixture primitive. Strata not in `rates` keep `defaultRate`.
+    */
+  def hashSampleBy(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "", granularity: Int = 10000): DataFrame = {
+    val threshold = rates.foldLeft(
+      lit(math.round(defaultRate * granularity).toInt)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, math.round(r * granularity).toInt).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt, granularity) < threshold)
+  }
+
+  /** Assign every row to a named split (train/val/test…) by cumulative
+    * weight ranges over the id-hash bucket. Deterministic and
+    * cross-table-consistent: any table hashing the same id gets the same
+    * split, so joins never leak across the boundary.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "", granularity: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bucket = hashBucket(col(idCol), salt, granularity)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * granularity).toInt)
+    val expr = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, cut)) =>
+        when(bucket < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+}

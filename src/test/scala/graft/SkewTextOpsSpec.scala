@@ -174,4 +174,44 @@ class SkewTextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
+
+  test("hash sampling: deterministic, partition-stable, rate-accurate, split-consistent") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    // deterministic and stable under repartitioning: identical id sets
+    val a = Sampling.hashSample(docs, "doc_id", 0.3, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.3, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // rate lands near 30% (hash uniformity; 500 docs → generous bounds)
+    assert(a.size > 100 && a.size < 200, s"got ${a.size}")
+    // a different salt gives an (almost surely) different sample
+    val c = Sampling.hashSample(docs, "doc_id", 0.3, salt = "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+
+    // stratified: rate-1.0 stratum kept whole, rate-0 stratum dropped
+    val strat = Sampling.hashSampleBy(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.2, salt = "m")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("src0") == 25 && !strat.contains("src1"))
+
+    // split assignment: total partition, weights respected, and the SAME id
+    // maps to the same split from a different table carrying the same key
+    val split = Sampling.assignSplit(docs, "doc_id", salt = "sp")
+    val byId = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 500)
+    val n = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 350 && n("val") > 20 && n("test") > 20)
+    val other = Sampling.assignSplit(
+      docs.select($"doc_id", $"n_chars"), "doc_id", salt = "sp")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other == byId)
+  }
 }
