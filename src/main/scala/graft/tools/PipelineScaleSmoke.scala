@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline scale smoke: synthesize a corpus well beyond the bench
+  * tables (default 200k documents ≈ 40× sf0.1, SCALE_DOCS to override) and
+  * time the data-pipeline operators end-to-end — dedup candidate generation
+  * and survivor election, sampling/splits, multimodal frame decode plumbing,
+  * and LSH/IVF ANN over 200k 64-dim embeddings.
+  *
+  * Documents and embeddings are derived deterministically from the row index
+  * (hash-mixed token picks, no RNG), with planted near-duplicates: every
+  * 10th document is re-emitted with one token changed, so the expected
+  * survivor structure is known and asserted, not just timed.
+  */
+object PipelineScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nDocs = sys.env.getOrElse("SCALE_DOCS", "200000").toInt
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PSCALE $name%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // ── deterministic corpus: ~40 tokens/doc from a 5000-word vocabulary;
+    // doc 10k+1 duplicates doc 10k with one token swapped (planted near-dup)
+    val docs = time(s"synthesize $nDocs docs (planted near-dups)") {
+      val d = spark.range(nDocs.toLong).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map { j =>
+          // pair 10k/10k+1 share the base index except token 7
+          val base = when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id"))
+          val idx = if (j == 7) col("id") * 31 + j else base * 31 + j
+          // xxhash64, NOT a linear multiplier: (a·idx) mod 5000 factors
+          // through idx mod 5000 and collapses the corpus to 5000 texts
+          concat(lit("w"), pmod(xxhash64(idx), lit(5000)))
+        }: _*).as("text"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      d.localCheckpoint() // materialize once; every stage below reads this
+    }
+
+    // ── exact dedup: the planted pairs differ by one token → not exact dups
+    // (save the odd token-hash collision making a pair identical after all)
+    time("exact dedup groups (hash groupBy)") {
+      val n = Dedup.exactGroups(docs, "doc_id", "text").count()
+      require(n <= nDocs && n >= nDocs - nDocs / 2000, s"got $n groups")
+    }
+
+    // ── minhash → LSH candidates → Jaccard verify → survivor components
+    val survivors = time("near-dup survivors (LSH + verify + components)") {
+      Dedup.dedupSurvivors(docs, "doc_id", "text", threshold = 0.5, rounds = 3)
+        .localCheckpoint()
+    }
+    time("assert planted pairs collapsed") {
+      val kept = survivors.filter(col("is_survivor")).count()
+      val pairs = nDocs / 10 // docs ≡ 1 (mod 10) near-duplicate their base
+      // a planted pair shares 35/41 distinct shingles (J ≈ 0.85 > 0.5); with
+      // 4 one-hash bands P(no band collides) ≈ 0.15^4, so allow a ~0.1%
+      // LSH-miss tail; genuine sub-threshold merges are filtered by the
+      // Jaccard verify, so the lower bound only leaves 1% slack for
+      // coincidental ≥0.5 overlaps
+      require(kept <= nDocs - pairs + nDocs / 1000,
+        s"kept $kept, expected <= ${nDocs - pairs} (+0.1% LSH-miss tail)")
+      require(kept >= nDocs - pairs - nDocs / 100, s"kept $kept suspiciously low")
+    }
+
+    // ── simhash over the full corpus
+    time("simhash32 corpus fingerprints") {
+      require(Dedup.simhash32(docs, "doc_id", "text").count() == nDocs)
+    }
+
+    // ── sampling + split assignment
+    time("stratified sample + split assign") {
+      val sampled = Sampling.hashSampleBy(docs, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.1, salt = "mix").count()
+      require(sampled > 0)
+      val splits = Sampling.assignSplit(docs, "doc_id", salt = "sp")
+        .groupBy("split").count().collect()
+      require(splits.map(_.getLong(1)).sum == nDocs)
+    }
+
+    // ── multimodal: pack → all-frames → batched decode kernel
+    time("multimodal pack + frames + feature kernel") {
+      val packed = Multimodal.pack(docs, "doc_id", "text", "video/raw")
+      val frames = Multimodal.frameSampleAll(packed, frameBytes = 32).count()
+      require(frames > nDocs.toLong) // ~240 bytes/doc → ~7 frames each
+      require(Multimodal.extractFeatureSums(packed, dim = 8).count() == nDocs)
+    }
+
+    // ── ANN at 200k × 64 dims: LSH-bucketed and IVF top-k for 64 queries
+    val emb = time("synthesize embeddings (64-dim)") {
+      spark.range(nDocs.toLong).select(
+        col("id").as("vec_id"),
+        array((0 until 64).map(j =>
+          (pmod(xxhash64(col("id") * 67 + j), lit(1000)) / 500.0 - 1.0)
+            .cast("float")): _*).as("embedding"))
+        .localCheckpoint()
+    }
+    val queries = emb.filter(col("vec_id") < 64)
+    time("sign-LSH ANN top-5 (64 queries)") {
+      require(Similarity.signLshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, bits = 12).count() > 0)
+    }
+    time("IVF ANN top-5 (64 cells, farthest-first seeds on sample)") {
+      val cents = Similarity.farthestFirstCentroids(
+        Sampling.hashSample(emb, "vec_id", 0.02, salt = "c"),
+        "vec_id", "embedding", nlist = 64)
+      require(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 64, nprobe = 4, centroids = Some(cents)).count() > 0)
+    }
+
+    spark.stop()
+  }
+}
