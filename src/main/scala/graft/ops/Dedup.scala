@@ -105,8 +105,10 @@ object Dedup {
     * in candidates, never quadratic in the corpus).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    lshFromSignatures(minhashSignatures(df, idCol, textCol, bands, shingleSize))
+      bands: Int = 4, shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame =
+    lshFromSignatures(minhashSignatures(df, idCol, textCol, bands, shingleSize),
+      maxBucketSize)
 
   /** MinHash signatures computed from a (materialized) shingle-set frame —
     * skips re-tokenizing when the sets are shared with verification.
@@ -126,14 +128,41 @@ object Dedup {
       expr(s"stack($bands, $stackExpr)").as(Seq("band", "sig")))
   }
 
-  def lshCandidatePairsFromSets(sets: DataFrame, bands: Int = 4): DataFrame =
-    lshFromSignatures(minhashSignaturesFromSets(sets, bands))
+  def lshCandidatePairsFromSets(sets: DataFrame, bands: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame =
+    lshFromSignatures(minhashSignaturesFromSets(sets, bands), maxBucketSize)
 
-  private def lshFromSignatures(signatures: DataFrame): DataFrame =
-    signatures
+  /** `maxBucketSize`: skew guard for web-scale corpora. Boilerplate-heavy
+    * text (license headers, templated pages) lands thousands of documents in
+    * one (band, sig) bucket, and the in-bucket pair expansion is quadratic in
+    * the bucket — one pathological bucket then dominates the whole job. A cap
+    * drops ONLY oversized buckets (a doc pair colliding in any other band
+    * still becomes a candidate), trading recall on exactly the near-identical
+    * boilerplate clusters an exact-dedup pass upstream catches anyway.
+    * The cap is opt-in and never silent: dropped buckets are counted and
+    * logged, so a run that truncated candidates says so (default None =
+    * expand everything — the oracle-checked d2/d4/d6 behavior).
+    */
+  private def lshFromSignatures(signatures: DataFrame,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val buckets = signatures
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("mh_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+    val kept = maxBucketSize match {
+      case None => buckets
+      case Some(cap) =>
+        val b = buckets.localCheckpoint() // consumed twice: count + expand
+        val dropped = b.filter(size(col("ids")) > cap)
+          .agg(count(lit(1)), sum(size(col("ids")))).collect()(0)
+        if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"lsh: dropped ${dropped.getLong(0)} buckets over cap=$cap " +
+              s"(${dropped.getLong(1)} member rows); recall loss is confined " +
+              "to boilerplate clusters - run exact dedup upstream")
+        b.filter(size(col("ids")) <= cap)
+    }
+    kept
       .withColumn("ids", array_sort(col("ids")))
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("ids")) - 1),
@@ -142,6 +171,7 @@ object Dedup {
           b => struct(element_at(col("ids"), i).as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+  }
 
   /** Jaccard similarity of the distinct shingle sets, computed only for the
     * given candidate pairs (columns doc_a, doc_b).
@@ -200,10 +230,12 @@ object Dedup {
     * into the next pipeline stage).
     */
   def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, rounds: Int = 3, shingleSize: Int = 3): DataFrame = {
+      threshold: Double, rounds: Int = 3, shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // one tokenize+shingle pass feeds BOTH candidate generation and verify
     val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
-    val pairs = jaccardVerifyFromSets(sets, lshCandidatePairsFromSets(sets), threshold)
+    val pairs = jaccardVerifyFromSets(sets,
+      lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize), threshold)
       .select(col("doc_a"), col("doc_b"))
     labelPropagation(df.select(col(idCol).as("node")), pairs, rounds)
       .select(col("node").as(idCol), col("label").as("component"),

@@ -175,6 +175,31 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
 
+  test("LSH bucket cap drops only oversized buckets; other-band collisions survive") {
+    val s = spark
+    import s.implicits._
+    // 30 docs sharing one boilerplate text (one giant bucket in every band)
+    // plus a genuine near-dup pair of distinct text
+    val boiler = (1L to 30L).map(i => (i, "copyright header all rights reserved " +
+      "licensed under the apache license version two"))
+    val pair = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "the quick brown fox jumps over the lazy dog today"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    val unCapped = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate expands quadratically: 30*29/2 pairs + the planted pair
+    assert(unCapped.size == 30 * 29 / 2 + 1)
+
+    val capped = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-doc buckets are dropped in every band; the pair's buckets are
+    // size 2 and survive
+    assert(capped == Set((101L, 102L)))
+  }
+
   test("hash sampling: deterministic, partition-stable, rate-accurate, split-consistent") {
     val s = spark
     import s.implicits._
