@@ -214,6 +214,18 @@ class EventLog(
   def byIds(ids: Seq[String]): DataFrame =
     committedView(events).filter(col("id").isin(ids: _*))
 
+  /** S5: one outbox poll batch — the next `limit` committed events strictly
+    * after `afterId` in ULID order (sink/poller/poller.go:83-84 polls 20 at a
+    * time; the driver of this method is a forwarder loop that acks by
+    * remembering the last id, exactly the reference's keyset cursor). The
+    * ULID lower bound prunes files via min/max stats before the global
+    * order+limit, so a poll touches the log's tail, not its history.
+    */
+  def outboxBatch(afterId: String, limit: Int = 20): DataFrame =
+    committedEvents.filter(col("migration") === 0)
+      .filter(if (afterId.isEmpty) lit(true) else col("id") > afterId)
+      .orderBy(col("id")).limit(limit)
+
   /** A5: distinct stream ids, optionally restricted to one aggregate kind.
     * The reference pages this scan 100 ids at a time
     * (store/postgresql/projection_migration.go:180); here it is one

@@ -100,6 +100,30 @@ class EventStoreSpec extends AnyFunSuite {
     assert(created.forall(_.getAs[String]("kind") == "AccountCreated"))
   }
 
+  test("S5: outbox polling walks the log exactly once in id order via keyset cursor") {
+    val store = new EventStore(freshLog(), AccountType, snapshotThreshold = 99)
+    (1 to 3).foreach { i =>
+      store.create(s"01HXAMPLEACCT0000000000OB$i", Seq(
+        AccountType.created(i, s"o$i"), AccountType.deposited(i),
+        AccountType.deposited(i * 2)), nowMs = 1700000000000L + i * 1000)
+    }
+    // poll in batches of 4 until drained, acking by last seen id
+    var cursor = ""
+    var seen = Vector.empty[String]
+    var batch = store.log.outboxBatch(cursor, limit = 4).collect()
+    while (batch.nonEmpty) {
+      val ids = batch.map(_.getAs[String]("id")).toVector
+      assert(ids == ids.sorted, "batch must be id-ordered")
+      seen ++= ids
+      cursor = ids.last
+      batch = store.log.outboxBatch(cursor, limit = 4).collect()
+    }
+    // 9 events, batches of 4 → 4+4+1, no repeats, no gaps, global id order
+    assert(seen.length == 9 && seen.distinct.length == 9 && seen == seen.sorted)
+    val all = store.log.activeEvents.orderBy("id").collect().map(_.getAs[String]("id"))
+    assert(seen == all.toVector)
+  }
+
   test("retrieve of an unknown stream raises UnknownAggregateException") {
     val store = new EventStore(freshLog(), AccountType)
     intercept[graft.store.UnknownAggregateException] {
