@@ -612,6 +612,18 @@ object SparkEntry {
           round(col("__p95"), 6).as("p95"))
     }),
 
+    // ── text: top-3 salient terms per doc (linear TF-IDF, df over corpus) ─
+    "t9_tfidf" -> ((s, dir) =>
+      ops.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 30)),
+
+    // ── dedup: eval-set contamination (probe containment in corpus) ───────
+    "d9_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dedup.containment(docs, docs.filter(col("doc_id") < 25),
+        "doc_id", "text", threshold = 0.15)
+    }),
+
     // ── sampling: stratified deterministic mixture (per-source rates) ─────
     "x3_hash_sample" -> ((s, dir) =>
       ops.Sampling.hashSampleBy(t(s, dir, "documents"), "doc_id", "source",
@@ -1312,6 +1324,35 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "t9_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |             round(tf.tf * ((SELECT n FROM n)::DOUBLE / df.df), 6) AS score
+        |      FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)::BIGINT AS rn
+        |  FROM s) t
+        |WHERE rn <= 3 AND doc_id < 30""".stripMargin,
+
+    "d9_contamination" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |cs AS (SELECT doc_id AS corpus_id, unnest(sh) AS shingle FROM sets),
+        |ps AS (SELECT doc_id AS probe_id, len(sh) AS probe_n, unnest(sh) AS shingle
+        |       FROM sets WHERE doc_id < 25)
+        |SELECT corpus_id, probe_id, count(*)::BIGINT AS shared,
+        |       round(count(*) * 1.0 / probe_n, 4) AS containment
+        |FROM cs JOIN ps USING (shingle)
+        |WHERE corpus_id != probe_id
+        |GROUP BY corpus_id, probe_id, probe_n
+        |HAVING count(*) * 1.0 / probe_n >= 0.15""".stripMargin,
+
     "x3_hash_sample" ->
       """WITH b AS (SELECT doc_id, source,
         |  (((md5_number('mix' || doc_id::VARCHAR) % 4294967296) + 4294967296)

@@ -271,6 +271,34 @@ object Dedup {
     labels
   }
 
+  /** Eval-set contamination check: for every (corpus doc, probe doc) pair
+    * sharing at least one n-gram shingle, the CONTAINMENT of the probe in
+    * the corpus doc — `|S(probe) ∩ S(corpus)| / |S(probe)|` — i.e. how much
+    * of an eval/benchmark document leaked into the training corpus.
+    * Asymmetric on purpose: a probe fully quoted inside a much larger
+    * corpus doc scores 1.0 even though their Jaccard is tiny.
+    *
+    * Scale shape: probes (the eval set) are small next to the corpus, so
+    * their exploded shingles broadcast; the corpus side streams through the
+    * shingle join without a shuffle of its own rows. Threshold filters on
+    * the exact ratio (pre-round) so the cut matches the oracle's HAVING.
+    */
+  def containment(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val cs = shingleSets(corpus, idCol, textCol, shingleSize)
+      .select(col("set_id").as("corpus_id"), explode(col("sh")).as("shingle"))
+    val ps = shingleSets(probes, idCol, textCol, shingleSize)
+      .select(col("set_id").as("probe_id"), size(col("sh")).as("probe_n"),
+        explode(col("sh")).as("shingle"))
+    cs.join(broadcast(ps), Seq("shingle"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .groupBy(col("corpus_id"), col("probe_id"), col("probe_n"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / col("probe_n") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("shared"),
+        round(col("shared").cast("double") / col("probe_n"), 4).as("containment"))
+  }
+
   /** Near-dup candidates by embedding cosine: delegates to Similarity — kept
     * here so the dedup namespace covers all five families (exact, minhash,
     * simhash, ngram-jaccard, embedding).

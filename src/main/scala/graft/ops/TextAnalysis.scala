@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -93,6 +94,45 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Per-document term frequencies: one row per (doc, token). The groupBy
+    * partial-aggregates map-side, so the shuffle carries distinct
+    * (doc, token) pairs, not raw token occurrences.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+
+  /** Corpus document frequency per token, derived from a term-frequency
+    * frame (one row per (doc, token) already — counting rows per token IS
+    * the document count, no second corpus scan).
+    */
+  def documentFrequency(tf: DataFrame): DataFrame =
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Top-k salient terms per document by linear TF-IDF: `tf · N/df`. The
+    * linear form (no logarithm) ranks identically to log-IDF within a
+    * document for the top end and keeps the score exact IEEE arithmetic —
+    * libm `ln` implementations differ in the last ulp across engines, a
+    * plain double division does not, so the whole operator is
+    * oracle-checkable bit-for-bit (`t9_tfidf`).
+    *
+    * Plan shape: tf is materialized once and feeds both the df aggregation
+    * and the scoring join; both shuffle on `token`, so the join reuses the
+    * aggregation's partitioning. At full corpus scale swap the
+    * `localCheckpoint` for `persist(DISK_ONLY)` — the shape is unchanged.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
+    val n = tf.agg(countDistinct(col("doc"))).head().getLong(0)
+    val w = Window.partitionBy(col("doc")).orderBy(col("score").desc, col("token"))
+    tf.join(documentFrequency(tf), Seq("token"))
+      .withColumn("score", round(col("tf") * (lit(n.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc").as(idCol), col("token"), col("score"), col("rn"))
+  }
 
   /** 32-bit token hash: little-endian reading of the first 4 md5 bytes.
     * Chosen because it is reproducible everywhere — equal to DuckDB's

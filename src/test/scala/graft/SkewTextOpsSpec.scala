@@ -175,6 +175,28 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
 
+  test("containment: probe fully quoted in a larger doc scores 1.0 (asymmetric)") {
+    val s = spark
+    import s.implicits._
+    val probe = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, s"lots of framing text before the quote $probe and plenty of trailing text after it"),
+      (2L, "completely unrelated content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, probe)).toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, probes, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // every probe shingle appears in doc 1 → containment 1.0; doc 2 absent
+    assert(got == Set((1L, 100L, 1.0)))
+
+    // tfidf: salient term of each doc is its distinctive token, k rows per doc
+    val docs = Seq((1L, "zebra zebra common"), (2L, "quill quill common"))
+      .toDF("doc_id", "text")
+    val top = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "zebra", 2L -> "quill"))
+  }
+
   test("LSH bucket cap drops only oversized buckets; other-band collisions survive") {
     val s = spark
     import s.implicits._
