@@ -624,6 +624,16 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.15)
     }),
 
+    // ── text: context-window chunking with overlap ────────────────────────
+    "t10_chunk" -> ((s, dir) =>
+      ops.TextAnalysis.chunk(t(s, dir, "documents").filter(col("doc_id") < 20),
+        "doc_id", "text", chunkTokens = 20, overlap = 5)),
+
+    // ── window: greedy sequence packing into token-budget bins ────────────
+    "w6_seq_pack" -> ((s, dir) =>
+      ops.TextAnalysis.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", "source", budgetTokens = 256)),
+
     // ── sampling: stratified deterministic mixture (per-source rates) ─────
     "x3_hash_sample" -> ((s, dir) =>
       ops.Sampling.hashSampleBy(t(s, dir, "documents"), "doc_id", "source",
@@ -1324,6 +1334,26 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "t10_chunk" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |            FROM documents WHERE doc_id < 20),
+        |c AS (SELECT doc_id, unnest(range(0, len(ws), 15)) AS start, ws FROM tok)
+        |SELECT doc_id, (start // 15)::BIGINT AS chunk_no,
+        |       array_to_string(ws[start+1 : start+20], ' ') AS chunk,
+        |       least(20, len(ws) - start)::BIGINT AS n_tokens
+        |FROM c""".stripMargin,
+
+    "w6_seq_pack" ->
+      """WITH n AS (SELECT doc_id, source,
+        |             len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM n)
+        |SELECT doc_id, source, n_tokens, ((cum - n_tokens) // 256)::BIGINT AS bin
+        |FROM c""".stripMargin,
+
     "t9_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         |            FROM documents),

@@ -134,6 +134,47 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("token"), col("score"), col("rn"))
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-window chunking step before tokenization/packing. One row per
+    * chunk: (id, chunk_no, chunk, n_tokens). Stride = chunkTokens − overlap;
+    * the final chunk may be short (standard behavior). Pure explode over a
+    * start-offset sequence on a MATERIALIZED token array (the lambda-
+    * re-evaluation rule), fully codegen'd.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .withColumn("start",
+        explode(when(size(col("__ws")) >= 1,
+          sequence(lit(0), size(col("__ws")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), (col("start") / stride).cast("long").as("chunk_no"),
+        array_join(slice(col("__ws"), col("start") + 1, lit(chunkTokens)), " ").as("chunk"),
+        least(lit(chunkTokens), size(col("__ws")) - col("start")).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed token-budget bins
+    * (context windows) by exclusive running token count, per `groupCol`
+    * partition. This is the scalable streaming-pack form — one window
+    * shuffle on the group key, deterministic, order = id — not optimal
+    * bin packing (NP-hard and inherently sequential); a doc larger than the
+    * budget gets bins to itself, like every practical packer. At 100 TB the
+    * group key (source/shard) bounds each window partition.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("bin"))
+  }
+
   /** 32-bit token hash: little-endian reading of the first 4 md5 bytes.
     * Chosen because it is reproducible everywhere — equal to DuckDB's
     * `md5_number(t) % 2^32` (made non-negative) and trivially portable.

@@ -175,6 +175,37 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
 
+  test("chunking reconstructs the document; packing respects the token budget") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 47).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text, "s0")).toDF("doc_id", "text", "source")
+
+    val chunks = graft.ops.TextAnalysis.chunk(docs, "doc_id", "text",
+      chunkTokens = 20, overlap = 5).orderBy("chunk_no").collect()
+    // stride 15 over 47 tokens → starts 0,15,30,45 → 4 chunks
+    assert(chunks.length == 4)
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(20L, 20L, 17L, 2L))
+    // consecutive chunks overlap by 5 tokens; stitching strides recovers the doc
+    val toks = chunks.map(_.getAs[String]("chunk").split(" ").toSeq)
+    assert(toks(0).takeRight(5) == toks(1).take(5))
+    assert((toks(0) ++ toks(1).drop(5) ++ toks(2).drop(5) ++ toks(3).drop(5))
+      .mkString(" ") == text)
+
+    // packing: bins advance when the running count crosses the budget, and
+    // every bin's exclusive-prefix start is inside its own budget window
+    val many = (1L to 40L).map(i => (i, (1 to 30).map(j => s"x$j").mkString(" "), "s0"))
+      .toDF("doc_id", "text", "source")
+    val packed = graft.ops.TextAnalysis.packSequences(many, "doc_id", "text",
+      "source", budgetTokens = 100).collect()
+    // 30 tokens each, budget 100 → bin = floor(exclusive-prefix / 100) exactly
+    packed.foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == 30L)
+      assert(r.getAs[Long]("bin") == (i - 1) * 30 / 100, s"doc $i")
+    }
+  }
+
   test("containment: probe fully quoted in a larger doc scores 1.0 (asymmetric)") {
     val s = spark
     import s.implicits._
