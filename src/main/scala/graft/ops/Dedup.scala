@@ -67,6 +67,11 @@ object Dedup {
     * variants, halving the dominant md5/concat work. MinHash over the
     * distinct set equals MinHash over the multiset (min is duplicate-
     * invariant), so candidates are unchanged.
+    *
+    * Do NOT `explode(col("sh"))` on this frame without a checkpoint in
+    * between: CollapseProject merges the projections and inlines the
+    * tokenizer into the shingle lambda (O(tokens²) per row — see
+    * `containment`'s shingleRows for the safe Project→Generate shape).
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame =
@@ -285,15 +290,23 @@ object Dedup {
     */
   def containment(corpus: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val cs = shingleSets(corpus, idCol, textCol, shingleSize)
-      .select(col("set_id").as("corpus_id"), explode(col("sh")).as("shingle"))
-    val ps = shingleSets(probes, idCol, textCol, shingleSize)
-      .select(col("set_id").as("probe_id"), size(col("sh")).as("probe_n"),
-        explode(col("sh")).as("shingle"))
-    cs.join(broadcast(ps), Seq("shingle"))
+    // Project(tokens) → Generate(explode) directly — the d2 shape. Deriving
+    // the exploded rows from `shingleSets(...).select(explode(sh))` instead
+    // lets CollapseProject merge the two projections and inline the
+    // tokenizer into the shingle lambda (re-evaluated per element →
+    // O(tokens²) per row; measured 19s vs 1.5s on the sf0.1 corpus).
+    def shingleRows(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__ws"))
+        .select(col(outId),
+          explode(array_distinct(shinglesFromTokens(col("__ws"), shingleSize)))
+            .as("shingle"))
+    val ps = shingleRows(probes, "probe_id").localCheckpoint() // tiny; read twice
+    val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("probe_n"))
+    shingleRows(corpus, "corpus_id").join(broadcast(ps), Seq("shingle"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .groupBy(col("corpus_id"), col("probe_id"), col("probe_n"))
+      .groupBy(col("corpus_id"), col("probe_id"))
       .agg(count(lit(1)).as("shared"))
+      .join(broadcast(pn), Seq("probe_id"))
       .filter(col("shared").cast("double") / col("probe_n") >= threshold)
       .select(col("corpus_id"), col("probe_id"), col("shared"),
         round(col("shared").cast("double") / col("probe_n"), 4).as("containment"))

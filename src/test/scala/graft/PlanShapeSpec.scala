@@ -82,7 +82,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "w2_version_assign" -> 1, "w3_keyset_page" -> 0, "w5_quality_rank" -> 1,
       "x1_approx_distinct" -> 1, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
-      "t9_tfidf" -> 4, "d9_contamination" -> 1,
+      "t9_tfidf" -> 4, "d9_contamination" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
