@@ -95,6 +95,28 @@ object PipelineScaleSmoke {
       require(Multimodal.extractFeatureSums(packed, dim = 8).count() == nDocs)
     }
 
+    // ── tfidf / chunking / packing / contamination at corpus scale
+    time("tfidf top-3 terms per doc") {
+      require(graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+        .count() > 0)
+    }
+    time("chunk into 20-token windows (overlap 5)") {
+      require(graft.ops.TextAnalysis.chunk(docs, "doc_id", "text",
+        chunkTokens = 20, overlap = 5).count() >= nDocs.toLong * 2)
+    }
+    time("pack into 2048-token bins per source") {
+      require(graft.ops.TextAnalysis.packSequences(docs, "doc_id", "text",
+        "source", budgetTokens = 2048).count() == nDocs)
+    }
+    time("contamination: 1k probes vs corpus") {
+      // planted dups guarantee hits: probes ≡ 1 (mod 10) are contained in
+      // their base docs at ~35/41 shingle containment
+      val hits = Dedup.containment(docs,
+        docs.filter(col("doc_id") % 10 === 1 && col("doc_id") < 10000),
+        "doc_id", "text", threshold = 0.5).count()
+      require(hits >= 900, s"expected ~1000 planted containment hits, got $hits")
+    }
+
     // ── ANN at 200k × 64 dims: LSH-bucketed and IVF top-k for 64 queries
     val emb = time("synthesize embeddings (64-dim)") {
       spark.range(nDocs.toLong).select(
