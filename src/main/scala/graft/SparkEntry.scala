@@ -624,6 +624,10 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.15)
     }),
 
+    // ── text: duplicate n-gram fraction (repetition quality filter) ───────
+    "t11_repetition" -> ((s, dir) =>
+      ops.TextAnalysis.repetitionFraction(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── text: context-window chunking with overlap ────────────────────────
     "t10_chunk" -> ((s, dir) =>
       ops.TextAnalysis.chunk(t(s, dir, "documents").filter(col("doc_id") < 20),
@@ -1334,6 +1338,15 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "t11_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(len(ws)-2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+        |         ELSE [] END AS sh FROM tok)
+        |SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+        |       round(1.0 - len(list_distinct(sh)) * 1.0 / greatest(len(sh), 1), 4) AS rep_frac
+        |FROM sh""".stripMargin,
+
     "t10_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
         |            FROM documents WHERE doc_id < 20),

@@ -95,6 +95,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Duplicate n-gram fraction per document (the Gopher-style repetition
+    * quality filter): 1 − distinct/total 3-gram shingles. High values flag
+    * machine-generated or looping text that token-level `distinctRatio`
+    * misses (repeated PHRASES with a varied vocabulary). Returns
+    * (id, n_shingles, rep_frac); no shuffle.
+    */
+  def repetitionFraction(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), Dedup.shinglesFromTokens(col("__ws"), shingleSize).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        round(lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+          greatest(size(col("__sh")), lit(1)), 4).as("rep_frac"))
+
   /** Per-document term frequencies: one row per (doc, token). The groupBy
     * partial-aggregates map-side, so the shuffle carries distinct
     * (doc, token) pairs, not raw token occurrences.

@@ -83,7 +83,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "x1_approx_distinct" -> 1, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
-      "t10_chunk" -> 0, "w6_seq_pack" -> 1)
+      "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty, s"no shuffle budget declared for: $missing")
