@@ -515,6 +515,11 @@ object SparkEntry {
       ops.Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("sh_id", "doc_id")),
 
+    // ── dedup: simhash near-dup pairs (byte-band pigeonhole + hamming) ────
+    "d10_simhash_pairs" -> ((s, dir) =>
+      ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2)),
+
     // ── dedup: n-gram Jaccard verification of the LSH candidates ──────────
     "d4_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1085,6 +1090,22 @@ object SparkEntry {
         |SELECT doc_id,
         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "d10_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) t FROM documents),
+        |th AS (SELECT doc_id, (((md5_number(t) % 4294967296) + 4294967296) % 4294967296)::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+        |         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, unnest(range(4)) AS band,
+        |                 (simhash >> (unnest(range(4)) * 8)) & 255 AS byte FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                a.simhash AS ha, b.simhash AS hb
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+        |                                  AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),

@@ -276,6 +276,37 @@ object Dedup {
     labels
   }
 
+  /** SimHash near-dup pairs: pigeonhole banding on the four bytes of the
+    * 32-bit fingerprint — two fingerprints within Hamming distance 3 differ
+    * in at most 3 bits, so at most 3 of the 4 bytes are touched and at
+    * least one byte collides: recall is TOTAL for `maxHamming ≤ 3`, no
+    * all-pairs scan. Same in-bucket expansion shape as the MinHash LSH
+    * (one aggregation, pairs only materialize inside a colliding bucket);
+    * the Hamming verify is one codegen'd `bit_count(xor)`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4x8-bit banding guarantees recall only to hamming 3")
+    val bands = simhash32(df, idCol, textCol)
+      .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("byte", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
+    bands.groupBy(col("band"), col("byte"))
+      .agg(collect_list(struct(col("sh_id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .withColumn("xs", array_sort(col("xs"))) // struct sort: by sh_id first
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("xs")) - 1),
+        i => transform(
+          slice(col("xs"), i + 1, size(col("xs")) - i),
+          b => struct(element_at(col("xs"), i).as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.sh_id").as("doc_a"), col("p.b.sh_id").as("doc_b"),
+        col("p.a.simhash").bitwiseXOR(col("p.b.simhash")).as("x"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("x")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Eval-set contamination check: for every (corpus doc, probe doc) pair
     * sharing at least one n-gram shingle, the CONTAINMENT of the probe in
     * the corpus doc — `|S(probe) ∩ S(corpus)| / |S(probe)|` — i.e. how much

@@ -58,6 +58,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // label/edge frames those exchanges move are candidate-sized, not
       // corpus-sized
       "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 0, "d6_dedup_survivors" -> 14,
+      "d10_simhash_pairs" -> 3,
       "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 15,
       "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,

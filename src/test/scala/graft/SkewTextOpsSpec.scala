@@ -175,6 +175,23 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
 
+  test("simhash banded pairs == brute-force pairs (pigeonhole recall is total)") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the 200 fingerprints
+    val sigs = Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
   test("chunking reconstructs the document; packing respects the token budget") {
     val s = spark
     import s.implicits._
