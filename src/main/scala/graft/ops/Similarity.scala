@@ -147,6 +147,57 @@ object Similarity {
     cents
   }
 
+  /** Driver-local twin of `farthestFirstCentroids` for BOUNDED samples.
+    * The seed scan is inherently sequential (choosing centroid i+1 needs
+    * the first i), so at nlist ≈ 64 the distributed form pays 64 job
+    * round-trips to rescan a few-thousand-row sample. Collecting the sample
+    * (the caller bounds it, e.g. `Sampling.hashSample(emb, idCol, 0.02)`)
+    * and running the same arithmetic in driver memory returns the IDENTICAL
+    * centroid frame — same cosine accumulation order, same round(·,6), same
+    * (maxsim, id) tie-break; equality is asserted in the spec — in
+    * milliseconds instead of tens of seconds. Lloyd refinement and serving
+    * stay distributed; only the seed selection localizes.
+    */
+  def farthestFirstCentroidsLocal(sample: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val pts = sample.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(pts.nonEmpty, "empty centroid sample")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark's round(double, 6) = BigDecimal(x).setScale(6, HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
+    // running max-similarity to the chosen set: only the newest centroid
+    // needs a pass (max over the same rounded values == full recompute)
+    val maxsim = pts.map(p => r6(cos(p._2, pts.head._2)))
+    while (chosen.size < math.min(nlist, pts.length)) {
+      var bi = 0
+      var i = 1
+      while (i < pts.length) {
+        if (maxsim(i) < maxsim(bi) ||
+          (maxsim(i) == maxsim(bi) && pts(i)._1 < pts(bi)._1)) bi = i
+        i += 1
+      }
+      chosen += pts(bi)
+      i = 0
+      while (i < pts.length) {
+        val s = r6(cos(pts(i)._2, pts(bi)._2))
+        if (s > maxsim(i)) maxsim(i) = s
+        i += 1
+      }
+    }
+    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cent_id", "cent")
+  }
+
   /** Lloyd-refined IVF centroids: deterministic farthest-first seed, then
     * `iters` rounds of assign-to-nearest (broadcast centroids — the corpus
     * is scanned, never shuffled on vectors) + per-dimension mean (posexplode

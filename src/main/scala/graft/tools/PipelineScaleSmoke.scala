@@ -131,8 +131,8 @@ object PipelineScaleSmoke {
       require(Similarity.signLshTopK(emb, queries, "vec_id", "embedding",
         k = 5, bits = 12).count() > 0)
     }
-    time("IVF ANN top-5 (64 cells, farthest-first seeds on sample)") {
-      val cents = Similarity.farthestFirstCentroids(
+    time("IVF ANN top-5 (64 cells, driver-local farthest-first seeds)") {
+      val cents = Similarity.farthestFirstCentroidsLocal(
         Sampling.hashSample(emb, "vec_id", 0.02, salt = "c"),
         "vec_id", "embedding", nlist = 64)
       require(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",

@@ -175,6 +175,17 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6))
   }
 
+  test("driver-local farthest-first seeding == distributed form, bit for bit") {
+    val s = spark
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150)
+    val dist = graft.ops.Similarity.farthestFirstCentroids(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    val local = graft.ops.Similarity.farthestFirstCentroidsLocal(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    assert(local.toList == dist.toList)
+  }
+
   test("simhash banded pairs == brute-force pairs (pigeonhole recall is total)") {
     val s = spark
     import s.implicits._
