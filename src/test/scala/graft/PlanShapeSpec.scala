@@ -3,6 +3,7 @@ package graft
 import graft.log.EventLog
 import graft.store.EventStore
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties we tuned for (pushdown, pruning,
@@ -27,6 +28,23 @@ class PlanShapeSpec extends AnyFunSuite {
   test("scan reads only the projected columns") {
     val p = plan("s3_range_scan")
     assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"))
+  }
+
+  test("multimodal metadata predicates prune the binary column from the scan") {
+    // the core multimodal scale claim: filtering/selecting on metadata must
+    // never read the (large) content bytes — ReadSchema excludes `content`
+    val tmp = Files.createTempDirectory("graftmm").toFile.getAbsolutePath
+    graft.ops.Multimodal.pack(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "img")
+      .write.parquet(s"$tmp/media")
+    val p = spark.read.parquet(s"$tmp/media")
+      .filter(col("meta.n_bytes") > 100)
+      .select(col("media_id"), col("meta.width"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") && !p.contains("content"),
+      "content bytes must not be scanned for metadata-only queries")
+    assert(p.contains("PushedFilters") && p.contains("n_bytes"),
+      "metadata predicate should push to parquet")
   }
 
   test("dimension joins broadcast (no sort-merge join in q5/j2)") {
