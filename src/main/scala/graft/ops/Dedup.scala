@@ -280,31 +280,31 @@ object Dedup {
     * 32-bit fingerprint — two fingerprints within Hamming distance 3 differ
     * in at most 3 bits, so at most 3 of the 4 bytes are touched and at
     * least one byte collides: recall is TOTAL for `maxHamming ≤ 3`, no
-    * all-pairs scan. Same in-bucket expansion shape as the MinHash LSH
-    * (one aggregation, pairs only materialize inside a colliding bucket);
-    * the Hamming verify is one codegen'd `bit_count(xor)`.
+    * all-pairs scan.
+    *
+    * Shape: unlike the MinHash LSH (small buckets, heavy signature subplan →
+    * in-bucket array expansion), a simhash band has only 256 possible
+    * values, so buckets are FAT on homogeneous corpora — materializing the
+    * candidate pairs as nested struct arrays measured 2.3s for 2.8M pairs at
+    * sf0.1. The per-doc signature frame is one (id, long) row, so
+    * checkpointing it and self-joining on (band, byte) costs nothing to
+    * recompute and streams the pairs through a codegen'd join with the
+    * `bit_count(xor)` verify applied map-side before the dedup shuffle.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4x8-bit banding guarantees recall only to hamming 3")
-    val bands = simhash32(df, idCol, textCol)
+    val bands = simhash32(df, idCol, textCol).localCheckpoint()
       .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("byte", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
-    bands.groupBy(col("band"), col("byte"))
-      .agg(collect_list(struct(col("sh_id"), col("simhash"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .withColumn("xs", array_sort(col("xs"))) // struct sort: by sh_id first
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("xs")) - 1),
-        i => transform(
-          slice(col("xs"), i + 1, size(col("xs")) - i),
-          b => struct(element_at(col("xs"), i).as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.sh_id").as("doc_a"), col("p.b.sh_id").as("doc_b"),
-        col("p.a.simhash").bitwiseXOR(col("p.b.simhash")).as("x"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("x")).cast("long"))
+    bands.select(col("band"), col("byte"), col("sh_id").as("doc_a"), col("simhash").as("ha"))
+      .join(bands.select(col("band"), col("byte"), col("sh_id").as("doc_b"),
+        col("simhash").as("hb")), Seq("band", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Eval-set contamination check: for every (corpus doc, probe doc) pair
