@@ -252,13 +252,22 @@ object Dedup {
     * neighbors. Returns `(node, label)` — nodes sharing a label after
     * convergence are one near-dup component. Shared by the text (d6) and
     * embedding (d7) survivor operators; any near-dup pair source plugs in.
+    *
+    * Scale shape: only nodes incident to an edge can ever change label, so
+    * the iteration runs over the TOUCHED node set (distinct edge endpoints)
+    * and the untouched majority joins back once at the end as singleton
+    * components. Propagation cost is proportional to the near-dup GRAPH —
+    * typically a sliver of the corpus — not the corpus itself: at 100 TB the
+    * per-round shuffles move megabytes, and iterating never re-shuffles the
+    * full document id set.
     */
   def labelPropagation(nodes: DataFrame, pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint() // consumed once per round
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
     (1 to rounds).foreach { r =>
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
@@ -273,7 +282,11 @@ object Dedup {
       // ~25% of d6's wall time at sf0.1.
       if (r % 4 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
-    labels
+    // Checkpoint the converged labels (bounded by 2·|pairs| rows — tiny)
+    // so the singleton back-join sees exact sizes and broadcasts instead of
+    // sort-merge-shuffling the full corpus id set.
+    nodes.join(labels.localCheckpoint(), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** SimHash near-dup pairs: pigeonhole banding on the four bytes of the
