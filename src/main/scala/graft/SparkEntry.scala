@@ -629,6 +629,55 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.15)
     }),
 
+    // ── dedup: span-level exact-substring dedup (C4-style line dedup) ─────
+    "d11_span_dedup" -> ((s, dir) =>
+      ops.Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+          spanTokens = 10)
+        .select(col("doc_id"), col("n_spans"), col("n_dropped"),
+          md5(col("kept_text")).as("kept_md5"))),
+
+    // ── dedup: incremental batch-vs-corpus screen (continuous ingest) ─────
+    "d12_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = ops.Sampling.hashBucket(col("doc_id"), "inc", 10000)
+      ops.Dedup.incrementalDedup(
+        docs.filter(bucket >= 2000), docs.filter(bucket < 2000),
+        "doc_id", "text", threshold = 0.2)
+    }),
+
+    // ── text: PII screening + typed redaction (email / phone / IPv4) ──────
+    // The corpus is digit-free word salad, so the query plants PII
+    // deterministically from doc_id — both engines derive the identical
+    // input, and the counts/redaction exercise real matches.
+    "t12_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."),
+            (pmod(col("doc_id"), lit(254)) + 1).cast("string")))
+          .otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.piiEmailCount(aug).as("n_emails"),
+        ops.TextAnalysis.piiPhoneCount(aug).as("n_phones"),
+        ops.TextAnalysis.piiIpCount(aug).as("n_ips"),
+        md5(ops.TextAnalysis.piiRedact(aug)).as("red_md5"))
+    }),
+
+    // ── sampling: per-domain contribution cap ─────────────────────────────
+    "x5_domain_cap" -> ((s, dir) =>
+      ops.Sampling.capPerKey(t(s, dir, "documents"), "doc_id", "source",
+          cap = 10, salt = "cap")
+        .select(col("doc_id"), col("source"), col("cap_rank"))),
+
     // ── text: duplicate n-gram fraction (repetition quality filter) ───────
     "t11_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionFraction(t(s, dir, "documents"), "doc_id", "text")),
@@ -1416,6 +1465,95 @@ object SparkEntry {
         |WHERE corpus_id != probe_id
         |GROUP BY corpus_id, probe_id, probe_n
         |HAVING count(*) * 1.0 / probe_n >= 0.15""".stripMargin,
+
+    "d11_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest(range((len(ws)+9)//10)) AS span_pos,
+        |         unnest(list_transform(range((len(ws)+9)//10),
+        |           i -> array_to_string(ws[(i*10+1):((i+1)*10)], ' '))) AS span
+        |       FROM tok),
+        |fs AS (SELECT doc_id, span_pos, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_pos) = 1
+        |           AS first_seen
+        |       FROM sp)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |       sum(CASE WHEN first_seen THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        |       md5(string_agg(CASE WHEN first_seen THEN span END, ' '
+        |                      ORDER BY span_pos)) AS kept_md5
+        |FROM fs GROUP BY doc_id""".stripMargin,
+
+    "d12_incremental" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  (((md5_number('inc' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 10000 AS bucket FROM documents),
+        |tok AS (SELECT doc_id, bucket < 2000 AS is_batch,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws FROM b),
+        |sh AS (SELECT doc_id, is_batch, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id, is_batch,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id, is_batch,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id, is_batch),
+        |mh AS (SELECT doc_id, is_batch, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 3, sig3 FROM mh0),
+        |cand AS (SELECT DISTINCT bm.doc_id AS b_id, cm.doc_id AS c_id
+        |         FROM mh bm JOIN mh cm ON bm.band = cm.band AND bm.sig = cm.sig
+        |         WHERE bm.is_batch AND NOT cm.is_batch),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |ver AS (SELECT b_id, min(c_id) AS match_id
+        |        FROM cand JOIN sets sb ON sb.doc_id = b_id
+        |                  JOIN sets sc ON sc.doc_id = c_id
+        |        WHERE round(len(list_intersect(sb.sh, sc.sh)) * 1.0
+        |              / len(list_distinct(sb.sh || sc.sh)), 4) >= 0.2
+        |        GROUP BY b_id)
+        |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
+        |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
+        |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    "t12_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+        |       || CASE WHEN doc_id % 3 = 0
+        |            THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |                 || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |            ELSE '' END
+        |       || CASE WHEN doc_id % 5 = 0
+        |            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR
+        |                 || '.' || ((doc_id % 254) + 1)::VARCHAR
+        |            ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS red_md5
+        |FROM aug""".stripMargin,
+
+    "x5_domain_cap" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  (((md5_number('cap' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 1000000 AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)::BIGINT
+        |          AS cap_rank
+        |      FROM b)
+        |SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= 10""".stripMargin,
 
     "x3_hash_sample" ->
       """WITH b AS (SELECT doc_id, source,

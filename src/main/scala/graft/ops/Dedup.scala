@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact (fingerprint group-by), MinHash+LSH banded
@@ -363,4 +364,78 @@ object Dedup {
   def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairs(emb, idCol, vecCol, threshold)
+
+  /** Exact-substring (span-level) dedup, the C4/RefinedWeb line-dedup shape
+    * adapted to fixed token windows: each document is cut into consecutive
+    * `spanTokens`-token spans, and only the globally-FIRST occurrence of a
+    * span survives (first by document id, then by position — deterministic).
+    * Returns one row per document: surviving text rebuilt in span order
+    * (null if every span was dropped), span counts, and dropped counts.
+    *
+    * Unlike document-level dedup (d1-d6) this removes REPEATED PASSAGES
+    * embedded in otherwise-unique pages — boilerplate, license headers,
+    * navigation chrome — which survive whole-document fingerprints.
+    *
+    * Scale shape: one shuffle by span hash for the first-occurrence window,
+    * one shuffle by doc id for reassembly; span strings never exceed
+    * `spanTokens` tokens, so shuffle rows stay bounded regardless of
+    * document length.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, "spanTokens >= 1")
+    val nSpans = ceil(size(col("__ws")).cast("double") / spanTokens).cast("int")
+    val spans = df
+      .select(col(idCol).as("sd_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col("sd_id"), posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => concat_ws(" ", slice(col("__ws"), i * spanTokens + 1, lit(spanTokens))))))
+      .withColumnRenamed("pos", "span_pos").withColumnRenamed("col", "span")
+    val w = Window.partitionBy(col("span")).orderBy(col("sd_id"), col("span_pos"))
+    spans.withColumn("first_seen", row_number().over(w) === 1)
+      .groupBy(col("sd_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("first_seen"), 0L).otherwise(1L)).as("n_dropped"),
+        array_sort(collect_list(when(col("first_seen"),
+          struct(col("span_pos"), col("span"))))).as("__kept"))
+      .select(col("sd_id").as(idCol), col("n_spans"), col("n_dropped"),
+        when(size(col("__kept")) > 0,
+          concat_ws(" ", transform(col("__kept"), k => k.getField("span"))))
+          .as("kept_text"))
+  }
+
+  /** Incremental dedup: screen a NEW batch against an EXISTING corpus
+    * without re-pairing the corpus with itself — the continuous-ingest
+    * pipeline shape (nightly crawl vs. everything already accepted).
+    * A batch document is a duplicate when its n-gram Jaccard against some
+    * corpus document reaches `threshold`; candidates come from the same
+    * banded MinHash as d2, but joined batch↔corpus only, so no
+    * corpus×corpus pair ever materializes. Returns every batch id with
+    * `is_new` and the minimum matching corpus id (null when new).
+    *
+    * Scale shape: corpus signatures are a pure function of the corpus —
+    * at 100 TB they are computed once, stored, and only the (small) batch
+    * side is signed per run; the band join then shuffles signature rows,
+    * never documents.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val cSets = shingleSets(corpus, idCol, textCol, shingleSize).localCheckpoint()
+    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
+    val cand = minhashSignaturesFromSets(bSets, bands)
+      .withColumnRenamed("mh_id", "b_id")
+      .join(minhashSignaturesFromSets(cSets, bands).withColumnRenamed("mh_id", "c_id"),
+        Seq("band", "sig"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val matched = cand
+      .join(bSets.select(col("set_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+      .join(cSets.select(col("set_id").as("c_id"), col("sh").as("sh_c")), Seq("c_id"))
+      .filter(round(graft.functions.jaccard_sim(col("sh_b"), col("sh_c")), 4)
+        >= threshold)
+      .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
+    batch.select(col(idCol)).join(
+        matched.withColumnRenamed("b_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
+  }
 }

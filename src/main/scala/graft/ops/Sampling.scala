@@ -68,4 +68,25 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Cap rows per key (the per-domain contribution cap of web-crawl
+    * pipelines: no single site may dominate the mixture). Keeps the `cap`
+    * rows whose salted id-hash ranks lowest within the key — a deterministic
+    * uniform choice, reproducible across runs and engines, unlike
+    * order-dependent `limit` per group. Adds the rank as `cap_rank`.
+    *
+    * Scale shape: one shuffle by key. Rank-then-filter means a hot key's
+    * rows DO shuffle before being cut; when one key holds a double-digit
+    * share of all rows, pre-filter with a cheap bound (e.g. `hashSample`
+    * at ~10·cap/keyCount) before ranking — the deterministic hash makes the
+    * two-stage result identical to the one-stage one.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, cap: Int,
+      salt: String = "", granularity: Int = 1000000): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), salt, granularity), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
 }

@@ -207,4 +207,32 @@ object TextAnalysis {
     conv(concat(
       substring(md5(t), 7, 2), substring(md5(t), 5, 2),
       substring(md5(t), 3, 2), substring(md5(t), 1, 2)), 16, 10).cast("long")
+
+  /** PII patterns — deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the same pattern string runs in Spark (java.util.regex)
+    * and any RE2 engine with identical semantics; order of redaction is
+    * email → phone → IPv4 so a phone-bearing email local part is consumed
+    * as one email first.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts (email / phone / IPv4), on the RAW text —
+    * the screening half of the PII filter. Pure regexp_count: codegen'd,
+    * no shuffle, linear scans per pattern.
+    */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(EmailPattern)).cast("long")
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern)).cast("long")
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(Ipv4Pattern)).cast("long")
+
+  /** Redact all three PII classes with typed placeholders. Email first: its
+    * pattern can span digits a later pass would partially consume.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
 }

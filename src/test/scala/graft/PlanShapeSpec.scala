@@ -102,7 +102,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "x1_approx_distinct" -> 1, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
-      "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0)
+      "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
+      // d11: span-hash window + doc reassembly; d12: batch↔corpus band join
+      // + verify over checkpointed set frames (corpus never self-pairs)
+      "d11_span_dedup" -> 2, "d12_incremental" -> 3,
+      "t12_pii_redact" -> 0, "x5_domain_cap" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty, s"no shuffle budget declared for: $missing")
@@ -120,7 +124,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
       "d7_embedding_survivors", "d8_quality_survivors",
-      "e4_ann_recall", "e5_multitable_recall")
+      "e4_ann_recall", "e5_multitable_recall",
+      // d12: the batch↔corpus signature join reads two post-aggregate
+      // frames with runtime-only statistics — AQE broadcasts the (small)
+      // batch side at execution
+      "d12_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
       SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         .contains("SortMergeJoin")

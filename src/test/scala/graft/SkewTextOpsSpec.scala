@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Skew, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -319,5 +319,82 @@ class SkewTextOpsSpec extends AnyFunSuite {
       docs.select($"doc_id", $"n_chars"), "doc_id", salt = "sp")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(other == byId)
+  }
+
+  test("span dedup keeps first global occurrence, rebuilds text in order") {
+    val s = spark
+    import s.implicits._
+    // doc 1: two spans; doc 2 repeats doc 1's first span (must drop) and has
+    // one unique span; doc 3 is entirely doc 1 (drops both spans → null)
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L), "n_spans")
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 1L, 2L), "n_dropped")
+    assert(out(0).getString(3) === "a b c d e f")
+    assert(out(1).getString(3) === "x y z", "repeated leading span removed")
+    assert(out(2).isNullAt(3), "fully-duplicated doc ends empty")
+    // within-doc repetition: second identical span also drops
+    val rep = Dedup.spanDedup(Seq((7L, "p q r p q r")).toDF("doc_id", "text"),
+      "doc_id", "text", spanTokens = 3).collect()(0)
+    assert(rep.getLong(2) === 1L && rep.getString(3) === "p q r")
+  }
+
+  test("incremental dedup flags batch docs near-duplicating the corpus") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely unrelated corpus text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 10
+      (21L, "fresh new content with no counterpart anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.2).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(20L, 21L))
+    assert(!out(0).getBoolean(1) && out(0).getLong(2) === 10L,
+      "near-dup batch doc matched to its corpus source")
+    assert(out(1).getBoolean(1) && out(1).isNullAt(2), "novel doc is new")
+    // corpus docs never pair with each other: output covers the batch only
+    assert(out.length === 2)
+  }
+
+  test("per-key cap keeps a deterministic hash-ranked subset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val capped = Sampling.capPerKey(docs, "doc_id", "source", cap = 3, salt = "c")
+    val perKey = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.values.forall(_ <= 3) && perKey.size == 20)
+    // deterministic and order-independent
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerKey(docs.repartition(17), "doc_id", "source", 3, "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 60)
+  }
+
+  test("pii redaction replaces emails, phones and IPs with typed tags") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 555-867-5309 from 192.168.1.1"),
+      (2L, "no pii in this row; version 1.2 is not an ip, 12-34 not a phone"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.piiEmailCount(col("text")).as("e"),
+      TextAnalysis.piiPhoneCount(col("text")).as("p"),
+      TextAnalysis.piiIpCount(col("text")).as("i"),
+      TextAnalysis.piiRedact(col("text")).as("red")).orderBy("id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) === ((1L, 1L, 1L)))
+    assert(out(0).getString(4) ===
+      "reach me at [EMAIL] or [PHONE] from [IP]")
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert(out(1).getString(4) ===
+      "no pii in this row; version 1.2 is not an ip, 12-34 not a phone",
+      "near-miss patterns must survive untouched")
   }
 }
