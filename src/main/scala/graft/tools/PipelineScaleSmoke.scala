@@ -77,6 +77,47 @@ object PipelineScaleSmoke {
       require(Dedup.simhash32(docs, "doc_id", "text").count() == nDocs)
     }
 
+    // ── span-level exact-substring dedup: planted pairs share every 10-token
+    // span except the one containing the swapped token 7
+    time("span dedup (10-token windows)") {
+      val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 10)
+        .agg(sum("n_dropped"), count(lit(1))).collect()(0)
+      require(out.getLong(1) == nDocs)
+      // each planted dup (10% of docs) drops ≥3 of its 4 spans
+      require(out.getLong(0) >= nDocs.toLong / 10 * 3,
+        s"expected >=${nDocs / 10 * 3} dropped spans, got ${out.getLong(0)}")
+    }
+
+    // ── incremental screen: the planted near-dups ≡1 (mod 10) as the batch,
+    // everything else as the accepted corpus → every batch doc must match
+    time("incremental dedup (100k batch vs 900k corpus)") {
+      val batch = docs.filter(col("doc_id") % 10 === 1)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 1)
+      val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.5).localCheckpoint()
+      val dups = out.filter(!col("is_new")).count()
+      require(dups >= nDocs.toLong / 10 * 99 / 100,
+        s"planted batch dups must be flagged (≥99%%): got $dups of ${nDocs / 10}")
+    }
+
+    // ── per-domain cap: 20 sources, cap far below rows/source
+    time("per-domain cap (1000/source)") {
+      val n = Sampling.capPerKey(docs, "doc_id", "source", cap = 1000, salt = "c")
+        .count()
+      require(n == math.min(nDocs.toLong, 20L * 1000), s"got $n")
+    }
+
+    // ── PII scrub over the corpus (regex-only, no shuffle)
+    time("pii screen + redact") {
+      import graft.ops.TextAnalysis
+      val pii = concat(col("text"), lit(" u"), col("doc_id"), lit("@x.example.com"))
+      val out = docs.select(
+          TextAnalysis.piiEmailCount(pii).as("e"),
+          length(TextAnalysis.piiRedact(pii)).as("l"))
+        .agg(sum("e"), count(lit(1))).collect()(0)
+      require(out.getLong(0) == nDocs.toLong, s"one planted email per doc: ${out.getLong(0)}")
+    }
+
     // ── sampling + split assignment
     time("stratified sample + split assign") {
       val sampled = Sampling.hashSampleBy(docs, "doc_id", "source",
