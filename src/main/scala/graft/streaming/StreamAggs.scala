@@ -87,4 +87,41 @@ object StreamAggs {
       else fp.dropDuplicates("__fp")
     out.drop("__fp")
   }
+
+  /** Screen-at-ingest: the stateless quality gate applied to documents AS
+    * they stream in — PII redaction, repetition/quality scoring, and a keep
+    * decision — so rejected or scrubbed text never lands in storage at all
+    * (at 100 TB, filtering post-hoc means paying to write and re-read the
+    * rejects). Everything here is per-row (regex + token arithmetic): no
+    * state, no watermark, identical semantics in batch and streaming — the
+    * same call screens a backfill DataFrame and the live `readStream`.
+    *
+    * Adds: `text` redacted in place, `n_pii` (emails+phones+IPs found),
+    * `quality` (distinct-token ratio), `rep_frac` (duplicate 3-gram
+    * fraction), `keep` (quality ≥ minQuality ∧ rep_frac ≤ maxRepetition).
+    * Filtering is the CALLER's move — keeping rejects flowing lets the
+    * pipeline route them to a quarantine sink instead of dropping them
+    * silently.
+    */
+  def screenAtIngest(docs: DataFrame, textCol: String,
+      minQuality: Double = 0.3, maxRepetition: Double = 0.5): DataFrame = {
+    import graft.ops.TextAnalysis
+    val t = col(textCol)
+    docs
+      .withColumn("n_pii",
+        (TextAnalysis.piiEmailCount(t) + TextAnalysis.piiPhoneCount(t) +
+          TextAnalysis.piiIpCount(t)).cast("long"))
+      .withColumn(textCol, TextAnalysis.piiRedact(t))
+      .withColumn("quality", TextAnalysis.distinctRatio(col(textCol)))
+      // materialize tokens before shingling — shingles(text) inline would
+      // let CollapseProject re-evaluate the tokenizer per lambda reference
+      .withColumn("__ws", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__sh", graft.ops.Dedup.shinglesFromTokens(col("__ws"), 3))
+      .withColumn("rep_frac",
+        round(lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+          greatest(size(col("__sh")), lit(1)), 4))
+      .drop("__ws", "__sh")
+      .withColumn("keep",
+        col("quality") >= minQuality && col("rep_frac") <= maxRepetition)
+  }
 }

@@ -377,6 +377,27 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 60)
   }
 
+  test("x1 approx-distinct sketches land within the advertised error bound") {
+    // x1 is rows-only at the oracle gate (DuckDB's HLL differs bit-wise by
+    // design); this pins the ACCURACY contract instead: every per-group
+    // estimate within 3× the configured rsd of the exact count.
+    val ev = events0
+    val got = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a_users"), // default rsd 0.05
+        approx_count_distinct(col("event_id"), 0.01).as("a_events"),
+        countDistinct(col("user_id")).as("x_users"),
+        countDistinct(col("event_id")).as("x_events"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (au, ae, xu, xe) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(au - xu).toDouble / xu <= 3 * 0.05,
+        s"${r.getString(0)}: approx users $au vs exact $xu")
+      assert(math.abs(ae - xe).toDouble / xe <= 3 * 0.01,
+        s"${r.getString(0)}: approx events $ae vs exact $xe")
+    }
+  }
+
   test("pii redaction replaces emails, phones and IPs with typed tags") {
     val s = spark
     import s.implicits._

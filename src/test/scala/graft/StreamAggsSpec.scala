@@ -154,4 +154,42 @@ class StreamAggsSpec extends AnyFunSuite {
       (1L, "2024-01-01 09:45:00.0", 1L), // 45 is a new session
       (2L, "2024-01-01 09:05:00.0", 1L)))
   }
+
+  test("screen-at-ingest: redacts, scores, and gates identically in batch and streaming") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("screen").toFile.getAbsolutePath
+    def row(min: Int, id: Long, text: String) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id, text)
+    Seq(
+      row(0, 1L, "good varied text with mail to a.b@x.example.org inside"),
+      row(1, 2L, "dup dup dup dup dup dup dup dup"), // repetitive → rejected
+      row(2, 3L, "clean unique words nothing sensitive here today")) // kept, no pii
+      .toDF("ts", "doc_id", "text").write.parquet(s"$dir/in")
+
+    val batch = StreamAggs.screenAtIngest(
+      spark.read.parquet(s"$dir/in"), "text", minQuality = 0.3, maxRepetition = 0.5)
+      .select("doc_id", "text", "n_pii", "quality", "rep_frac", "keep")
+    val b = batch.orderBy("doc_id").collect()
+    assert(b(0).getLong(2) === 1L, "one email found")
+    assert(b(0).getString(1).contains("[EMAIL]") && !b(0).getString(1).contains("@"),
+      "email redacted in the stored text")
+    assert(b(0).getBoolean(5), "varied text kept")
+    assert(!b(1).getBoolean(5), "repetitive text rejected (quality + repetition)")
+    assert(b(2).getBoolean(5) && b(2).getLong(2) === 0L)
+
+    // the SAME call on a readStream produces identical rows (stateless gate)
+    val q = StreamAggs.screenAtIngest(
+        spark.readStream.schema("ts timestamp, doc_id long, text string")
+          .parquet(s"$dir/in"), "text", minQuality = 0.3, maxRepetition = 0.5)
+      .select("doc_id", "text", "n_pii", "quality", "rep_frac", "keep")
+      .writeStream.outputMode("append").format("memory").queryName("sscreen")
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      val sRows = spark.sql("select * from sscreen").orderBy("doc_id").collect()
+      assert(sRows.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        "batch and streaming screens must agree row for row")
+    } finally q.stop()
+  }
 }
