@@ -50,5 +50,23 @@ package object functions {
     reg.createOrReplaceTempFunction("ulid_millis", es => UlidMillis(es.head), "internal")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "internal")
     reg.createOrReplaceTempFunction("jaccard_sim", es => JaccardSim(es(0), es(1)), "internal")
+    // SQL macros: single-argument text ops registered as their full Column
+    // composition — `spark.sql("SELECT pii_redact(text) …")` expands to the
+    // same codegen'd expression tree the Scala API builds, no UDF involved.
+    import graft.ops.TextAnalysis
+    def macro1(name: String, f: Column => Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => ExpressionUtils.resolvedExpression(spark,
+          f(ExpressionUtils.column(es.head))),
+        "internal")
+    macro1("pii_redact", TextAnalysis.piiRedact)
+    macro1("pii_email_count", TextAnalysis.piiEmailCount)
+    macro1("pii_phone_count", TextAnalysis.piiPhoneCount)
+    macro1("pii_ip_count", TextAnalysis.piiIpCount)
+    macro1("token_count", TextAnalysis.tokenCount)
+    macro1("bpeish_token_count", TextAnalysis.bpeishTokenCount)
+    macro1("distinct_ratio", TextAnalysis.distinctRatio)
+    macro1("doc_fingerprint", TextAnalysis.fingerprint)
+    macro1("token_hash32", TextAnalysis.tokenHash32)
   }
 }

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode→Expression conversion through the session's converter —
+    * required when `c` composes builtin `functions._` calls (they are
+    * UnresolvedFunction column NODES; the plain `expression` wrapper would
+    * reach codegen unevaluated). The result may contain unresolved catalyst
+    * functions, which the analyzer resolves in its fixed point — exactly
+    * what FunctionRegistry macro builders need.
+    */
+  def resolvedExpression(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 }

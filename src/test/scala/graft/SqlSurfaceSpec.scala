@@ -40,4 +40,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM graft_events_active""".stripMargin).head().getDouble(0)
     assert(bal == 107.0)
   }
+
+  test("text-op SQL macros expand to the Column compositions, not UDFs") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT pii_redact('mail a@b.example.com or 555-123-4567') AS red,
+        |       pii_email_count('x a@b.example.org y') AS ne,
+        |       pii_ip_count('host 10.1.2.3 up') AS ni,
+        |       token_count('one two  three') AS tc,
+        |       bpeish_token_count('spark-4.1, yes!') AS bc,
+        |       doc_fingerprint('  A  b ') = doc_fingerprint('a b') AS fp_eq,
+        |       token_hash32('abc') AS th""".stripMargin).head()
+    assert(r.getString(0) == "mail [EMAIL] or [PHONE]")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 4L, "spark / 4 / 1 / yes")
+    assert(r.getBoolean(5), "fingerprint normalizes case + whitespace")
+    // same value the Scala API computes — one expression tree, two surfaces
+    val scalaTh = spark.range(1)
+      .select(graft.ops.TextAnalysis.tokenHash32(
+        org.apache.spark.sql.functions.lit("abc")).as("h"))
+      .head().getLong(0)
+    assert(r.getLong(6) == scalaTh)
+    // no UDF node in the plan: the macro is pure built-in expression calls
+    val plan = spark.sql("SELECT pii_redact('z') AS x").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
 }
