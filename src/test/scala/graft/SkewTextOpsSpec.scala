@@ -377,6 +377,84 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 60)
   }
 
+  test("span dedup matches the brute-force definition on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random docs over a tiny vocabulary → heavy span
+    // collisions both within and across documents
+    val rnd = new scala.util.Random(1337)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 60L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val span = 3
+    // brute force: global first occurrence by (doc_id, pos) over the same
+    // fixed token windows
+    val allSpans = docs.flatMap { case (id, text) =>
+      text.split("\\s+").grouped(span).zipWithIndex
+        .map { case (w, pos) => (id, pos, w.mkString(" ")) }
+    }
+    val firstOf = allSpans.groupBy(_._3).view
+      .mapValues(_.minBy(x => (x._1, x._2))).toMap
+    val expect = allSpans.groupBy(_._1).map { case (id, ss) =>
+      val kept = ss.sortBy(_._2).filter(x => firstOf(x._3) == x)
+      id -> (ss.size.toLong, (ss.size - kept.size).toLong,
+        if (kept.isEmpty) null else kept.map(_._3).mkString(" "))
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", span)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("incremental dedup is sound always, complete on near-identical dups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc(8 + rnd.nextInt(8))))
+    // batch: 10 exact copies of corpus docs (J = 1 → every band collides,
+    // LSH recall deterministic) + 10 fresh random docs
+    val batch = (0L until 10L).map(i => (100L + i, corpus(i.toInt * 3)._2)) ++
+      (0L until 10L).map(i => (200L + i, doc(8 + rnd.nextInt(8))))
+    val out = Dedup.incrementalDedup(corpus.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(out.size === batch.size, "one verdict per batch doc")
+    def shingleSet(t: String) =
+      t.split("\\s+").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]) =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size
+    val corpusSets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    // soundness: every flagged match is a genuine >=threshold pair
+    out.foreach { case (bid, (isNew, matchId)) =>
+      if (!isNew) {
+        val bt = batch.find(_._1 == bid).get._2
+        assert(jac(shingleSet(bt), corpusSets(matchId.asInstanceOf[Long])) >= 0.5 - 1e-9,
+          s"batch $bid flagged against $matchId below threshold")
+      }
+    }
+    // completeness on the planted exact copies: all flagged, and the min
+    // matching corpus id is the true minimum over >=threshold partners
+    (0L until 10L).foreach { i =>
+      val (isNew, matchId) = out(100L + i)
+      assert(!isNew, s"exact copy ${100 + i} must be flagged")
+      val bs = shingleSet(corpus(i.toInt * 3)._2)
+      val trueMin = corpus.filter(c => jac(bs, corpusSets(c._1)) >= 0.5)
+        .map(_._1).min
+      // LSH may miss sub-threshold-band partners, but an exact copy shares
+      // EVERY band with its source, so the min over verified candidates can
+      // only be <= the source id; assert it equals the brute-force min when
+      // that min is the source itself
+      if (trueMin == i * 3) assert(matchId === trueMin)
+    }
+  }
+
   test("x1 approx-distinct sketches land within the advertised error bound") {
     // x1 is rows-only at the oracle gate (DuckDB's HLL differs bit-wise by
     // design); this pins the ACCURACY contract instead: every per-group
