@@ -421,13 +421,24 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4,
       shingleSize: Int = 3): DataFrame = {
-    val cSets = shingleSets(corpus, idCol, textCol, shingleSize).localCheckpoint()
+    // Only the (small) batch's shingle sets are ever materialized. The
+    // corpus side STREAMS through one signature pass — signatures are 4
+    // longs/doc, the only corpus-sized thing shuffled — and shingle sets
+    // are then rebuilt solely for the candidate corpus docs (a semi-join
+    // sliver). Checkpointing whole-corpus shingle sets instead would
+    // materialize ~shingle×|corpus| strings: the thing that does not
+    // survive a 100 TB corpus.
     val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
     val cand = minhashSignaturesFromSets(bSets, bands)
       .withColumnRenamed("mh_id", "b_id")
-      .join(minhashSignaturesFromSets(cSets, bands).withColumnRenamed("mh_id", "c_id"),
-        Seq("band", "sig"))
+      .join(minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
+        .withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
       .select(col("b_id"), col("c_id")).distinct()
+      .localCheckpoint() // consumed twice: semi-join prune + verify join
+    val cSets = shingleSets(
+      corpus.join(cand.select(col("c_id").as(idCol)).distinct(), Seq(idCol),
+        "semi"),
+      idCol, textCol, shingleSize)
     val matched = cand
       .join(bSets.select(col("set_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
       .join(cSets.select(col("set_id").as("c_id"), col("sh").as("sh_c")), Seq("c_id"))

@@ -103,9 +103,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
-      // d11: span-hash window + doc reassembly; d12: batch↔corpus band join
-      // + verify over checkpointed set frames (corpus never self-pairs)
-      "d11_span_dedup" -> 2, "d12_incremental" -> 3,
+      // d11: span-hash window + doc reassembly; d12: batch↔corpus band join,
+      // semi-join prune of corpus verify docs (AQE broadcasts the candidate
+      // ids), verify join — corpus shingle sets are never materialized
+      "d11_span_dedup" -> 2, "d12_incremental" -> 4,
       "t12_pii_redact" -> 0, "x5_domain_cap" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
