@@ -235,14 +235,43 @@ object Dedup {
     * kept document — the end-user dedup operator (feed `filter(is_survivor)`
     * into the next pipeline stage).
     */
+  /** `materializeSets` picks the shingle-set strategy by duplicate DENSITY,
+    * the axis that decides which shape wins (both measured):
+    *
+    * - `true` (default): checkpoint one corpus-wide shingle-set frame and
+    *   feed signatures AND verification from it — one tokenize+shingle pass
+    *   total. Fastest when candidates cover much of the corpus (the sf0.1
+    *   bench corpus is adversarially dense: tiny vocabulary, heavy
+    *   collisions), and fine whenever ~shingles×|corpus| strings fit the
+    *   cluster's storage-memory.
+    * - `false`: the huge-corpus shape. Corpus-sized data only STREAMS — the
+    *   LSH pass shuffles 4 signature longs/doc, and shingle sets are rebuilt
+    *   solely for docs appearing in a candidate pair (semi-join sliver).
+    *   Nothing corpus-sized is ever materialized; re-shingling the sliver is
+    *   the price, and on a realistically sparse corpus it is the cheaper
+    *   side too (1M-doc smoke: 24.1s vs 26.3s materialized, with 20% of the
+    *   corpus in candidate pairs). At 100 TB this is the only shape that
+    *   survives.
+    */
   def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, rounds: Int = 3, shingleSize: Int = 3,
-      maxBucketSize: Option[Int] = None): DataFrame = {
-    // one tokenize+shingle pass feeds BOTH candidate generation and verify
-    val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
-    val pairs = jaccardVerifyFromSets(sets,
-      lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize), threshold)
-      .select(col("doc_a"), col("doc_b"))
+      maxBucketSize: Option[Int] = None,
+      materializeSets: Boolean = true): DataFrame = {
+    val pairs = (if (materializeSets) {
+      val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
+      jaccardVerifyFromSets(sets,
+        lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize), threshold)
+    } else {
+      val cand = lshCandidatePairs(df, idCol, textCol, shingleSize = shingleSize,
+          maxBucketSize = maxBucketSize)
+        .localCheckpoint() // consumed twice: candidate-doc prune + verify join
+      val candIds = cand.select(col("doc_a").as(idCol))
+        .union(cand.select(col("doc_b"))).distinct()
+      jaccardVerifyFromSets(
+        shingleSets(df.join(candIds, Seq(idCol), "semi"), idCol, textCol,
+          shingleSize),
+        cand, threshold)
+    }).select(col("doc_a"), col("doc_b"))
     labelPropagation(df.select(col(idCol).as("node")), pairs, rounds)
       .select(col("node").as(idCol), col("label").as("component"),
         (col("node") === col("label")).as("is_survivor"))
@@ -420,25 +449,31 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
-    // Only the (small) batch's shingle sets are ever materialized. The
-    // corpus side STREAMS through one signature pass — signatures are 4
-    // longs/doc, the only corpus-sized thing shuffled — and shingle sets
-    // are then rebuilt solely for the candidate corpus docs (a semi-join
-    // sliver). Checkpointing whole-corpus shingle sets instead would
-    // materialize ~shingle×|corpus| strings: the thing that does not
-    // survive a 100 TB corpus.
+      shingleSize: Int = 3, materializeCorpusSets: Boolean = true): DataFrame = {
+    // Only the (small) batch's shingle sets are unconditionally
+    // materialized. `materializeCorpusSets` mirrors `dedupSurvivors`'s
+    // density trade: `false` is the huge-corpus shape — the corpus STREAMS
+    // through one signature pass (4 longs/doc is the only corpus-sized
+    // shuffle) and shingle sets are rebuilt solely for candidate corpus
+    // docs via a semi-join; nothing corpus-sized is ever checkpointed.
     val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
+    val cSetsAll =
+      if (materializeCorpusSets)
+        Some(shingleSets(corpus, idCol, textCol, shingleSize).localCheckpoint())
+      else None
+    val cSigs = cSetsAll match {
+      case Some(s) => minhashSignaturesFromSets(s, bands)
+      case None => minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
+    }
     val cand = minhashSignaturesFromSets(bSets, bands)
       .withColumnRenamed("mh_id", "b_id")
-      .join(minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
-        .withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
+      .join(cSigs.withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
       .select(col("b_id"), col("c_id")).distinct()
       .localCheckpoint() // consumed twice: semi-join prune + verify join
-    val cSets = shingleSets(
+    val cSets = cSetsAll.getOrElse(shingleSets(
       corpus.join(cand.select(col("c_id").as(idCol)).distinct(), Seq(idCol),
         "semi"),
-      idCol, textCol, shingleSize)
+      idCol, textCol, shingleSize))
     val matched = cand
       .join(bSets.select(col("set_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
       .join(cSets.select(col("set_id").as("c_id"), col("sh").as("sh_c")), Seq("c_id"))
