@@ -56,8 +56,16 @@ package object functions {
     import graft.ops.TextAnalysis
     def macro1(name: String, f: Column => Column): Unit =
       reg.createOrReplaceTempFunction(name,
-        es => ExpressionUtils.resolvedExpression(spark,
-          f(ExpressionUtils.column(es.head))),
+        es => {
+          if (es.length != 1)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> name,
+                "expectedNum" -> "1", "actualNum" -> es.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          ExpressionUtils.resolvedExpression(spark,
+            f(ExpressionUtils.column(es.head)))
+        },
         "internal")
     macro1("pii_redact", TextAnalysis.piiRedact)
     macro1("pii_email_count", TextAnalysis.piiEmailCount)

@@ -290,6 +290,16 @@ object Dedup {
     * typically a sliver of the corpus — not the corpus itself: at 100 TB the
     * per-round shuffles move megabytes, and iterating never re-shuffles the
     * full document id set.
+    *
+    * PRECONDITION: every pair endpoint must be a member of `nodes`. Labels
+    * seed from edge endpoints (that is what keeps the iteration off the full
+    * corpus), so a foreign endpoint would propagate as a component's minimum
+    * label and leave that component without a `node === label` survivor. All
+    * in-engine pair sources (LSH/SimHash/embedding candidates) derive pairs
+    * from the node frame itself and satisfy this by construction; callers
+    * feeding external pair lists must pre-filter them (semi-join both
+    * endpoint columns against `nodes`) — done here it would cost a shuffle
+    * of the full corpus id set per call, which this operator exists to avoid.
     */
   def labelPropagation(nodes: DataFrame, pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))

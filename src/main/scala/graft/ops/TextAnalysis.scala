@@ -140,7 +140,9 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // N = distinct documents, not raw rows — duplicate ids would silently
+    // deflate every IDF otherwise (and the oracle counts DISTINCT doc_id)
+    val n = docs.select(col(idCol)).distinct().count()
     val exploded = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("__ws"))
       .select(col("doc"), col("__ws"), explode(array_distinct(col("__ws"))).as("token"))

@@ -90,7 +90,7 @@ object PipelineScaleSmoke {
 
     // ── incremental screen: the planted near-dups ≡1 (mod 10) as the batch,
     // everything else as the accepted corpus → every batch doc must match
-    time("incremental dedup (100k batch vs 900k corpus)") {
+    time(s"incremental dedup (${nDocs / 10} batch vs ${nDocs - nDocs / 10} corpus)") {
       val batch = docs.filter(col("doc_id") % 10 === 1)
       val corpus = docs.filter(col("doc_id") % 10 =!= 1)
       val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
