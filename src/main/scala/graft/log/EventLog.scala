@@ -34,6 +34,17 @@ object CommitMode {
   case object Manifest extends CommitMode
 }
 
+/** Executor-side plan of one stream's migration: handler output plus the
+  * minted replacement rows (fence first, copies after).
+  */
+case class MigrationPlan(
+    aggregateId: String,
+    aggregateKind: String,
+    discriminator: Map[String, String],
+    maxVersion: Int,
+    details: Seq[EventDetail],
+    rows: Seq[EventRow])
+
 /** Result of migrating one stream: its new head after the rewrite. */
 case class MigratedStream(
     aggregateId: String,
@@ -381,78 +392,148 @@ class EventLog(
     *
     * The handler maps the ordered active events of one stream to the new
     * event list (kind/body pairs), or None to leave the stream untouched.
+    *
+    * Fully distributed, unlike the reference's per-stream transactions
+    * (store/postgresql/events_migration.go:90-206): the handler runs on
+    * executors inside a sorted-group fold, replacement rows get their ULIDs
+    * from per-partition monotonic generators, invalidation is ONE
+    * copy-on-write rewrite per affected bucket (a join against the migrated
+    * stream set — never an `isin` list or a per-stream job), and all
+    * fences+copies land in ONE append. Job count is bounded by the bucket
+    * count, not the stream count (MigrationScaleSpec pins this).
     */
   def migrate(revision: Int, targetKinds: Set[String],
       handler: Seq[EventRow] => Option[Seq[EventDetail]],
-      nowMs: => Long = System.currentTimeMillis()): Seq[MigratedStream] =
+      nowMs: => Long = System.currentTimeMillis()): Seq[MigratedStream] = {
+    import spark.implicits._
+    migrateDistributed(revision, targetKinds, handler, nowMs)
+      .collect().toSeq.sortBy(_.aggregateId)
+  }
+
+  /** Distributed M2: as [[migrate]] but returns the per-stream outcome as a
+    * Dataset, so a migration touching 10⁸ streams never materializes its
+    * result on the driver (callers aggregate or write it out instead).
+    */
+  def migrateDistributed(revision: Int, targetKinds: Set[String],
+      handler: Seq[EventRow] => Option[Seq[EventDetail]],
+      nowMs: => Long = System.currentTimeMillis()): Dataset[MigratedStream] =
     withLogLock(path) {
       import spark.implicits._
       require(revision > 0, "migration revision must be > 0")
-      val streams = activeEvents
-        .filter(col("kind").isin(targetKinds.toSeq: _*))
-        .select("aggregate_id").distinct().as[String].collect().sorted
+      val t = nowMs
+      val seedBase = ulidSeed
+      val h = handler
+      val nb = numBuckets
+      val fenceKind = KindInvalidated
 
-      streams.flatMap { aggId =>
-        var result = Option.empty[MigratedStream]
-        val evs = streamEvents(aggId).as[EventRow].collect().toSeq
-        handler(evs).filter(_.nonEmpty).foreach { migratedDetails =>
-          val b = bucketOf(aggId)
-          val maxV = evs.map(_.aggregate_version).max
-          val kindAgg = evs.head.aggregate_kind
-          val disc = evs.head.discriminator
-          // 1. invalidate old rows (copy-on-write on the stream's bucket)
-          rewriteBucket(eventsPath, EventSchema.events, b) { df =>
-            df.withColumn("migration",
-              when(col("aggregate_id") === aggId && col("migration") === 0,
-                lit(revision)).otherwise(col("migration")))
+      // 1. candidate streams, kept distributed (left-semi on the stream key —
+      // co-partitioned with the event scan's own key, one shuffle total)
+      val candidates = activeEvents
+        .filter(col("kind").isin(targetKinds.toSeq: _*))
+        .select("aggregate_id").distinct()
+
+      // 2. run the handler per stream on executors (sorted-group fold — the
+      // rehydrateAll shape), then mint fence+copy rows with a per-partition
+      // monotonic ULID generator; materialize BEFORE any rewrite below
+      // invalidates the lineage's source files.
+      val plan: Dataset[MigrationPlan] = activeEvents
+        .join(candidates, Seq("aggregate_id"), "left_semi")
+        .as[EventRow]
+        .groupByKey(_.aggregate_id)
+        .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+          val evs = it.toSeq
+          h(evs).filter(_.nonEmpty) match {
+            case Some(details) =>
+              Iterator(MigrationPlan(id, evs.head.aggregate_kind,
+                evs.head.discriminator, evs.map(_.aggregate_version).max,
+                details, Seq.empty))
+            case None => Iterator.empty
           }
-          // 2. drop snapshots of the stream
+        }
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 1000003L + pid))
+          it.map { p =>
+            val hash = Fnv1a32.hashString(p.aggregateId)
+            val fence = EventRow(pgen.next(t), p.aggregateId, hash,
+              p.maxVersion + 1, p.aggregateKind, fenceKind, "{}",
+              p.discriminator, new Timestamp(t), revision, false)
+            val copies = p.details.zipWithIndex.map { case (d, i) =>
+              EventRow(pgen.next(t), p.aggregateId, hash,
+                p.maxVersion + 2 + i, p.aggregateKind, d.kind, d.body,
+                p.discriminator, new Timestamp(t), 0, true)
+            }
+            p.copy(rows = fence +: copies)
+          }
+        }
+        .localCheckpoint()
+
+      if (plan.isEmpty) spark.emptyDataset[MigratedStream]
+      else {
+        // 3. ONE invalidation rewrite per affected bucket: flag old rows via a
+        // join against the migrated stream set (bucket-pruned on both sides).
+        val ids = plan.select(col("aggregateId").as("m_id"),
+          pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
+        val buckets = ids.select("m_bucket").distinct().as[Int].collect().sorted
+        buckets.foreach { b =>
+          val bucketIds = ids.filter(col("m_bucket") === b).drop("m_bucket")
+          rewriteBucket(eventsPath, EventSchema.events, b) { df =>
+            df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left")
+              .withColumn("migration",
+                when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
+                  .otherwise(col("migration")))
+              .drop("m_id")
+          }
+          // 4. drop snapshots of migrated streams (anti-join, same bucket)
           if (exists(snapshotsPath)) {
             rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
-              df.filter(col("aggregate_id") =!= aggId)
+              df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left_anti")
             }
           }
-          // 3. fence + migrated copies
-          val fence = EventRow(gen.next(nowMs), aggId, Fnv1a32.hashString(aggId),
-            maxV + 1, kindAgg, KindInvalidated, "{}", disc,
-            new Timestamp(nowMs), revision, false)
-          val copies = migratedDetails.zipWithIndex.map { case (d, i) =>
-            EventRow(gen.next(nowMs), aggId, Fnv1a32.hashString(aggId),
-              maxV + 2 + i, kindAgg, d.kind, d.body, disc,
-              new Timestamp(nowMs), 0, true)
-          }
-          writeEvents(fence +: copies, SaveMode.Append)
-          result = Some(MigratedStream(aggId, copies.last.aggregate_version,
-            copies.last.id, migratedDetails, disc))
         }
-        result
-      }.toSeq
+
+        // 5. ONE append of every fence + migrated copy
+        writeEventsDF(plan.select(explode(col("rows")).as("r")).select("r.*"))
+
+        plan.map(p => MigratedStream(p.aggregateId, p.maxVersion + 1 + p.details.size,
+          p.rows.last.id, p.details, p.discriminator))
+      }
     }
 
   /** M4 support: append a `NoOp` fence event to EVERY active stream of one
-    * aggregate kind, in a single distributed write (one shuffle to compute
-    * per-stream max versions — no driver-side per-stream loop, unlike the
-    * reference's paged iteration, store/postgresql/projection_migration.go).
-    * Fences bump each stream's version so concurrent writers started before
-    * the rebuild lose their optimistic check (eventstore.go:123-131).
+    * aggregate kind, in a single distributed write: one shuffle to compute
+    * per-stream max versions, fences minted by per-partition monotonic ULID
+    * generators — nothing per-stream ever touches the driver, so 10⁹ streams
+    * cost the same driver memory as 10 (unlike the reference's paged
+    * iteration, store/postgresql/projection_migration.go). Fences bump each
+    * stream's version so concurrent writers started before the rebuild lose
+    * their optimistic check (eventstore.go:123-131).
     */
   def appendNoOpFences(aggregateKind: String, nowMs: => Long = System.currentTimeMillis()): Long =
     withLogLock(path) {
       import spark.implicits._
-      val heads = activeEvents
+      val t = nowMs
+      val seedBase = ulidSeed
+      val kind = aggregateKind
+      val noOp = KindNoOp
+      val fences = activeEvents
         .filter(col("aggregate_kind") === aggregateKind)
         .groupBy(col("aggregate_id"))
         .agg(max(col("aggregate_version")).as("v"),
           first(col("discriminator")).as("disc"))
         .as[(String, Int, Map[String, String])]
-        .collect() // one row per stream: bounded by stream count, not event count
-      val t = nowMs
-      val rows = heads.map { case (aggId, v, disc) =>
-        EventRow(gen.next(t), aggId, Fnv1a32.hashString(aggId), v + 1,
-          aggregateKind, KindNoOp, "{}", disc, new Timestamp(t), 0, false)
-      }
-      writeEvents(rows.toSeq, SaveMode.Append)
-      rows.length.toLong
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 7368787L + pid))
+          it.map { case (aggId, v, disc) =>
+            EventRow(pgen.next(t), aggId, Fnv1a32.hashString(aggId), v + 1,
+              kind, noOp, "{}", disc, new Timestamp(t), 0, false)
+          }
+        }
+        .localCheckpoint() // cut lineage off the files the append lands next to
+      val n = fences.count()
+      if (n > 0) writeEventsDF(fences.toDF())
+      n
     }
 
   /** Compaction: every append writes new files, so a hot log accumulates
@@ -545,6 +626,18 @@ class EventLog(
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .sortWithinPartitions("id")
       .write.mode(mode).partitionBy("bucket")
+      .option("compression", EventLog.Compression)
+      .parquet(eventsPath)
+    graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
+  }
+
+  /** Distributed append of an already-distributed row set (same layout
+    * contract as [[writeEvents]], without a driver round-trip).
+    */
+  private def writeEventsDF(df: DataFrame): Unit = {
+    df.withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Append).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(eventsPath)
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)

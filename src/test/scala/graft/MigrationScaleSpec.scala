@@ -1,0 +1,87 @@
+package graft
+
+import graft.log.{AppendRecord, EventLog}
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the distributed shape of the maintenance rewrites (the way
+  * PlanShapeSpec pins shuffles): M2 migration and M4 fencing must launch a
+  * job count bounded by the BUCKET count, never by the STREAM count — the
+  * driver-side per-stream loop these replaced launched 3+ jobs per stream.
+  */
+class MigrationScaleSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val nStreams = 300
+
+  private def countJobs[A](f: => A): (A, Int) = {
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = f
+      Thread.sleep(500) // listener bus is async; drain before reading the count
+      (out, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def freshLog(): EventLog = {
+    val dir = Files.createTempDirectory("graftmigscale").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(77L))
+    val records = (1 to nStreams).map { i =>
+      AppendRecord(f"01HXSCALE${i}%017d", "Account", 0, Map.empty, Seq(
+        AccountType.created(100L * i, s"own$i"),
+        AccountType.deposited(i)))
+    }
+    log.append(records, nowMs = 1700000000000L)
+    log
+  }
+
+  test("M2 migrate over 300 streams launches O(buckets) jobs, not O(streams)") {
+    val log = freshLog()
+    val (migrated, jobs) = countJobs {
+      log.migrate(1, Set("AccountCreated"), evs => {
+        Some(evs.map(e =>
+          if (e.kind == "AccountCreated") graft.log.EventDetail("AccountCreated_V2", e.body)
+          else graft.log.EventDetail(e.kind, e.body)))
+      }, nowMs = 1700000001000L)
+    }
+    assert(migrated.size == nStreams)
+    assert(jobs < 60, s"migration of $nStreams streams launched $jobs jobs — " +
+      "the job count must be bounded by the bucket count, not the stream count")
+
+    // shape survives: every stream has 2 invalidated originals, a fence, 2 copies
+    val one = log.events.filter(col("aggregate_id") === f"01HXSCALE${7}%017d")
+      .orderBy(col("aggregate_version")).collect()
+    assert(one.length == 5)
+    assert(one.map(_.getAs[String]("kind")).toSeq ==
+      Seq("AccountCreated", "MoneyDeposited", "Invalidated", "AccountCreated_V2", "MoneyDeposited"))
+    assert(one.map(_.getAs[Int]("migration")).toSeq == Seq(1, 1, 1, 0, 0))
+    assert(one.map(_.getAs[Boolean]("migrated")).toSeq ==
+      Seq(false, false, false, true, true))
+    // replacement ids are per-stream increasing (per-partition monotonic ULIDs)
+    val newIds = one.drop(2).map(_.getAs[String]("id")).toSeq
+    assert(newIds == newIds.sorted && newIds.distinct.size == 3)
+    // active view: exactly the migrated copies
+    assert(log.activeEvents.count() == nStreams * 2L)
+  }
+
+  test("M4 appendNoOpFences over 300 streams launches O(1) jobs and fences all") {
+    val log = freshLog()
+    val (n, jobs) = countJobs(log.appendNoOpFences("Account", nowMs = 1700000002000L))
+    assert(n == nStreams.toLong)
+    assert(jobs < 15, s"fencing $nStreams streams launched $jobs jobs")
+    val fences = log.activeEvents.filter(col("kind") === EventLog.KindNoOp)
+    assert(fences.count() == nStreams.toLong)
+    assert(fences.filter(col("aggregate_version") =!= 3).count() == 0L)
+    // minted ids are globally unique across partitions
+    assert(fences.select("id").distinct().count() == nStreams.toLong)
+  }
+}
