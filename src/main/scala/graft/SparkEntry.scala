@@ -556,11 +556,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
-    // ── similarity: sign-LSH bucketed ANN top-k ───────────────────────────
+    // ── similarity: seeded-SRP LSH bucketed ANN top-k (multi-probe) ───────
     "e2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ops.Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, bits = 8)
+        "vec_id", "embedding", k = 3, bits = 8, probeRadius = 1)
     }),
 
     // ── similarity: IVF cell-probe ANN (the second scale path) ────────────
@@ -570,24 +570,28 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
     }),
 
-    // ── similarity: ANN quality — recall@k of sign-LSH vs exact ───────────
+    // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       ops.Similarity.recallAtK(
         ops.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3),
-        ops.Similarity.signLshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8),
+        ops.Similarity.signLshTopK(emb, queries, "vec_id", "embedding", k = 3,
+          bits = 8, probeRadius = 1),
         k = 3)
     }),
 
     // ── similarity: recall with the multi-table OR-construction ───────────
+    // 8 tables × 8 bits × radius-1 probes: mean recall ≈ 0.65 on this corpus
+    // (true neighbours at cosine 0.26–0.49) vs 0.08 single-table — measured
+    // by ProbeSrp; candidates stay an equi-join sliver of the corpus.
     "e5_multitable_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       ops.Similarity.recallAtK(
         ops.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3),
         ops.Similarity.signLshTopKMulti(emb, queries, "vec_id", "embedding",
-          k = 3, bits = 8, tables = 4),
+          k = 3, bits = 8, tables = 8, probeRadius = 1),
         k = 3)
     }),
 
@@ -794,14 +798,28 @@ object SparkEntry {
     })
   )
 
-  /** The sign-bucket CASE chain over dims `offset+1 .. offset+bits` — the
-    * SQL twin of `Similarity.signBucketAt`, generated to keep the per-table
-    * oracles mechanical.
+  /** SQL twins of `Similarity.srpBucket`, generated from the SAME seeded ±1
+    * sign matrix as the Spark plan. ±1 coefficients keep each projection a
+    * plain left-to-right sum/difference of double elements — bit-identical
+    * between Spark codegen and DuckDB, which decimal Gaussian literals would
+    * not be.
     */
-  private def signBucketSql(offset: Int, bits: Int = 8): String =
-    (1 to bits).map(i =>
-      s"CASE WHEN embedding[${offset + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END")
-      .mkString("(", " + ", ")")
+  private def srpProjSql(row: Array[Int]): String =
+    row.zipWithIndex.map { case (s, j) =>
+      val term = s"emb[${j + 1}]"
+      if (j == 0) (if (s > 0) term else s"-$term")
+      else (if (s > 0) s" + $term" else s" - $term")
+    }.mkString("(", "", ")")
+
+  private def srpBucketSql(tableSigns: Array[Array[Int]]): String = {
+    val bits = tableSigns.length
+    tableSigns.zipWithIndex.map { case (row, i) =>
+      s"CASE WHEN ${srpProjSql(row)} >= 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
+  private def srpMasksSql(bits: Int, radius: Int): String =
+    ops.Similarity.probeMasks(bits, radius).mkString("[", ", ", "]")
 
   /** The MinHash-LSH → Jaccard-verify → 3-round label-propagation CTE chain
     * (through `l3(node, label)`), shared by the d6 and d8 oracles — one SQL
@@ -1209,22 +1227,18 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5""".stripMargin,
 
-    "e2_lsh_ann" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
-        |         CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END +
-        |         CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END +
-        |         CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END +
-        |         CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END +
-        |         CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END +
-        |         CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END +
-        |         CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
-        |       FROM embeddings),
-        |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 20),
-        |c AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qe, e.emb), 6) AS sim
-        |      FROM q JOIN e USING (bucket) WHERE e.vec_id != qid),
+    "e2_lsh_ann" -> {
+      val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, 1, 8, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |eb AS (SELECT vec_id, emb, ${srpBucketSql(signs(0))} AS bucket FROM e),
+        |q AS (SELECT qid, qe, xor(bucket, m)::INT AS bucket
+        |      FROM (SELECT vec_id AS qid, emb AS qe, bucket FROM eb WHERE vec_id < 20)
+        |      CROSS JOIN unnest(${srpMasksSql(8, 1)}) AS mm(m)),
+        |c AS (SELECT qid, eb.vec_id, round(list_cosine_similarity(qe, eb.emb), 6) AS sim
+        |      FROM q JOIN eb USING (bucket) WHERE eb.vec_id != qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
-        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin
+    },
 
     "e3_ivf_ann" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
@@ -1348,27 +1362,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "e4_ann_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
-        |         CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END +
-        |         CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END +
-        |         CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END +
-        |         CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END +
-        |         CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END +
-        |         CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END +
-        |         CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
-        |       FROM embeddings),
-        |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 20),
+    "e4_ann_recall" -> {
+      val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, 1, 8, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |eb AS (SELECT vec_id, emb, ${srpBucketSql(signs(0))} AS bucket FROM e),
+        |q AS (SELECT qid, qe, xor(bucket, m)::INT AS bucket
+        |      FROM (SELECT vec_id AS qid, emb AS qe, bucket FROM eb WHERE vec_id < 20)
+        |      CROSS JOIN unnest(${srpMasksSql(8, 1)}) AS mm(m)),
         |exc AS (SELECT qid, e.vec_id,
         |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
-        |        FROM (SELECT qid, qe FROM q) CROSS JOIN e WHERE e.vec_id != qid),
+        |        FROM (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20)
+        |        CROSS JOIN e WHERE e.vec_id != qid),
         |ex AS (SELECT qid, vec_id FROM
         |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM exc)
         |       WHERE rn <= 3),
-        |apc AS (SELECT qid, e.vec_id,
-        |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
-        |        FROM q JOIN e USING (bucket) WHERE e.vec_id != qid),
+        |apc AS (SELECT qid, eb.vec_id,
+        |               round(list_cosine_similarity(qe, eb.emb), 6) AS sim
+        |        FROM q JOIN eb USING (bucket) WHERE eb.vec_id != qid),
         |ap AS (SELECT qid, vec_id FROM
         |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM apc)
         |       WHERE rn <= 3)
@@ -1376,25 +1386,35 @@ object SparkEntry {
         |       sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
         |       round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3, 4) AS recall
         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-        |GROUP BY ex.qid""".stripMargin,
-    "e5_multitable_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        ${signBucketSql(0)} AS b0,
-        |        ${signBucketSql(8)} AS b1,
-        |        ${signBucketSql(16)} AS b2,
-        |        ${signBucketSql(24)} AS b3
-        |       FROM embeddings),
-        |q AS (SELECT vec_id AS qid, emb AS qe, b0, b1, b2, b3 FROM e WHERE vec_id < 20),
+        |GROUP BY ex.qid""".stripMargin
+    },
+    "e5_multitable_recall" -> {
+      val tables = 8
+      val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, tables, 8, 64)
+      val bucketCols = (0 until tables)
+        .map(t => s"${srpBucketSql(signs(t))} AS b$t").mkString(",\n        ")
+      val unionAll = (0 until tables)
+        .map(t => s"SELECT vec_id, emb, $t AS t, b$t AS bucket FROM eb")
+        .mkString("\n       UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |eb AS (SELECT vec_id, emb,
+        |        $bucketCols
+        |       FROM e),
+        |c AS ($unionAll),
+        |qp AS (SELECT qid, qe, t, xor(bucket, m)::INT AS bucket
+        |       FROM (SELECT vec_id AS qid, emb AS qe, t, bucket FROM c WHERE vec_id < 20)
+        |       CROSS JOIN unnest(${srpMasksSql(8, 1)}) AS mm(m)),
+        |apc0 AS (SELECT qid, c.vec_id,
+        |                round(list_cosine_similarity(qe, c.emb), 6) AS sim
+        |         FROM qp JOIN c USING (t, bucket) WHERE c.vec_id != qid),
+        |apc AS (SELECT qid, vec_id, max(sim) AS sim FROM apc0 GROUP BY qid, vec_id),
         |exc AS (SELECT qid, e.vec_id,
         |               round(list_cosine_similarity(qe, e.emb), 6) AS sim
-        |        FROM (SELECT qid, qe FROM q) CROSS JOIN e WHERE e.vec_id != qid),
+        |        FROM (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20)
+        |        CROSS JOIN e WHERE e.vec_id != qid),
         |ex AS (SELECT qid, vec_id FROM
         |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM exc)
         |       WHERE rn <= 3),
-        |apc AS (SELECT q.qid, e.vec_id,
-        |               round(list_cosine_similarity(q.qe, e.emb), 6) AS sim
-        |        FROM q JOIN e ON (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
-        |        WHERE e.vec_id != q.qid),
         |ap AS (SELECT qid, vec_id FROM
         |        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM apc)
         |       WHERE rn <= 3)
@@ -1402,7 +1422,8 @@ object SparkEntry {
         |       sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
         |       round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3, 4) AS recall
         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-        |GROUP BY ex.qid""".stripMargin,
+        |GROUP BY ex.qid""".stripMargin
+    },
     "x2_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

@@ -53,7 +53,10 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
-  /** Axis-sign LSH bucket key over the first `bits` dimensions. */
+  /** Axis-sign LSH bucket key over the first `bits` dimensions (kept for the
+    * near-dup pair path, [[cosinePairs]], where only collision volume — not
+    * ranked recall — matters).
+    */
   def signBucket(vec: Column, bits: Int = 8): Column = signBucketAt(vec, bits, 0)
 
   /** Sign bucket over the axis block `offset+1 .. offset+bits` — each offset
@@ -64,15 +67,68 @@ object Similarity {
       when(element_at(vec, offset + i) >= 0, lit(1 << (bits - i))).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket. Equi-join on
-    * the bucket key instead of a cross join; recall trades off with `bits`.
+  /** Default seed of the SRP hyperplane family (any fixed value works; the
+    * oracle SQL is generated from the same matrix, so changing it re-derives
+    * both sides together).
+    */
+  val SrpSeed = 1021L
+
+  /** Seeded ±1 (Rademacher) hyperplane matrix `[table][bit][dim]`. Sign
+    * random projections with ±1 entries are the standard Gaussian-free SRP
+    * variant (Achlioptas-style database-friendly projections): collision
+    * probability 1 − θ/π like Gaussian hyperplanes, but every coefficient is
+    * exactly representable, so the projection is a plain left-to-right sum
+    * of (negated) vector elements — bit-identical between Spark codegen and
+    * the DuckDB oracle, which a decimal-literal Gaussian matrix is not.
+    * `java.util.Random`'s LCG is specified, so the matrix is stable across
+    * JVMs.
+    */
+  def srpSigns(seed: Long, tables: Int, bits: Int, dims: Int): Array[Array[Array[Int]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.tabulate(tables, bits, dims)((_, _, _) => if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** SRP bucket key of one table: bit i = sign of the i-th ±1 projection,
+    * packed MSB-first. `vec` must already be double-cast; the projection is
+    * an explicit left-fold of additions so the oracle can reproduce it
+    * exactly.
+    */
+  def srpBucket(vec: Column, tableSigns: Array[Array[Int]]): Column = {
+    val bits = tableSigns.length
+    tableSigns.iterator.zipWithIndex.map { case (row, i) =>
+      val proj = row.iterator.zipWithIndex.map { case (s, j) =>
+        val e = element_at(vec, j + 1)
+        if (s > 0) e else -e
+      }.reduceLeft(_ + _)
+      when(proj >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0))
+    }.reduceLeft(_ + _)
+  }
+
+  /** Multi-probe masks up to the given Hamming radius: the query probes its
+    * own bucket plus every bucket differing in ≤ radius bits — the classic
+    * recall amplifier that multiplies CANDIDATES by (1 + bits) instead of
+    * multiplying TABLES (i.e. hashing work) by the same factor.
+    */
+  def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    (0 to radius).flatMap(r => (0 until bits).combinations(r).map(_.map(1 << _).sum))
+
+  /** ANN top-k via seeded random-hyperplane (SRP) LSH: candidates restricted
+    * to the query's bucket plus its Hamming-≤`probeRadius` neighbours. Still
+    * an equi-join on the bucket key — the probe explode happens on the
+    * (broadcast) query side only, and a corpus row sits in exactly one
+    * bucket, so no pair is matched twice and no dedup aggregation is needed.
     */
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      vecCol: String, k: Int, bits: Int = 8, probeRadius: Int = 1,
+      seed: Long = SrpSeed, dims: Int = 64): DataFrame = {
+    val signs = srpSigns(seed, 1, bits, dims)(0)
+    val masks = probeMasks(bits, probeRadius)
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe"))
+      .withColumn("b0", srpBucket(col("qe"), signs))
+    val q = q0.select(col("qid"), col("qe"),
+      explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce"))
+      .withColumn("bucket", srpBucket(col("ce"), signs))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
@@ -227,24 +283,32 @@ object Similarity {
     cents
   }
 
-  /** Multi-table sign-LSH ANN (OR-construction): `tables` independent bucket
-    * keys over disjoint axis blocks; a corpus vector is a candidate when it
-    * collides with the query in ANY table. The standard recall amplifier —
-    * P(candidate) = 1 − (1 − p^bits)^tables — at the cost of up to `tables`×
-    * the candidate volume, still an equi-join (never a cross join). Measured
-    * by `e5_multitable_recall` against `e4_ann_recall`'s single table.
+  /** Multi-table SRP-LSH ANN (OR-construction × multi-probe): `tables`
+    * independent seeded hyperplane families; a corpus vector is a candidate
+    * when it collides with the query (or one of its Hamming-≤`probeRadius`
+    * probe buckets) in ANY table. P(candidate) = 1 − (1 − p_probe)^tables —
+    * the recall amplifier — at the cost of up to `tables × (1+bits)` the
+    * candidate volume, still an equi-join (never a cross join). Measured by
+    * `e5_multitable_recall` against `e4_ann_recall`'s single table. On the
+    * bench corpus (true top-3 at cosine ≈ 0.26–0.49, i.e. p ≈ 0.61 per bit)
+    * 8 tables × 8 bits × radius-1 probing lands mean recall ≈ 0.6 while
+    * touching well under a third of the corpus per query.
     */
   def signLshTopKMulti(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4,
+      probeRadius: Int = 1, seed: Long = SrpSeed, dims: Int = 64): DataFrame = {
+    val signs = srpSigns(seed, tables, bits, dims)
+    val masks = probeMasks(bits, probeRadius)
     def withTables(df: DataFrame, id: String, vec: String): DataFrame = {
       val tb = explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          signBucketAt(col(vec), bits, t * bits).as("bucket"))): _*))
+        struct(lit(t).as("t"), srpBucket(col(vec), signs(t)).as("bucket"))): _*))
       df.select(col(id), col(vec), tb.as("tb"))
         .select(col(id), col(vec), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     }
     val q = withTables(
       queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe")), "qid", "qe")
+      .select(col("qid"), col("qe"), col("t"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val c = withTables(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce")), "vec_id", "ce")
     // sim is identical whichever table produced the collision — max() dedups
