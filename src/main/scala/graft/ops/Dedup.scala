@@ -415,9 +415,15 @@ object Dedup {
     * embedded in otherwise-unique pages — boilerplate, license headers,
     * navigation chrome — which survive whole-document fingerprints.
     *
-    * Scale shape: one shuffle by span hash for the first-occurrence window,
-    * one shuffle by doc id for reassembly; span strings never exceed
-    * `spanTokens` tokens, so shuffle rows stay bounded regardless of
+    * Scale shape: first occurrences come from `groupBy(span).agg(min(struct
+    * (id, pos)))` — partial map-side aggregation collapses a hot span to one
+    * row per map partition BEFORE the shuffle, so a boilerplate span with
+    * 10⁷ occurrences costs its occurrence count only in the map stage
+    * (a per-span `row_number()` window would sort all 10⁷ in one task).
+    * Per-document totals aggregate by doc id (never skewed by a hot span),
+    * and the kept rows ARE the aggregation output — no join back on the
+    * span key, so no residual hot-key shuffle anywhere. Span strings never
+    * exceed `spanTokens` tokens, so shuffle rows stay bounded regardless of
     * document length.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
@@ -429,15 +435,17 @@ object Dedup {
       .select(col("sd_id"), posexplode(transform(sequence(lit(0), nSpans - 1),
         i => concat_ws(" ", slice(col("__ws"), i * spanTokens + 1, lit(spanTokens))))))
       .withColumnRenamed("pos", "span_pos").withColumnRenamed("col", "span")
-    val w = Window.partitionBy(col("span")).orderBy(col("sd_id"), col("span_pos"))
-    spans.withColumn("first_seen", row_number().over(w) === 1)
+    val perDoc = spans.groupBy(col("sd_id")).agg(count(lit(1)).as("n_spans"))
+    val kept = spans
+      .groupBy(col("span"))
+      .agg(min(struct(col("sd_id"), col("span_pos"))).as("f"))
+      .select(col("f.sd_id").as("sd_id"), col("f.span_pos").as("span_pos"), col("span"))
       .groupBy(col("sd_id"))
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("first_seen"), 0L).otherwise(1L)).as("n_dropped"),
-        array_sort(collect_list(when(col("first_seen"),
-          struct(col("span_pos"), col("span"))))).as("__kept"))
-      .select(col("sd_id").as(idCol), col("n_spans"), col("n_dropped"),
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("span_pos"), col("span")))).as("__kept"))
+    perDoc.join(kept, Seq("sd_id"), "left")
+      .select(col("sd_id").as(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         when(size(col("__kept")) > 0,
           concat_ws(" ", transform(col("__kept"), k => k.getField("span"))))
           .as("kept_text"))

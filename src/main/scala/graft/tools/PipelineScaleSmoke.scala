@@ -88,6 +88,19 @@ object PipelineScaleSmoke {
         s"expected >=${nDocs / 10 * 3} dropped spans, got ${out.getLong(0)}")
     }
 
+    // ── planted HOT SPAN: every doc gains the same 10-token boilerplate
+    // tail → ONE span key with nDocs occurrences. The min-struct
+    // first-occurrence aggregation collapses it map-side before the shuffle;
+    // the per-span row_number() window it replaced sorted every occurrence
+    // in a single task.
+    time(s"span dedup with planted hot span ($nDocs occurrences)") {
+      val boiler = lit(" " + (0 until 10).map(j => s"hot$j").mkString(" "))
+      val hot = docs.select(col("doc_id"), concat(col("text"), boiler).as("text"))
+      val keptBoiler = Dedup.spanDedup(hot, "doc_id", "text", spanTokens = 10)
+        .filter(col("kept_text").contains("hot0")).count()
+      require(keptBoiler == 1L, s"hot span must survive exactly once, kept $keptBoiler")
+    }
+
     // ── incremental screen: the planted near-dups ≡1 (mod 10) as the batch,
     // everything else as the accepted corpus → every batch doc must match
     time(s"incremental dedup (${nDocs / 10} batch vs ${nDocs - nDocs / 10} corpus)") {

@@ -103,10 +103,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
-      // d11: span-hash window + doc reassembly; d12: batch↔corpus band join,
+      // d11: span min-struct agg (skew-proof), kept/total doc reassembly aggs;
+      // d12: batch↔corpus band join,
       // semi-join prune of corpus verify docs (AQE broadcasts the candidate
       // ids), verify join — corpus shingle sets are never materialized
-      "d11_span_dedup" -> 2, "d12_incremental" -> 4,
+      "d11_span_dedup" -> 3, "d12_incremental" -> 4,
       "t12_pii_redact" -> 0, "x5_domain_cap" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
@@ -129,7 +130,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // d12: the batch↔corpus signature join reads two post-aggregate
       // frames with runtime-only statistics — AQE broadcasts the (small)
       // batch side at execution
-      "d12_incremental")
+      "d12_incremental",
+      // d11: per-doc totals ⋈ kept-spans — two post-aggregate frames keyed
+      // by doc id (exchange-reused partitioning; AQE re-plans at runtime)
+      "d11_span_dedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
       SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         .contains("SortMergeJoin")
