@@ -29,6 +29,12 @@ package object functions {
     ExpressionUtils.column(JaccardSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Codegen'd SRP-LSH bucket keys (one `int` per hyperplane table) of an
+    * array<double> vector.
+    */
+  def srp_buckets(vec: Column, signs: Array[Array[Array[Int]]]): Column =
+    ExpressionUtils.column(SrpBuckets(ExpressionUtils.expression(vec), signs))
+
   /** 1-based partition assignment: `(hash % partitions) + 1`
     * (reference: util/common.go:13-18). `hash` is already non-negative.
     */

@@ -302,13 +302,20 @@ object Dedup {
     * of the full corpus id set per call, which this operator exists to avoid.
     */
   def labelPropagation(nodes: DataFrame, pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint() // consumed once per round
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    (1 to rounds).foreach { r =>
+    // Labels seed as the identity on touched nodes, so round 1 collapses to
+    // ONE aggregation: label₁(src) = least(src, min(dst)). Fusing it in
+    // skips both the seed-distinct shuffle and round 1's join (~15% of d6
+    // at sf0.1); rounds 2+ need the real join because neighbor labels are
+    // no longer the neighbor ids.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
+    (2 to rounds).foreach { r =>
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))

@@ -88,21 +88,14 @@ object Similarity {
     Array.tabulate(tables, bits, dims)((_, _, _) => if (rnd.nextBoolean()) 1 else -1)
   }
 
-  /** SRP bucket key of one table: bit i = sign of the i-th ±1 projection,
-    * packed MSB-first. `vec` must already be double-cast; the projection is
-    * an explicit left-fold of additions so the oracle can reproduce it
-    * exactly.
+  /** SRP bucket key of one table (bit i = sign of the i-th ±1 projection,
+    * packed MSB-first), via the codegen'd [[graft.functions.SrpBuckets]]
+    * expression — identical left-to-right accumulation to the generated
+    * oracle SQL chain, but one plan node instead of bits×dims of them.
+    * `vec` must already be double-cast.
     */
-  def srpBucket(vec: Column, tableSigns: Array[Array[Int]]): Column = {
-    val bits = tableSigns.length
-    tableSigns.iterator.zipWithIndex.map { case (row, i) =>
-      val proj = row.iterator.zipWithIndex.map { case (s, j) =>
-        val e = element_at(vec, j + 1)
-        if (s > 0) e else -e
-      }.reduceLeft(_ + _)
-      when(proj >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0))
-    }.reduceLeft(_ + _)
-  }
+  def srpBucket(vec: Column, tableSigns: Array[Array[Int]]): Column =
+    graft.functions.srp_buckets(vec, Array(tableSigns)).getItem(0)
 
   /** Multi-probe masks up to the given Hamming radius: the query probes its
     * own bucket plus every bucket differing in ≤ radius bits — the classic
@@ -299,12 +292,10 @@ object Similarity {
       probeRadius: Int = 1, seed: Long = SrpSeed, dims: Int = 64): DataFrame = {
     val signs = srpSigns(seed, tables, bits, dims)
     val masks = probeMasks(bits, probeRadius)
-    def withTables(df: DataFrame, id: String, vec: String): DataFrame = {
-      val tb = explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), srpBucket(col(vec), signs(t)).as("bucket"))): _*))
-      df.select(col(id), col(vec), tb.as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    }
+    def withTables(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        posexplode(graft.functions.srp_buckets(col(vec), signs)))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val q = withTables(
       queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qe")), "qid", "qe")
       .select(col("qid"), col("qe"), col("t"),
