@@ -424,15 +424,26 @@ object SparkEntry {
           count(lit(1)).as("n_events_asof"))
     }),
 
-    // ── approx sketches (engine capability beyond the reference; no SQL
-    //    oracle — HLL estimates are engine-specific, driver records the
-    //    weaker rows-only check) ─────────────────────────────────────────
+    // ── approx sketches (engine capability beyond the reference). HLL
+    //    estimates are engine-specific, so the sketch VALUES cannot be
+    //    oracle-compared — instead the query emits exact-distinct twins and
+    //    in-query bounded-error booleans (|approx−exact|/exact within 3·rsd
+    //    for the default 5% sketch, 5% for the rsd=0.01 sketch); the oracle
+    //    asserts the booleans true, which gates the sketch accuracy itself ──
     "x1_approx_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("user_id")).as("__au"),
+          approx_count_distinct(col("event_id"), 0.01).as("__ae"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("exact_events"), col("n"),
+          (abs(col("__au") - col("exact_users")).cast("double") / col("exact_users")
+            <= 0.15).as("users_within_bound"),
+          (abs(col("__ae") - col("exact_events")).cast("double") / col("exact_events")
+            <= 0.05).as("events_within_bound"))
     }),
 
     // ═══ LLM-pipeline operators (graft.ops) over documents/embeddings ═════
@@ -1424,6 +1435,18 @@ object SparkEntry {
         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
         |GROUP BY ex.qid""".stripMargin
     },
+    // x1: the sketch estimates themselves are engine-specific, so the gate
+    // compares the exact-distinct twins plus the in-query error-bound
+    // booleans — `true` here asserts the Spark sketch landed within its
+    // advertised rsd, making accuracy itself oracle-checked.
+    "x1_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(DISTINCT event_id) AS exact_events,
+        |       count(*) AS n,
+        |       true AS users_within_bound,
+        |       true AS events_within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     "x2_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

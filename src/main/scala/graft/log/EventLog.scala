@@ -22,6 +22,37 @@ case class AppendRecord(
 
 class ConcurrentModificationException(msg: String) extends RuntimeException(msg)
 
+/** Discriminator governance, the reference's `DiscriminatorMerge` pipeline
+  * verbatim (store/store.go:195-228; options `WithDiscriminatorKeys` /
+  * `WithDiscriminator` / `WithDiscriminatorHook`,
+  * store/postgresql/store.go:74-96): the per-call discriminator passes
+  * through the optional hook (which sees the call values and the operation
+  * kind, and may replace or extend them), is merged over the repo-root
+  * discriminator (call/hook wins on conflicts), and is then filtered to the
+  * declared key allow-list — with the reference's strict rule that NO
+  * declared keys means NO discriminator is stored at all (`filterOut`,
+  * store/store.go:213-228).
+  */
+case class DiscriminatorPolicy(
+    allowedKeys: Set[String] = Set.empty,
+    root: Map[String, String] = Map.empty,
+    hook: Option[DiscriminatorPolicy.Hook] = None) {
+  def merge(callDisc: Map[String, String], kind: String): Map[String, String] = {
+    val hooked = hook.fold(callDisc)(h => h(callDisc, kind))
+    val merged = root ++ hooked
+    if (allowedKeys.isEmpty) Map.empty
+    else merged.view.filterKeys(allowedKeys.contains).toMap
+  }
+}
+
+object DiscriminatorPolicy {
+  /** (call discriminator, operation kind) → discriminator to use. */
+  type Hook = (Map[String, String], String) => Map[String, String]
+  /** Hook kinds (store/store.go:40-41). */
+  val OnPersist = "persist"
+  val OnRetrieve = "retrieve"
+}
+
 /** How appends exclude each other (reads are identical in both modes):
   *  - [[CommitMode.Lock]]: the single-writer lock-file section — correct on
   *    POSIX/HDFS, where atomic create-if-absent is guaranteed;
@@ -79,7 +110,8 @@ class EventLog(
     val numBuckets: Int = 32,
     discriminatorKeys: Set[String] = Set.empty,
     ulidSeed: Option[Long] = None,
-    val commitMode: CommitMode = CommitMode.Lock) {
+    val commitMode: CommitMode = CommitMode.Lock,
+    val discriminatorPolicy: Option[DiscriminatorPolicy] = None) {
 
   import EventLog._
 
@@ -247,6 +279,22 @@ class EventLog(
     kind.fold(activeEvents)(k => activeEvents.filter(col("aggregate_kind") === k))
       .select(col("aggregate_id")).distinct()
 
+  /** Retrieve-side discriminator scoping (the reference's `OnRetrieve` hook
+    * path + per-call context, applied as a query filter the way its
+    * listener/poller options do — `WithDiscriminatorKV`,
+    * sink/poller/poller.go): rows must carry EVERY merged (key, value).
+    * Identity when no policy is configured. The map-key equality predicate
+    * pushes to Parquet as an `element_at` filter per key.
+    */
+  def withDiscriminator(df: DataFrame, callDisc: Map[String, String] = Map.empty): DataFrame =
+    discriminatorPolicy match {
+      case None => df
+      case Some(p) =>
+        p.merge(callDisc, DiscriminatorPolicy.OnRetrieve).foldLeft(df) {
+          case (d, (k, v)) => d.filter(element_at(col("discriminator"), k) === v)
+        }
+    }
+
   /** SQL surface: register the log as temp views (`<prefix>_events`,
     * `<prefix>_events_active`, `<prefix>_snapshots`) and the engine's SQL
     * functions (`fnv1a32`, `ulid_millis`), so `spark.sql` queries run
@@ -324,7 +372,10 @@ class EventLog(
 
   private def buildRows(records: Seq[AppendRecord], nowMs: => Long): Seq[EventRow] =
     records.flatMap { r =>
-      val disc = filterDiscriminator(r.discriminator)
+      val disc = discriminatorPolicy match {
+        case Some(p) => p.merge(r.discriminator, DiscriminatorPolicy.OnPersist)
+        case None => filterDiscriminator(r.discriminator)
+      }
       r.details.zipWithIndex.map { case (d, i) =>
         EventRow(
           id = gen.next(nowMs),
