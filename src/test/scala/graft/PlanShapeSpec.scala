@@ -99,7 +99,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t8_session_window" -> 1, "t8_sliding_window" -> 1, "t8_tumbling_window" -> 1,
       "u1_union_kinds" -> 0, "u2_active_minus_error" -> 1,
       "w2_version_assign" -> 1, "w3_keyset_page" -> 0, "w5_quality_rank" -> 1,
-      "x1_approx_distinct" -> 1, "x2_quantiles" -> 1,
+      // x1: the exact-distinct twins gating the sketch bounds make it a
+      // multi-distinct aggregate (Expand + second exchange)
+      "x1_approx_distinct" -> 2, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
