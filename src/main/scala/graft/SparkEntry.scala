@@ -431,14 +431,22 @@ object SparkEntry {
     //    for the default 5% sketch, 5% for the rsd=0.01 sketch); the oracle
     //    asserts the booleans true, which gates the sketch accuracy itself ──
     "x1_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          countDistinct(col("event_id")).as("exact_events"),
-          approx_count_distinct(col("user_id")).as("__au"),
+      val ev = t(s, dir, "events")
+      // Sketches + exact twins WITHOUT a multi-distinct Expand (which
+      // multiplies the scan ×3 before the shuffle — measured 6× slower):
+      // each exact distinct is its own partial-aggregated two-phase count,
+      // joined back on the (tiny, broadcast) group key.
+      val approxAgg = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("__au"),
           approx_count_distinct(col("event_id"), 0.01).as("__ae"),
           count(lit(1)).as("n"))
+      val exactUsers = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      val exactEvents = ev.select(col("event_type"), col("event_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_events"))
+      approxAgg
+        .join(broadcast(exactUsers), Seq("event_type"))
+        .join(broadcast(exactEvents), Seq("event_type"))
         .select(col("event_type"), col("exact_users"), col("exact_events"), col("n"),
           (abs(col("__au") - col("exact_users")).cast("double") / col("exact_users")
             <= 0.15).as("users_within_bound"),

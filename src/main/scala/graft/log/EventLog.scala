@@ -392,6 +392,92 @@ class EventLog(
       }
     }
 
+  /** Bulk ingest for backfills and initial loads: append a DataFrame of NEW
+    * streams' events in one distributed write. Input columns:
+    * `aggregate_id`, `aggregate_kind`, `kind`, `body`, `seqCol` (any
+    * per-stream ordering column) and optionally `discriminator`
+    * (map<string,string>). Versions are assigned 1..n per stream in seq
+    * order, and event ids come from per-partition monotonic ULID generators
+    * after a repartition+sort on the stream key — so ids increase with
+    * version inside every stream, exactly like transactional appends.
+    *
+    * The reference has no bulk path (an import loops `store.Create` one
+    * transaction at a time — 10⁸ streams cost 10⁸ round-trips); this is one
+    * shuffle plus one bucketed write, and the optimistic version counters
+    * continue correctly afterwards because versions ARE the per-stream
+    * sequence. `timeCol` (millis) keeps HISTORICAL timestamps: each event's
+    * ULID time component and `created_at` come from it, so time-range scans
+    * and as-of reads work on backfilled history exactly as on live appends
+    * (per stream, `seqCol` order must not decrease in `timeCol` — the same
+    * invariant live appends have). Without it every row is stamped `nowMs`.
+    * `requireNew` (default) rejects the import if any target stream already
+    * exists (one distributed semi-join probe); disable it only when the
+    * caller guarantees disjointness. The discriminator pipeline (policy
+    * merge / legacy key filter) applies per row as in [[append]].
+    */
+  def bulkImport(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
+      seqCol: String = "seq", timeCol: Option[String] = None,
+      requireNew: Boolean = true): Long = withLogLock(path) {
+    import spark.implicits._
+    val seedBase = ulidSeed
+    val discFn: Map[String, String] => Map[String, String] = discriminatorPolicy match {
+      case Some(p) => d => p.merge(d, DiscriminatorPolicy.OnPersist)
+      case None =>
+        val keys = discriminatorKeys
+        d => if (keys.isEmpty) d
+          else d.view.filterKeys(k => keys.contains(k.toLowerCase)).toMap
+    }
+    var prepared =
+      if (rows.columns.contains("discriminator")) rows
+      else rows.withColumn("discriminator", typedLit(Map.empty[String, String]))
+    prepared = timeCol match {
+      case Some(c) => prepared.withColumn("__ts", col(c).cast("long"))
+      case None => prepared.withColumn("__ts", lit(nowMs))
+    }
+    if (requireNew && exists(eventsPath)) {
+      val clash = prepared.select(col("aggregate_id")).distinct()
+        .join(events.select(col("aggregate_id")).distinct(),
+          Seq("aggregate_id"), "left_semi")
+        .limit(1).as[String].collect()
+      if (clash.nonEmpty) throw new ConcurrentModificationException(
+        s"bulkImport: stream ${clash.head} already exists in the log")
+    }
+    val imported = prepared
+      .repartition(col("aggregate_id"))
+      .sortWithinPartitions(col("aggregate_id"), col(seqCol))
+      .select(col("aggregate_id"), col("aggregate_kind"), col("kind"),
+        col("body"), col("discriminator"), col("__ts"))
+      .as[(String, String, String, String, Map[String, String], Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // One monotonic generator per STREAM (created on stream change; all
+        // rows of a stream are contiguous after the sort): per-stream id
+        // order follows the per-row times without one stream's clock
+        // bumping another's, matching live appends' per-stream monotonicity.
+        var cur: String = null
+        var gen: Ulid.Generator = null
+        var v = 0
+        it.map { case (aggId, aggKind, kind, body, disc, ts) =>
+          if (aggId != cur) {
+            cur = aggId
+            v = 0
+            gen = new Ulid.Generator(seed = seedBase.map(s =>
+              s * 2654435761L + pid * 1000003L +
+                (Fnv1a32.hashString(aggId).toLong << 16) +
+                scala.util.hashing.MurmurHash3.stringHash(aggId)))
+          }
+          v += 1
+          val d = if (disc == null) Map.empty[String, String] else disc
+          EventRow(gen.next(ts), aggId, Fnv1a32.hashString(aggId), v, aggKind,
+            kind, body, discFn(d), new Timestamp(ts), 0, false)
+        }
+      }
+      .localCheckpoint() // one materialization: counted, then written
+    val n = imported.count()
+    if (n > 0) writeEventsDF(imported.toDF())
+    n
+  }
+
   /** The commit chain (lazily materialized; also usable for inspection in
     * Lock mode, where it simply stays empty).
     */
@@ -521,24 +607,45 @@ class EventLog(
 
       if (plan.isEmpty) spark.emptyDataset[MigratedStream]
       else {
-        // 3. ONE invalidation rewrite per affected bucket: flag old rows via a
-        // join against the migrated stream set (bucket-pruned on both sides).
+        // 3. ONE invalidation rewrite over the affected bucket SET: flag old
+        // rows via a join against the migrated stream ids. Lock mode
+        // rewrites all touched buckets in a single dynamic-partition-
+        // overwrite job (a per-bucket loop measured 64 sequential jobs /
+        // ~35 s on the 20k-stream smoke — the loop survives only in
+        // manifest mode, whose rewrite claims are file-granular per bucket).
         val ids = plan.select(col("aggregateId").as("m_id"),
           pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
         val buckets = ids.select("m_bucket").distinct().as[Int].collect().sorted
-        buckets.foreach { b =>
-          val bucketIds = ids.filter(col("m_bucket") === b).drop("m_bucket")
-          rewriteBucket(eventsPath, EventSchema.events, b) { df =>
-            df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left")
-              .withColumn("migration",
-                when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
-                  .otherwise(col("migration")))
-              .drop("m_id")
-          }
-          // 4. drop snapshots of migrated streams (anti-join, same bucket)
-          if (exists(snapshotsPath)) {
-            rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
-              df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left_anti")
+        val invalidate: DataFrame => DataFrame = { df =>
+          val allIds = ids.select("m_id")
+          df.join(allIds, df("aggregate_id") === allIds("m_id"), "left")
+            .withColumn("migration",
+              when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
+                .otherwise(col("migration")))
+            .drop("m_id")
+        }
+        val dropSnapshots: DataFrame => DataFrame = { df =>
+          val allIds = ids.select("m_id")
+          df.join(allIds, df("aggregate_id") === allIds("m_id"), "left_anti")
+        }
+        if (commitMode == CommitMode.Lock) {
+          rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets)(invalidate)
+          if (exists(snapshotsPath))
+            rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets)(dropSnapshots)
+        } else {
+          buckets.foreach { b =>
+            val bucketIds = ids.filter(col("m_bucket") === b).drop("m_bucket")
+            rewriteBucket(eventsPath, EventSchema.events, b) { df =>
+              df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left")
+                .withColumn("migration",
+                  when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
+                    .otherwise(col("migration")))
+                .drop("m_id")
+            }
+            if (exists(snapshotsPath)) {
+              rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
+                df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left_anti")
+              }
             }
           }
         }
@@ -799,6 +906,34 @@ class EventLog(
       hfs.delete(tmp, true)
     }
     manifest.markDone(claim.n) // atomic visibility switch; GC is separate
+  }
+
+  /** Multi-bucket copy-on-write rewrite in ONE dynamic-partition-overwrite
+    * job (Lock mode): reads only the affected bucket directories, applies
+    * `f` to the combined logical frame, re-derives the bucket column, and
+    * overwrites exactly the touched partitions. Buckets `f` emptied
+    * entirely are deleted explicitly (dynamic overwrite never touches a
+    * partition absent from the written data).
+    */
+  private def rewriteBucketsOverwrite(tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, buckets: Seq[Int])
+      (f: DataFrame => DataFrame): Unit = if (buckets.nonEmpty) {
+    val cur = spark.read.schema(addBucket(schema)).parquet(tablePath)
+      .filter(col("bucket").isin(buckets: _*))
+      .drop("bucket")
+    val out = f(cur)
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .localCheckpoint() // materialize before overwriting the source files
+    val writtenBuckets = out.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    buckets.filterNot(writtenBuckets).foreach(b =>
+      deleteRecursively(new java.io.File(s"$tablePath/bucket=$b")))
+    if (writtenBuckets.nonEmpty) {
+      out.sortWithinPartitions(col("bucket"), col("id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .option("compression", EventLog.Compression)
+        .parquet(tablePath)
+    }
   }
 
   /** Directory-overwrite rewrite via dynamic partition overwrite — the only

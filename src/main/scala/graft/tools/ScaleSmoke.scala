@@ -36,26 +36,24 @@ object ScaleSmoke {
       println(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    // ── bulk ingest: generate EventRows distributed, write bucketed ──────
-    time(s"bulk ingest ${nStreams * perStream} events") {
-      val rows = spark.range(nStreams.toLong * perStream).mapPartitions { it =>
-        val gen = new Ulid.Generator(seed = Some(7L))
-        it.map { i =>
-          val stream = (i / perStream).toString
-          val v = (i % perStream).toInt + 1
-          val aggId = f"01HXSCALE${stream.toLong}%017d"
-          val kind = if (v == 1) "AccountCreated" else "MoneyDeposited"
-          val body = if (v == 1) s"""{"money":${100 + i % 50},"owner":"o$stream"}"""
-            else s"""{"money":${i % 10}}"""
-          EventRow(gen.next(1700000000000L + i), aggId, Fnv1a32.hashString(aggId),
-            v, "Account", kind, body, Map("tenant" -> (if (i % 2 == 0) "xyz" else "abc")),
-            new Timestamp(1700000000000L), 0, false)
-        }
-      }
-      rows.toDF()
-        .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(64)))
-        .sortWithinPartitions("bucket", "id")
-        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$dir/events")
+    // ── bulk ingest through the first-class API: one shuffle + one write ─
+    time(s"bulk ingest ${nStreams * perStream} events (bulkImport)") {
+      val stream = (col("id") / perStream).cast("long")
+      val src = spark.range(nStreams.toLong * perStream).select(
+        format_string("01HXSCALE%017d", stream).as("aggregate_id"),
+        lit("Account").as("aggregate_kind"),
+        when(col("id") % perStream === 0, "AccountCreated")
+          .otherwise("MoneyDeposited").as("kind"),
+        when(col("id") % perStream === 0,
+          format_string("""{"money":%d,"owner":"o%d"}""",
+            lit(100) + col("id") % 50, stream))
+          .otherwise(format_string("""{"money":%d}""", col("id") % 10)).as("body"),
+        (col("id") % perStream).as("seq"),
+        (lit(1700000000000L) + col("id")).as("ts"),
+        map(lit("tenant"), when(col("id") % 2 === 0, "xyz").otherwise("abc"))
+          .as("discriminator"))
+      val n = log.bulkImport(src, seqCol = "seq", timeCol = Some("ts"))
+      require(n == nStreams.toLong * perStream, s"imported $n")
     }
 
     val store = new EventStore(log, graft.tools.ScaleAccount)
@@ -105,6 +103,23 @@ object ScaleSmoke {
         .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$dir/events")
     }
     time("rehydrateAll incl. celebrity (spillable fold)") {
+      require(store.rehydrateAll().count() == nStreams + 1)
+    }
+
+    // ── stream-scale maintenance: the distributed M4/M2 paths (driver
+    // memory stays flat — per-stream state never leaves the executors) ───
+    time(s"M4 NoOp fences: ${nStreams + 1} streams minted distributed") {
+      val n = log.appendNoOpFences("Account")
+      require(n == nStreams.toLong + 1, s"fenced $n")
+    }
+    time("M2 migrate 1% of streams (jobs bounded by buckets)") {
+      val migrated = log.migrateDistributed(1, Set("AccountCreated"), evs =>
+        if (evs.head.aggregate_id.endsWith("00"))
+          Some(evs.map(e => graft.log.EventDetail(e.kind, e.body)))
+        else None).count()
+      require(migrated == nStreams.toLong / 100, s"migrated $migrated")
+    }
+    time("rehydrateAll after maintenance") {
       require(store.rehydrateAll().count() == nStreams + 1)
     }
 

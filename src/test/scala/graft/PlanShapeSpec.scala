@@ -99,9 +99,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "t8_session_window" -> 1, "t8_sliding_window" -> 1, "t8_tumbling_window" -> 1,
       "u1_union_kinds" -> 0, "u2_active_minus_error" -> 1,
       "w2_version_assign" -> 1, "w3_keyset_page" -> 0, "w5_quality_rank" -> 1,
-      // x1: the exact-distinct twins gating the sketch bounds make it a
-      // multi-distinct aggregate (Expand + second exchange)
-      "x1_approx_distinct" -> 2, "x2_quantiles" -> 1,
+      // x1: sketch agg (1) + two split exact-distinct twins (2 each: the
+      // distinct and its per-type recount) — split on purpose, a fused
+      // multi-distinct Expand tripled the scan and measured 6× slower
+      "x1_approx_distinct" -> 5, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
