@@ -481,7 +481,6 @@ object Dedup {
     // through one signature pass (4 longs/doc is the only corpus-sized
     // shuffle) and shingle sets are rebuilt solely for candidate corpus
     // docs via a semi-join; nothing corpus-sized is ever checkpointed.
-    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
     val cSetsAll =
       if (materializeCorpusSets)
         Some(shingleSets(corpus, idCol, textCol, shingleSize).localCheckpoint())
@@ -490,6 +489,29 @@ object Dedup {
       case Some(s) => minhashSignaturesFromSets(s, bands)
       case None => minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
     }
+    incrementalCore(corpus, cSigs, cSetsAll, batch, idCol, textCol,
+      threshold, bands, shingleSize)
+  }
+
+  /** Incremental dedup against a PRE-SIGNED corpus: the continuous-ingest
+    * form where the corpus signature frame is computed once (per run, or
+    * persisted run to run — it is a pure function of the corpus) and only
+    * the batch is signed per call. Candidate corpus docs' shingle sets are
+    * rebuilt via semi-join, so nothing corpus-sized materializes per batch.
+    * This is the per-micro-batch body of the streaming screen
+    * ([[graft.streaming.StreamAggs.screenNearDupAtIngest]]).
+    */
+  def incrementalDedupPresigned(corpus: DataFrame, corpusSigs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    incrementalCore(corpus, corpusSigs, None, batch, idCol, textCol,
+      threshold, bands, shingleSize)
+
+  private def incrementalCore(corpus: DataFrame, cSigs: DataFrame,
+      cSetsAll: Option[DataFrame], batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int,
+      shingleSize: Int): DataFrame = {
+    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
     val cand = minhashSignaturesFromSets(bSets, bands)
       .withColumnRenamed("mh_id", "b_id")
       .join(cSigs.withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))

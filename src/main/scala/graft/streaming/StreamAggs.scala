@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Event-time windowed aggregation over a (possibly streaming) event frame —
   * the T7/T8 capabilities the reference lacks but a Spark-native engine gets
@@ -123,5 +124,33 @@ object StreamAggs {
       .drop("__ws", "__sh")
       .withColumn("keep",
         col("quality") >= minQuality && col("rep_frac") <= maxRepetition)
+  }
+
+  /** Streaming near-dup screen: every micro-batch of incoming documents is
+    * screened against a STATIC accepted corpus before landing — the
+    * continuous-crawl counterpart of [[graft.ops.Dedup.incrementalDedup]]
+    * (d12). The corpus is MinHash-signed ONCE here (the signatures are a
+    * pure function of the corpus — at 100 TB they'd be persisted and merely
+    * loaded); each micro-batch signs only itself, band-joins against the
+    * corpus signatures, and Jaccard-verifies candidates with corpus shingle
+    * sets rebuilt for the candidate sliver only. `foreachBatch` is the
+    * idiomatic Spark shape for stream-vs-static screening with multi-join
+    * batch logic; exactly-once delivery of screen results comes from the
+    * caller's query checkpoint (batchId-idempotent sinks, the T5 pattern).
+    *
+    * `sink` receives `(screenResult, batchId)`; the result frame is
+    * `(idCol, is_new, match_id)` — batch rows whose `is_new` is false
+    * near-duplicate an accepted corpus document.
+    */
+  def screenNearDupAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val cSigs = graft.ops.Dedup
+      .minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
+      .localCheckpoint() // signed once, reused by every micro-batch
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Dedup.incrementalDedupPresigned(corpus, cSigs,
+        batch.toDF(), idCol, textCol, threshold, bands, shingleSize), batchId)
+    }
   }
 }

@@ -192,4 +192,46 @@ class StreamAggsSpec extends AnyFunSuite {
         "batch and streaming screens must agree row for row")
     } finally q.stop()
   }
+
+  test("streaming near-dup screen equals the batch incremental dedup, batch by batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nearscreen").toFile.getAbsolutePath
+
+    // accepted corpus: 30 distinct documents
+    def doc(i: Long, extra: String) =
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel token$i $extra")
+    val corpus = (0L until 30L).map(i => doc(i, "accepted corpus text body here"))
+      .toDF("doc_id", "text")
+
+    // incoming batch: ids 100+; even ids near-duplicate corpus docs (same
+    // text, one token changed), odd ids are fresh
+    val incoming = (0L until 10L).map { i =>
+      if (i % 2 == 0) (100L + i, s"alpha bravo charlie delta echo foxtrot golf hotel token$i CHANGED corpus text body here")
+      else (100L + i, s"completely different unrelated novel content number$i with distinct words entirely")
+    }
+    incoming.toDF("doc_id", "text").write.parquet(s"$dir/in")
+
+    // batch truth: d12 on the same inputs
+    val expected = graft.ops.Dedup.incrementalDedup(corpus,
+        spark.read.parquet(s"$dir/in"), "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    // streaming: same screen through foreachBatch on a readStream
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamAggs.screenNearDupAtIngest(
+        spark.readStream.schema("doc_id long, text string").parquet(s"$dir/in"),
+        corpus, "doc_id", "text", threshold = 0.5) { (res, _) =>
+        got.synchronized { got ++= res.orderBy("doc_id").collect().map(_.toString); () }
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === expected.sorted,
+        "streaming screen must flag exactly the rows the batch screen flags")
+      // and the flags themselves are right: every even id matched, odd ids new
+      val matched = got.count(_.contains("false"))
+      assert(matched == 5, s"5 planted near-dups must be flagged, got $matched")
+    } finally q.stop()
+  }
 }
