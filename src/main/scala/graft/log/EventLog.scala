@@ -283,8 +283,10 @@ class EventLog(
     * path + per-call context, applied as a query filter the way its
     * listener/poller options do — `WithDiscriminatorKV`,
     * sink/poller/poller.go): rows must carry EVERY merged (key, value).
-    * Identity when no policy is configured. The map-key equality predicate
-    * pushes to Parquet as an `element_at` filter per key.
+    * Identity when no policy is configured. Map-key equality evaluates
+    * post-scan (Parquet pushes only top-level primitive predicates); a
+    * tenant hot enough to justify scan pruning belongs in the physical
+    * layout instead — a partition column or its own log path.
     */
   def withDiscriminator(df: DataFrame, callDisc: Map[String, String] = Map.empty): DataFrame =
     discriminatorPolicy match {

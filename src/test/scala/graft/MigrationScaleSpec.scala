@@ -73,6 +73,36 @@ class MigrationScaleSpec extends AnyFunSuite {
     assert(log.activeEvents.count() == nStreams * 2L)
   }
 
+  test("M2 migrate under Manifest commit mode: per-bucket rewrite claims, one visible version") {
+    val dir = Files.createTempDirectory("graftmigmanifest").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(78L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val n = 50
+    (1 to n).foreach { i =>
+      log.append(Seq(AppendRecord(f"01HXMANIF${i}%017d", "Account", 0, Map.empty, Seq(
+        AccountType.created(10L * i, s"o$i"), AccountType.deposited(i)))),
+        nowMs = 1700000000000L + i)
+    }
+    val migrated = log.migrate(1, Set("AccountCreated"), evs => {
+      Some(evs.map(e =>
+        if (e.kind == "AccountCreated") graft.log.EventDetail("AccountCreated_V2", e.body)
+        else graft.log.EventDetail(e.kind, e.body)))
+    }, nowMs = 1700000100000L)
+    assert(migrated.size == n)
+    // committed readers see exactly one version of every rewritten row:
+    // 2 active copies per stream, 3 invalidated (2 originals + fence)
+    assert(log.activeEvents.count() == n * 2L)
+    assert(log.committedEvents.count() == n * 5L)
+    val one = log.committedEvents.filter(col("aggregate_id") === f"01HXMANIF${9}%017d")
+      .orderBy(col("aggregate_version")).collect()
+    assert(one.map(_.getAs[String]("kind")).toSeq ==
+      Seq("AccountCreated", "MoneyDeposited", "Invalidated", "AccountCreated_V2", "MoneyDeposited"))
+    assert(one.map(_.getAs[Int]("migration")).toSeq == Seq(1, 1, 1, 0, 0))
+    // the rewrite claims completed and the replaced files are GC-able
+    assert(log.gcReplaced(retentionMs = 0L) > 0)
+    assert(log.activeEvents.count() == n * 2L, "reads unchanged after GC")
+  }
+
   test("M4 appendNoOpFences over 300 streams launches O(1) jobs and fences all") {
     val log = freshLog()
     val (n, jobs) = countJobs(log.appendNoOpFences("Account", nowMs = 1700000002000L))
