@@ -490,7 +490,14 @@ class EventLog(
 
   def saveSnapshot(snap: SnapshotRow): Unit = {
     import spark.implicits._
-    Seq(snap).toDS()
+    saveSnapshots(Seq(snap).toDS().toDF())
+  }
+
+  /** Distributed snapshot append (same layout contract as [[saveSnapshot]];
+    * one bucketed write for any number of streams' snapshots).
+    */
+  def saveSnapshots(snaps: DataFrame): Unit = {
+    snaps
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(snapshotsPath)
     graft.sources.GraftMeta.write(spark, snapshotsPath, numBuckets)

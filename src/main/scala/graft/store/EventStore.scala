@@ -175,24 +175,35 @@ class EventStore[T](
 
   /** M2 migration: rewrite every stream containing `targetKinds` via
     * `handler`, then snapshot the migrated streams that cross the threshold
-    * under the NEW aggregate type (eventstore.go:434-454).
+    * under the NEW aggregate type (eventstore.go:434-454). Snapshot folds
+    * run on executors and land in ONE bucketed write — a driver loop of
+    * per-stream saveSnapshot jobs would undo the distributed rewrite at
+    * 10⁶+ migrated streams. The returned Seq is the driver-side summary;
+    * callers at that scale use `log.migrateDistributed` directly.
     */
   def migrate[S](revision: Int, targetKinds: Set[String], newAgg: AggregateType[S],
       newCodec: Codec = new Codec)(handler: Seq[EventRow] => Option[Seq[EventDetail]],
       nowMs: => Long = System.currentTimeMillis()): Seq[graft.log.MigratedStream] = {
-    val migrated = log.migrate(revision, targetKinds, handler, nowMs)
-    if (snapshotThreshold > 0) migrated.foreach { m =>
-      if (m.details.size >= snapshotThreshold) {
-        var state = newAgg.empty
-        m.details.foreach { d =>
-          val (k, b) = newCodec.upcastJson(d.kind, d.body)
-          state = newAgg.fold(state, k, b)
+    val t = nowMs
+    val migrated = log.migrateDistributed(revision, targetKinds, handler, t)
+    if (snapshotThreshold > 0) {
+      val thr = snapshotThreshold
+      val agg2 = newAgg
+      val codec2 = newCodec
+      val snaps = migrated
+        .filter(_.details.size >= thr)
+        .map { m =>
+          var state = agg2.empty
+          m.details.foreach { d =>
+            val (k, b) = codec2.upcastJson(d.kind, d.body)
+            state = agg2.fold(state, k, b)
+          }
+          SnapshotRow(m.lastEventId, m.aggregateId, m.lastVersion,
+            agg2.kind, agg2.encodeState(state), new Timestamp(t), m.discriminator)
         }
-        log.saveSnapshot(SnapshotRow(m.lastEventId, m.aggregateId, m.lastVersion,
-          newAgg.kind, newAgg.encodeState(state), new Timestamp(nowMs), m.discriminator))
-      }
+      log.saveSnapshots(snaps.toDF())
     }
-    migrated
+    migrated.collect().toSeq.sortBy(_.aggregateId)
   }
 
   /** M4 consistent-projection rebuild: optionally fence every stream with a
