@@ -54,6 +54,14 @@ class RemoteEventsSpec extends AnyFunSuite {
       assert(sqlRows("SELECT max(id) AS max_id FROM global_temp.graft_events_active") == 1L)
       // the full remote surface: all 14 committed events visible
       assert(sqlRows("SELECT id FROM global_temp.graft_events_active") == 14L)
+      // liveness: events appended AFTER serve are invisible to the pinned
+      // view until the client refreshes it — the documented poll protocol
+      store.create("01HXREMOTE0000000000000099", Seq(AccountType.created(1, "x")))
+      assert(sqlRows("SELECT id FROM global_temp.graft_events_active") == 14L,
+        "view listing is pinned until refresh")
+      sqlRows("REFRESH TABLE global_temp.graft_events_active")
+      assert(sqlRows("SELECT id FROM global_temp.graft_events_active") == 15L,
+        "remote REFRESH makes the append visible")
     } finally {
       channel.shutdownNow()
       RemoteEvents.stop()
