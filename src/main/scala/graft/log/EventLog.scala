@@ -76,6 +76,25 @@ case class MigrationPlan(
     details: Seq[EventDetail],
     rows: Seq[EventRow])
 
+/** Per-bucket physical footprint (maintenance telemetry). */
+case class BucketStat(bucket: Int, files: Int, bytes: Long)
+
+/** Operational snapshot of the log's physical state — what a maintenance
+  * scheduler consumes to decide WHEN to compact (file counts per bucket are
+  * the small-files signal), gc (replaced files awaiting delete) and prune
+  * the commit chain (claim counts).
+  */
+case class LogStats(
+    events: Seq[BucketStat],
+    snapshots: Seq[BucketStat],
+    pendingClaims: Int,
+    doneClaims: Int,
+    replacedAwaitingGc: Int) {
+  def eventFiles: Int = events.map(_.files).sum
+  def eventBytes: Long = events.map(_.bytes).sum
+  def maxFilesPerBucket: Int = (0 +: events.map(_.files)).max
+}
+
 /** Result of migrating one stream: its new head after the rewrite. */
 case class MigratedStream(
     aggregateId: String,
@@ -737,6 +756,89 @@ class EventLog(
     // full-table Overwrite deletes the directory, marker included — restore it
     graft.sources.GraftMeta.invalidate(eventsPath)
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
+  }
+
+  /** Maintenance telemetry: per-bucket file counts and bytes for both
+    * tables plus commit-chain counters. Pure metadata listing (no data
+    * read); `maxFilesPerBucket` crossing a threshold is the trigger for
+    * [[compact]], `replacedAwaitingGc > 0` for [[gcReplaced]] — the
+    * scheduler loop a 100 TB log runs in its maintenance window.
+    */
+  def stats(): LogStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    def table(tablePath: String): Seq[BucketStat] = {
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map { d =>
+          val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          BucketStat(d.getPath.getName.stripPrefix("bucket=").toInt,
+            files.length, files.map(_.getLen).sum)
+        }.sortBy(_.bucket).toSeq
+    }
+    val claims = if (commitMode == CommitMode.Manifest) {
+      manifest.refresh(): Unit
+      manifest.claims()
+    } else Seq.empty
+    LogStats(
+      events = table(eventsPath),
+      snapshots = table(snapshotsPath),
+      pendingClaims = claims.count(!_.done),
+      doneClaims = claims.count(_.done),
+      replacedAwaitingGc = claims
+        .filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+        .flatMap(_.replaced)
+        .count { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        })
+  }
+
+  /** Re-bucketing maintenance: rewrite the whole log (events AND snapshots)
+    * under a new bucket count — the grow-the-cluster operation a log sized
+    * at 64 buckets needs when the corpus grows 100×, since bucket count
+    * bounds both point-scan parallelism and compaction granularity. One
+    * distributed rewrite per table into a temp directory, then a swap; the
+    * bucket column is re-derived from `fnv1a32(aggregate_id)`, so ordering,
+    * versions and ids are untouched. Returns a NEW EventLog bound to the
+    * same path with the new count — the receiving instance MUST be
+    * discarded (its `bucketOf` would prune point reads to the wrong
+    * directory). Lock mode only: a manifest-mode log re-buckets by parallel
+    * copy into a fresh path + reader cutover, which is also the zero-
+    * downtime recipe at 100 TB (this in-place form assumes its maintenance
+    * window).
+    */
+  def rebucket(newNumBuckets: Int): EventLog = withLogLock(path) {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    require(commitMode == CommitMode.Lock,
+      "in-place rebucket is lock-mode only; manifest logs re-bucket by copy + cutover")
+    val conf = spark.sessionState.newHadoopConf()
+    def rewrite(tablePath: String, schema: org.apache.spark.sql.types.StructType): Unit =
+      if (exists(tablePath)) {
+        val tmpDir = s"$tablePath.rebucket-tmp"
+        spark.read.schema(addBucket(schema)).parquet(tablePath)
+          .drop("bucket")
+          .withColumn("bucket",
+            pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(newNumBuckets)))
+          .repartition(newNumBuckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .option("compression", EventLog.Compression)
+          .parquet(tmpDir)
+        val src = new org.apache.hadoop.fs.Path(tmpDir)
+        val dst = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = dst.getFileSystem(conf)
+        fs.delete(dst, true)
+        fs.rename(src, dst): Unit
+        graft.sources.GraftMeta.invalidate(tablePath)
+        graft.sources.GraftMeta.write(spark, tablePath, newNumBuckets)
+      }
+    rewrite(eventsPath, EventSchema.events)
+    rewrite(snapshotsPath, EventSchema.snapshots)
+    new EventLog(spark, path, newNumBuckets, discriminatorKeys, ulidSeed,
+      commitMode, discriminatorPolicy)
   }
 
   /** Snapshot compaction: drop superseded snapshots, keeping the latest per

@@ -39,6 +39,24 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.retrieve("01HXCOMPACT000000000000001").state.balance == 2)
   }
 
+  test("stats: small-files telemetry drives the compact/gc schedule") {
+    val dir = Files.createTempDirectory("graftstats").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(33L))
+    val store = new EventStore(log, AccountType)
+    (1 to 10).foreach { i =>
+      store.create(f"01HXSTATS${i}%017d", Seq(AccountType.created(i, s"o$i")))
+    }
+    val s1 = log.stats()
+    assert(s1.events.map(_.bucket).toSet.subsetOf(Set(0, 1)))
+    assert(s1.eventFiles >= 10, "one append = at least one file")
+    assert(s1.maxFilesPerBucket >= 5)
+    assert(s1.eventBytes > 0 && s1.pendingClaims == 0 && s1.replacedAwaitingGc == 0)
+    log.compact()
+    val s2 = log.stats()
+    assert(s2.maxFilesPerBucket <= 1, "compaction collapses each bucket to one file")
+    assert(log.events.count() == 10L)
+  }
+
   test("compactSnapshots keeps only the latest snapshot per stream") {
     val dir = Files.createTempDirectory("graftsnapcompact").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(32L))
