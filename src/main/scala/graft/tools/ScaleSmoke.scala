@@ -1,13 +1,11 @@
 package graft.tools
 
-import graft.core.{EventRow, Ulid}
-import graft.functions.Fnv1a32
+import graft.core.Ulid
 import graft.log.EventLog
 import graft.replay.{EventFilter, Player}
 import graft.store.EventStore
 import java.nio.file.Files
-import java.sql.Timestamp
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: synthesize a log well beyond the sf0.1 events table (default
@@ -85,22 +83,20 @@ object ScaleSmoke {
       require(store.rehydrateAll().count() == nStreams)
     }
 
-    // ── celebrity stream: one key with 300k events (hard part #6) ────────
-    // flatMapSortedGroups sorts/spills instead of materializing the group,
-    // so a pathological hot key folds without OOM.
-    time("ingest 300k-event celebrity stream") {
+    // ── celebrity stream: one key with 300k events (hard part #6), ingested
+    // through bulkImport — all 300k rows land in ONE repartition group, so
+    // the import's per-stream sort is the spill path under test; downstream,
+    // flatMapSortedGroups folds the hot key without materializing it.
+    time("ingest 300k-event celebrity stream (bulkImport)") {
       val hot = "01HXSCALECELEBRITY0000001"
-      val rows = spark.range(300000L).mapPartitions { it =>
-        val gen = new Ulid.Generator(seed = Some(8L))
-        it.map { i =>
-          EventRow(gen.next(1710000000000L + i), hot, Fnv1a32.hashString(hot),
-            (i + nStreams.toLong * perStream).toInt + 1, "Account", "MoneyDeposited",
-            s"""{"money":1}""", Map.empty, new Timestamp(1710000000000L), 0, false)
-        }
-      }
-      rows.toDF()
-        .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(64)))
-        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$dir/events")
+      val src = spark.range(300000L).select(
+        lit(hot).as("aggregate_id"),
+        lit("Account").as("aggregate_kind"),
+        lit("MoneyDeposited").as("kind"),
+        lit("""{"money":1}""").as("body"),
+        col("id").as("seq"),
+        (lit(1710000000000L) + col("id")).as("ts"))
+      require(log.bulkImport(src, seqCol = "seq", timeCol = Some("ts")) == 300000L)
     }
     time("rehydrateAll incl. celebrity (spillable fold)") {
       require(store.rehydrateAll().count() == nStreams + 1)
