@@ -435,6 +435,11 @@ class EventLog(
     * exists (one distributed semi-join probe); disable it only when the
     * caller guarantees disjointness. The discriminator pipeline (policy
     * merge / legacy key filter) applies per row as in [[append]].
+    *
+    * Concurrency: backfill semantics — the imported streams must have no
+    * concurrent writers (the lock section covers same-JVM writers; in
+    * manifest mode, where writers span drivers, run imports before opening
+    * the log to them — the probe-then-write is not claim-fenced).
     */
   def bulkImport(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
       seqCol: String = "seq", timeCol: Option[String] = None,
@@ -456,9 +461,9 @@ class EventLog(
       case None => prepared.withColumn("__ts", lit(nowMs))
     }
     if (requireNew && exists(eventsPath)) {
+      // semi-join needs no distinct on the (corpus-sized) log side
       val clash = prepared.select(col("aggregate_id")).distinct()
-        .join(events.select(col("aggregate_id")).distinct(),
-          Seq("aggregate_id"), "left_semi")
+        .join(events.select(col("aggregate_id")), Seq("aggregate_id"), "left_semi")
         .limit(1).as[String].collect()
       if (clash.nonEmpty) throw new ConcurrentModificationException(
         s"bulkImport: stream ${clash.head} already exists in the log")
@@ -756,6 +761,46 @@ class EventLog(
     // full-table Overwrite deletes the directory, marker included — restore it
     graft.sources.GraftMeta.invalidate(eventsPath)
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
+  }
+
+  /** Retention: prune events that are BOTH older than `beforeMs` (by ULID
+    * time) AND covered by their stream's latest snapshot (version ≤ the
+    * snapshot's) — the only form of event-log TTL that keeps every fold
+    * reproducible: `retrieve` and the stitched rehydration
+    * ([[graft.store.EventStore.rehydrateAllStitched]]) read snapshot + tail
+    * and never miss pruned prefixes. Un-snapshotted streams are untouched.
+    * One multi-bucket copy-on-write rewrite (join against the snapshot
+    * heads); invalidated audit rows below the covered version age out under
+    * the same rule — that is what retention means. Returns rows dropped.
+    *
+    * The reference has no retention op at all — logs grow forever or get
+    * truncated by hand; at 100 TB this plus [[compact]] IS the storage
+    * lifecycle.
+    */
+  def pruneSnapshotted(beforeMs: Long): Long = withLogLock(path) {
+    if (!exists(eventsPath) || !exists(snapshotsPath)) 0L
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("aggregate_id")).orderBy(col("id").desc)
+      val heads = snapshots
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("aggregate_id").as("p_id"), col("aggregate_version").as("p_v"))
+        .localCheckpoint() // consumed by the rewrite below
+      val bound = Ulid.timeOnly(beforeMs)
+      val keep: DataFrame => DataFrame = { df =>
+        df.join(heads, df("aggregate_id") === heads("p_id"), "left")
+          .filter(col("p_id").isNull ||
+            col("aggregate_version") > col("p_v") || col("id") >= bound)
+          .drop("p_id", "p_v")
+      }
+      val before = committedEvents.count()
+      if (commitMode == CommitMode.Lock)
+        rewriteBucketsOverwrite(eventsPath, EventSchema.events, 0 until numBuckets)(keep)
+      else
+        (0 until numBuckets).foreach(b =>
+          rewriteBucket(eventsPath, EventSchema.events, b)(keep))
+      before - committedEvents.count()
+    }
   }
 
   /** Maintenance telemetry: per-bucket file counts and bytes for both

@@ -218,11 +218,59 @@ class EventStore[T](
     rehydrateAll()
   }
 
+  /** Snapshot-stitched rehydration of EVERY stream: the distributed form of
+    * `retrieve` — latest snapshot per stream full-outer-joined with its
+    * active tail (version > snapshot's), folded per key from the decoded
+    * snapshot state. Equals [[rehydrateAll]] on an unpruned log; it is the
+    * REQUIRED form after [[graft.log.EventLog.pruneSnapshotted]] retention
+    * (the pruned prefix lives only in the snapshot), and the cheaper form
+    * whenever snapshots exist — the fold touches tails, not full history
+    * (the j3 snapshot-stitch shape, distributed).
+    */
+  def rehydrateAllStitched()(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
+    val codecB = codec
+    val aggB = agg
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("aggregate_id")).orderBy(col("id").desc)
+    val snaps = log.snapshots
+      .filter(col("aggregate_kind") === agg.kind)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("aggregate_id"),
+        col("aggregate_version").as("snap_version"), col("body").as("snap_body"))
+    val tail = log.activeEvents
+      .filter(col("aggregate_kind") === agg.kind)
+      .select(col("aggregate_id"), col("aggregate_version"), col("kind"), col("body"))
+    tail.join(snaps, Seq("aggregate_id"), "full_outer")
+      .filter(col("aggregate_version").isNull || col("snap_version").isNull ||
+        col("aggregate_version") > col("snap_version"))
+      .select(col("aggregate_id"),
+        coalesce(col("aggregate_version"), lit(0)).as("aggregate_version"),
+        col("kind"), col("body"), col("snap_body"))
+      .as[(String, Int, String, String, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+        var state: Option[T] = None
+        var any = false
+        it.foreach { case (_, _, k0, b0, snapBody) =>
+          if (state.isEmpty)
+            state = Some(if (snapBody != null) aggB.decodeState(snapBody) else aggB.empty)
+          if (k0 != null) {
+            val (k, b) = codecB.upcastJson(k0, b0)
+            state = Some(aggB.fold(state.get, k, b))
+          }
+          any = true
+        }
+        if (any) Iterator((id, state.getOrElse(aggB.empty))) else Iterator.empty
+      }
+  }
+
   /** A1 at scale: rehydrate EVERY stream of this aggregate kind in one
     * distributed pass — sorted per-key iterator fold inside `flatMapGroups`
     * (no `collect_list` materialization; Spark's group sort spills). One
     * shuffle on the stream key; with the log bucketed by hash the shuffle
-    * is the only wide stage.
+    * is the only wide stage. Folds the FULL event history from empty state:
+    * on a log pruned by snapshot-covered retention use
+    * [[rehydrateAllStitched]] instead.
     */
   def rehydrateAll()(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
     val codecB = codec
