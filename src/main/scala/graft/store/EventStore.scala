@@ -215,7 +215,9 @@ class EventStore[T](
     */
   def rebuildProjection(fence: Boolean = false)(implicit e: Encoder[(String, T)]): Dataset[(String, T)] = {
     if (fence) log.appendNoOpFences(agg.kind)
-    rehydrateAll()
+    // stitched: identical to the raw fold on a full log, and the only
+    // correct rebuild after snapshot-covered retention pruned prefixes
+    rehydrateAllStitched()
   }
 
   /** Snapshot-stitched rehydration of EVERY stream: the distributed form of
