@@ -242,27 +242,38 @@ class EventStore[T](
     val tail = log.activeEvents
       .filter(col("aggregate_kind") === agg.kind)
       .select(col("aggregate_id"), col("aggregate_version"), col("kind"), col("body"))
-    tail.join(snaps, Seq("aggregate_id"), "full_outer")
-      .filter(col("aggregate_version").isNull || col("snap_version").isNull ||
+    // One SEED row per snapshotted stream plus its strictly-newer tail —
+    // NOT a join-then-filter of the tail alone: a snapshot at the stream
+    // head (the normal case after retention pruning) has no newer events,
+    // and filtering matched rows away would drop the stream entirely. The
+    // seed sorts first inside each group (its sort key is the snapshot
+    // version; every kept tail row is newer).
+    val seedRows = snaps.select(col("aggregate_id"),
+      col("snap_version").as("aggregate_version"),
+      lit(null).cast("string").as("kind"), lit(null).cast("string").as("body"),
+      col("snap_body"))
+    val tailRows = tail
+      .join(snaps.select(col("aggregate_id"), col("snap_version")),
+        Seq("aggregate_id"), "left")
+      .filter(col("snap_version").isNull ||
         col("aggregate_version") > col("snap_version"))
-      .select(col("aggregate_id"),
-        coalesce(col("aggregate_version"), lit(0)).as("aggregate_version"),
-        col("kind"), col("body"), col("snap_body"))
+      .select(col("aggregate_id"), col("aggregate_version"), col("kind"),
+        col("body"), lit(null).cast("string").as("snap_body"))
+    seedRows.unionByName(tailRows)
       .as[(String, Int, String, String, String)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
-        var state: Option[T] = None
+        var state = aggB.empty
         var any = false
         it.foreach { case (_, _, k0, b0, snapBody) =>
-          if (state.isEmpty)
-            state = Some(if (snapBody != null) aggB.decodeState(snapBody) else aggB.empty)
-          if (k0 != null) {
+          if (snapBody != null) state = aggB.decodeState(snapBody)
+          else if (k0 != null) {
             val (k, b) = codecB.upcastJson(k0, b0)
-            state = Some(aggB.fold(state.get, k, b))
+            state = aggB.fold(state, k, b)
           }
           any = true
         }
-        if (any) Iterator((id, state.getOrElse(aggB.empty))) else Iterator.empty
+        if (any) Iterator((id, state)) else Iterator.empty
       }
   }
 

@@ -64,4 +64,24 @@ class RetentionSpec extends AnyFunSuite {
     // idempotent: nothing left to prune at the same horizon
     assert(log.pruneSnapshotted(1750000000000L) == 0L)
   }
+
+  test("pruneSnapshotted under Manifest commit mode goes through rewrite claims") {
+    val dir = Files.createTempDirectory("graftretainm").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(62L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val store = new EventStore(log, AccountType, snapshotThreshold = 3)
+    (1 to 10).foreach { i =>
+      store.create(f"01HXRETAINM${i}%015d", Seq(AccountType.created(10L * i, s"o$i"),
+        AccountType.deposited(1), AccountType.deposited(2)), nowMs = 1700000000000L + i)
+    }
+    val before = store.rehydrateAllStitched().collect().toMap
+    val dropped = log.pruneSnapshotted(1750000000000L)
+    assert(dropped == 30L, s"dropped $dropped")
+    assert(log.activeEvents.count() == 0L, "all events snapshot-covered")
+    assert(store.rehydrateAllStitched().collect().toMap == before)
+    assert(store.retrieve(f"01HXRETAINM${3}%015d").version == 3)
+    // rewrite claims completed; replaced files reclaimable
+    assert(log.gcReplaced(retentionMs = 0L) > 0)
+    assert(store.rehydrateAllStitched().collect().toMap == before, "reads unchanged after GC")
+  }
 }
