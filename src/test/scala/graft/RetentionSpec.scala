@@ -65,6 +65,29 @@ class RetentionSpec extends AnyFunSuite {
     assert(log.pruneSnapshotted(1750000000000L) == 0L)
   }
 
+  test("property: stitched == raw rehydration on randomized unpruned logs") {
+    // random stream shapes: event counts 1..7 across the snapshot threshold,
+    // so groups cover every case — no snapshot, snapshot at head (covered
+    // entirely), snapshot with tail of 1..n
+    val rnd = new scala.util.Random(4242)
+    (0 until 3).foreach { trial =>
+      val dir = Files.createTempDirectory(s"graftretprop$trial").toFile.getAbsolutePath
+      val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(100L + trial))
+      val store = new EventStore(log, AccountType, snapshotThreshold = 3)
+      (1 to 30).foreach { i =>
+        val id = f"01HXRP${trial}%03d${i}%015d"
+        val n = 1 + rnd.nextInt(7)
+        store.create(id, AccountType.created(rnd.nextInt(1000).toLong, s"o$i") +:
+          (2 to n).map(_ => AccountType.deposited(rnd.nextInt(50).toLong)),
+          nowMs = 1700000000000L + i)
+      }
+      val raw = store.rehydrateAll().collect().toMap
+      val stitched = store.rehydrateAllStitched().collect().toMap
+      assert(stitched == raw, s"trial $trial diverged")
+      assert(raw.size == 30)
+    }
+  }
+
   test("pruneSnapshotted under Manifest commit mode goes through rewrite claims") {
     val dir = Files.createTempDirectory("graftretainm").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(62L),
