@@ -504,6 +504,88 @@ class EventLog(
     n
   }
 
+  /** Distributed append-at-head: like [[bulkImport]] but for streams that
+    * may already EXIST — versions continue from each stream's current head
+    * (one bucket-colocated aggregation over just the touched streams, never
+    * a driver map). This is the continuous-ingest primitive: the source is
+    * authoritative and rows append in `seqCol` order per stream, so there
+    * is no optimistic expectedVersion — concurrent interactive writers are
+    * excluded by the commit section, exactly the CDC-consumer contract.
+    * `ledgerId`/`batchId` make redelivery idempotent: a batch at or below
+    * the ledger's committed id is skipped whole (the streaming
+    * exactly-once handshake — see [[graft.streaming.StreamAggs.ingestStream]]).
+    * Returns rows appended (0 on a skipped redelivery).
+    */
+  def appendBulk(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
+      seqCol: String = "seq", ledgerId: Option[String] = None,
+      batchId: Long = -1L): Long = withLogLock(path) {
+    val ledger = ledgerId.map(id => new java.io.File(s"$path/_ingest/$id"))
+    val committed = ledger.filter(_.exists())
+      .map(f => java.nio.file.Files.readString(f.toPath).trim.toLong)
+    if (ledger.isDefined && batchId >= 0 && committed.exists(batchId <= _)) 0L
+    else {
+      import spark.implicits._
+      val t = nowMs
+      val seedBase = ulidSeed
+      val discFn: Map[String, String] => Map[String, String] = discriminatorPolicy match {
+        case Some(p) => d => p.merge(d, DiscriminatorPolicy.OnPersist)
+        case None =>
+          val keys = discriminatorKeys
+          d => if (keys.isEmpty) d
+            else d.view.filterKeys(k => keys.contains(k.toLowerCase)).toMap
+      }
+      val withDisc =
+        if (rows.columns.contains("discriminator")) rows
+        else rows.withColumn("discriminator", typedLit(Map.empty[String, String]))
+      // current head per TOUCHED stream (semi-join prune, then one agg)
+      val heads =
+        if (!exists(eventsPath)) spark.emptyDataFrame
+          .withColumn("aggregate_id", lit("")).withColumn("__head", lit(0))
+          .limit(0).select(col("aggregate_id"), col("__head"))
+        else events
+          .join(withDisc.select(col("aggregate_id")).distinct(),
+            Seq("aggregate_id"), "left_semi")
+          .groupBy(col("aggregate_id"))
+          .agg(max(col("aggregate_version")).as("__head"))
+      val appended = withDisc
+        .join(heads, Seq("aggregate_id"), "left")
+        .repartition(col("aggregate_id"))
+        .sortWithinPartitions(col("aggregate_id"), col(seqCol))
+        .select(col("aggregate_id"), col("aggregate_kind"), col("kind"),
+          col("body"), col("discriminator"),
+          coalesce(col("__head"), lit(0)).as("__head"))
+        .as[(String, String, String, String, Map[String, String], Int)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var cur: String = null
+          var gen: Ulid.Generator = null
+          var v = 0
+          it.map { case (aggId, aggKind, kind, body, disc, head) =>
+            if (aggId != cur) {
+              cur = aggId
+              v = head
+              gen = new Ulid.Generator(seed = seedBase.map(s =>
+                s * 6364136223846793005L + pid * 1000003L + batchId * 31L +
+                  (Fnv1a32.hashString(aggId).toLong << 16) +
+                  scala.util.hashing.MurmurHash3.stringHash(aggId)))
+            }
+            v += 1
+            val d = if (disc == null) Map.empty[String, String] else disc
+            EventRow(gen.next(t), aggId, Fnv1a32.hashString(aggId), v, aggKind,
+              kind, body, discFn(d), new Timestamp(t), 0, false)
+          }
+        }
+        .localCheckpoint()
+      val n = appended.count()
+      if (n > 0) writeEventsDF(appended.toDF())
+      ledger.foreach { f =>
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(f.toPath, batchId.toString): Unit
+      }
+      n
+    }
+  }
+
   /** The commit chain (lazily materialized; also usable for inspection in
     * Lock mode, where it simply stays empty).
     */
@@ -662,9 +744,9 @@ class EventLog(
           df.join(allIds, df("aggregate_id") === allIds("m_id"), "left_anti")
         }
         if (commitMode == CommitMode.Lock) {
-          rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets)(invalidate)
+          rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets.toSeq)(invalidate)
           if (exists(snapshotsPath))
-            rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets)(dropSnapshots)
+            rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets.toSeq)(dropSnapshots)
         } else {
           buckets.foreach { b =>
             val bucketIds = ids.filter(col("m_bucket") === b).drop("m_bucket")

@@ -126,6 +126,23 @@ object StreamAggs {
         col("quality") >= minQuality && col("rep_frac") <= maxRepetition)
   }
 
+  /** Continuous ingestion INTO the log: every micro-batch of incoming event
+    * rows (`aggregate_id, aggregate_kind, kind, body, seq[, discriminator]`)
+    * appends at each stream's current head via
+    * [[graft.log.EventLog.appendBulk]] — versions continue across batches
+    * and restarts. Exactly-once end to end: the query checkpoint replays
+    * un-committed batches after a crash, and the log's ingest ledger (keyed
+    * by `ledgerId`, written in the same locked section as the data) makes
+    * the replayed batchId a no-op if its append already landed — the T5
+    * transactional-checkpoint pattern pointed INTO the log. The reference
+    * has no stream-write path at all (apps call store.Create row by row).
+    */
+  def ingestStream(stream: DataFrame, log: graft.log.EventLog,
+      ledgerId: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      log.appendBulk(batch.toDF(), ledgerId = Some(ledgerId), batchId = batchId): Unit
+    }
+
   /** Streaming near-dup screen: every micro-batch of incoming documents is
     * screened against a STATIC accepted corpus before landing — the
     * continuous-crawl counterpart of [[graft.ops.Dedup.incrementalDedup]]
