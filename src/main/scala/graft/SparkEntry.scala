@@ -840,6 +840,30 @@ object SparkEntry {
   private def srpMasksSql(bits: Int, radius: Int): String =
     ops.Similarity.probeMasks(bits, radius).mkString("[", ", ", "]")
 
+  /** Multi-table SRP banding pair CTE shared by the d5 and d7 oracles — the
+    * SQL twin of `Similarity.cosinePairs` at its defaults (16-bit buckets ×
+    * 8 tables, same seeded ±1 matrix): `pairs(id_a, id_b, sim)`.
+    */
+  private def embPairsCte(threshold: Double): String = {
+    val tables = 8; val bits = 16
+    val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, tables, bits, 64)
+    val bucketCols = (0 until tables)
+      .map(t => s"${srpBucketSql(signs(t))} AS b$t").mkString(",\n        ")
+    val unionAll = (0 until tables)
+      .map(t => s"SELECT vec_id, emb, $t AS t, b$t AS bucket FROM eb")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |eb AS (SELECT vec_id, emb,
+      |        $bucketCols
+      |       FROM e),
+      |c AS ($unionAll),
+      |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |              round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      |       FROM c a JOIN c b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT id_a, id_b, max(sim) AS sim FROM p0
+      |          WHERE sim >= $threshold GROUP BY id_a, id_b)""".stripMargin
+  }
+
   /** The MinHash-LSH → Jaccard-verify → 3-round label-propagation CTE chain
     * (through `l3(node, label)`), shared by the d6 and d8 oracles — one SQL
     * restatement of the component machinery, two survivor policies on top.
@@ -1297,17 +1321,9 @@ object SparkEntry {
         |SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "d7_embedding_survivors" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
-        |         CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
-        |         CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
-        |         CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-        |       FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      s"""${embPairsCte(0.15)},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
         |l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
         |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
         |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
@@ -1631,16 +1647,8 @@ object SparkEntry {
         |       (sum((value)::DECIMAL(18,6)))::DOUBLE AS total
         |FROM events GROUP BY event_type""".stripMargin,
     "d5_embedding_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
-        |         CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
-        |         CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
-        |         CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-        |       FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
-        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15""".stripMargin,
+      s"""${embPairsCte(0.15)}
+        |SELECT id_a, id_b, sim FROM pairs""".stripMargin,
 
     "c1_base64" ->
       """SELECT doc_id, to_base64(text::BLOB) AS b64,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *    scan the corpus once, per-query top-k via window. Cost = one corpus
   *    scan per batch of queries — the right exact method at any corpus size
   *    as long as the query batch stays broadcastable.
-  *  - `signLshTopK` is the scale path: an axis-sign LSH bucket key (a
-  *    random-hyperplane LSH specialized to the first `bits` axes) turns the
-  *    cross join into an equi-join on the bucket — candidates shrink ~2^bits.
-  *  - `cosinePairs` (all-pairs ≥ threshold) also goes through the bucket join.
+  *  - `signLshTopK` is the scale path: a seeded random-hyperplane (SRP) LSH
+  *    bucket key turns the cross join into an equi-join on the bucket —
+  *    candidates shrink ~2^bits.
+  *  - `cosinePairs` (all-pairs ≥ threshold) bands over multi-table SRP keys:
+  *    an equi-join on `(table, bucket)`, never an all-pairs self-join.
   *
   * Dot products use `zip_with`/`aggregate` higher-order expressions on
   * double-cast values — sequential left-to-right accumulation, bit-stable
@@ -52,20 +53,6 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "sim", "rn")
   }
-
-  /** Axis-sign LSH bucket key over the first `bits` dimensions (kept for the
-    * near-dup pair path, [[cosinePairs]], where only collision volume — not
-    * ranked recall — matters).
-    */
-  def signBucket(vec: Column, bits: Int = 8): Column = signBucketAt(vec, bits, 0)
-
-  /** Sign bucket over the axis block `offset+1 .. offset+bits` — each offset
-    * is an independent hash table for the OR-construction.
-    */
-  def signBucketAt(vec: Column, bits: Int, offset: Int): Column =
-    (1 to bits).map(i =>
-      when(element_at(vec, offset + i) >= 0, lit(1 << (bits - i))).otherwise(lit(0)))
-      .reduce(_ + _)
 
   /** Default seed of the SRP hyperplane family (any fixed value works; the
     * oracle SQL is generated from the same matrix, so changing it re-derives
@@ -330,19 +317,36 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("recall", round(col("n_overlap").cast("double") / k, 4))
 
-  /** All pairs with cosine ≥ threshold, via the LSH bucket equi-join
-    * (embedding near-dup detection).
+  /** All pairs with cosine ≥ threshold via seeded multi-table SRP banding
+    * (embedding near-dup detection). Each vector hashes to one `bits`-bit
+    * SRP bucket per table ([[graft.functions.SrpBuckets]], codegen'd);
+    * candidate pairs are the in-bucket pairs of ANY table — an equi-join on
+    * `(table, bucket)`, never all-pairs. Candidate volume is controlled by
+    * `bits` (bucket count per table = 2^bits → expected in-bucket join is
+    * ~N²/2^bits per table) and recall by `tables` (OR-construction:
+    * P(candidate) = 1 − (1 − p^bits)^tables with p = 1 − θ/π). The defaults
+    * (16-bit buckets × 8 tables) keep a random pair's collision odds at
+    * ~8/65536 while a true near-dup (cosine ≥ 0.99) collides with
+    * probability > 0.99 — the banding trade LSH dedup is built on. A pair
+    * colliding in several tables is emitted once (`max(sim)` — sim is
+    * identical whichever table matched).
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4): DataFrame = {
-    val e = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pe"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val a = e.select(col("bucket"), col("pid").as("id_a"), col("pe").as("e_a"))
-    val b = e.select(col("bucket"), col("pid").as("id_b"), col("pe").as("e_b"))
-    a.join(b, Seq("bucket"))
+      threshold: Double, bits: Int = 16, tables: Int = 8,
+      seed: Long = SrpSeed, dims: Int = 64): DataFrame = {
+    val signs = srpSigns(seed, tables, bits, dims)
+    val e = emb
+      .select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pe"))
+      .select(col("pid"), col("pe"),
+        posexplode(graft.functions.srp_buckets(col("pe"), signs)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val a = e.select(col("t"), col("bucket"), col("pid").as("id_a"), col("pe").as("e_a"))
+    val b = e.select(col("t"), col("bucket"), col("pid").as("id_b"), col("pe").as("e_b"))
+    a.join(b, Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
   }
 }

@@ -193,6 +193,38 @@ object PipelineScaleSmoke {
         k = 5, nlist = 64, nprobe = 4, centroids = Some(cents)).count() > 0)
     }
 
+    // ── embedding near-dup pairs at 1M vectors: multi-table SRP banding.
+    // Vector 10k+1 copies vector 10k with dim 7 nudged by +0.02 (angle
+    // ~0.004 rad, cosine ≈ 0.99999): per-bit flip odds ~0.0014, so a
+    // planted pair shares a 16-bit bucket in any one of the 8 tables with
+    // P(miss all) ≈ 2e-14 × pairs — every planted pair MUST be recovered,
+    // while a random pair collides with odds ~8/2^16 (the join stays an
+    // equi-join sliver, never all-pairs).
+    val nVecs = sys.env.getOrElse("SCALE_VECS", "1000000").toInt
+    val emb1m = time(s"synthesize $nVecs embeddings (planted near-dups)") {
+      spark.range(nVecs.toLong).select(
+        col("id").as("vec_id"),
+        array((0 until 64).map { j =>
+          val base = when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id"))
+          val x = (pmod(xxhash64(base * 67 + j), lit(1000)) / 500.0 - 1.0)
+          (if (j == 7) x + when(col("id") % 10 === 1, 0.02).otherwise(0.0) else x)
+            .cast("float")
+        }: _*).as("embedding"))
+        .localCheckpoint()
+    }
+    time(s"embedding near-dup pairs ($nVecs vectors, 8×16-bit SRP bands)") {
+      val pairs = Similarity.cosinePairs(emb1m, "vec_id", "embedding",
+        threshold = 0.9).localCheckpoint()
+      val planted = pairs.filter(col("id_a") % 10 === 0 &&
+        col("id_b") === col("id_a") + 1).count()
+      val expected = ((nVecs.toLong + 8) / 10) // ids ≡ 1 (mod 10), base in range
+      require(planted == expected,
+        s"planted near-dups recovered: $planted of $expected")
+      val total = pairs.count()
+      require(total < expected + expected / 100,
+        s"false-positive volume suspicious: $total pairs for $expected planted")
+    }
+
     spark.stop()
   }
 }
