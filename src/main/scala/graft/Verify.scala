@@ -17,6 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev aid: GRAFT_VERIFY_ONLY=q1,q2 dumps a subset (driver never sets it)
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

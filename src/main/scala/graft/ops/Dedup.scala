@@ -227,6 +227,29 @@ object Dedup {
       .select(col("sh_id"), packed.as("simhash"))
   }
 
+  /** 64-bit SimHash — [[simhash32]] widened to [[TextAnalysis.tokenHash64]].
+    * Same algebraic shape (64 map-side bit-sum columns, shuffle = 64 ints
+    * per document). The extra width exists for BANDING: 4×16-bit bands give
+    * 65536 buckets per band instead of simhash32's 256, which is what keeps
+    * the in-bucket pair expansion linear on a homogeneous web corpus (see
+    * [[simhashPairs]]). Bit 63's weight is Long.MinValue — the sum wraps
+    * exactly as two's-complement packing requires, and partial sums ordered
+    * bit 0→63 never overflow transiently.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextAnalysis.tokenHash64(col("t")))
+      .groupBy(col("sh_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sh_id"), packed.as("simhash"))
+  }
+
   /** Near-dup groups as connected components of the verified pair graph,
     * via `rounds` iterations of min-label propagation (one hop per round —
     * near-dup clusters are shallow, so a small fixed `rounds` converges;
@@ -405,11 +428,15 @@ object Dedup {
 
   /** Near-dup candidates by embedding cosine: delegates to Similarity — kept
     * here so the dedup namespace covers all five families (exact, minhash,
-    * simhash, ngram-jaccard, embedding).
+    * simhash, ngram-jaccard, embedding). Recall follows the SRP banding
+    * model (high for near-dups, falling off sharply below cosine ~0.9 at the
+    * defaults — see [[Similarity.cosinePairs]]); tune `bits` down / `tables`
+    * up to chase pairs near a lower threshold at higher candidate volume.
     */
   def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
-    Similarity.cosinePairs(emb, idCol, vecCol, threshold)
+      threshold: Double, bits: Int = 16, tables: Int = 8,
+      seed: Long = Similarity.SrpSeed, dims: Int = 64): DataFrame =
+    Similarity.cosinePairs(emb, idCol, vecCol, threshold, bits, tables, seed, dims)
 
   /** Exact-substring (span-level) dedup, the C4/RefinedWeb line-dedup shape
     * adapted to fixed token windows: each document is cut into consecutive

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - `signLshTopK` is the scale path: a seeded random-hyperplane (SRP) LSH
   *    bucket key turns the cross join into an equi-join on the bucket —
   *    candidates shrink ~2^bits.
-  *  - `cosinePairs` (all-pairs ≥ threshold) bands over multi-table SRP keys:
-  *    an equi-join on `(table, bucket)`, never an all-pairs self-join.
+  *  - `cosinePairs` (near-dup pairs ≥ threshold) bands over multi-table SRP
+  *    keys: an equi-join on `(table, bucket)`, never an all-pairs self-join.
+  *    Recall is banding-shaped (high only for near-dups) — see its doc.
   *
   * Dot products use `zip_with`/`aggregate` higher-order expressions on
   * double-cast values — sequential left-to-right accumulation, bit-stable
@@ -317,19 +318,28 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("recall", round(col("n_overlap").cast("double") / k, 4))
 
-  /** All pairs with cosine ≥ threshold via seeded multi-table SRP banding
-    * (embedding near-dup detection). Each vector hashes to one `bits`-bit
+  /** NEAR-DUPLICATE pairs (cosine ≥ threshold AND SRP-band candidate) via
+    * seeded multi-table SRP banding. Each vector hashes to one `bits`-bit
     * SRP bucket per table ([[graft.functions.SrpBuckets]], codegen'd);
     * candidate pairs are the in-bucket pairs of ANY table — an equi-join on
     * `(table, bucket)`, never all-pairs. Candidate volume is controlled by
     * `bits` (bucket count per table = 2^bits → expected in-bucket join is
     * ~N²/2^bits per table) and recall by `tables` (OR-construction:
-    * P(candidate) = 1 − (1 − p^bits)^tables with p = 1 − θ/π). The defaults
-    * (16-bit buckets × 8 tables) keep a random pair's collision odds at
-    * ~8/65536 while a true near-dup (cosine ≥ 0.99) collides with
-    * probability > 0.99 — the banding trade LSH dedup is built on. A pair
-    * colliding in several tables is emitted once (`max(sim)` — sim is
-    * identical whichever table matched).
+    * P(candidate) = 1 − (1 − p^bits)^tables with p = 1 − θ/π).
+    *
+    * RECALL MODEL — this is a candidate generator for NEAR duplicates, not
+    * an exact "all pairs ≥ θ" scan: with the defaults (16-bit × 8 tables) a
+    * pair at cosine 0.99 (p ≈ 0.955) is recovered with probability > 0.99,
+    * at cosine 0.9 (p ≈ 0.856) ≈ 0.56, and recall falls off sharply below —
+    * at cosine 0.15 (p ≈ 0.55) it is ~5·10⁻⁴. Pass a LOW threshold only to
+    * keep genuinely-near pairs the banding surfaced; to chase pairs NEAR a
+    * low threshold, lower `bits` / raise `tables` (cost: candidate volume
+    * grows ~2^Δbits per table) or use `cosineTopK` for exact results. A
+    * random pair's collision odds stay at ~tables/2^bits (~8/65536 by
+    * default) — the banding trade LSH dedup is built on. A pair colliding
+    * in several tables is emitted once (`max(sim)` — sim is identical
+    * whichever table matched); that cross-table dedup groupBy is the plan's
+    * single exchange and moves only candidate pairs, never the corpus.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, tables: Int = 8,

@@ -210,6 +210,20 @@ object TextAnalysis {
       substring(md5(t), 7, 2), substring(md5(t), 5, 2),
       substring(md5(t), 3, 2), substring(md5(t), 1, 2)), 16, 10).cast("long")
 
+  /** 64-bit token hash: little-endian reading of the first 8 md5 bytes —
+    * the 64-bit widening of [[tokenHash32]], equal to DuckDB's
+    * `md5_number(t) % 2^64` reinterpreted as a signed long. Built from two
+    * 32-bit halves (each fits a long after `conv`) because a single
+    * 16-hex-digit `conv` ≥ 2^63 would overflow the string→long cast; the
+    * `shiftleft(hi,32) | lo` recombination is exact two's-complement.
+    */
+  def tokenHash64(t: Column): Column = {
+    def half(o1: Int, o2: Int, o3: Int, o4: Int): Column =
+      conv(concat(substring(md5(t), o1, 2), substring(md5(t), o2, 2),
+        substring(md5(t), o3, 2), substring(md5(t), o4, 2)), 16, 10).cast("long")
+    shiftleft(half(15, 13, 11, 9), 32).bitwiseOR(half(7, 5, 3, 1))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no backreferences, no
     * lookaround) so the same pattern string runs in Spark (java.util.regex)
     * and any RE2 engine with identical semantics; order of redaction is

@@ -221,7 +221,9 @@ object PipelineScaleSmoke {
       require(planted == expected,
         s"planted near-dups recovered: $planted of $expected")
       val total = pairs.count()
-      require(total < expected + expected / 100,
+      // slack floor of 1 keeps the bound satisfiable when SCALE_VECS is
+      // downscaled below ~100 (expected/100 truncates to 0 there)
+      require(total <= expected + math.max(1L, expected / 100),
         s"false-positive volume suspicious: $total pairs for $expected planted")
     }
 

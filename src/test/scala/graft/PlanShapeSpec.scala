@@ -75,7 +75,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // rounds (they no longer hide behind per-stage localCheckpoints); the
       // label/edge frames those exchanges move are candidate-sized, not
       // corpus-sized
-      "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 0, "d6_dedup_survivors" -> 14,
+      // d5: the cross-table pair-dedup groupBy(id_a,id_b).agg(max(sim)) is the
+      // one legitimate exchange — it moves candidate-PAIR-sized data (post
+      // threshold filter), not the corpus; the band join itself stays an
+      // equi-join on (t,bucket)
+      "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 14,
       "d10_simhash_pairs" -> 3,
       "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 15,
       "t6_blocklist_scrub" -> 0,
@@ -142,6 +146,23 @@ class PlanShapeSpec extends AnyFunSuite {
         .contains("SortMergeJoin")
     }
     assert(offenders.isEmpty, s"unexpected sort-merge joins in: $offenders")
+  }
+
+  test("embedding pair source (d5/d7) is an equi-join on (t, bucket), never a cartesian") {
+    // The SRP-banded cosinePairs plan must join candidates through the
+    // (table, bucket) hash keys — a CartesianProduct or BNLJ here is the
+    // all-pairs O(N²) regression the banding exists to prevent.
+    Seq("d5_embedding_dedup", "d7_embedding_survivors").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must not plan a nested-loop join")
+    }
+    // the band join keys appear in the pair-source join's key list (d7 feeds
+    // the same cosinePairs plan into label propagation, but checkpoints it —
+    // the executed plan of d7 no longer shows the pair source, d5's does)
+    val p5 = plan("d5_embedding_dedup")
+    assert(p5.contains("t#") && p5.contains("bucket#"),
+      s"d5 should join on the (t, bucket) band keys\n${p5.take(3000)}")
   }
 
   test("event-log ULID range scan pushes string id bounds to parquet") {

@@ -28,6 +28,11 @@ def main(sfdir, outdir, only=None):
     con = load(sfdir, outdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
+        unknown = only - set(oracle)
+        if unknown:
+            # a typo'd name silently matching nothing would read as success
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
