@@ -1201,21 +1201,36 @@ object SparkEntry {
         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
 
-    "d10_simhash_pairs" ->
+    // 64-bit twin of Dedup.simhash64/simhashPairs. The 64-bit hash is
+    // md5_number % 2^64 (HUGEINT — doesn't fit BIGINT), so bit b is tested
+    // with (h // 2^b) % 2 on the non-negative value instead of shifts, the
+    // packed fingerprint sums HUGEINT powers and converts to the signed
+    // BIGINT by subtracting 2^64 above Long.Max (two's complement), and the
+    // 16-bit band words come from the UNSIGNED packed value (identical bits).
+    "d10_simhash_pairs" -> {
+      val pow2 = (0 until 64)
+        .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) t FROM documents),
-        |th AS (SELECT doc_id, (((md5_number(t) % 4294967296) + 4294967296) % 4294967296)::BIGINT AS h FROM tok),
-        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
-        |         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |       FROM bits GROUP BY doc_id),
-        |bands AS (SELECT doc_id, simhash, unnest(range(4)) AS band,
-        |                 (simhash >> (unnest(range(4)) * 8)) & 255 AS byte FROM sh),
+        |th AS (SELECT doc_id, (((md5_number(t) % 18446744073709551616) + 18446744073709551616) % 18446744073709551616) AS h FROM tok),
+        |pw(b, p2) AS (VALUES POW2LIST),
+        |bits AS (SELECT doc_id, b, p2, sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) s
+        |         FROM th CROSS JOIN pw GROUP BY doc_id, b, p2),
+        |pk AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p2 ELSE 0::HUGEINT END) AS p FROM bits GROUP BY doc_id),
+        |sh AS (SELECT doc_id, p,
+        |         (CASE WHEN p >= 9223372036854775808::HUGEINT
+        |               THEN p - 18446744073709551616::HUGEINT ELSE p END)::BIGINT AS simhash
+        |       FROM pk),
+        |bands AS (SELECT doc_id, simhash, band, ((p // bp) % 65536)::BIGINT AS word
+        |          FROM sh CROSS JOIN (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+        |               (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)) AS bd(band, bp)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |                a.simhash AS ha, b.simhash AS hb
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.word = b.word
         |                                  AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin,
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin
+        .replace("POW2LIST", pow2)
+    },
 
     "d4_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),

@@ -359,30 +359,32 @@ object Dedup {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
-  /** SimHash near-dup pairs: pigeonhole banding on the four bytes of the
-    * 32-bit fingerprint — two fingerprints within Hamming distance 3 differ
-    * in at most 3 bits, so at most 3 of the 4 bytes are touched and at
-    * least one byte collides: recall is TOTAL for `maxHamming ≤ 3`, no
+  /** SimHash near-dup pairs: pigeonhole banding on the four 16-bit words of
+    * the 64-bit fingerprint — two fingerprints within Hamming distance 3
+    * differ in at most 3 bits, so at most 3 of the 4 words are touched and
+    * at least one word collides: recall is TOTAL for `maxHamming ≤ 3`, no
     * all-pairs scan.
     *
-    * Shape: unlike the MinHash LSH (small buckets, heavy signature subplan →
-    * in-bucket array expansion), a simhash band has only 256 possible
-    * values, so buckets are FAT on homogeneous corpora — materializing the
-    * candidate pairs as nested struct arrays measured 2.3s for 2.8M pairs at
-    * sf0.1. The per-doc signature frame is one (id, long) row, so
-    * checkpointing it and self-joining on (band, byte) costs nothing to
+    * Scale shape: a 16-bit band has 65536 possible values (the former 8-bit
+    * banding had 256), so on a homogeneous N-doc corpus the in-bucket
+    * self-join expands ~4·N²/65536 candidate pairs instead of ~4·N²/256 —
+    * the difference between a linear-ish sliver and a quadratic blow-up at
+    * web scale. The per-doc signature frame is one (id, long) row, so
+    * checkpointing it and self-joining on (band, word) costs nothing to
     * recompute and streams the pairs through a codegen'd join with the
     * `bit_count(xor)` verify applied map-side before the dedup shuffle.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2): DataFrame = {
-    require(maxHamming <= 3, "4x8-bit banding guarantees recall only to hamming 3")
-    val bands = simhash32(df, idCol, textCol).localCheckpoint()
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    // (simhash >> 16k) & 0xffff extracts word k identically under arithmetic
+    // or logical shift — the mask covers only real fingerprint bits
+    val bands = simhash64(df, idCol, textCol).localCheckpoint()
       .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("byte", expr("shiftright(simhash, band * 8)").bitwiseAND(255))
-    bands.select(col("band"), col("byte"), col("sh_id").as("doc_a"), col("simhash").as("ha"))
-      .join(bands.select(col("band"), col("byte"), col("sh_id").as("doc_b"),
-        col("simhash").as("hb")), Seq("band", "byte"))
+      .withColumn("word", expr("shiftright(simhash, band * 16)").bitwiseAND(65535))
+    bands.select(col("band"), col("word"), col("sh_id").as("doc_a"), col("simhash").as("ha"))
+      .join(bands.select(col("band"), col("word"), col("sh_id").as("doc_b"),
+        col("simhash").as("hb")), Seq("band", "word"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

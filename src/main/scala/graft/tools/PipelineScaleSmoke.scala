@@ -77,6 +77,34 @@ object PipelineScaleSmoke {
       require(Dedup.simhash32(docs, "doc_id", "text").count() == nDocs)
     }
 
+    // ── simhash64 banded near-dup pairs at 1M docs: 4×16-bit bands. Doc
+    // 10k+1 is an EXACT copy of doc 10k (identical token multiset → same
+    // fingerprint → hamming 0), so banding recall is provably total for the
+    // planted pairs; everything else is hash-derived text whose 64-bit
+    // fingerprints collide within hamming 2 with odds ~2e3/2^64 per pair —
+    // expected false positives over C(1M,2) pairs: ~5e-5. In-bucket volume
+    // stays ~4·N²/65536 expanded map-side — the plan that survives 100×.
+    val nSim = sys.env.getOrElse("SCALE_SIMHASH_DOCS", "1000000").toInt
+    val simDocs = time(s"synthesize $nSim docs (planted exact dups)") {
+      spark.range(nSim.toLong).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map { j =>
+          val base = when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id"))
+          concat(lit("w"), pmod(xxhash64(base * 31 + j), lit(5000)))
+        }: _*).as("text")).localCheckpoint()
+    }
+    time(s"simhash64 banded pairs ($nSim docs, 4x16-bit bands)") {
+      val pairs = Dedup.simhashPairs(simDocs, "doc_id", "text", maxHamming = 2)
+        .localCheckpoint()
+      val planted = pairs.filter(col("doc_a") % 10 === 0 &&
+        col("doc_b") === col("doc_a") + 1 && col("hamming") === 0).count()
+      val expected = (nSim.toLong + 8) / 10 // ids ≡ 1 (mod 10), base in range
+      require(planted == expected, s"planted dups recovered: $planted of $expected")
+      val total = pairs.count()
+      require(total <= expected + math.max(1L, expected / 100),
+        s"false-positive volume suspicious: $total pairs for $expected planted")
+    }
+
     // ── span-level exact-substring dedup: planted pairs share every 10-token
     // span except the one containing the swapped token 7
     time("span dedup (10-token windows)") {

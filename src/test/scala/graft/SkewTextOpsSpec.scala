@@ -189,12 +189,14 @@ class SkewTextOpsSpec extends AnyFunSuite {
   test("simhash banded pairs == brute-force pairs (pigeonhole recall is total)") {
     val s = spark
     import s.implicits._
+    // full sf0.001 corpus: 64-bit near-dup pairs are sparser than the old
+    // 32-bit ones, and a 200-doc slice can land empty (brute force over 500
+    // fingerprints is 125k driver-side pairs — trivial)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .limit(200)
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // brute force over the 200 fingerprints
-    val sigs = Dedup.simhash32(docs, "doc_id", "text")
+    // brute force over the 500 fingerprints (64-bit — the banded width)
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (a, ha) <- sigs; (b, hb) <- sigs if a < b
