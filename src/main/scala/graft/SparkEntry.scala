@@ -424,6 +424,83 @@ object SparkEntry {
           count(lit(1)).as("n_events_asof"))
     }),
 
+    // ── W7: the REAL log machinery round trip, oracle-checked: bulkImport
+    //    the events table into a throwaway EventLog (per-stream versions
+    //    from seq order, historical ULID times from timeCol), REBUCKET it,
+    //    and read back. Versions must reproduce the oracle's window and the
+    //    ULID time component must carry the original event time — this
+    //    promotes bulkImport + rebucket from spec-only to hash-checked.
+    "w7_bulk_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftw7").toFile.getAbsolutePath
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(77L))
+      log.bulkImport(
+        t(s, dir, "events").select(
+          concat(lit("u"), col("user_id")).as("aggregate_id"),
+          lit("User").as("aggregate_kind"),
+          col("event_type").as("kind"),
+          col("props").as("body"),
+          col("event_id").as("seq"),
+          unix_millis(col("ts")).as("tms")),
+        seqCol = "seq", timeCol = Some("tms"))
+      log.rebucket(3).activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"),
+        graft.functions.ulid_millis(col("id")).as("t_ms"))
+    }),
+
+    // ── M5: retention keeps folds reproducible, oracle-checked: import the
+    //    events table, snapshot every stream's state as of Jan 15, prune
+    //    everything older AND covered (pruneSnapshotted), rebuild state as
+    //    snapshot ⊕ tail fold. Must equal the oracle's split fold over FULL
+    //    history — the reproducibility contract event-log TTL must keep.
+    "m5_retention_stitch" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftm5").toFile.getAbsolutePath
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(55L))
+      val cutoffMs = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli
+      log.bulkImport(
+        t(s, dir, "events").select(
+          concat(lit("u"), col("user_id")).as("aggregate_id"),
+          lit("User").as("aggregate_kind"),
+          col("event_type").as("kind"),
+          to_json(struct(col("value").as("v"))).as("body"),
+          col("event_id").as("seq"),
+          unix_millis(col("ts")).as("tms")),
+        seqCol = "seq", timeCol = Some("tms"))
+      def bal = sum(
+        when(col("kind") === "purchase",
+          get_json_object(col("body"), "$.v").cast("double"))
+        .when(col("kind") === "error",
+          -get_json_object(col("body"), "$.v").cast("double"))
+        .otherwise(lit(0.0)))
+      val bound = graft.core.Ulid.timeOnly(cutoffMs)
+      log.saveSnapshots(log.activeEvents.filter(col("id") < bound)
+        .groupBy(col("aggregate_id"))
+        .agg(bal.as("b"), max(col("aggregate_version")).as("v"))
+        .select(lit(bound).as("id"), col("aggregate_id"),
+          col("v").as("aggregate_version"), lit("User").as("aggregate_kind"),
+          to_json(struct(col("b").as("b"))).as("body"),
+          lit(new java.sql.Timestamp(cutoffMs)).as("created_at"),
+          typedLit(Map.empty[String, String]).as("discriminator")))
+      val dropped = log.pruneSnapshotted(cutoffMs)
+      require(dropped > 0, "retention must drop covered history at this SF")
+      val snapState = log.snapshots.select(col("aggregate_id"),
+        get_json_object(col("body"), "$.b").cast("double").as("sb"),
+        col("aggregate_version").as("sv"))
+      val tail = log.activeEvents
+        .join(snapState.select(col("aggregate_id"), col("sv")),
+          Seq("aggregate_id"), "left")
+        .filter(col("sv").isNull || col("aggregate_version") > col("sv"))
+        .groupBy(col("aggregate_id"))
+        .agg(bal.as("tb"), max(col("aggregate_version")).as("tv"))
+      snapState.join(tail, Seq("aggregate_id"), "full_outer")
+        .select(col("aggregate_id"),
+          round(coalesce(col("sb"), lit(0.0)) + coalesce(col("tb"), lit(0.0)), 2)
+            .as("balance"),
+          greatest(coalesce(col("sv"), lit(0)), coalesce(col("tv"), lit(0)))
+            .cast("long").as("head_version"))
+    }),
+
     // ── approx sketches (engine capability beyond the reference). HLL
     //    estimates are engine-specific, so the sketch VALUES cannot be
     //    oracle-compared — instead the query emits exact-distinct twins and
@@ -1103,6 +1180,31 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "w7_bulk_roundtrip" ->
+      """SELECT 'u' || user_id AS aggregate_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
+        |       event_type AS kind,
+        |       epoch_ms(ts) AS t_ms
+        |FROM events""".stripMargin,
+
+    "m5_retention_stitch" ->
+      """WITH v AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |           FROM events),
+        |snap AS (SELECT user_id,
+        |                sum(CASE WHEN event_type = 'purchase' THEN value
+        |                         WHEN event_type = 'error' THEN -value ELSE 0.0 END) AS sb,
+        |                max(rn) AS sv
+        |         FROM v WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id),
+        |tail AS (SELECT user_id,
+        |                sum(CASE WHEN event_type = 'purchase' THEN value
+        |                         WHEN event_type = 'error' THEN -value ELSE 0.0 END) AS tb,
+        |                max(rn) AS tv
+        |         FROM v WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+        |SELECT 'u' || user_id AS aggregate_id,
+        |       round(coalesce(sb, 0) + coalesce(tb, 0), 2) AS balance,
+        |       greatest(coalesce(sv, 0), coalesce(tv, 0)) AS head_version
+        |FROM snap FULL OUTER JOIN tail USING (user_id)""".stripMargin,
 
     "a8_asof_state" ->
       """SELECT user_id,

@@ -436,10 +436,19 @@ class EventLog(
     * caller guarantees disjointness. The discriminator pipeline (policy
     * merge / legacy key filter) applies per row as in [[append]].
     *
-    * Concurrency: backfill semantics — the imported streams must have no
-    * concurrent writers (the lock section covers same-JVM writers; in
-    * manifest mode, where writers span drivers, run imports before opening
-    * the log to them — the probe-then-write is not claim-fenced).
+    * Concurrency: in Lock mode the lock section serializes writers on
+    * shared storage. In Manifest mode the import is CLAIM-FENCED like every
+    * other writer: it reserves `(0, head)` for every imported stream in the
+    * commit chain, so a concurrent `append`/`appendBulk`/`bulkImport`
+    * touching the same stream from another driver either sees the
+    * reservation (and fails its optimistic check) or loses the claim race —
+    * the loser surfaces [[ConcurrentModificationException]], matching the
+    * reference's unique-index guarantee on every write path
+    * (store/postgresql/store.go:702). The claim lists one line per imported
+    * STREAM (not per event), so a 10⁶-stream backfill writes a ~50 MB claim
+    * once — chunk colossal imports into multiple calls if that matters.
+    * `manifest.prune` must not run concurrently with an import (standard
+    * maintenance-window rule).
     */
   def bulkImport(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
       seqCol: String = "seq", timeCol: Option[String] = None,
@@ -500,7 +509,37 @@ class EventLog(
       }
       .localCheckpoint() // one materialization: counted, then written
     val n = imported.count()
-    if (n > 0) writeEventsDF(imported.toDF())
+    if (n > 0) commitMode match {
+      case CommitMode.Lock => writeEventsDF(imported.toDF())
+      case CommitMode.Manifest =>
+        // versions are assigned 1..k per stream, so the claim reserves
+        // (0, max version) — one aggregation over the materialized rows
+        val claimedStreams = imported.toDF()
+          .groupBy(col("aggregate_id"))
+          .agg(max(col("aggregate_version")).as("h"))
+          .collect().map(r => r.getString(0) -> (0, r.getInt(1))).toMap
+        var attempts = 0
+        var committed = false
+        while (!committed && attempts < 100) {
+          val tip = manifest.refresh()
+          // a reservation on ANY imported stream means it is not new — the
+          // chain-time twin of the parquet probe above (claims precede data,
+          // so the chain is authoritative for in-flight writers)
+          if (requireNew)
+            claimedStreams.keysIterator.find(s => manifest.reservedHead(s) > 0)
+              .foreach(s => throw new ConcurrentModificationException(
+                s"bulkImport: stream $s already reserved in the commit chain"))
+          val claim = CommitClaim(tip + 1, claimedStreams, Seq.empty, writerId,
+            System.currentTimeMillis(), done = false)
+          if (manifest.tryClaim(claim)) {
+            writeEventsDFIsolated(imported.toDF(), s"c${claim.n}")
+            manifest.markDone(claim.n)
+            committed = true
+          } else attempts += 1
+        }
+        if (!committed) throw new IllegalStateException(
+          s"bulkImport lost $attempts claim races — giving up")
+    }
     n
   }
 
@@ -515,13 +554,32 @@ class EventLog(
     * the ledger's committed id is skipped whole (the streaming
     * exactly-once handshake — see [[graft.streaming.StreamAggs.ingestStream]]).
     * Returns rows appended (0 on a skipped redelivery).
+    *
+    * Concurrency: Lock mode relies on the lock section. Manifest mode is
+    * claim-fenced: heads are computed as `max(parquet head, reserved head)`
+    * from a fresh chain read, the batch claims `(base, newHead)` per touched
+    * stream, and a lost claim race RETRIES from fresh heads (there is no
+    * `expectedVersion` to violate — concurrent appenders serialize and
+    * versions continue, the CDC-consumer contract), while interactive
+    * `append`s racing the same streams fail their optimistic check against
+    * our reservation.
     */
   def appendBulk(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
       seqCol: String = "seq", ledgerId: Option[String] = None,
       batchId: Long = -1L): Long = withLogLock(path) {
-    val ledger = ledgerId.map(id => new java.io.File(s"$path/_ingest/$id"))
-    val committed = ledger.filter(_.exists())
-      .map(f => java.nio.file.Files.readString(f.toPath).trim.toLong)
+    val hconf = spark.sessionState.newHadoopConf()
+    val ledger = ledgerId.map(id => new org.apache.hadoop.fs.Path(s"$path/_ingest/$id"))
+    def ledgerFs = ledger.map(_.getFileSystem(hconf))
+    val committed = ledger.zip(ledgerFs).collect {
+      case (p, f) if f.exists(p) =>
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+    }
+    def commitLedger(): Unit = ledger.zip(ledgerFs).foreach { case (p, f) =>
+      val out = f.create(p, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (ledger.isDefined && batchId >= 0 && committed.exists(batchId <= _)) 0L
     else {
       import spark.implicits._
@@ -537,17 +595,9 @@ class EventLog(
       val withDisc =
         if (rows.columns.contains("discriminator")) rows
         else rows.withColumn("discriminator", typedLit(Map.empty[String, String]))
-      // current head per TOUCHED stream (semi-join prune, then one agg)
-      val heads =
-        if (!exists(eventsPath)) spark.emptyDataFrame
-          .withColumn("aggregate_id", lit("")).withColumn("__head", lit(0))
-          .limit(0).select(col("aggregate_id"), col("__head"))
-        else events
-          .join(withDisc.select(col("aggregate_id")).distinct(),
-            Seq("aggregate_id"), "left_semi")
-          .groupBy(col("aggregate_id"))
-          .agg(max(col("aggregate_version")).as("__head"))
-      val appended = withDisc
+      // assign ids/versions continuing from the per-stream heads frame
+      // (aggregate_id, __head); materialized once per attempt
+      def buildRows(heads: DataFrame): DataFrame = withDisc
         .join(heads, Seq("aggregate_id"), "left")
         .repartition(col("aggregate_id"))
         .sortWithinPartitions(col("aggregate_id"), col(seqCol))
@@ -576,13 +626,61 @@ class EventLog(
           }
         }
         .localCheckpoint()
-      val n = appended.count()
-      if (n > 0) writeEventsDF(appended.toDF())
-      ledger.foreach { f =>
-        f.getParentFile.mkdirs()
-        java.nio.file.Files.writeString(f.toPath, batchId.toString): Unit
+        .toDF()
+      commitMode match {
+        case CommitMode.Lock =>
+          // current head per TOUCHED stream (semi-join prune, then one agg;
+          // stays fully distributed — no driver map of the stream set)
+          val heads =
+            if (!exists(eventsPath)) spark.emptyDataFrame
+              .withColumn("aggregate_id", lit("")).withColumn("__head", lit(0))
+              .limit(0).select(col("aggregate_id"), col("__head"))
+            else events
+              .join(withDisc.select(col("aggregate_id")).distinct(),
+                Seq("aggregate_id"), "left_semi")
+              .groupBy(col("aggregate_id"))
+              .agg(max(col("aggregate_version")).as("__head"))
+          val appended = buildRows(heads)
+          val n = appended.count()
+          if (n > 0) writeEventsDF(appended)
+          commitLedger()
+          n
+        case CommitMode.Manifest =>
+          // the touched stream set is batch-sized (a micro-batch of ingest),
+          // so merging parquet heads with chain reservations driver-side is
+          // bounded by the batch, never the log
+          val touched = withDisc.select(col("aggregate_id")).distinct()
+            .as[String].collect().toSeq
+          var attempts = 0
+          var result = -1L
+          while (result < 0 && attempts < 100) {
+            val tip = manifest.refresh()
+            val parquetHeads = maxVersions(touched)
+            val merged = touched.map(s => s ->
+              math.max(parquetHeads.getOrElse(s, 0), manifest.reservedHead(s)))
+            val appended = buildRows(merged.toDF("aggregate_id", "__head"))
+            val n = appended.count()
+            if (n == 0) { commitLedger(); result = 0 }
+            else {
+              val newHeads = appended.groupBy(col("aggregate_id"))
+                .agg(max(col("aggregate_version")).as("h"))
+                .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+              val base = merged.toMap
+              val claim = CommitClaim(tip + 1,
+                newHeads.map { case (s, h) => s -> (base.getOrElse(s, 0), h) },
+                Seq.empty, writerId, System.currentTimeMillis(), done = false)
+              if (manifest.tryClaim(claim)) {
+                writeEventsDFIsolated(appended, s"c${claim.n}")
+                manifest.markDone(claim.n)
+                commitLedger()
+                result = n
+              } else attempts += 1 // heads may have moved: rebuild from fresh chain
+            }
+          }
+          if (result < 0) throw new IllegalStateException(
+            s"appendBulk lost $attempts claim races — giving up")
+          result
       }
-      n
     }
   }
 
@@ -852,8 +950,11 @@ class EventLog(
     * ([[graft.store.EventStore.rehydrateAllStitched]]) read snapshot + tail
     * and never miss pruned prefixes. Un-snapshotted streams are untouched.
     * One multi-bucket copy-on-write rewrite (join against the snapshot
-    * heads); invalidated audit rows below the covered version age out under
-    * the same rule — that is what retention means. Returns rows dropped.
+    * heads), scoped to the buckets that actually shrink; invalidated audit
+    * rows below the covered version age out under the same rule — that is
+    * what retention means. Returns rows dropped (counted by one
+    * parquet-pruned scan of the `id < bound` sliver, not by bracketing
+    * full-table counts).
     *
     * The reference has no retention op at all — logs grow forever or get
     * truncated by hand; at 100 TB this plus [[compact]] IS the storage
@@ -875,13 +976,30 @@ class EventLog(
             col("aggregate_version") > col("p_v") || col("id") >= bound)
           .drop("p_id", "p_v")
       }
-      val before = committedEvents.count()
-      if (commitMode == CommitMode.Lock)
-        rewriteBucketsOverwrite(eventsPath, EventSchema.events, 0 until numBuckets)(keep)
-      else
-        (0 until numBuckets).foreach(b =>
-          rewriteBucket(eventsPath, EventSchema.events, b)(keep))
-      before - committedEvents.count()
+      // Count the doomed rows per bucket with ONE scan whose `id < bound`
+      // predicate pushes to parquet (min/max skipping prunes every young
+      // file — at scale this reads the old sliver, where the former
+      // before/after bracketing counted the FULL table twice on top of the
+      // rewrite). heads is unique per stream (rn = 1), so the inner join
+      // can't fan out; the per-bucket counts then scope the rewrite to the
+      // buckets that actually shrink — an incremental prune after a recent
+      // one rewrites (almost) nothing.
+      val droppedByBucket = committedView(eventsWithBucket)
+        .filter(col("id") < bound)
+        .join(heads, col("aggregate_id") === col("p_id"))
+        .filter(col("aggregate_version") <= col("p_v"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val dropped = droppedByBucket.values.sum
+      if (dropped > 0) {
+        val affected = droppedByBucket.keys.toSeq.sorted
+        if (commitMode == CommitMode.Lock)
+          rewriteBucketsOverwrite(eventsPath, EventSchema.events, affected)(keep)
+        else
+          affected.foreach(b =>
+            rewriteBucket(eventsPath, EventSchema.events, b)(keep))
+      }
+      dropped
     }
   }
 
@@ -1016,11 +1134,25 @@ class EventLog(
     if (discriminatorKeys.isEmpty) d
     else d.view.filterKeys(k => discriminatorKeys.contains(k.toLowerCase)).toMap
 
+  /** Every commit writes EXACTLY ONE id-sorted file per touched bucket (the
+    * `repartition(bucket)` below): live projectors read the log as a file
+    * stream, and a commit scattered over several files per bucket can have
+    * those files straddle micro-batches in arbitrary listing order — the
+    * per-partition monotonic dedup then drops the lower-id rows as late.
+    * One file per bucket per commit makes arrival order per dedup partition
+    * follow id order (files within a commit are disjoint by bucket; across
+    * commits ids grow with commit time). It is also the small-files fix: an
+    * N-task append no longer writes N tiny files into one bucket. The
+    * shuffle this costs carries the BATCH being committed, never the log.
+    */
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+
   private def writeEvents(rows: Seq[EventRow], mode: SaveMode): Unit = {
     import spark.implicits._
-    rows.toDS()
-      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
-      .sortWithinPartitions("id")
+    bucketed(rows.toDS().toDF())
       .write.mode(mode).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(eventsPath)
@@ -1031,8 +1163,7 @@ class EventLog(
     * contract as [[writeEvents]], without a driver round-trip).
     */
   private def writeEventsDF(df: DataFrame): Unit = {
-    df.withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
-      .sortWithinPartitions("bucket", "id")
+    bucketed(df)
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(eventsPath)
@@ -1050,10 +1181,15 @@ class EventLog(
     */
   private def writeEventsIsolated(rows: Seq[EventRow], token: String): Unit = {
     import spark.implicits._
+    writeEventsDFIsolated(rows.toDS().toDF(), token)
+  }
+
+  /** DataFrame form of [[writeEventsIsolated]] — the bulk writers' manifest
+    * path (claim-scoped staging + per-file moves, no shared `_temporary`).
+    */
+  private def writeEventsDFIsolated(df: DataFrame, token: String): Unit = {
     val tmpDir = s"$eventsPath/.commit-tmp/$token"
-    rows.toDS()
-      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
-      .sortWithinPartitions("id")
+    bucketed(df)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       .parquet(tmpDir)
@@ -1164,8 +1300,11 @@ class EventLog(
       .localCheckpoint() // materialize before overwriting the source files
     val writtenBuckets = out.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    buckets.filterNot(writtenBuckets).foreach(b =>
-      deleteRecursively(new java.io.File(s"$tablePath/bucket=$b")))
+    val conf = spark.sessionState.newHadoopConf()
+    buckets.filterNot(writtenBuckets).foreach { b =>
+      val bp = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$b")
+      bp.getFileSystem(conf).delete(bp, true): Unit
+    }
     if (writtenBuckets.nonEmpty) {
       out.sortWithinPartitions(col("bucket"), col("id"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -1186,7 +1325,8 @@ class EventLog(
     if (out.isEmpty) {
       // Dynamic partition overwrite never touches partitions absent from the
       // written data, so an emptied bucket must be removed explicitly.
-      deleteRecursively(new java.io.File(s"$tablePath/bucket=$bucket"))
+      val bp = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$bucket")
+      bp.getFileSystem(spark.sessionState.newHadoopConf()).delete(bp, true): Unit
     } else {
       out
         .withColumn("bucket", lit(bucket))
@@ -1194,15 +1334,14 @@ class EventLog(
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+  private def exists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).nonEmpty
   }
 
-  private def exists(p: String): Boolean = {
-    val dir = new java.io.File(p)
-    dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty
-  }
+  private def withLogLock[A](path: String)(f: => A): A =
+    EventLog.withLogLock(path, spark.sessionState.newHadoopConf())(f)
 
   private def addBucket(s: org.apache.spark.sql.types.StructType) =
     s.add("bucket", org.apache.spark.sql.types.IntegerType, nullable = true)
@@ -1235,36 +1374,51 @@ object EventLog {
 
   /** The single-writer commit section. Two layers:
     *  - a JVM-level monitor (writers inside one driver serialize cheaply);
-    *  - a filesystem lock file created with atomic create-if-absent
-    *    (`O_CREAT|O_EXCL` semantics), so writers in SEPARATE drivers on
-    *    shared POSIX storage also exclude each other. Stale locks (holder
-    *    died) are broken after [[StaleLockMs]]. On object stores without
-    *    atomic create, swap this for the table-format commit (README
-    *    roadmap #1) — the section's scope stays identical.
+    *  - a filesystem lock file created with atomic create-if-absent, so
+    *    writers in SEPARATE drivers on shared storage also exclude each
+    *    other. The primitive is scheme-aware: `O_CREAT|O_EXCL` via
+    *    `File.createNewFile` on local paths (Hadoop's local
+    *    ChecksumFileSystem `create(overwrite=false)` is exists-then-create,
+    *    NOT atomic), `FileSystem.create(overwrite=false)` elsewhere (atomic
+    *    on HDFS). Stale locks (holder died) are broken after
+    *    [[StaleLockMs]]. On object stores without atomic create, use
+    *    manifest mode — the claim chain IS the commit section there.
     */
-  private def withLogLock[A](path: String)(f: => A): A = {
-    // canonicalize so two EventLog instances addressing the same directory
+  private[log] def withLogLock[A](path: String,
+      conf: org.apache.hadoop.conf.Configuration)(f: => A): A = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    // qualify so two EventLog instances addressing the same directory
     // through different spellings share one commit section
-    val key = try new java.io.File(path).getCanonicalPath catch { case _: Exception => path }
-    val lock = locks.computeIfAbsent(key, _ => new Object)
+    val qualified = fs.makeQualified(root)
+    val lock = locks.computeIfAbsent(qualified.toString, _ => new Object)
     lock.synchronized {
-      val lockFile = new java.io.File(key, ".graft.commit.lock")
-      lockFile.getParentFile.mkdirs()
+      val lockFile = new org.apache.hadoop.fs.Path(qualified, ".graft.commit.lock")
+      fs.mkdirs(qualified)
       val deadline = System.currentTimeMillis() + LockAcquireTimeoutMs
+      def tryCreate(): Boolean =
+        if (fs.getScheme == "file")
+          try new java.io.File(lockFile.toUri.getPath).createNewFile()
+          catch { case _: java.io.IOException => false }
+        else
+          try { fs.create(lockFile, false).close(); true }
+          catch { case _: java.io.IOException => false }
       var acquired = false
       while (!acquired) {
-        acquired = try lockFile.createNewFile() catch { case _: java.io.IOException => false }
+        acquired = tryCreate()
         if (!acquired) {
-          val age = System.currentTimeMillis() - lockFile.lastModified()
-          if (lockFile.exists() && age > StaleLockMs) {
-            lockFile.delete(): Unit // break a stale lock (holder died mid-commit)
+          val age =
+            try System.currentTimeMillis() - fs.getFileStatus(lockFile).getModificationTime
+            catch { case _: java.io.IOException => Long.MinValue } // gone — retry now
+          if (age > StaleLockMs) {
+            fs.delete(lockFile, false): Unit // break a stale lock (holder died mid-commit)
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"could not acquire commit lock $lockFile within ${LockAcquireTimeoutMs} ms")
           } else Thread.sleep(20)
         }
       }
-      try f finally { lockFile.delete(): Unit }
+      try f finally { fs.delete(lockFile, false): Unit }
     }
   }
 }

@@ -53,8 +53,15 @@ class Projector(
     val name: String,
     val statePath: String,
     filter: EventFilter = EventFilter(),
-    partitions: Int = 1,
+    // one dedup partition per log bucket by default: live dedup state groups
+    // by partition, so the old default of 1 funneled every event through a
+    // single flatMapGroupsWithState task — correct, but a throughput ceiling
+    // the reference's K split workers never had (projection/projection.go)
+    partitions: Int = -1,
     untilOffsetMs: Long = 60000L) {
+
+  /** Effective dedup/checkpoint parallelism (−1 = follow the log's buckets). */
+  val numPartitions: Int = if (partitions > 0) partitions else log.numBuckets
 
   val spark: SparkSession = log.spark
   val checkpoints = new CheckpointStore(spark, s"$statePath/checkpoints")
@@ -63,7 +70,7 @@ class Projector(
   private def shaped(df: DataFrame, metaKind: String): Dataset[ProjMessage] =
     df.select(
       lit(metaKind).as("meta_kind"),
-      graft.functions.calc_partition(col("aggregate_id_hash"), partitions).as("partition"),
+      graft.functions.calc_partition(col("aggregate_id_hash"), numPartitions).as("partition"),
       lit(0L).as("sequence"),
       col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
       col("body"), col("created_at"))
@@ -83,7 +90,7 @@ class Projector(
     val batch = shaped(new Player(log).replay(after, until, filter), "catchup")
     handle(batch)
     // switch: pin the dedup watermark for every partition (tokens done@until)
-    checkpoints.save((1 to partitions).map(p => Checkpoint(name, p, until, 0L, done = true)))
+    checkpoints.save((1 to numPartitions).map(p => Checkpoint(name, p, until, 0L, done = true)))
     val switchMsg = Seq(ProjMessage("switch", 0, 0L, until, "", "", "", "",
       new Timestamp(nowMs))).toDS()
     handle(switchMsg)

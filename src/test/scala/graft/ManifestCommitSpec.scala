@@ -215,6 +215,75 @@ class ManifestCommitSpec extends AnyFunSuite {
       c.kind === graft.log.CommitClaim.KindRewrite && c.done))
   }
 
+  test("bulkImport is claim-fenced: an in-flight reservation fails the import") {
+    // another driver claimed the stream but hasn't written data yet — the
+    // parquet probe alone cannot see it; the chain reservation must
+    val log = newLog()
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(1L, Map("bi-x" -> (0, 3)), Seq.empty,
+      "other-driver", System.currentTimeMillis(), done = false)))
+    val s = spark
+    import s.implicits._
+    val batch = Seq(("bi-x", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    intercept[ConcurrentModificationException] { log.bulkImport(batch) }
+    assert(log.events.count() === 0L, "failed import must not write")
+    // an unreserved stream imports fine and lands its own claim
+    val ok = Seq(("bi-y", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    assert(log.bulkImport(ok) === 1L)
+    val c = log.manifest.claims().filter(_.streams.contains("bi-y"))
+    assert(c.nonEmpty && c.head.done && c.head.streams("bi-y") === (0, 1))
+    assert(log.streamEvents("bi-y").count() === 1L)
+  }
+
+  test("racing bulkImports of one new stream: exactly one wins, loser gets CME") {
+    val logA = newLog()
+    val logB = new EventLog(spark, logA.path, numBuckets = 4,
+      ulidSeed = Some(41L), commitMode = CommitMode.Manifest)
+    val s = spark
+    import s.implicits._
+    def batch = Seq(("race-bi", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val futures = Seq(logA, logB).map(log => pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        try { log.bulkImport(batch); outcomes.add("ok"): Unit }
+        catch { case _: ConcurrentModificationException => outcomes.add("cme"): Unit }
+      }
+    }))
+    start.countDown()
+    try futures.foreach(_.get(180, TimeUnit.SECONDS))
+    finally { pool.shutdownNow(); () }
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.toSeq.sorted === Seq("cme", "ok"))
+    assert(logA.streamEvents("race-bi").count() === 1L,
+      "exactly one import's single event must be visible")
+  }
+
+  test("appendBulk continues versions past chain reservations (claim-fenced heads)") {
+    val log = newLog()
+    log.append(Seq(rec("ab-s", 0, 2))) // v1..2, claim 1
+    log.manifest.refresh()
+    // dead writer reserved 3..5 and never wrote — heads must come from
+    // max(parquet, chain), so the bulk append starts at 6
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map("ab-s" -> (2, 5)), Seq.empty,
+      "dead-writer", System.currentTimeMillis(), done = false)))
+    val s = spark
+    import s.implicits._
+    val batch = Seq(("ab-s", "Account", "Deposited", "{}", 1),
+        ("ab-s", "Account", "Deposited", "{}", 2))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    assert(log.appendBulk(batch) === 2L)
+    assert(log.streamEvents("ab-s").collect().map(_.getInt(3)).toSeq === Seq(1, 2, 6, 7),
+      "versions 3..5 stay the dead writer's permanent gap")
+    val c = log.manifest.claims().find(_.streams.get("ab-s").exists(_._2 == 7))
+    assert(c.nonEmpty && c.get.streams("ab-s") === (5, 7) && c.get.done)
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))

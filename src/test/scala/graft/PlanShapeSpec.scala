@@ -103,6 +103,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "t8_session_window" -> 1, "t8_sliding_window" -> 1, "t8_tumbling_window" -> 1,
       "u1_union_kinds" -> 0, "u2_active_minus_error" -> 1,
       "w2_version_assign" -> 1, "w3_keyset_page" -> 0, "w5_quality_rank" -> 1,
+      // w7 returns the rebucketted log's plain active scan (the import/
+      // rebucket side effects run eagerly before the returned plan); m5's
+      // returned plan is the snapshot ⊕ tail stitch: tail semi-prune join,
+      // per-stream aggs, and the full-outer stitch of two stream-keyed frames
+      "w7_bulk_roundtrip" -> 0, "m5_retention_stitch" -> 5,
       // x1: sketch agg (1) + two split exact-distinct twins (2 each: the
       // distinct and its per-type recount) — split on purpose, a fused
       // multi-distinct Expand tripled the scan and measured 6× slower
@@ -140,7 +145,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d12_incremental",
       // d11: per-doc totals ⋈ kept-spans — two post-aggregate frames keyed
       // by doc id (exchange-reused partitioning; AQE re-plans at runtime)
-      "d11_span_dedup")
+      "d11_span_dedup",
+      // m5: the snapshot ⊕ tail stitch is a full-outer join (like j3's) —
+      // not broadcastable by definition
+      "m5_retention_stitch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(smjAllowed).filter { name =>
       SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         .contains("SortMergeJoin")

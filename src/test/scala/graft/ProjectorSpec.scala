@@ -85,6 +85,65 @@ class ProjectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("G7 at 8 partitions: fan-out catchup + live, per-partition sequences, restart dedups") {
+    // the reference e2e shape (e2e_kafka_proj_test.go:109-182) at real
+    // parallelism: 100 streams over 8 dedup partitions (default = numBuckets)
+    val log = new EventLog(spark, tempDir, numBuckets = 8, ulidSeed = Some(17L))
+    import graft.log.{AppendRecord, EventDetail}
+    val t0 = 1700000000000L
+    val ids = (1 to 100).map(i => f"01HXMULTIPART${i}%013d")
+    log.append(ids.map(id => AppendRecord(id, "Account", 0, Map.empty,
+      Seq(AccountType.created(10, s"o-$id"), AccountType.deposited(1)))), nowMs = t0)
+
+    val proj = new Projector(log, "mp", tempDir,
+      filter = EventFilter(aggregateKinds = Seq("Account")))
+    assert(proj.numPartitions == 8, "default parallelism follows log.numBuckets")
+
+    val buf = ArrayBuffer[ProjMessage]()
+    val handle: Dataset[ProjMessage] => Unit =
+      ds => buf.synchronized { buf ++= ds.collect(); () }
+    proj.catchup(handle, nowMs = t0 + 120000L)
+    val caught = buf.filter(_.meta_kind == "catchup")
+    assert(caught.size == 200)
+    assert(caught.map(_.partition).distinct.size == 8,
+      "100 streams must fan out over all 8 partitions")
+
+    val q = proj.live(handle)
+    try {
+      q.processAllAvailable()
+      assert(buf.count(_.meta_kind == "live") == 0, "overlap re-read rejected")
+      log.append(ids.take(40).map(id => AppendRecord(id, "Account", 2, Map.empty,
+        Seq(AccountType.withdrawn(1)))), nowMs = t0 + 300000L)
+      q.processAllAvailable()
+      val live = buf.filter(_.meta_kind == "live")
+      assert(live.size == 40)
+      // per-partition bus sequences are 1..k and ordered by id
+      live.groupBy(_.partition).foreach { case (p, ms) =>
+        assert(ms.sortBy(_.id).map(_.sequence) == (1L to ms.size), s"partition $p")
+      }
+    } finally q.stop()
+
+    // restart from saved checkpoints at the same parallelism: no re-delivery
+    val buf2 = ArrayBuffer[ProjMessage]()
+    val proj2 = new Projector(log, "mp", s"$tempDir/restart-mp",
+      filter = EventFilter(aggregateKinds = Seq("Account")))
+    proj2.checkpoints.save(proj.checkpoints.load("mp").values.toSeq)
+    val q2 = proj2.live(ds => buf2.synchronized { buf2 ++= ds.collect(); () })
+    try {
+      q2.processAllAvailable()
+      assert(buf2.isEmpty, "checkpoint dedup rejects every already-handled id")
+      log.append(Seq(AppendRecord(ids.head, "Account", 3, Map.empty,
+        Seq(AccountType.deposited(5)))), nowMs = t0 + 600000L)
+      q2.processAllAvailable()
+      assert(buf2.map(_.aggregate_id).toSeq == Seq(ids.head),
+        "only the post-restart event is delivered")
+      val prior = buf.count(m => m.meta_kind == "live" &&
+        m.partition == buf2.head.partition)
+      assert(buf2.head.sequence == prior + 1L,
+        "partition sequence continues from the checkpoint across the restart")
+    } finally q2.stop()
+  }
+
   test("incremental catchup: a second run resumes from the previous switch watermark") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(15L))
     val store = new EventStore(log, AccountType)
