@@ -565,7 +565,13 @@ object SparkEntry {
         .select(col("doc_id"), explode(ops.TextAnalysis.tokens(col("text"))).as("t"))
       val dfreq = toks.distinct()
         .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      toks.join(dfreq, Seq("t"))
+      // df is vocab-sized — broadcast it EXPLICITLY so the token join never
+      // hash-partitions the corpus token rows: a shuffled join on `t` puts
+      // every "the"/"and" occurrence in one task (the classic stop-word hot
+      // key), and leaving the choice to AQE makes the safe plan a runtime
+      // accident instead of a property. Same cutoff rationale as
+      // tfidfTopTerms: beyond ~100M distinct tokens drop the hint + salt.
+      toks.join(broadcast(dfreq), Seq("t"))
         .groupBy(col("doc_id"))
         .agg(round(avg(col("df")), 4).as("avg_token_df"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))

@@ -80,7 +80,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // threshold filter), not the corpus; the band join itself stays an
       // equi-join on (t,bucket)
       "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 14,
-      "d10_simhash_pairs" -> 3,
+      // d10: the checkpointed signature frame broadcasts one side of the
+      // band self-join, so only the pair-dedup distinct shuffles
+      "d10_simhash_pairs" -> 1,
       "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 15,
       "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
@@ -107,7 +109,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // rebucket side effects run eagerly before the returned plan); m5's
       // returned plan is the snapshot ⊕ tail stitch: tail semi-prune join,
       // per-stream aggs, and the full-outer stitch of two stream-keyed frames
-      "w7_bulk_roundtrip" -> 0, "m5_retention_stitch" -> 5,
+      "w7_bulk_roundtrip" -> 0, "m5_retention_stitch" -> 3,
       // x1: sketch agg (1) + two split exact-distinct twins (2 each: the
       // distinct and its per-type recount) — split on purpose, a fused
       // multi-distinct Expand tripled the scan and measured 6× slower
