@@ -68,6 +68,24 @@ class BulkImportSpec extends AnyFunSuite {
     assert(log.bulkImport(extra, nowMs = 1700000002000L) == 30L)
   }
 
+  test("every commit writes exactly one file per touched bucket (stream-arrival order)") {
+    // live projectors read the log as a file stream: a commit scattered over
+    // several files per bucket can straddle micro-batches out of id order
+    // and the monotonic dedup drops the stragglers — one file per bucket per
+    // commit is the invariant that makes per-partition arrival id-ordered
+    // (and the small-files guarantee)
+    val dir = Files.createTempDirectory("graftonefile").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(43L))
+    log.bulkImport(sourceRows(200), nowMs = 1700000000000L) // commit 1
+    log.appendBulk(sourceRows(200).withColumn("seq", col("seq") + 3),
+      nowMs = 1700000060000L) // commit 2
+    (0 until 4).foreach { b =>
+      val files = new java.io.File(s"$dir/events/bucket=$b")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 2, s"bucket $b: expected 1 file per commit x 2 commits, got $files")
+    }
+  }
+
   test("bulk import runs rows through the discriminator policy") {
     val dir = Files.createTempDirectory("graftbulkd").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(43L),

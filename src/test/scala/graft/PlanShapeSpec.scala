@@ -158,6 +158,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected sort-merge joins in: $offenders")
   }
 
+  test("t5's document-frequency join broadcasts (stop-word keys never hash-partition)") {
+    val p = plan("t5_rare_word_ratio")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the token join must never shuffle corpus token rows on the token key")
+  }
+
   test("embedding pair source (d5/d7) is an equi-join on (t, bucket), never a cartesian") {
     // The SRP-banded cosinePairs plan must join candidates through the
     // (table, bucket) hash keys — a CartesianProduct or BNLJ here is the
