@@ -341,6 +341,31 @@ object Similarity {
     * whichever table matched); that cross-table dedup groupBy is the plan's
     * single exchange and moves only candidate pairs, never the corpus.
     */
+  /** Candidate recall of SRP banding for a pair at the given cosine: per-bit
+    * agreement p = 1 − θ/π (the Goemans–Williamson hyperplane identity),
+    * band collision p^bits, OR across tables. This IS the `cosinePairs`
+    * recall model — use it to CHOOSE `bits`/`tables` instead of guessing.
+    */
+  def srpCandidateRecall(cosine: Double, bits: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+  }
+
+  /** Smallest table count whose OR-construction reaches `targetRecall` for
+    * pairs at `cosine` under `bits`-bit bands (candidate volume grows
+    * linearly with tables; cap guards the low-threshold regime where banding
+    * is the wrong tool — use `cosineTopK` there instead).
+    */
+  def srpTablesFor(cosine: Double, bits: Int, targetRecall: Double = 0.99,
+      maxTables: Int = 64): Int = {
+    require(targetRecall > 0 && targetRecall < 1, "0 < targetRecall < 1")
+    val t = (1 to maxTables).find(srpCandidateRecall(cosine, bits, _) >= targetRecall)
+    t.getOrElse(throw new IllegalArgumentException(
+      f"SRP banding cannot reach recall $targetRecall at cosine $cosine%.2f with " +
+        f"$bits-bit bands within $maxTables tables (per-bit agreement too low) — " +
+        "lower `bits`, or use exact cosineTopK"))
+  }
+
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, tables: Int = 8,
       seed: Long = SrpSeed, dims: Int = 64): DataFrame = {

@@ -186,6 +186,48 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(local.toList == dist.toList)
   }
 
+  test("SRP recall model matches empirical banding collision rates") {
+    // srpCandidateRecall is the documented cosinePairs contract — verify it
+    // against Monte-Carlo collisions of the REAL seeded hyperplane family
+    // at three regimes: near-dup (high recall), mid (falling), low (≈0).
+    val bits = 8; val tables = 4; val dims = 64
+    val signs = graft.ops.Similarity.srpSigns(123L, tables, bits, dims)
+    val rnd = new scala.util.Random(7)
+    def randUnit(): Array[Double] = {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rotate(a: Array[Double], theta: Double): Array[Double] = {
+      val r = randUnit()
+      val proj = a.indices.map(i => a(i) * r(i)).sum
+      val o0 = a.indices.map(i => r(i) - proj * a(i)).toArray
+      val n = math.sqrt(o0.map(x => x * x).sum); val o = o0.map(_ / n)
+      a.indices.map(i => a(i) * math.cos(theta) + o(i) * math.sin(theta)).toArray
+    }
+    def buckets(v: Array[Double]): Seq[Int] =
+      signs.toSeq.map(tbl => tbl.foldLeft(0) { (acc, hyp) =>
+        val d = v.indices.map(i => hyp(i) * v(i)).sum
+        (acc << 1) | (if (d > 0) 1 else 0)
+      })
+    Seq(0.99, 0.9, 0.5).foreach { cos =>
+      val theta = math.acos(cos)
+      val trials = 2000
+      val hits = (1 to trials).count { _ =>
+        val a = randUnit(); val b = rotate(a, theta)
+        buckets(a).zip(buckets(b)).exists { case (x, y) => x == y }
+      }
+      val model = graft.ops.Similarity.srpCandidateRecall(cos, bits, tables)
+      val emp = hits.toDouble / trials
+      assert(math.abs(emp - model) < 0.05, s"cos=$cos model=$model empirical=$emp")
+    }
+    // the sizing helper lands on the d5/d7 production defaults, and refuses
+    // the low-threshold regime where banding is the wrong tool
+    assert(graft.ops.Similarity.srpTablesFor(0.99, bits = 16) == 8)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.srpTablesFor(0.15, bits = 16)
+    }
+  }
+
   test("simhash banded pairs == brute-force pairs (pigeonhole recall is total)") {
     val s = spark
     import s.implicits._
