@@ -553,6 +553,13 @@ class EventLog(
     * `ledgerId`/`batchId` make redelivery idempotent: a batch at or below
     * the ledger's committed id is skipped whole (the streaming
     * exactly-once handshake — see [[graft.streaming.StreamAggs.ingestStream]]).
+    * In Manifest mode the ledger mark ALSO rides the commit claim, so the
+    * dedup check and the data commit share the chain's single atomic
+    * done-flip — a crash anywhere leaves the redelivered batch either
+    * skipped (done landed) or the only visible copy (pending claims' files
+    * stay hidden): exactly-once with no window. Lock mode keeps the
+    * file-ledger-after-write ordering and its inherent
+    * crashed-between-write-and-ledger duplicate window.
     * Returns rows appended (0 on a skipped redelivery).
     *
     * Concurrency: Lock mode relies on the lock section. Manifest mode is
@@ -580,7 +587,19 @@ class EventLog(
       val out = f.create(p, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     }
-    if (ledger.isDefined && batchId >= 0 && committed.exists(batchId <= _)) 0L
+    // Manifest mode also consults the chain: a done claim carrying this
+    // ledger's mark proves the batch committed even if the crash hit between
+    // the done-flip and the ledger-file write — dedup check and commit share
+    // ONE atomic switch, so redelivery is exactly-once with no window (a
+    // crash BEFORE done leaves the staged files permanently hidden, so the
+    // redelivered append is the only visible copy)
+    val chainCommitted =
+      if (commitMode == CommitMode.Manifest && ledgerId.isDefined && batchId >= 0)
+        manifest.claims().filter(c => c.done && c.ledgerId == ledgerId)
+          .map(_.ledgerBatch).maxOption
+      else None
+    if (batchId >= 0 &&
+        (committed.exists(batchId <= _) || chainCommitted.exists(batchId <= _))) 0L
     else {
       import spark.implicits._
       val t = nowMs
@@ -668,7 +687,8 @@ class EventLog(
               val base = merged.toMap
               val claim = CommitClaim(tip + 1,
                 newHeads.map { case (s, h) => s -> (base.getOrElse(s, 0), h) },
-                Seq.empty, writerId, System.currentTimeMillis(), done = false)
+                Seq.empty, writerId, System.currentTimeMillis(), done = false,
+                ledgerId = ledgerId.filter(_ => batchId >= 0), ledgerBatch = batchId)
               if (manifest.tryClaim(claim)) {
                 writeEventsDFIsolated(appended, s"c${claim.n}")
                 manifest.markDone(claim.n)

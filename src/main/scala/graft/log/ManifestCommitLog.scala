@@ -20,7 +20,12 @@ case class CommitClaim(
     tsMs: Long,
     done: Boolean,
     kind: String = CommitClaim.KindAppend,
-    replaced: Seq[String] = Nil) // full paths of files this rewrite supersedes
+    replaced: Seq[String] = Nil, // full paths of files this rewrite supersedes
+    // ingest-ledger mark: a DONE claim carrying (ledgerId, batch) makes the
+    // batch's redelivery a no-op — the dedup check and the commit share the
+    // chain's atomic done-flip, so there is no crash window between them
+    ledgerId: Option[String] = None,
+    ledgerBatch: Long = -1L)
 
 object CommitClaim {
   val KindAppend = "append"
@@ -221,6 +226,8 @@ object ManifestCommitLog {
     }
     c.eventIds.foreach(id => sb.append("event\t").append(enc(id)).append('\n'))
     c.replaced.foreach(p => sb.append("replace\t").append(enc(p)).append('\n'))
+    c.ledgerId.foreach(id => sb.append("ledger\t").append(enc(id)).append('\t')
+      .append(c.ledgerBatch).append('\n'))
     sb.toString
   }
 
@@ -228,6 +235,8 @@ object ManifestCommitLog {
     var writer = ""
     var ts = 0L
     var kind = CommitClaim.KindAppend
+    var ledgerId: Option[String] = None
+    var ledgerBatch = -1L
     val streams = Map.newBuilder[String, (Int, Int)]
     val events = Seq.newBuilder[String]
     val replaced = Seq.newBuilder[String]
@@ -238,10 +247,12 @@ object ManifestCommitLog {
         case Array("stream", s, base, head) => streams += dec(s) -> (base.toInt, head.toInt)
         case Array("event", id) => events += dec(id)
         case Array("replace", p) => replaced += dec(p)
+        case Array("ledger", id, b) => ledgerId = Some(dec(id)); ledgerBatch = b.toLong
         case _ =>
       }
     }
-    CommitClaim(n, streams.result(), events.result(), writer, ts, done, kind, replaced.result())
+    CommitClaim(n, streams.result(), events.result(), writer, ts, done, kind,
+      replaced.result(), ledgerId, ledgerBatch)
   }
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")

@@ -284,6 +284,33 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(c.nonEmpty && c.get.streams("ab-s") === (5, 7) && c.get.done)
   }
 
+  test("ingest ledger rides the claim chain: redelivery after a lost ledger file is a no-op") {
+    // crash window under test: the done marker landed but the writer died
+    // before the _ingest ledger file write — a file-ledger-only dedup would
+    // re-append the redelivered batch; the claim's ledger mark must not
+    val log = newLog()
+    val s = spark
+    import s.implicits._
+    def batch = Seq(("lg-a", "Account", "Created", "{}", 1),
+        ("lg-b", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    assert(log.appendBulk(batch, ledgerId = Some("ing-1"), batchId = 7L) === 2L)
+    // simulate the crash: the ledger file vanishes, the chain survives
+    val conf = spark.sessionState.newHadoopConf()
+    val lf = new org.apache.hadoop.fs.Path(s"${log.path}/_ingest/ing-1")
+    assert(lf.getFileSystem(conf).delete(lf, false), "fixture must delete the ledger")
+    // a FRESH instance (cold chain cache — a restarted driver) must still skip
+    val log2 = new EventLog(spark, log.path, numBuckets = 4,
+      ulidSeed = Some(51L), commitMode = CommitMode.Manifest)
+    assert(log2.appendBulk(batch, ledgerId = Some("ing-1"), batchId = 7L) === 0L,
+      "redelivered batch must dedup against the chain's ledger mark")
+    assert(log2.committedEvents.count() === 2L, "no duplicate rows")
+    // the next batch still goes through
+    assert(log2.appendBulk(batch.withColumn("seq", col("seq") + 1),
+      ledgerId = Some("ing-1"), batchId = 8L) === 2L)
+    assert(log2.streamEvents("lg-a").collect().map(_.getInt(3)).toSeq === Seq(1, 2))
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))
