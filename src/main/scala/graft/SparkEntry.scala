@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Throwaway log dir for the log-machinery oracle queries (w7/m5): each
+    * evaluation builds a fresh log (the import/rebucket/prune IS what the
+    * query times); a JVM shutdown hook reclaims the dirs so repeated
+    * Verify/Bench/spec evaluations don't accumulate /tmp copies.
+    */
+  private def tempLogDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's events table stores ts as TIMESTAMP(NANOS), which Spark's
     // parquet reader rejects by default; read nanos as long and truncate to
@@ -431,7 +447,7 @@ object SparkEntry {
     //    ULID time component must carry the original event time — this
     //    promotes bulkImport + rebucket from spec-only to hash-checked.
     "w7_bulk_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftw7").toFile.getAbsolutePath
+      val tmp = tempLogDir("graftw7")
       val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(77L))
       log.bulkImport(
         t(s, dir, "events").select(
@@ -455,7 +471,7 @@ object SparkEntry {
     //    snapshot ⊕ tail fold. Must equal the oracle's split fold over FULL
     //    history — the reproducibility contract event-log TTL must keep.
     "m5_retention_stitch" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftm5").toFile.getAbsolutePath
+      val tmp = tempLogDir("graftm5")
       val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(55L))
       val cutoffMs = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli
       log.bulkImport(

@@ -577,15 +577,25 @@ class EventLog(
     val hconf = spark.sessionState.newHadoopConf()
     val ledger = ledgerId.map(id => new org.apache.hadoop.fs.Path(s"$path/_ingest/$id"))
     def ledgerFs = ledger.map(_.getFileSystem(hconf))
+    // a torn/garbage ledger file (crash mid-write) reads as absent rather
+    // than wedging every subsequent batch on a parse error; in manifest mode
+    // the chain mark below still dedups, in lock mode the batch re-appends
+    // (at-least-once, the pre-ledger contract)
     val committed = ledger.zip(ledgerFs).collect {
       case (p, f) if f.exists(p) =>
         val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
         finally in.close()
-    }
+    }.flatten
     def commitLedger(): Unit = ledger.zip(ledgerFs).foreach { case (p, f) =>
-      val out = f.create(p, true)
+      // write-temp + swap: the ledger is never observable half-written
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(p, false)
+      if (!f.rename(tmp, p)) { f.delete(tmp, false); throw new java.io.IOException(
+        s"could not commit ingest ledger $p") }
     }
     // Manifest mode also consults the chain: a done claim carrying this
     // ledger's mark proves the batch committed even if the crash hit between
@@ -694,7 +704,11 @@ class EventLog(
                 manifest.markDone(claim.n)
                 commitLedger()
                 result = n
-              } else attempts += 1 // heads may have moved: rebuild from fresh chain
+              } else attempts += 1 // heads may have moved: rebuild from fresh
+              // chain; the abandoned attempt's localCheckpoint blocks are
+              // reclaimed asynchronously by Spark's ContextCleaner once the
+              // frame goes unreachable (races are rare — contention is claims,
+              // not storage)
             }
           }
           if (result < 0) throw new IllegalStateException(
@@ -1431,7 +1445,25 @@ object EventLog {
             try System.currentTimeMillis() - fs.getFileStatus(lockFile).getModificationTime
             catch { case _: java.io.IOException => Long.MinValue } // gone — retry now
           if (age > StaleLockMs) {
-            fs.delete(lockFile, false): Unit // break a stale lock (holder died mid-commit)
+            // Break a stale lock (holder died mid-commit) via exclusive TAKE
+            // (rename to a tombstone), never a blind delete: with two
+            // waiters, a blind second delete can remove the first waiter's
+            // freshly-acquired lock and let both inside the section. Only
+            // the rename winner owns the break; it re-checks that what it
+            // took really was stale (a fresh lock created in the
+            // stat→rename instant is handed back).
+            val tomb = new org.apache.hadoop.fs.Path(qualified,
+              s".graft.commit.lock.stale.${java.util.UUID.randomUUID()}")
+            val took = try fs.rename(lockFile, tomb)
+              catch { case _: java.io.IOException => false }
+            if (took) {
+              val fresh =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(tomb).getModificationTime <= StaleLockMs
+                catch { case _: java.io.IOException => false }
+              if (!(fresh && fs.rename(tomb, lockFile)))
+                fs.delete(tomb, false): Unit
+            }
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"could not acquire commit lock $lockFile within ${LockAcquireTimeoutMs} ms")

@@ -168,6 +168,15 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     * recompute the same heads from the data itself. Claims not yet `done`
     * are kept unless older than `staleMs` (a crashed claimant's gap becomes
     * permanent once pruned, which is exactly its semantics).
+    *
+    * Two invariants the delete must not break:
+    *  - a DONE claim carrying an ingest-ledger mark is the redelivery dedup
+    *    record when the writer crashed before the ledger-file write — the
+    *    ledger file is restored (if behind) BEFORE the claim is forgotten;
+    *  - a STALE PENDING claim's token-prefixed data files are hidden only
+    *    while the claim exists — they are physically deleted BEFORE the
+    *    claim is, so a half-moved crashed commit can never resurface as
+    *    committed data.
     */
   def prune(heads: Map[String, Int], staleMs: Long = 24L * 3600 * 1000,
       nowMs: Long = System.currentTimeMillis()): Int = {
@@ -182,11 +191,14 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
           case CommitClaim.KindRewrite =>
             c.done && c.replaced.forall(p => !f.exists(new Path(p)))
           case _ =>
-            c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head } ||
+            (c.done &&
+              c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head }) ||
               (!c.done && nowMs - c.tsMs > staleMs)
         })
     }.toSeq
     removable.foreach { c =>
+      if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
+      if (!c.done) deleteTokenFiles(f, c.n)
       f.delete(claimPath(c.n), false)
       f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
       // keep the cache entry: it still carries the reservation in-memory,
@@ -194,6 +206,43 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     }
     removable.size
   }
+
+  /** Re-write the `_ingest/<id>` ledger file if it is absent or behind the
+    * claim's batch (the claim is about to be forgotten and with it the
+    * chain-side dedup record).
+    */
+  private def restoreLedger(f: FileSystem, id: String, batch: Long): Unit = {
+    val p = new Path(logPath, s"_ingest/$id")
+    val current =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
+        finally in.close()
+      }
+    if (!current.exists(_ >= batch)) {
+      val out = f.create(p, true)
+      try out.write(batch.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Physically delete a (condemned pending) claim's token-prefixed files —
+    * staged data that was hidden only by the claim's existence.
+    */
+  private def deleteTokenFiles(f: FileSystem, n: Long): Unit =
+    Seq("events", "snapshots").foreach { table =>
+      val root = new Path(logPath, table)
+      if (f.exists(root)) {
+        f.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .foreach { d =>
+            f.listStatus(d.getPath)
+              .filter(_.getPath.getName.startsWith(s"c$n-"))
+              .foreach(st => f.delete(st.getPath, false): Unit)
+          }
+        f.delete(new Path(root, s".commit-tmp/c$n"), true): Unit
+      }
+    }
 
   private def claimPath(n: Long) = new Path(dir, s"v$n.tsv")
 

@@ -318,29 +318,6 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("recall", round(col("n_overlap").cast("double") / k, 4))
 
-  /** NEAR-DUPLICATE pairs (cosine ≥ threshold AND SRP-band candidate) via
-    * seeded multi-table SRP banding. Each vector hashes to one `bits`-bit
-    * SRP bucket per table ([[graft.functions.SrpBuckets]], codegen'd);
-    * candidate pairs are the in-bucket pairs of ANY table — an equi-join on
-    * `(table, bucket)`, never all-pairs. Candidate volume is controlled by
-    * `bits` (bucket count per table = 2^bits → expected in-bucket join is
-    * ~N²/2^bits per table) and recall by `tables` (OR-construction:
-    * P(candidate) = 1 − (1 − p^bits)^tables with p = 1 − θ/π).
-    *
-    * RECALL MODEL — this is a candidate generator for NEAR duplicates, not
-    * an exact "all pairs ≥ θ" scan: with the defaults (16-bit × 8 tables) a
-    * pair at cosine 0.99 (p ≈ 0.955) is recovered with probability > 0.99,
-    * at cosine 0.9 (p ≈ 0.856) ≈ 0.56, and recall falls off sharply below —
-    * at cosine 0.15 (p ≈ 0.55) it is ~5·10⁻⁴. Pass a LOW threshold only to
-    * keep genuinely-near pairs the banding surfaced; to chase pairs NEAR a
-    * low threshold, lower `bits` / raise `tables` (cost: candidate volume
-    * grows ~2^Δbits per table) or use `cosineTopK` for exact results. A
-    * random pair's collision odds stay at ~tables/2^bits (~8/65536 by
-    * default) — the banding trade LSH dedup is built on. A pair colliding
-    * in several tables is emitted once (`max(sim)` — sim is identical
-    * whichever table matched); that cross-table dedup groupBy is the plan's
-    * single exchange and moves only candidate pairs, never the corpus.
-    */
   /** Candidate recall of SRP banding for a pair at the given cosine: per-bit
     * agreement p = 1 − θ/π (the Goemans–Williamson hyperplane identity),
     * band collision p^bits, OR across tables. This IS the `cosinePairs`
@@ -366,6 +343,29 @@ object Similarity {
         "lower `bits`, or use exact cosineTopK"))
   }
 
+  /** NEAR-DUPLICATE pairs (cosine ≥ threshold AND SRP-band candidate) via
+    * seeded multi-table SRP banding. Each vector hashes to one `bits`-bit
+    * SRP bucket per table ([[graft.functions.SrpBuckets]], codegen'd);
+    * candidate pairs are the in-bucket pairs of ANY table — an equi-join on
+    * `(table, bucket)`, never all-pairs. Candidate volume is controlled by
+    * `bits` (bucket count per table = 2^bits → expected in-bucket join is
+    * ~N²/2^bits per table) and recall by `tables` (OR-construction:
+    * P(candidate) = 1 − (1 − p^bits)^tables with p = 1 − θ/π).
+    *
+    * RECALL MODEL — this is a candidate generator for NEAR duplicates, not
+    * an exact "all pairs ≥ θ" scan: with the defaults (16-bit × 8 tables) a
+    * pair at cosine 0.99 (p ≈ 0.955) is recovered with probability > 0.99,
+    * at cosine 0.9 (p ≈ 0.856) ≈ 0.56, and recall falls off sharply below —
+    * at cosine 0.15 (p ≈ 0.55) it is ~5·10⁻⁴. Pass a LOW threshold only to
+    * keep genuinely-near pairs the banding surfaced; to chase pairs NEAR a
+    * low threshold, lower `bits` / raise `tables` (cost: candidate volume
+    * grows ~2^Δbits per table) or use `cosineTopK` for exact results. A
+    * random pair's collision odds stay at ~tables/2^bits (~8/65536 by
+    * default) — the banding trade LSH dedup is built on. A pair colliding
+    * in several tables is emitted once (`max(sim)` — sim is identical
+    * whichever table matched); that cross-table dedup groupBy is the plan's
+    * single exchange and moves only candidate pairs, never the corpus.
+    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, tables: Int = 8,
       seed: Long = SrpSeed, dims: Int = 64): DataFrame = {

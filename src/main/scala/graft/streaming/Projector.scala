@@ -76,10 +76,27 @@ class Projector(
       col("body"), col("created_at"))
       .as[ProjMessage]
 
+  /** Saved checkpoints are keyed by partition — reopening a projector with
+    * a DIFFERENT partition count would silently remap every stream to a
+    * different dedup state (fresh partitions start empty → historical
+    * re-delivery). The count is recorded as a metadata row at partition 0
+    * (`calc_partition` is 1-based, so 0 never collides) and enforced here;
+    * pre-metadata checkpoint tables skip the check.
+    */
+  private def loadChecked(): Map[Int, Checkpoint] = {
+    val all = checkpoints.load(name)
+    all.get(0).foreach { m =>
+      require(m.sequence == numPartitions.toLong,
+        s"projector '$name' was checkpointed with ${m.sequence} partitions; " +
+          s"this instance uses $numPartitions — construct it with partitions = ${m.sequence}")
+    }
+    all - 0
+  }
+
   /** T1+T2: catchup replay then switch. Returns the switch watermark ULID. */
   def catchup(handle: Dataset[ProjMessage] => Unit,
       nowMs: Long = System.currentTimeMillis()): String = {
-    val cps = checkpoints.load(name)
+    val cps = loadChecked()
     val after = {
       val resumed = cps.values.filterNot(_.done)
       if (cps.isEmpty) ""
@@ -90,7 +107,9 @@ class Projector(
     val batch = shaped(new Player(log).replay(after, until, filter), "catchup")
     handle(batch)
     // switch: pin the dedup watermark for every partition (tokens done@until)
-    checkpoints.save((1 to numPartitions).map(p => Checkpoint(name, p, until, 0L, done = true)))
+    // plus the partition-count metadata row
+    checkpoints.save(Checkpoint(name, 0, "", numPartitions.toLong, done = true) +:
+      (1 to numPartitions).map(p => Checkpoint(name, p, until, 0L, done = true)))
     val switchMsg = Seq(ProjMessage("switch", 0, 0L, until, "", "", "", "",
       new Timestamp(nowMs))).toDS()
     handle(switchMsg)
@@ -105,7 +124,7 @@ class Projector(
   def live(handle: Dataset[ProjMessage] => Unit,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
     val initial: Map[Int, (String, Long)] =
-      checkpoints.load(name).map { case (p, c) => p -> (c.event_id, c.sequence) }
+      loadChecked().map { case (p, c) => p -> (c.event_id, c.sequence) }
 
     val src = spark.readStream
       .schema(EventSchema.events)

@@ -311,6 +311,56 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log2.streamEvents("lg-a").collect().map(_.getInt(3)).toSeq === Seq(1, 2))
   }
 
+  test("prune restores the ledger file before forgetting a ledger-marked claim") {
+    // without the restore, pruning the claim after a lost ledger file would
+    // reopen the redelivery-duplicate window the chain mark closed
+    val log = newLog()
+    val s = spark
+    import s.implicits._
+    def batch = Seq(("pl-a", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    assert(log.appendBulk(batch, ledgerId = Some("ing-p"), batchId = 3L) === 1L)
+    log.append(Seq(rec("pl-b", 0))) // so the ledger claim is not the tip
+    val conf = spark.sessionState.newHadoopConf()
+    val lf = new org.apache.hadoop.fs.Path(s"${log.path}/_ingest/ing-p")
+    assert(lf.getFileSystem(conf).delete(lf, false), "fixture must delete the ledger")
+    assert(log.manifest.prune(Map("pl-a" -> 1, "pl-b" -> 1)) >= 1)
+    assert(lf.getFileSystem(conf).exists(lf), "prune must restore the ledger file")
+    val log2 = new EventLog(spark, log.path, numBuckets = 4,
+      ulidSeed = Some(52L), commitMode = CommitMode.Manifest)
+    assert(log2.appendBulk(batch, ledgerId = Some("ing-p"), batchId = 3L) === 0L,
+      "redelivery must still dedup after the claim is pruned")
+    assert(log2.committedEvents.filter(col("aggregate_id") === "pl-a").count() === 1L)
+  }
+
+  test("prune deletes a condemned pending claim's staged files (no resurrection)") {
+    // a crashed bulk writer moved SOME token-prefixed files in before dying;
+    // they are hidden only while the pending claim exists — pruning the
+    // stale claim must delete them, never un-hide them as committed data
+    val log = newLog()
+    log.append(Seq(rec("st-a", 0)))
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map("st-b" -> (0, 1)), Seq.empty,
+      "dead-bulk-writer", System.currentTimeMillis() - 10000L, done = false)))
+    // plant a staged file: copy an existing bucket file under the claim token
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val src = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    val staged = new org.apache.hadoop.fs.Path(src.getParent, s"c2-${src.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, staged, false, conf)
+    assert(log.committedEvents.count() === 1L, "staged file hidden while claim pends")
+    log.append(Seq(rec("st-c", 0))) // bump the tip past the dead claim
+    assert(log.manifest.prune(Map("st-a" -> 1, "st-c" -> 1), staleMs = 1000L) === 2)
+    assert(!fs.exists(staged), "prune must physically delete the staged file")
+    val fresh = new EventLog(spark, log.path, numBuckets = 4,
+      commitMode = CommitMode.Manifest)
+    assert(fresh.committedEvents.count() === 2L,
+      "a fresh reader must not see the dead claim's rows resurface")
+  }
+
   test("lock-mode logs keep an empty chain") {
     val dir = Files.createTempDirectory("graftlockmode").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(24L))

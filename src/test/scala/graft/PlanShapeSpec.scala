@@ -174,12 +174,16 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must not plan a nested-loop join")
     }
-    // the band join keys appear in the pair-source join's key list (d7 feeds
-    // the same cosinePairs plan into label propagation, but checkpoints it —
-    // the executed plan of d7 no longer shows the pair source, d5's does)
+    // the band join keys appear in the pair-source join's KEY LIST — a bare
+    // substring ("t#") would false-pass on any attribute ending in t (d7
+    // feeds the same cosinePairs plan into label propagation, but
+    // checkpoints it — the executed plan of d7 no longer shows the pair
+    // source, d5's does)
     val p5 = plan("d5_embedding_dedup")
-    assert(p5.contains("t#") && p5.contains("bucket#"),
-      s"d5 should join on the (t, bucket) band keys\n${p5.take(3000)}")
+    val bandJoin =
+      """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[t#\d+L?, bucket#\d+L?\]""".r
+    assert(bandJoin.findFirstIn(p5).nonEmpty,
+      s"d5 should join on exactly the (t, bucket) band keys\n${p5.take(3000)}")
   }
 
   test("event-log ULID range scan pushes string id bounds to parquet") {
