@@ -35,6 +35,12 @@ package object functions {
   def srp_buckets(vec: Column, signs: Array[Array[Array[Int]]]): Column =
     ExpressionUtils.column(SrpBuckets(ExpressionUtils.expression(vec), signs))
 
+  /** Codegen'd packed `width`-bit SimHash of an array<string> token column
+    * (pure projection — no explode, no shuffle).
+    */
+  def simhash_packed(tokens: Column, width: Int): Column =
+    ExpressionUtils.column(SimhashPacked(ExpressionUtils.expression(tokens), width))
+
   /** 1-based partition assignment: `(hash % partitions) + 1`
     * (reference: util/common.go:13-18). `hash` is already non-negative.
     */

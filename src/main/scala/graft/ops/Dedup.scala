@@ -203,52 +203,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
 
   /** 32-bit SimHash over the token multiset: per bit, sum ±1 contributions of
-    * every token hash; bit set iff the sum is positive. Computed with
-    * higher-order functions over the per-document token-hash list — no 32×
-    * row blowup, one shuffle on the id.
+    * every token hash; bit set iff the sum is positive. ONE codegen'd
+    * expression per row ([[graft.functions.SimhashPacked]]) — fingerprinting
+    * is a pure projection with NO shuffle at all. Earlier shapes, both
+    * measured and both beaten: explode → 32 sum columns → groupBy shuffled
+    * 32 ints per document (fine, but a shuffle); collect_list + post-shuffle
+    * bit loops shipped every token hash (~2× worse at sf0.1). Bit-sums are
+    * order-independent, so all three forms are value-identical.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // 32 algebraic sum columns, one per bit: partial (map-side) aggregation
-    // shrinks the shuffle to 32 ints per document, instead of shipping every
-    // token hash to a collect_list and looping 32× over it post-shuffle
-    // (measured ~2× at sf0.1; the gap widens with document length, which is
-    // what matters at 100 TB). Bit-sums are order-independent, so the result
-    // is identical to the sequential form.
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
-    }
-    val packed = (0 until 32).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", TextAnalysis.tokenHash32(col("t")))
-      .groupBy(col("sh_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("sh_id"), packed.as("simhash"))
-  }
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sh_id"),
+      graft.functions.simhash_packed(TextAnalysis.tokens(col(textCol)), 32)
+        .as("simhash"))
 
-  /** 64-bit SimHash — [[simhash32]] widened to [[TextAnalysis.tokenHash64]].
-    * Same algebraic shape (64 map-side bit-sum columns, shuffle = 64 ints
-    * per document). The extra width exists for BANDING: 4×16-bit bands give
-    * 65536 buckets per band instead of simhash32's 256, which is what keeps
-    * the in-bucket pair expansion linear on a homogeneous web corpus (see
-    * [[simhashPairs]]). Bit 63's weight is Long.MinValue — the sum wraps
-    * exactly as two's-complement packing requires, and partial sums ordered
-    * bit 0→63 never overflow transiently.
+  /** 64-bit SimHash — [[simhash32]] at the 64-bit token hash (the low-64
+    * md5, `tokenHash64`). The extra width exists for BANDING: 4×16-bit bands
+    * give 65536 buckets per band instead of simhash32's 256, which is what
+    * keeps the in-bucket pair expansion linear on a homogeneous web corpus
+    * (see [[simhashPairs]]). Same zero-shuffle projection shape.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
-    }
-    val packed = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    df.select(col(idCol).as("sh_id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", TextAnalysis.tokenHash64(col("t")))
-      .groupBy(col("sh_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("sh_id"), packed.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sh_id"),
+      graft.functions.simhash_packed(TextAnalysis.tokens(col(textCol)), 64)
+        .as("simhash"))
 
   /** Near-dup groups as connected components of the verified pair graph,
     * via `rounds` iterations of min-label propagation (one hop per round —

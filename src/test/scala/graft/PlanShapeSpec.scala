@@ -70,7 +70,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val budgets = Map(
       "a1_rehydrate_fold" -> 1, "a4_projection_state" -> 1, "a5_distinct_streams" -> 1,
       "a6_resume_bounds" -> 1, "a8_asof_state" -> 1, "c1_base64" -> 0,
-      "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 3, "d3_simhash" -> 1,
+      // d3: the codegen'd simhash_packed expression made fingerprinting a
+      // pure projection — zero shuffles
+      "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 3, "d3_simhash" -> 0,
       // d4/d6 plans truthfully contain the LSH chain and the 3 label-prop
       // rounds (they no longer hide behind per-stage localCheckpoints); the
       // label/edge frames those exchanges move are candidate-sized, not

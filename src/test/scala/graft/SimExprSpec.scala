@@ -38,6 +38,35 @@ class SimExprSpec extends AnyFunSuite {
     assert(got == Map(1 -> 0.5, 2 -> 0.0, 3 -> 1.0, 4 -> 0.0))
   }
 
+  test("simhash_packed == the explode/bit-sum aggregate formulation, both widths") {
+    // the expression replaced the aggregate form — pin value equivalence
+    // against an independent driver-side recomputation from the md5 spec
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a b"), (3L, "Zz yY  xX"), (4L, "one"))
+      .toDF("doc_id", "text")
+    def reference(text: String, width: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](width)
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        val dig = md.digest(t.getBytes("UTF-8"))
+        var h = 0L
+        (width / 8 - 1) to 0 by -1 foreach { i => h = (h << 8) | (dig(i) & 0xffL) }
+        (0 until width).foreach(b =>
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+      }
+      (0 until width).map(b => if (sums(b) > 0) 1L << b else 0L).sum
+    }
+    Seq(32, 64).foreach { w =>
+      val got = docs.select($"doc_id", graft.functions.simhash_packed(
+          graft.ops.TextAnalysis.tokens($"text"), w).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.collect().foreach { r =>
+        assert(got(r.getLong(0)) == reference(r.getString(1), w),
+          s"width $w doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("expressions evaluate identically with codegen disabled (interpreted path)") {
     val s = spark
     import s.implicits._
