@@ -41,6 +41,21 @@ package object functions {
   def simhash_packed(tokens: Column, width: Int): Column =
     ExpressionUtils.column(SimhashPacked(ExpressionUtils.expression(tokens), width))
 
+  /** Codegen'd MinHash band signatures (array<long>, one per band) of an
+    * array<string> shingle column (pure projection — no explode, no shuffle).
+    */
+  def minhash_sigs(shingles: Column, a: Seq[Long], c: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(MinhashSigs(
+      ExpressionUtils.expression(shingles), a.toArray, c.toArray, p))
+
+  /** As [[minhash_sigs]] but shingling n-grams from a TOKEN column inside
+    * the expression (single child reference — CollapseProject-safe).
+    */
+  def minhash_shingle_sigs(tokens: Column, shingleSize: Int, a: Seq[Long],
+      c: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(MinhashShingleSigs(
+      ExpressionUtils.expression(tokens), shingleSize, a.toArray, c.toArray, p))
+
   /** 1-based partition assignment: `(hash % partitions) + 1`
     * (reference: util/common.go:13-18). `hash` is already non-negative.
     */

@@ -80,26 +80,27 @@ object Dedup {
       .select(col("set_id"),
         array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
 
+  /** NOTE on shape history: per-row SQL-lambda formulations (array_min over
+    * a transform) measured SLOWER — CollapseProject inlines once-referenced
+    * arrays into iterating lambdas and re-derives them per iteration — and
+    * the explode→groupBy form that replaced them was correct but paid a
+    * shuffle (bands longs/doc) plus explode/agg machinery. The codegen'd
+    * [[graft.functions.MinhashSigs]] expression has neither problem: one
+    * tight per-row loop, tokens/shingles/md5 computed exactly once, ZERO
+    * shuffle for the signature stage. Values are identical (min is
+    * duplicate- and order-invariant).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(bands <= MinhashA.length, s"at most ${MinhashA.length} bands configured")
-    // NOTE on shape: per-row array formulations (array_min over a transform,
-    // no explode) measure SLOWER — CollapseProject inlines once-referenced
-    // arrays into iterating lambdas and re-derives them per iteration. The
-    // explode→groupBy form keeps a hard barrier, so tokens/shingles/md5 are
-    // computed exactly once per shingle.
-    val sigCols = (0 until bands).map { b =>
-      min((lit(MinhashA(b)) * col("x") + lit(MinhashC(b))) % MinhashP).as(s"sig$b")
-    }
-    val perDoc = df
-      .select(col(idCol).as("mh_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
-      .select(col("mh_id"), explode(shinglesFromTokens(col("__ws"), shingleSize)).as("shingle"))
-      .select(col("mh_id"), (TextAnalysis.tokenHash32(col("shingle")) % MinhashP).as("x"))
-      .groupBy(col("mh_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
-    perDoc.select(col("mh_id"),
-      expr(s"stack($bands, $stackExpr)").as(Seq("band", "sig")))
+    // shingling happens INSIDE the expression (token array = single child
+    // reference): a separate shingle-array projection here collapses into
+    // the tokenizer re-evaluation trap (measured 6× on d2 at sf0.1)
+    df.select(col(idCol).as("mh_id"), graft.functions.minhash_shingle_sigs(
+        TextAnalysis.tokens(col(textCol)), shingleSize,
+        MinhashA.take(bands), MinhashC.take(bands), MinhashP).as("__sigs"))
+      .select(col("mh_id"), posexplode(col("__sigs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
   /** LSH candidate pairs: ids sharing any (band, signature) bucket.
@@ -117,21 +118,16 @@ object Dedup {
       maxBucketSize)
 
   /** MinHash signatures computed from a (materialized) shingle-set frame —
-    * skips re-tokenizing when the sets are shared with verification.
+    * skips re-tokenizing when the sets are shared with verification. Same
+    * zero-shuffle [[graft.functions.MinhashSigs]] projection as
+    * [[minhashSignatures]] (min over the distinct set == over the multiset).
     */
   def minhashSignaturesFromSets(sets: DataFrame, bands: Int = 4): DataFrame = {
     require(bands <= MinhashA.length, s"at most ${MinhashA.length} bands configured")
-    val sigCols = (0 until bands).map { b =>
-      min((lit(MinhashA(b)) * col("x") + lit(MinhashC(b))) % MinhashP).as(s"sig$b")
-    }
-    val perDoc = sets
-      .select(col("set_id").as("mh_id"), explode(col("sh")).as("shingle"))
-      .select(col("mh_id"), (TextAnalysis.tokenHash32(col("shingle")) % MinhashP).as("x"))
-      .groupBy(col("mh_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
-    perDoc.select(col("mh_id"),
-      expr(s"stack($bands, $stackExpr)").as(Seq("band", "sig")))
+    sets.select(col("set_id").as("mh_id"), graft.functions.minhash_sigs(
+        col("sh"), MinhashA.take(bands), MinhashC.take(bands), MinhashP).as("__sigs"))
+      .select(col("mh_id"), posexplode(col("__sigs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
   def lshCandidatePairsFromSets(sets: DataFrame, bands: Int = 4,

@@ -72,20 +72,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "a6_resume_bounds" -> 1, "a8_asof_state" -> 1, "c1_base64" -> 0,
       // d3: the codegen'd simhash_packed expression made fingerprinting a
       // pure projection — zero shuffles
-      "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 3, "d3_simhash" -> 0,
-      // d4/d6 plans truthfully contain the LSH chain and the 3 label-prop
-      // rounds (they no longer hide behind per-stage localCheckpoints); the
-      // label/edge frames those exchanges move are candidate-sized, not
-      // corpus-sized
+      "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 2, "d3_simhash" -> 0,
+      // d2/d4/d6/d8/d12: the codegen'd MinhashSigs projection removed the
+      // signature stage's explode+groupBy exchanges from the whole minhash
+      // family; what remains is the bucket aggregation, candidate-sized
+      // label/edge traffic, and (d8) the quality window
       // d5: the cross-table pair-dedup groupBy(id_a,id_b).agg(max(sim)) is the
       // one legitimate exchange — it moves candidate-PAIR-sized data (post
       // threshold filter), not the corpus; the band join itself stays an
       // equi-join on (t,bucket)
-      "d4_ngram_jaccard" -> 3, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 14,
+      "d4_ngram_jaccard" -> 2, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 2,
       // d10: the checkpointed signature frame broadcasts one side of the
       // band self-join, so only the pair-dedup distinct shuffles
       "d10_simhash_pairs" -> 1,
-      "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 15,
+      "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 3,
       "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
       "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
@@ -123,7 +123,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // d12: batch↔corpus band join,
       // semi-join prune of corpus verify docs (AQE broadcasts the candidate
       // ids), verify join — corpus shingle sets are never materialized
-      "d11_span_dedup" -> 3, "d12_incremental" -> 4,
+      "d11_span_dedup" -> 3, "d12_incremental" -> 2,
       "t12_pii_redact" -> 0, "x5_domain_cap" -> 1)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
