@@ -86,11 +86,6 @@ case class MinhashShingleSigs(child: Expression, shingleSize: Int,
 }
 
 object MinhashSigs {
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   private val Space = Array[Byte](' ')
 
   /** Band minima over the n-gram shingles of `tokens` (fewer than n tokens →
@@ -104,32 +99,44 @@ object MinhashSigs {
         .fromPrimitiveArray(Array.empty[Long])
     val bands = a.length
     val mins = Array.fill(bands)(Long.MaxValue)
-    val d = md5.get()
-    // token bytes fetched once per token, reused across the n windows
+    // token bytes fetched once per token, reused across the n windows; a
+    // NULL token nulls the shingles containing it, which the old min()
+    // aggregation skipped — mirrored by skipping those windows
     val toks = new Array[Array[Byte]](nTok)
     var k = 0
-    while (k < nTok) { toks(k) = tokens.getUTF8String(k).getBytes; k += 1 }
+    while (k < nTok) {
+      val t = tokens.getUTF8String(k)
+      toks(k) = if (t == null) null else t.getBytes
+      k += 1
+    }
     var i = 0
     while (i <= nTok - n) {
-      d.reset()
+      val d = Md5Low.digest()
       var j = 0
+      var hasNull = false
       while (j < n) {
-        if (j > 0) d.update(Space)
-        d.update(toks(i + j))
+        val tb = toks(i + j)
+        if (tb == null) hasNull = true
+        else {
+          if (j > 0) d.update(Space)
+          d.update(tb)
+        }
         j += 1
       }
-      val dig = d.digest()
-      val h32 = ((dig(3) & 0xffL) << 24) | ((dig(2) & 0xffL) << 16) |
-        ((dig(1) & 0xffL) << 8) | (dig(0) & 0xffL)
-      val x = h32 % p
-      var b = 0
-      while (b < bands) {
-        val t = (a(b) * x + c(b)) % p
-        if (t < mins(b)) mins(b) = t
-        b += 1
+      if (!hasNull) {
+        val x = Md5Low.bits(d.digest(), 32) % p
+        var b = 0
+        while (b < bands) {
+          val t = (a(b) * x + c(b)) % p
+          if (t < mins(b)) mins(b) = t
+          b += 1
+        }
       }
       i += 1
     }
+    if (mins(0) == Long.MaxValue) // every window contained a null token
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
@@ -143,23 +150,24 @@ object MinhashSigs {
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array.empty[Long])
     val mins = Array.fill(bands)(Long.MaxValue)
-    val d = md5.get()
     var i = 0
     while (i < n) {
-      d.reset()
-      val dig = d.digest(shingles.getUTF8String(i).getBytes)
-      // low 32 md5 bits little-endian (tokenHash32 == md5_number % 2^32)
-      val h32 = ((dig(3) & 0xffL) << 24) | ((dig(2) & 0xffL) << 16) |
-        ((dig(1) & 0xffL) << 8) | (dig(0) & 0xffL)
-      val x = h32 % p
-      var b = 0
-      while (b < bands) {
-        val t = (a(b) * x + c(b)) % p
-        if (t < mins(b)) mins(b) = t
-        b += 1
+      val sh = shingles.getUTF8String(i)
+      // the old min() aggregation skipped null-hash shingles
+      if (sh != null) {
+        val x = Md5Low.hash(sh.getBytes, 32) % p
+        var b = 0
+        while (b < bands) {
+          val t = (a(b) * x + c(b)) % p
+          if (t < mins(b)) mins(b) = t
+          b += 1
+        }
       }
       i += 1
     }
+    if (mins(0) == Long.MaxValue) // nothing hashable
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 }

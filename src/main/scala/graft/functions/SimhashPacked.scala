@@ -45,36 +45,16 @@ case class SimhashPacked(child: Expression, width: Int) extends UnaryExpression 
 }
 
 object SimhashPacked {
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** Low `width` bits of a token's md5 (little-endian over the first
-    * width/8 digest bytes — equal to `md5_number(t) % 2^width` and to
-    * [[graft.ops.TextAnalysis.tokenHash32]]/`tokenHash64`).
-    */
-  private def tokenHash(bytes: Array[Byte], width: Int): Long = {
-    val d = md5.get()
-    d.reset()
-    val dig = d.digest(bytes)
-    var h = 0L
-    var i = width / 8 - 1
-    while (i >= 0) {
-      h = (h << 8) | (dig(i) & 0xffL)
-      i -= 1
-    }
-    h
-  }
-
   def compute(tokens: ArrayData, width: Int): Long = {
     val sums = new Array[Int](width)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      // split() never yields null elements; a null would NPE here like the
-      // aggregate form's hash projection did
-      val h = tokenHash(tokens.getUTF8String(i).getBytes, width)
+      // a NULL element behaves like the aggregate form it replaced: the
+      // null hash failed every bit test there and fell to the -1 branch on
+      // every bit — exactly what h = 0 contributes
+      val t = tokens.getUTF8String(i)
+      val h = if (t == null) 0L else Md5Low.hash(t.getBytes, width)
       var b = 0
       while (b < width) {
         sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)

@@ -211,6 +211,10 @@ object Dedup {
     df.select(col(idCol).as("sh_id"),
       graft.functions.simhash_packed(TextAnalysis.tokens(col(textCol)), 32)
         .as("simhash"))
+      // null text → no fingerprint row (the explode→groupBy form's
+      // behavior); note rows are per INPUT ROW — a duplicated id yields two
+      // fingerprints where the old groupBy silently merged token multisets
+      .where(col("simhash").isNotNull)
 
   /** 64-bit SimHash — [[simhash32]] at the 64-bit token hash (the low-64
     * md5, `tokenHash64`). The extra width exists for BANDING: 4×16-bit bands
@@ -222,6 +226,7 @@ object Dedup {
     df.select(col(idCol).as("sh_id"),
       graft.functions.simhash_packed(TextAnalysis.tokens(col(textCol)), 64)
         .as("simhash"))
+      .where(col("simhash").isNotNull) // null text → no row (see simhash32)
 
   /** Near-dup groups as connected components of the verified pair graph,
     * via `rounds` iterations of min-label propagation (one hop per round —

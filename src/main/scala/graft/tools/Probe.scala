@@ -31,7 +31,7 @@ object Probe {
         .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("ws"))).as("s"))
         .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("s"))
         .select(md5(concat(col("b").cast("string"), lit("|"), col("s"))).as("h"))))
-    time("signatures (groupBy min)")(noop(Dedup.minhashSignatures(docs, "doc_id", "text")))
+    time("signatures (codegen projection)")(noop(Dedup.minhashSignatures(docs, "doc_id", "text")))
     time("candidate pairs")(noop(Dedup.lshCandidatePairs(docs, "doc_id", "text")))
     spark.stop()
   }

@@ -70,11 +70,19 @@ class SimExprSpec extends AnyFunSuite {
   test("expressions evaluate identically with codegen disabled (interpreted path)") {
     val s = spark
     import s.implicits._
-    val df = Seq((Seq(0.3, -0.7, 2.0), Seq(1.5, 0.2, -0.1), Seq("x", "y"), Seq("y", "z")))
-      .toDF("a", "b", "sa", "sb")
-    def run(): (Double, Double) = {
-      val r = df.select(cosine_sim($"a", $"b"), jaccard_sim($"sa", $"sb")).head()
-      (r.getDouble(0), r.getDouble(1))
+    val df = Seq((Seq(0.3, -0.7, 2.0), Seq(1.5, 0.2, -0.1),
+        Seq("x", "y"), Seq("y", "z"),
+        Seq("the", "quick", "brown", "fox", "jumps")))
+      .toDF("a", "b", "sa", "sb", "ws")
+    val mhA = Seq(1299721L, 50331653L)
+    val mhC = Seq(104729L, 15485863L)
+    def run(): Seq[Any] = {
+      val r = df.select(cosine_sim($"a", $"b"), jaccard_sim($"sa", $"sb"),
+        graft.functions.simhash_packed($"ws", 64),
+        graft.functions.minhash_sigs($"sa", mhA, mhC, 2147483647L),
+        graft.functions.minhash_shingle_sigs($"ws", 3, mhA, mhC, 2147483647L)).head()
+      Seq(r.getDouble(0), r.getDouble(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4))
     }
     val withCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
