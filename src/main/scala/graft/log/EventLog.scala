@@ -452,7 +452,7 @@ class EventLog(
     */
   def bulkImport(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
       seqCol: String = "seq", timeCol: Option[String] = None,
-      requireNew: Boolean = true): Long = withLogLock(path) {
+      requireNew: Boolean = true): Long = withBulkWriteGuard {
     import spark.implicits._
     val seedBase = ulidSeed
     val discFn: Map[String, String] => Map[String, String] = discriminatorPolicy match {
@@ -573,7 +573,7 @@ class EventLog(
     */
   def appendBulk(rows: DataFrame, nowMs: Long = System.currentTimeMillis(),
       seqCol: String = "seq", ledgerId: Option[String] = None,
-      batchId: Long = -1L): Long = withLogLock(path) {
+      batchId: Long = -1L): Long = withBulkWriteGuard {
     val hconf = spark.sessionState.newHadoopConf()
     val ledger = ledgerId.map(id => new org.apache.hadoop.fs.Path(s"$path/_ingest/$id"))
     def ledgerFs = ledger.map(_.getFileSystem(hconf))
@@ -581,12 +581,13 @@ class EventLog(
     // than wedging every subsequent batch on a parse error; in manifest mode
     // the chain mark below still dedups, in lock mode the batch re-appends
     // (at-least-once, the pre-ledger contract)
-    val committed = ledger.zip(ledgerFs).collect {
+    def readLedger(): Option[Long] = ledger.zip(ledgerFs).collect {
       case (p, f) if f.exists(p) =>
         val in = f.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
         finally in.close()
     }.flatten
+    val committed = readLedger()
     def commitLedger(): Unit = ledger.zip(ledgerFs).foreach { case (p, f) =>
       // write-temp + swap: the ledger is never observable half-written
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
@@ -682,8 +683,46 @@ class EventLog(
             .as[String].collect().toSeq
           var attempts = 0
           var result = -1L
+          var rivalDeadline = -1L
           while (result < 0 && attempts < 100) {
             val tip = manifest.refresh()
+            // Re-fence the ledger dedup INSIDE the retry loop: the pre-loop
+            // check is check-then-act, so two CONCURRENT deliveries of the
+            // same (ledgerId, batchId) — a zombie driver racing its failover
+            // replacement — would both pass it and both eventually win
+            // distinct claims. After each refresh, a rival claim carrying
+            // (ledgerId, batch >= batchId) is authoritative: DONE means the
+            // batch is committed (skip; also covers committed-then-pruned
+            // via the restored ledger file), PENDING means the outcome is
+            // undecided — wait for its done-flip or its condemnation rather
+            // than racing it to a second append.
+            val rivals =
+              if (ledgerId.isDefined && batchId >= 0)
+                manifest.cachedClaims().filter(c =>
+                  c.ledgerId == ledgerId && c.ledgerBatch >= batchId)
+              else Seq.empty
+            // disk-truth for pending rivals: the cache deliberately remembers
+            // PRUNED claims, and a condemned rival (crashed, then pruned) must
+            // not wedge this legitimate redelivery — its staged files are
+            // gone, so re-appending is exactly the recovery path
+            val liveRivals = rivals.filter(c =>
+              c.done || manifest.status(c.n).isDefined)
+            if (liveRivals.exists(_.done) || readLedger().exists(batchId <= _)) {
+              commitLedger(); result = 0
+            } else if (liveRivals.nonEmpty) {
+              // the rival's commit is mid-flight (claim up, done not yet) —
+              // wait it out on its own deadline rather than burning claim-
+              // race attempts; a rival that DIED pending stays undecided
+              // until prune condemns it, so fail loudly at the deadline
+              if (rivalDeadline < 0)
+                rivalDeadline = System.currentTimeMillis() + LockAcquireTimeoutMs
+              if (System.currentTimeMillis() > rivalDeadline)
+                throw new IllegalStateException(
+                  s"appendBulk: rival delivery of ($ledgerId, $batchId) still " +
+                    "pending — undecided in-flight commit (crashed writer?); " +
+                    "retry after it completes or manifest.prune condemns it")
+              Thread.sleep(100)
+            } else {
             val parquetHeads = maxVersions(touched)
             val merged = touched.map(s => s ->
               math.max(parquetHeads.getOrElse(s, 0), manifest.reservedHead(s)))
@@ -709,6 +748,7 @@ class EventLog(
               // reclaimed asynchronously by Spark's ContextCleaner once the
               // frame goes unreachable (races are rare — contention is claims,
               // not storage)
+            }
             }
           }
           if (result < 0) throw new IllegalStateException(
@@ -1151,10 +1191,17 @@ class EventLog(
 
   // ── internals ────────────────────────────────────────────────────────────
 
+  /** Per-stream version heads from COMMITTED data only. The claim-aware view
+    * matters in manifest mode: rows of pending/crashed claims' hidden token
+    * files must not feed head computation directly — they are covered by
+    * [[ManifestCommitLog.reservedHead]] while their claim lives, and
+    * physically deleted before the claim is forgotten. Reading them here
+    * would otherwise couple correctness to prune's internal delete ordering.
+    */
   private def maxVersions(aggregateIds: Seq[String]): Map[String, Int] = {
     if (!exists(eventsPath)) return Map.empty
     val buckets = aggregateIds.map(bucketOf).distinct
-    eventsWithBucket
+    committedView(eventsWithBucket)
       .filter(col("bucket").isin(buckets: _*) &&
         col("aggregate_id").isin(aggregateIds: _*))
       .groupBy("aggregate_id")
@@ -1377,6 +1424,15 @@ class EventLog(
   private def withLogLock[A](path: String)(f: => A): A =
     EventLog.withLogLock(path, spark.sessionState.newHadoopConf())(f)
 
+  /** Bulk writers serialize through the lock ONLY in Lock mode. In Manifest
+    * mode they are claim-fenced like [[append]] — serializing them through a
+    * JVM monitor would hide exactly the cross-driver races (rival
+    * redeliveries, concurrent imports) the chain must fence, and the chain,
+    * not the lock, is the commit section on object stores.
+    */
+  private def withBulkWriteGuard[A](f: => A): A =
+    if (commitMode == CommitMode.Lock) withLogLock(path)(f) else f
+
   private def addBucket(s: org.apache.spark.sql.types.StructType) =
     s.add("bucket", org.apache.spark.sql.types.IntegerType, nullable = true)
 
@@ -1461,8 +1517,27 @@ object EventLog {
                 try System.currentTimeMillis() -
                   fs.getFileStatus(tomb).getModificationTime <= StaleLockMs
                 catch { case _: java.io.IOException => false }
-              if (!(fresh && fs.rename(tomb, lockFile)))
-                fs.delete(tomb, false): Unit
+              if (!fresh) fs.delete(tomb, false): Unit
+              else {
+                // Took a FRESH lock by mistake (created in the stat→rename
+                // instant): hand it back. The rename target may be occupied
+                // by another waiter that slipped in — deleting the tomb
+                // there would destroy the fresh holder's lock while it is
+                // inside its critical section (its exit-delete would then
+                // remove the interloper's lock: cascading breakage). Retry
+                // until the slot frees; fail LOUDLY if it never does.
+                var restored = false
+                val restoreDeadline = System.currentTimeMillis() + LockAcquireTimeoutMs
+                while (!restored && System.currentTimeMillis() < restoreDeadline) {
+                  restored =
+                    try fs.rename(tomb, lockFile)
+                    catch { case _: java.io.IOException => false }
+                  if (!restored) Thread.sleep(20)
+                }
+                if (!restored) throw new IllegalStateException(
+                  s"stale-break race: could not hand back fresh lock $lockFile; " +
+                    s"holder's lock is at $tomb — manual cleanup required")
+              }
             }
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(

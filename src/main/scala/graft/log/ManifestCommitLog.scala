@@ -160,7 +160,27 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
   /** The chain, oldest first (for inspection and tests). */
   def claims(): Seq[CommitClaim] = {
     refresh(): Unit
-    cache.values.toSeq.sortBy(_.n)
+    cachedClaims()
+  }
+
+  /** The cached chain WITHOUT a fresh LIST — what the latest [[refresh]]
+    * observed (plus pruned-but-remembered entries). For retry loops that
+    * just refreshed and must re-examine the chain without paying a second
+    * listing per iteration.
+    */
+  def cachedClaims(): Seq[CommitClaim] = cache.values.toSeq.sortBy(_.n)
+
+  /** Disk-truth status of claim `n`, bypassing the cache (which deliberately
+    * remembers pruned claims): `Some(true)` = done, `Some(false)` = pending,
+    * `None` = no trace on disk (pruned — committed-then-forgotten or
+    * condemned; the claim's data files distinguish the two: committed data
+    * survives prune, a condemned claim's staged files are deleted by it).
+    */
+  def status(n: Long): Option[Boolean] = {
+    val f = fs
+    if (f.exists(new Path(dir, s"v$n.done"))) Some(true)
+    else if (f.exists(claimPath(n))) Some(false)
+    else None
   }
 
   /** Drop chain entries whose reservations are fully reflected in `heads`

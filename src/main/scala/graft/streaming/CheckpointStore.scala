@@ -28,6 +28,13 @@ class CheckpointStore(spark: SparkSession, path: String) {
 
   private val gen = new Ulid.Generator()
 
+  // Hadoop-FS existence check (works on HDFS/S3, not just local disk).
+  private def hasData: Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+  }
+
   def save(cps: Seq[Checkpoint]): Unit = {
     if (cps.isEmpty) return
     cps.map(c => (c.projection, c.partition, c.event_id, c.sequence, c.done, gen.next()))
@@ -41,7 +48,7 @@ class CheckpointStore(spark: SparkSession, path: String) {
     * as the log/snapshot compaction.
     */
   def compact(): Unit = {
-    if (!new java.io.File(path).exists()) return
+    if (!hasData) return
     val w = Window.partitionBy(col("projection"), col("partition"))
       .orderBy(col("saved_at").desc)
     val latest = spark.read.parquet(path)
@@ -52,7 +59,7 @@ class CheckpointStore(spark: SparkSession, path: String) {
   }
 
   def load(projection: String): Map[Int, Checkpoint] = {
-    if (!new java.io.File(path).exists()) return Map.empty
+    if (!hasData) return Map.empty
     val w = Window.partitionBy(col("partition")).orderBy(col("saved_at").desc)
     spark.read.parquet(path)
       .filter(col("projection") === projection)

@@ -58,7 +58,10 @@ class Projector(
     // single flatMapGroupsWithState task — correct, but a throughput ceiling
     // the reference's K split workers never had (projection/projection.go)
     partitions: Int = -1,
-    untilOffsetMs: Long = 60000L) {
+    untilOffsetMs: Long = 60000L,
+    // how long a live micro-batch waits for an in-flight commit's done-flip
+    // before failing loudly (manifest mode; see Projector.resolveUncommitted)
+    claimWaitMs: Long = 600000L) {
 
   /** Effective dedup/checkpoint parallelism (−1 = follow the log's buckets). */
   val numPartitions: Int = if (partitions > 0) partitions else log.numBuckets
@@ -90,6 +93,14 @@ class Projector(
         s"projector '$name' was checkpointed with ${m.sequence} partitions; " +
           s"this instance uses $numPartitions — construct it with partitions = ${m.sequence}")
     }
+    // Pin the partition count on FIRST open, whichever entry point that is:
+    // a projector started directly with live() (no catchup) must not stay
+    // "pre-metadata" forever — a later restart under a different bucket
+    // count (partitions = -1 default after log.rebucket) would then
+    // silently remap streams to fresh dedup partitions and redeliver
+    // history. Idempotent: latest-per-key reads make duplicates harmless.
+    if (!all.contains(0))
+      checkpoints.save(Seq(Checkpoint(name, 0, "", numPartitions.toLong, done = true)))
     all - 0
   }
 
@@ -126,15 +137,37 @@ class Projector(
     val initial: Map[Int, (String, Long)] =
       loadChecked().map { case (p, c) => p -> (c.event_id, c.sequence) }
 
+    // Each row carries its source file so foreachBatch can hold back rows of
+    // claims whose commit has not flipped `done` yet (manifest mode): the
+    // file stream lists a claim's staged `c{N}-` files the moment the writer
+    // moves them into the buckets, which precedes markDone. Delivering them
+    // early is only safe when the commit completes — if the writer crashes,
+    // prune deletes those files and the redelivered batch re-appends with
+    // FRESH (strictly higher) ULIDs, so the early rows and the replacement
+    // rows are different ids and the monotonic dedup passes both: a
+    // double-delivery. Resolution happens per micro-batch, driver-side (see
+    // resolveUncommitted); in Lock mode files carry no token and the column
+    // stays empty end-to-end.
     val src = spark.readStream
       .schema(EventSchema.events)
       .parquet(s"${log.path}/events/bucket=*")
       .filter(col("migration") === 0 && filter.toColumn)
+      .withColumn("__file", input_file_name())
 
-    val deduped = shaped(src, "live")
-      .groupByKey(_.partition)
+    val shapedLive = src.select(
+      col("__file").as("_1"),
+      struct(
+        lit("live").as("meta_kind"),
+        graft.functions.calc_partition(col("aggregate_id_hash"), numPartitions).as("partition"),
+        lit(0L).as("sequence"),
+        col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
+        col("body"), col("created_at")).as("_2"))
+      .as[(String, ProjMessage)]
+
+    val deduped = shapedLive
+      .groupByKey(_._2.partition)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (part: Int, it: Iterator[ProjMessage], state: GroupState[DedupState]) =>
+        (part: Int, it: Iterator[(String, ProjMessage)], state: GroupState[DedupState]) =>
           val init = state.getOption
             .orElse(initial.get(part).map { case (id, seq) => DedupState(id, seq) })
             .getOrElse(DedupState("", 0L))
@@ -145,8 +178,11 @@ class Projector(
           // reference's live consumers carry (projection/checkpoints.go:58-92
           // rejects on BOTH id ≤ checkpoint.id and seq ≤ checkpoint.seq);
           // sequence continuity is restored from the checkpoint on restart.
-          val out = it.toSeq.sortBy(_.id).flatMap { m =>
-            if (m.id > last) { last = m.id; seq += 1; Some(m.copy(sequence = seq)) }
+          // Advancing past a row foreachBatch later DROPS (condemned claim)
+          // is sound: its replacement rows are minted at re-append time with
+          // strictly higher ULIDs, which still pass `id > last`.
+          val out = it.toSeq.sortBy(_._2.id).flatMap { case (tok, m) =>
+            if (m.id > last) { last = m.id; seq += 1; Some((tok, m.copy(sequence = seq))) }
             else None
           }
           state.update(DedupState(last, seq))
@@ -155,22 +191,85 @@ class Projector(
 
     val cpStore = checkpoints
     val projName = name
+    val theLog = log
+    val waitMs = claimWaitMs
     val writer0 = deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$statePath/stream_checkpoint")
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer
-      .foreachBatch { (batch: Dataset[ProjMessage], _: Long) =>
-        val b = batch.persist()
+      .foreachBatch { (batch: Dataset[(String, ProjMessage)], _: Long) =>
+        val b0 = batch.persist()
         try {
-          handle(b)
-          val tokens = b.groupBy(col("partition"))
-            .agg(max(col("id")).as("event_id"), max(col("sequence")).as("sequence"))
-            .collect()
-            .map(r => Checkpoint(projName, r.getInt(0), r.getString(1), r.getLong(2), done = true))
-          cpStore.save(tokens.toSeq)
-        } finally { b.unpersist(); () }
+          val files = b0.select(col("_1")).distinct().as[String].collect()
+          val drop = Projector.resolveUncommitted(theLog, files, waitMs)
+          val b = (if (drop.isEmpty) b0.map(_._2)
+            else b0.filter(!col("_1").isin(drop.toSeq: _*)).map(_._2)).persist()
+          try {
+            handle(b)
+            val tokens = b.groupBy(col("partition"))
+              .agg(max(col("id")).as("event_id"), max(col("sequence")).as("sequence"))
+              .collect()
+              .map(r => Checkpoint(projName, r.getInt(0), r.getString(1), r.getLong(2), done = true))
+            cpStore.save(tokens.toSeq)
+          } finally { b.unpersist(); () }
+        } finally { b0.unpersist(); () }
       }
       .start()
+  }
+}
+
+object Projector {
+  private val TokenRe = ".*/(c(\\d+))-[^/]*$".r
+
+  /** Read-committed gate for the live file stream (manifest mode): decide,
+    * per source FILE of a micro-batch, whether its rows may be delivered.
+    *
+    *  - token file of a DONE claim → deliver;
+    *  - token file of a PENDING claim → the commit is mid-flight (the
+    *    move-then-markDone gap is sub-second) — poll until it resolves;
+    *    a writer that died pending wedges delivery until `manifest.prune`
+    *    condemns it, which is the honest read-committed outcome (the rows'
+    *    fate is undecided until then). `waitMs` bounds the poll: on timeout
+    *    the stream FAILS — loud, never silent double-delivery;
+    *  - token file with NO claim on disk → the claim was pruned; committed
+    *    data files survive prune (deliver) while a condemned claim's staged
+    *    files are deleted by it, so a vanished file means drop. The dedup
+    *    state having advanced past dropped ids is safe: the re-appended
+    *    batch mints strictly higher ULIDs;
+    *  - tokenless file (Lock mode / pre-manifest history) → deliver.
+    *
+    * Returns the file names whose rows must be dropped from the batch.
+    */
+  private[streaming] def resolveUncommitted(log: EventLog, files: Seq[String],
+      waitMs: Long): Set[String] = {
+    if (log.commitMode != graft.log.CommitMode.Manifest) return Set.empty
+    val tokened = files.collect { case f @ TokenRe(_, n) => f -> n.toLong }
+    if (tokened.isEmpty) return Set.empty
+    val conf = log.spark.sessionState.newHadoopConf()
+    val dropped = scala.collection.mutable.Set.empty[String]
+    var unresolved = tokened
+    val deadline = System.currentTimeMillis() + waitMs
+    while (unresolved.nonEmpty) {
+      unresolved = unresolved.filter { case (file, n) =>
+        log.manifest.status(n) match {
+          case Some(true) => false // committed → deliver
+          case Some(false) => true // pending → poll
+          case None =>
+            val hp = new org.apache.hadoop.fs.Path(file)
+            if (!hp.getFileSystem(conf).exists(hp)) dropped += file
+            false // pruned: data survived = committed; file gone = condemned
+        }
+      }
+      if (unresolved.nonEmpty) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"claims ${unresolved.map(_._2).distinct.sorted.mkString(",")} still " +
+              s"pending after ${waitMs} ms — crashed writer? run manifest.prune " +
+              "to condemn it, then restart the projector")
+        Thread.sleep(100)
+      }
+    }
+    dropped.toSet
   }
 }

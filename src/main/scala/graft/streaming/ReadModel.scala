@@ -20,6 +20,15 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
 
   private val gen = new graft.core.Ulid.Generator()
 
+  // Hadoop-FS existence check so read models work off local disk (HDFS/S3) —
+  // same pattern as EventLog's side IO; a bare java.io.File would silently
+  // report "no data" for any non-local scheme.
+  private def hasData: Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+  }
+
   /** Upsert a batch: every row in `batch` becomes the key's new state. */
   def merge(batch: DataFrame): Unit = {
     require(batch.columns.contains(keyCol), s"batch must carry key column $keyCol")
@@ -31,7 +40,7 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
 
   /** Current state: the latest row per key. */
   def current(): DataFrame = {
-    if (!new java.io.File(path).exists())
+    if (!hasData)
       throw new IllegalStateException(s"read model at $path has no data yet")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
     spark.read.parquet(path)

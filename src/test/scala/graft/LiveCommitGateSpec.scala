@@ -1,0 +1,152 @@
+package graft
+
+import graft.log.{AppendRecord, CommitClaim, CommitMode, EventLog}
+import graft.streaming.{ProjMessage, Projector}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+/** The live projector's read-committed gate (manifest mode): the file stream
+  * lists a claim's staged `c{N}-` files as soon as the writer moves them into
+  * the buckets — BEFORE the done-flip. Delivering them unconditionally breaks
+  * exactly-once on the crash path: prune deletes a condemned claim's files
+  * and the redelivered batch re-appends under fresh (higher) ULIDs, so the
+  * monotonic dedup passes both copies. The gate holds each micro-batch until
+  * every referenced claim resolves: done → deliver, condemned+pruned → drop.
+  */
+class LiveCommitGateSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private def tempDir = Files.createTempDirectory("graftgate").toFile.getAbsolutePath
+
+  private val t0 = 1700000000000L
+
+  /** Simulate a writer that claimed, moved its staged files into the buckets,
+    * and stalled (or died) before markDone: real parquet bucket files built
+    * by a scratch lock-mode log, copied in under the claim token.
+    */
+  private def craftPendingClaim(log: EventLog, records: Seq[AppendRecord],
+      nowMs: Long, tsMs: Long): Long = {
+    val scratchDir = tempDir
+    val scratch = new EventLog(spark, scratchDir, numBuckets = log.numBuckets,
+      ulidSeed = Some(99L))
+    scratch.append(records, nowMs)
+    log.manifest.refresh()
+    val n = log.manifest.claims().map(_.n).foldLeft(0L)(math.max) + 1
+    val streams = records.map(r => r.aggregateId ->
+      (r.expectedVersion, r.expectedVersion + r.details.size)).toMap
+    assert(log.manifest.tryClaim(CommitClaim(n, streams, Seq.empty, "zombie",
+      tsMs, done = false)))
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = new Path(s"$scratchDir/events")
+    val fs = src.getFileSystem(conf)
+    fs.listStatus(src)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { d =>
+        val dest = new Path(s"${log.path}/events/${d.getPath.getName}")
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            FileUtil.copy(fs, f.getPath, fs,
+              new Path(dest, s"c$n-${f.getPath.getName}"), false, conf): Unit
+          }
+      }
+    n
+  }
+
+  private def dep(n: Int) = AccountType.deposited(n)
+
+  test("live delivers a pending claim's rows only after its done-flip") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(31L),
+      commitMode = CommitMode.Manifest)
+    log.append(Seq(AppendRecord("gate-seed", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "S")))), nowMs = t0)
+
+    val buf = ArrayBuffer[(ProjMessage, Long)]()
+    val proj = new Projector(log, "gate1", tempDir, partitions = 2)
+    val q = proj.live(ds => {
+      val rows = ds.collect(); val now = System.currentTimeMillis()
+      buf.synchronized { buf ++= rows.map(_ -> now); () }
+    })
+    try {
+      q.processAllAvailable()
+      assert(buf.map(_._1.aggregate_id).toSeq == Seq("gate-seed"))
+
+      val n = craftPendingClaim(log,
+        Seq(AppendRecord("gate-x", "Account", 0, Map.empty, Seq(dep(1), dep(2)))),
+        nowMs = t0 + 60000L, tsMs = System.currentTimeMillis())
+      @volatile var doneAt = 0L
+      val flipper = new Thread(() => {
+        Thread.sleep(2000)
+        doneAt = System.currentTimeMillis()
+        log.manifest.markDone(n)
+      })
+      flipper.start()
+      q.processAllAvailable() // blocks in the gate until the flip
+      flipper.join()
+      val xRows = buf.filter(_._1.aggregate_id == "gate-x")
+      assert(xRows.size == 2, s"claim $n's rows arrive exactly once after done")
+      assert(xRows.forall(_._2 >= doneAt),
+        "no row of the claim may be handled before its done-flip")
+    } finally q.stop()
+  }
+
+  test("a condemned claim's rows are dropped; redelivery lands exactly once") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(37L),
+      commitMode = CommitMode.Manifest)
+    log.append(Seq(AppendRecord("gate2-seed", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "S")))), nowMs = t0)
+
+    val buf = ArrayBuffer[ProjMessage]()
+    val proj = new Projector(log, "gate2", tempDir, partitions = 2)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      assert(buf.map(_.aggregate_id).toSeq == Seq("gate2-seed"))
+
+      // zombie writer: staged files in place, claim pending, writer dead
+      // (claim timestamped old enough for prune to condemn it)
+      craftPendingClaim(log,
+        Seq(AppendRecord("gate2-x", "Account", 0, Map.empty, Seq(dep(1), dep(2)))),
+        nowMs = t0 + 60000L, tsMs = System.currentTimeMillis() - 600000L)
+      // an unrelated committed append keeps the condemned claim off the tip
+      log.append(Seq(AppendRecord("gate2-z", "Account", 0, Map.empty,
+        Seq(dep(9)))), nowMs = t0 + 120000L)
+      val pruner = new Thread(() => {
+        Thread.sleep(2000)
+        log.manifest.prune(Map("gate2-seed" -> 1, "gate2-z" -> 1),
+          staleMs = 60000L): Unit
+      })
+      pruner.start()
+      q.processAllAvailable() // gate waits on the pending claim → condemned
+      pruner.join()
+      assert(!buf.exists(_.aggregate_id == "gate2-x"),
+        "a condemned claim's staged rows must never reach the handler")
+      assert(buf.count(_.aggregate_id == "gate2-z") == 1)
+
+      // the redelivery (fresh ULIDs, chain-fenced heads) must deliver once
+      assert(log.appendBulk(
+        { val s = spark; import s.implicits._
+          Seq(("gate2-x", "Account", "Deposited", """{"money":1}""", 1),
+            ("gate2-x", "Account", "Deposited", """{"money":2}""", 2))
+            .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq") },
+        nowMs = t0 + 300000L) == 2L)
+      q.processAllAvailable()
+      assert(buf.count(_.aggregate_id == "gate2-x") == 2,
+        "the redelivered batch is the single visible copy")
+    } finally q.stop()
+  }
+
+  test("a projector started directly with live() pins its partition count") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
+    val statePath = tempDir
+    val p4 = new Projector(log, "gatemeta", statePath, partitions = 4)
+    val q = p4.live(_ => ())
+    try q.processAllAvailable() finally q.stop()
+    // a reopening at a different count must fail fast, not silently remap
+    val p2 = new Projector(log, "gatemeta", statePath, partitions = 2)
+    val e = intercept[IllegalArgumentException] { p2.live(_ => ()) }
+    assert(e.getMessage.contains("4 partitions"))
+  }
+}

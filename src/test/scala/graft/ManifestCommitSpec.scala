@@ -264,6 +264,37 @@ class ManifestCommitSpec extends AnyFunSuite {
       "exactly one import's single event must be visible")
   }
 
+  test("CONCURRENT redelivery of one (ledgerId, batch) appends exactly once") {
+    // the zombie-driver-vs-failover-replacement race: both deliveries pass
+    // any pre-check simultaneously; the chain must fence the dedup so only
+    // one append lands (the in-loop rival re-check after each refresh)
+    val logA = newLog()
+    val logB = new EventLog(spark, logA.path, numBuckets = 4,
+      ulidSeed = Some(43L), commitMode = CommitMode.Manifest)
+    val s = spark
+    import s.implicits._
+    def batch = (1 to 30).map(i => (s"cr-${i % 3}", "Account", "Deposited",
+        s"""{"n":$i}""", i))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = Seq(logA, logB).map(log =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          start.await()
+          log.appendBulk(batch, ledgerId = Some("cdc"), batchId = 7L)
+        }
+      }))
+    start.countDown()
+    val outs = try results.map(_.get(180, TimeUnit.SECONDS))
+      finally { pool.shutdownNow(); () }
+    assert(outs.sorted === Seq(0L, 30L),
+      s"exactly one delivery must append, the rival must skip — got $outs")
+    assert(logA.committedEvents.count() === 30L, "no duplicate batch")
+    assert(logA.streamEvents("cr-0").collect().map(_.getInt(3)).toSeq === (1 to 10),
+      "single contiguous version range — no interleaved duplicate")
+  }
+
   test("appendBulk continues versions past chain reservations (claim-fenced heads)") {
     val log = newLog()
     log.append(Seq(rec("ab-s", 0, 2))) // v1..2, claim 1
