@@ -850,100 +850,234 @@ class EventLog(
       val nb = numBuckets
       val fenceKind = KindInvalidated
 
-      // 1. candidate streams, kept distributed (left-semi on the stream key —
-      // co-partitioned with the event scan's own key, one shuffle total)
-      val candidates = activeEvents
-        .filter(col("kind").isin(targetKinds.toSeq: _*))
-        .select("aggregate_id").distinct()
+      var planAttempts = 0
+      var result: Option[Dataset[MigratedStream]] = None
+      while (result.isEmpty) {
+        planAttempts += 1
 
-      // 2. run the handler per stream on executors (sorted-group fold — the
-      // rehydrateAll shape), then mint fence+copy rows with a per-partition
-      // monotonic ULID generator; materialize BEFORE any rewrite below
-      // invalidates the lineage's source files.
-      val plan: Dataset[MigrationPlan] = activeEvents
-        .join(candidates, Seq("aggregate_id"), "left_semi")
-        .as[EventRow]
-        .groupByKey(_.aggregate_id)
-        .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
-          val evs = it.toSeq
-          h(evs).filter(_.nonEmpty) match {
-            case Some(details) =>
-              Iterator(MigrationPlan(id, evs.head.aggregate_kind,
-                evs.head.discriminator, evs.map(_.aggregate_version).max,
-                details, Seq.empty))
-            case None => Iterator.empty
-          }
-        }
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 1000003L + pid))
-          it.map { p =>
-            val hash = Fnv1a32.hashString(p.aggregateId)
-            val fence = EventRow(pgen.next(t), p.aggregateId, hash,
-              p.maxVersion + 1, p.aggregateKind, fenceKind, "{}",
-              p.discriminator, new Timestamp(t), revision, false)
-            val copies = p.details.zipWithIndex.map { case (d, i) =>
-              EventRow(pgen.next(t), p.aggregateId, hash,
-                p.maxVersion + 2 + i, p.aggregateKind, d.kind, d.body,
-                p.discriminator, new Timestamp(t), 0, true)
-            }
-            p.copy(rows = fence +: copies)
-          }
-        }
-        .localCheckpoint()
+        // 1. candidate streams, kept distributed (left-semi on the stream key —
+        // co-partitioned with the event scan's own key, one shuffle total)
+        val candidates = activeEvents
+          .filter(col("kind").isin(targetKinds.toSeq: _*))
+          .select("aggregate_id").distinct()
 
-      if (plan.isEmpty) spark.emptyDataset[MigratedStream]
-      else {
-        // 3. ONE invalidation rewrite over the affected bucket SET: flag old
-        // rows via a join against the migrated stream ids. Lock mode
-        // rewrites all touched buckets in a single dynamic-partition-
-        // overwrite job (a per-bucket loop measured 64 sequential jobs /
-        // ~35 s on the 20k-stream smoke — the loop survives only in
-        // manifest mode, whose rewrite claims are file-granular per bucket).
-        val ids = plan.select(col("aggregateId").as("m_id"),
-          pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
-        val buckets = ids.select("m_bucket").distinct().as[Int].collect().sorted
-        val invalidate: DataFrame => DataFrame = { df =>
-          val allIds = ids.select("m_id")
-          df.join(allIds, df("aggregate_id") === allIds("m_id"), "left")
-            .withColumn("migration",
-              when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
-                .otherwise(col("migration")))
-            .drop("m_id")
-        }
-        val dropSnapshots: DataFrame => DataFrame = { df =>
-          val allIds = ids.select("m_id")
-          df.join(allIds, df("aggregate_id") === allIds("m_id"), "left_anti")
-        }
-        if (commitMode == CommitMode.Lock) {
-          rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets.toSeq)(invalidate)
-          if (exists(snapshotsPath))
-            rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets.toSeq)(dropSnapshots)
-        } else {
-          buckets.foreach { b =>
-            val bucketIds = ids.filter(col("m_bucket") === b).drop("m_bucket")
-            rewriteBucket(eventsPath, EventSchema.events, b) { df =>
-              df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left")
-                .withColumn("migration",
-                  when(col("m_id").isNotNull && col("migration") === 0, lit(revision))
-                    .otherwise(col("migration")))
-                .drop("m_id")
+        // 2. run the handler per stream on executors (sorted-group fold — the
+        // rehydrateAll shape), then mint fence+copy rows with a per-partition
+        // monotonic ULID generator; materialize BEFORE any rewrite below
+        // invalidates the lineage's source files.
+        val plan: Dataset[MigrationPlan] = activeEvents
+          .join(candidates, Seq("aggregate_id"), "left_semi")
+          .as[EventRow]
+          .groupByKey(_.aggregate_id)
+          .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+            val evs = it.toSeq
+            h(evs).filter(_.nonEmpty) match {
+              case Some(details) =>
+                Iterator(MigrationPlan(id, evs.head.aggregate_kind,
+                  evs.head.discriminator, evs.map(_.aggregate_version).max,
+                  details, Seq.empty))
+              case None => Iterator.empty
             }
-            if (exists(snapshotsPath)) {
-              rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
-                df.join(bucketIds, df("aggregate_id") === bucketIds("m_id"), "left_anti")
+          }
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 1000003L + pid))
+            it.map { p =>
+              val hash = Fnv1a32.hashString(p.aggregateId)
+              val fence = EventRow(pgen.next(t), p.aggregateId, hash,
+                p.maxVersion + 1, p.aggregateKind, fenceKind, "{}",
+                p.discriminator, new Timestamp(t), revision, false)
+              val copies = p.details.zipWithIndex.map { case (d, i) =>
+                EventRow(pgen.next(t), p.aggregateId, hash,
+                  p.maxVersion + 2 + i, p.aggregateKind, d.kind, d.body,
+                  p.discriminator, new Timestamp(t), 0, true)
               }
+              p.copy(rows = fence +: copies)
             }
           }
+          .localCheckpoint()
+
+        if (plan.isEmpty) result = Some(spark.emptyDataset[MigratedStream])
+        else {
+          // 3. ONE invalidation rewrite over the affected bucket SET: flag old
+          // rows via a join against the migrated stream ids, BOUNDED by each
+          // stream's planned head — rows a concurrent bulk appender lands
+          // past our reservation are post-migration events and must never be
+          // flagged. Lock mode rewrites all touched buckets in a single
+          // dynamic-partition-overwrite job; manifest mode stages the
+          // rewrite AND the fence+copy append under ONE rewrite claim whose
+          // done-flip swaps the whole migration in atomically (see
+          // [[migrateCommitManifest]]).
+          val ids = plan.select(col("aggregateId").as("m_id"),
+            col("maxVersion").as("m_maxv"),
+            pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
+          val buckets = ids.select("m_bucket").distinct().as[Int].collect().sorted
+          val invalidate: DataFrame => DataFrame = { df =>
+            val allIds = ids.select("m_id", "m_maxv")
+            df.join(allIds, df("aggregate_id") === allIds("m_id"), "left")
+              .withColumn("migration",
+                when(col("m_id").isNotNull && col("migration") === 0 &&
+                  col("aggregate_version") <= col("m_maxv"), lit(revision))
+                  .otherwise(col("migration")))
+              .drop("m_id", "m_maxv")
+          }
+          val dropSnapshots: DataFrame => DataFrame = { df =>
+            val allIds = ids.select("m_id")
+            df.join(allIds, df("aggregate_id") === allIds("m_id"), "left_anti")
+          }
+          val done =
+            if (commitMode == CommitMode.Lock) {
+              rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets.toSeq)(invalidate)
+              if (exists(snapshotsPath))
+                rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets.toSeq)(dropSnapshots)
+              // ONE append of every fence + migrated copy
+              writeEventsDF(plan.select(explode(col("rows")).as("r")).select("r.*"))
+              true
+            } else migrateCommitManifest(plan, buckets.toSeq, invalidate, dropSnapshots)
+          if (done)
+            result = Some(plan.map(p => MigratedStream(p.aggregateId,
+              p.maxVersion + 1 + p.details.size, p.rows.last.id, p.details,
+              p.discriminator)))
+          else if (planAttempts >= 5)
+            throw new ConcurrentModificationException(
+              s"migration revision $revision: stream heads kept moving under " +
+                s"concurrent appends across $planAttempts plan attempts — giving up")
+          // else: an append slipped in after the plan read its streams —
+          // recompute the plan from the NEW committed state (the handler then
+          // sees the interleaved events too: no write is ever lost)
         }
+      }
+      result.get
+    }
 
-        // 5. ONE append of every fence + migrated copy
-        writeEventsDF(plan.select(explode(col("rows")).as("r")).select("r.*"))
+  /** Manifest-mode migration commit: the entire migration — invalidation
+    * rewrite of the affected buckets, snapshot drops AND the fence+copy
+    * append — rides ONE rewrite claim, so its `done` marker is the single
+    * atomic visibility switch. Readers never observe the intermediate state
+    * the reference's per-stream transactions also forbid (history flagged
+    * away, copies not yet visible; store/postgresql/events_migration.go:90-206).
+    *
+    * Concurrent-append fencing (the all-writers unique-index parity):
+    *  - the claim RESERVES `(head, head+1+copies)` for every migrated
+    *    stream, so interactive `append`s lose their optimistic check and
+    *    `appendBulk` continues past the fence — never a version collision;
+    *  - before claiming, the plan is validated against fresh committed heads
+    *    and chain reservations; any stream whose head moved since the plan
+    *    was computed makes this return false and the caller RE-PLANS from
+    *    the new state (claim-number density closes the validate→claim gap:
+    *    a writer claiming in between takes our claim number and we loop);
+    *  - appends landing DURING the staged write keep their files — they are
+    *    not in the claim's `replaced` set, and the bounded invalidation
+    *    never flags rows past each stream's planned head.
+    *
+    * The claim lists one reservation line per migrated stream (the
+    * bulkImport claim-scale contract: chunk colossal migrations by kind or
+    * discriminator until bulk claims are segmented).
+    */
+  private def migrateCommitManifest(plan: Dataset[MigrationPlan], buckets: Seq[Int],
+      invalidate: DataFrame => DataFrame,
+      dropSnapshots: DataFrame => DataFrame): Boolean = {
+    import spark.implicits._
+    val resv: Map[String, (Int, Int)] = plan
+      .map(p => (p.aggregateId, p.maxVersion, p.details.size))
+      .collect().map { case (id, v, k) => id -> (v, v + 1 + k) }.toMap
+    val conf = spark.sessionState.newHadoopConf()
 
-        plan.map(p => MigratedStream(p.aggregateId, p.maxVersion + 1 + p.details.size,
-          p.rows.last.id, p.details, p.discriminator))
+    // live bucket files (committed, not replaced, not pending) — the same
+    // input rules as rewriteBucketManifest, across the affected bucket set
+    def liveFiles(tablePath: String): Seq[String] = {
+      val claims = manifest.cachedClaims()
+      val staleNames = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+        .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
+      buckets.flatMap { b =>
+        val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$b")
+        val hfs = bdir.getFileSystem(conf)
+        if (!hfs.exists(bdir)) Seq.empty[String]
+        else hfs.listStatus(bdir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filterNot(f => staleNames.contains(f.getPath.getName) ||
+            pendingTokens.exists(f.getPath.getName.startsWith))
+          .map(_.getPath.toString).toSeq
       }
     }
+
+    var claimed: Option[CommitClaim] = None
+    var eventInputs: Seq[String] = Nil
+    var snapInputs: Seq[String] = Nil
+    var attempts = 0
+    while (claimed.isEmpty && attempts < 100) {
+      val tip = manifest.refresh()
+      // chain staleness: any reservation past a planned stream's base means
+      // an append committed (or is in flight) beyond the plan's snapshot
+      val chainStale = manifest.cachedClaims().exists(_.streams.exists {
+        case (s, (_, head)) => resv.get(s).exists(_._1 < head)
+      })
+      if (chainStale) return false
+      // parquet staleness, checked DISTRIBUTED (never an isin list of the
+      // migrated stream set): one pruned aggregation over the affected
+      // buckets, compared against each stream's planned head
+      val expected = plan.select(col("aggregateId").as("m_id"),
+        col("maxVersion").as("m_v"))
+      val parquetStale = committedView(eventsWithBucket)
+        .filter(col("bucket").isin(buckets: _*))
+        .join(expected, col("aggregate_id") === col("m_id"))
+        .groupBy(col("m_id"), col("m_v"))
+        .agg(max(col("aggregate_version")).as("cur"))
+        .filter(col("cur") > col("m_v"))
+        .limit(1).count() > 0
+      if (parquetStale) return false
+      eventInputs = liveFiles(eventsPath)
+      snapInputs = if (exists(snapshotsPath)) liveFiles(snapshotsPath) else Nil
+      val c = CommitClaim(tip + 1, resv, Seq.empty, writerId,
+        System.currentTimeMillis(), done = false, CommitClaim.KindRewrite,
+        eventInputs ++ snapInputs)
+      if (manifest.tryClaim(c)) claimed = Some(c) else attempts += 1
+    }
+    val claim = claimed.getOrElse(throw new IllegalStateException(
+      s"migration rewrite lost $attempts claim races — giving up"))
+    val token = s"c${claim.n}"
+    if (eventInputs.nonEmpty)
+      stageRewrite(eventsPath, EventSchema.events, eventInputs, token)(invalidate)
+    if (snapInputs.nonEmpty)
+      stageRewrite(snapshotsPath, EventSchema.snapshots, snapInputs, token)(dropSnapshots)
+    writeEventsDFIsolated(plan.select(explode(col("rows")).as("r")).select("r.*"), token)
+    manifest.markDone(claim.n) // the atomic swap: old files out, rewrite + fences in
+    true
+  }
+
+  /** Rewrite a set of live bucket files under a claim token in ONE job:
+    * read with basePath (keeps the bucket partition column), transform, one
+    * sorted file per bucket (the live-projector ordering invariant), move
+    * into the bucket directories token-prefixed. Staging lives under the
+    * claim's `.commit-tmp/c{N}/` so a condemned claim's prune sweeps it.
+    */
+  private def stageRewrite(tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, inputs: Seq[String],
+      token: String)(f: DataFrame => DataFrame): Unit = {
+    val cur = spark.read.option("basePath", tablePath)
+      .schema(addBucket(schema)).parquet(inputs: _*)
+    val out = f(cur.drop("bucket"))
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+    val tmpDir = s"$tablePath/.commit-tmp/$token/rw"
+    out.repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .option("compression", EventLog.Compression)
+      .parquet(tmpDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { bdir =>
+      val dest = new org.apache.hadoop.fs.Path(tablePath, bdir.getPath.getName)
+      fs.mkdirs(dest)
+      fs.listStatus(bdir.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { fi =>
+          fs.rename(fi.getPath,
+            new org.apache.hadoop.fs.Path(dest, s"$token-${fi.getPath.getName}")): Unit
+        }
+    }
+    fs.delete(tmp.getParent, true): Unit
+  }
 
   /** M4 support: append a `NoOp` fence event to EVERY active stream of one
     * aggregate kind, in a single distributed write: one shuffle to compute
@@ -961,24 +1095,79 @@ class EventLog(
       val seedBase = ulidSeed
       val kind = aggregateKind
       val noOp = KindNoOp
-      val fences = activeEvents
-        .filter(col("aggregate_kind") === aggregateKind)
-        .groupBy(col("aggregate_id"))
-        .agg(max(col("aggregate_version")).as("v"),
-          first(col("discriminator")).as("disc"))
-        .as[(String, Int, Map[String, String])]
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 7368787L + pid))
-          it.map { case (aggId, v, disc) =>
-            EventRow(pgen.next(t), aggId, Fnv1a32.hashString(aggId), v + 1,
-              kind, noOp, "{}", disc, new Timestamp(t), 0, false)
+      // Heads merge chain reservations with committed parquet maxima in
+      // manifest mode (DISTRIBUTED — the reservation table is chain-sized,
+      // broadcast by Spark; the stream set never touches the driver here),
+      // so a fence can't collide with an in-flight append's reserved slot.
+      def computeFences(): Dataset[EventRow] = {
+        val parquetHeads = activeEvents
+          .filter(col("aggregate_kind") === aggregateKind)
+          .groupBy(col("aggregate_id"))
+          .agg(max(col("aggregate_version")).as("v"),
+            first(col("discriminator")).as("disc"))
+        val merged =
+          if (commitMode == CommitMode.Lock) parquetHeads
+          else {
+            val resvChain = manifest.cachedClaims()
+              .flatMap(_.streams.toSeq).map { case (s, (_, h)) => (s, h) }
+            if (resvChain.isEmpty) parquetHeads
+            else parquetHeads
+              .join(resvChain.toDF("r_id", "r_v").groupBy(col("r_id"))
+                .agg(max(col("r_v")).as("r_v")),
+                col("aggregate_id") === col("r_id"), "left")
+              .select(col("aggregate_id"),
+                greatest(col("v"), coalesce(col("r_v"), lit(0))).as("v"),
+                col("disc"))
           }
-        }
-        .localCheckpoint() // cut lineage off the files the append lands next to
-      val n = fences.count()
-      if (n > 0) writeEventsDF(fences.toDF())
-      n
+        merged
+          .as[(String, Int, Map[String, String])]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 7368787L + pid))
+            it.map { case (aggId, v, disc) =>
+              EventRow(pgen.next(t), aggId, Fnv1a32.hashString(aggId), v + 1,
+                kind, noOp, "{}", disc, new Timestamp(t), 0, false)
+            }
+          }
+          .localCheckpoint() // cut lineage off the files the append lands next to
+      }
+      commitMode match {
+        case CommitMode.Lock =>
+          val fences = computeFences()
+          val n = fences.count()
+          if (n > 0) writeEventsDF(fences.toDF())
+          n
+        case CommitMode.Manifest =>
+          // claim-fenced like every other manifest writer: reserve each
+          // fenced stream's next version so concurrent appends either see
+          // the reservation or lose the claim race; a lost race recomputes
+          // heads from the fresh chain. One reservation line per stream
+          // (the bulkImport claim-scale contract).
+          var attempts = 0
+          var res = -1L
+          while (res < 0 && attempts < 100) {
+            val tip = manifest.refresh()
+            val fences = computeFences()
+            val n = fences.count()
+            if (n == 0) res = 0
+            else {
+              val lines = fences.toDF()
+                .select(col("aggregate_id"), col("aggregate_version"))
+                .collect()
+                .map(r => r.getString(0) -> (r.getInt(1) - 1, r.getInt(1))).toMap
+              val c = CommitClaim(tip + 1, lines, Seq.empty, writerId,
+                System.currentTimeMillis(), done = false)
+              if (manifest.tryClaim(c)) {
+                writeEventsDFIsolated(fences.toDF(), s"c${c.n}")
+                manifest.markDone(c.n)
+                res = n
+              } else attempts += 1
+            }
+          }
+          if (res < 0) throw new IllegalStateException(
+            s"appendNoOpFences lost $attempts claim races — giving up")
+          res
+      }
     }
 
   /** Compaction: every append writes new files, so a hot log accumulates

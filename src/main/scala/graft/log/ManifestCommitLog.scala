@@ -55,10 +55,16 @@ object CommitClaim {
   * duplicate (stream, version) pair, even if the dead writer's parquet write
   * lands minutes later. Folds order by version and are gap-tolerant.
   *
-  * Scope: serializes APPENDS. Bucket-rewriting maintenance (forget, migrate,
-  * compact) still requires quiescing appends — at scale those run in a
-  * maintenance window or under a full table format with manifest-scoped
-  * reads, which is the documented next step beyond this protocol.
+  * Scope: fences appends AND bucket-rewriting maintenance against each
+  * other. Rewrites (forget, migrate, compact) claim at FILE granularity —
+  * an append committing during a rewrite keeps its files (they are not in
+  * the claim's `replaced` set) — and version-assigning maintenance
+  * (migrate's fences+copies, NoOp fences) reserves its versions in the
+  * claim and re-validates planned heads at claim time, re-planning when a
+  * concurrent append moved them. The one remaining convention: a single
+  * MAINTENANCE writer at a time (rewrite-vs-rewrite of one bucket is not
+  * fenced; the in-process log lock serializes it per driver, and
+  * deployments run maintenance from one scheduler).
   */
 class ManifestCommitLog(spark: SparkSession, logPath: String) {
   import ManifestCommitLog._

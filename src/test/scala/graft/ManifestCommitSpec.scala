@@ -10,6 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * version reservations (README roadmap #1). Single primitive under test:
   * create-if-absent — everything else must follow from the protocol.
   */
+/** Latches the migration race test threads through (executors share the JVM
+  * on local[*], so the handler closure can rendezvous with the appender).
+  */
+object MigrateRaceGate {
+  @volatile var entered: CountDownLatch = _
+  @volatile var release: CountDownLatch = _
+  val handlerRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ManifestCommitSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
 
@@ -390,6 +399,72 @@ class ManifestCommitSpec extends AnyFunSuite {
       commitMode = CommitMode.Manifest)
     assert(fresh.committedEvents.count() === 2L,
       "a fresh reader must not see the dead claim's rows resurface")
+  }
+
+  test("an append landing mid-migrate forces a re-plan: both writes survive") {
+    // the reference fences migration against concurrent writers with its
+    // unique index (store/postgresql/events_migration.go:90-206); here the
+    // migration claim must re-validate planned heads and re-plan when an
+    // append interleaved — no lost rows, single version chain
+    val log = newLog()
+    log.append(Seq(AppendRecord("mig-race", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", """{"v":1}""")))))
+    MigrateRaceGate.entered = new CountDownLatch(1)
+    MigrateRaceGate.release = new CountDownLatch(1)
+    MigrateRaceGate.handlerRuns.set(0)
+    val pool = Executors.newFixedThreadPool(1)
+    val mig = pool.submit(new java.util.concurrent.Callable[Seq[graft.log.MigratedStream]] {
+      override def call() = log.migrate(1, Set("Created"), { evs =>
+        MigrateRaceGate.handlerRuns.incrementAndGet(): Unit
+        MigrateRaceGate.entered.countDown()
+        MigrateRaceGate.release.await(60, TimeUnit.SECONDS): Unit
+        Some(evs.map(e => EventDetail(
+          if (e.kind == "Created") "CreatedV2" else e.kind, e.body)))
+      })
+    })
+    // the first plan is inside the handler → the append lands and COMMITS
+    // before the migration can claim
+    assert(MigrateRaceGate.entered.await(60, TimeUnit.SECONDS))
+    log.append(Seq(AppendRecord("mig-race", "Account", 1, Map.empty,
+      Seq(EventDetail("Deposited", """{"money":5}""")))))
+    MigrateRaceGate.release.countDown()
+    val out = try mig.get(180, TimeUnit.SECONDS) finally { pool.shutdownNow(); () }
+
+    assert(MigrateRaceGate.handlerRuns.get() == 2,
+      "the stale first plan must be thrown away and recomputed")
+    assert(out.map(m => (m.aggregateId, m.lastVersion)) === Seq(("mig-race", 5)),
+      "re-planned migration covers the interleaved append: fence v3, copies v4..v5")
+    val rows = log.committedEvents.filter(col("aggregate_id") === "mig-race")
+      .orderBy(col("aggregate_version")).collect()
+    assert(rows.map(_.getAs[Int]("aggregate_version")).toSeq === Seq(1, 2, 3, 4, 5),
+      "single version chain — no collision, no lost row")
+    assert(rows.map(_.getAs[String]("kind")).toSeq ===
+      Seq("Created", "Deposited", "Invalidated", "CreatedV2", "Deposited"))
+    assert(rows.map(_.getAs[Int]("migration")).toSeq === Seq(1, 1, 1, 0, 0))
+    // the raced append's payload survives in the active view
+    val active = log.activeEvents.filter(col("aggregate_id") === "mig-race")
+      .orderBy(col("aggregate_version")).collect()
+    assert(active.map(_.getAs[String]("body")).toSeq ===
+      Seq("""{"v":1}""", """{"money":5}"""))
+  }
+
+  test("an interactive append racing a migration's reservation gets CME") {
+    val log = newLog()
+    log.append(Seq(AppendRecord("mig-cme", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", """{"v":1}""")))))
+    val migrated = log.migrate(1, Set("Created"),
+      evs => Some(evs.map(e => EventDetail("CreatedV2", e.body))))
+    assert(migrated.size === 1)
+    // a writer that read head=1 before the migration committed loses its
+    // optimistic check against the migration's reservation/parquet head
+    intercept[ConcurrentModificationException] {
+      log.append(Seq(AppendRecord("mig-cme", "Account", 1, Map.empty,
+        Seq(EventDetail("Deposited", "{}")))))
+    }
+    // and succeeds when it re-reads the post-migration head (fence+copy = v3)
+    log.append(Seq(AppendRecord("mig-cme", "Account", 3, Map.empty,
+      Seq(EventDetail("Deposited", "{}")))))
+    assert(log.streamEvents("mig-cme").count() === 2L, "copy + new append active")
   }
 
   test("lock-mode logs keep an empty chain") {

@@ -73,7 +73,7 @@ class MigrationScaleSpec extends AnyFunSuite {
     assert(log.activeEvents.count() == nStreams * 2L)
   }
 
-  test("M2 migrate under Manifest commit mode: per-bucket rewrite claims, one visible version") {
+  test("M2 migrate under Manifest commit mode: one atomic rewrite claim, one visible version") {
     val dir = Files.createTempDirectory("graftmigmanifest").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(78L),
       commitMode = graft.log.CommitMode.Manifest)
