@@ -364,8 +364,9 @@ class EventLog(
     while (attempts < 100) {
       val tip = manifest.refresh()
       val parquetHeads = maxVersions(touched)
+      val resvHeads = manifest.reservedHeads(touched)
       val heads = touched.map(s =>
-        s -> math.max(parquetHeads.getOrElse(s, 0), manifest.reservedHead(s))).toMap
+        s -> math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0))).toMap
       validateVersions(records, heads)
       val rows = buildRows(records, nowMs)
       val claimed = records.map(r =>
@@ -444,9 +445,10 @@ class EventLog(
     * reservation (and fails its optimistic check) or loses the claim race —
     * the loser surfaces [[ConcurrentModificationException]], matching the
     * reference's unique-index guarantee on every write path
-    * (store/postgresql/store.go:702). The claim lists one line per imported
-    * STREAM (not per event), so a 10⁶-stream backfill writes a ~50 MB claim
-    * once — chunk colossal imports into multiple calls if that matters.
+    * (store/postgresql/store.go:702). Reservations ride the claim TSV up to
+    * [[ManifestCommitLog.inlineClaimMaxStreams]] streams; beyond that they
+    * go to a range-sorted parquet SIDECAR and the stream set never touches
+    * the driver — claim file and driver memory stay flat at 10⁸ streams.
     * `manifest.prune` must not run concurrently with an import (standard
     * maintenance-window rule).
     */
@@ -513,24 +515,52 @@ class EventLog(
       case CommitMode.Lock => writeEventsDF(imported.toDF())
       case CommitMode.Manifest =>
         // versions are assigned 1..k per stream, so the claim reserves
-        // (0, max version) — one aggregation over the materialized rows
-        val claimedStreams = imported.toDF()
+        // (0, max version) — one aggregation over the materialized rows.
+        // Up to the inline threshold the reservations ride the claim TSV;
+        // beyond it they go to a parquet SIDECAR and the stream set NEVER
+        // touches the driver — the mechanism that keeps a 10⁸-stream
+        // backfill's claim file and driver memory flat.
+        val headsDF = imported.toDF()
           .groupBy(col("aggregate_id"))
-          .agg(max(col("aggregate_version")).as("h"))
-          .collect().map(r => r.getString(0) -> (0, r.getInt(1))).toMap
+          .agg(max(col("aggregate_version")).as("head"))
+          .select(col("aggregate_id"), lit(0).as("base"), col("head"))
+          .localCheckpoint()
+        val streamCount = headsDF.count()
+        val useSidecar = streamCount > ManifestCommitLog.inlineClaimMaxStreams
+        val inlineStreams =
+          if (useSidecar) Map.empty[String, (Int, Int)]
+          else headsDF.collect().map(r => r.getString(0) -> (0, r.getInt(2))).toMap
+        val sidecar =
+          if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
         var attempts = 0
         var committed = false
         while (!committed && attempts < 100) {
           val tip = manifest.refresh()
           // a reservation on ANY imported stream means it is not new — the
           // chain-time twin of the parquet probe above (claims precede data,
-          // so the chain is authoritative for in-flight writers)
-          if (requireNew)
-            claimedStreams.keysIterator.find(s => manifest.reservedHead(s) > 0)
-              .foreach(s => throw new ConcurrentModificationException(
-                s"bulkImport: stream $s already reserved in the commit chain"))
-          val claim = CommitClaim(tip + 1, claimedStreams, Seq.empty, writerId,
-            System.currentTimeMillis(), done = false)
+          // so the chain is authoritative for in-flight writers). Driver
+          // fold for small inline-vs-inline checks; one distributed
+          // semi-join when either side is sidecar-scaled.
+          if (requireNew) {
+            val chainHasSidecars = manifest.cachedClaims().exists(_.streamsRef.isDefined)
+            if (useSidecar || chainHasSidecars)
+              manifest.reservationsDF().foreach { resv =>
+                val clash = headsDF.select(col("aggregate_id"))
+                  .join(resv.select(col("aggregate_id")), Seq("aggregate_id"), "left_semi")
+                  .limit(1).collect()
+                if (clash.nonEmpty) throw new ConcurrentModificationException(
+                  s"bulkImport: stream ${clash.head.getString(0)} already reserved in the commit chain")
+              }
+            else
+              manifest.reservedHeads(inlineStreams.keys.toSeq).find(_._2 > 0)
+                .foreach { case (s, _) => throw new ConcurrentModificationException(
+                  s"bulkImport: stream $s already reserved in the commit chain") }
+          }
+          val claim = CommitClaim(tip + 1, inlineStreams, Seq.empty, writerId,
+            System.currentTimeMillis(), done = false,
+            streamsRef = sidecar.map(_._1),
+            refCount = sidecar.map(_._2).getOrElse(0L),
+            refMaxHead = sidecar.map(_._3).getOrElse(0))
           if (manifest.tryClaim(claim)) {
             writeEventsDFIsolated(imported.toDF(), s"c${claim.n}")
             manifest.markDone(claim.n)
@@ -724,8 +754,9 @@ class EventLog(
               Thread.sleep(100)
             } else {
             val parquetHeads = maxVersions(touched)
+            val resvHeads = manifest.reservedHeads(touched)
             val merged = touched.map(s => s ->
-              math.max(parquetHeads.getOrElse(s, 0), manifest.reservedHead(s)))
+              math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0)))
             val appended = buildRows(merged.toDF("aggregate_id", "__head"))
             val n = appended.count()
             if (n == 0) { commitLedger(); result = 0 }
@@ -1009,11 +1040,22 @@ class EventLog(
     while (claimed.isEmpty && attempts < 100) {
       val tip = manifest.refresh()
       // chain staleness: any reservation past a planned stream's base means
-      // an append committed (or is in flight) beyond the plan's snapshot
-      val chainStale = manifest.cachedClaims().exists(_.streams.exists {
+      // an append committed (or is in flight) beyond the plan's snapshot.
+      // Inline lines fold driver-side; sidecar reservations (bulk imports)
+      // are compared in ONE distributed join against the plan.
+      val chainStaleInline = manifest.cachedClaims().exists(_.streams.exists {
         case (s, (_, head)) => resv.get(s).exists(_._1 < head)
       })
-      if (chainStale) return false
+      if (chainStaleInline) return false
+      if (manifest.cachedClaims().exists(_.streamsRef.isDefined)) {
+        val planned = plan.select(col("aggregateId").as("m_id"),
+          col("maxVersion").as("m_v"))
+        val sidecarStale = manifest.reservationsDF().exists(_
+          .join(planned, col("aggregate_id") === col("m_id"))
+          .filter(col("head") > col("m_v"))
+          .limit(1).count() > 0)
+        if (sidecarStale) return false
+      }
       // parquet staleness, checked DISTRIBUTED (never an isin list of the
       // migrated stream set): one pruned aggregation over the affected
       // buckets, compared against each stream's planned head
@@ -1107,13 +1149,11 @@ class EventLog(
             first(col("discriminator")).as("disc"))
         val merged =
           if (commitMode == CommitMode.Lock) parquetHeads
-          else {
-            val resvChain = manifest.cachedClaims()
-              .flatMap(_.streams.toSeq).map { case (s, (_, h)) => (s, h) }
-            if (resvChain.isEmpty) parquetHeads
-            else parquetHeads
-              .join(resvChain.toDF("r_id", "r_v").groupBy(col("r_id"))
-                .agg(max(col("r_v")).as("r_v")),
+          else manifest.reservationsDF() match {
+            case None => parquetHeads
+            case Some(resv) => parquetHeads
+              .join(resv.select(col("aggregate_id").as("r_id"), col("head"))
+                .groupBy(col("r_id")).agg(max(col("head")).as("r_v")),
                 col("aggregate_id") === col("r_id"), "left")
               .select(col("aggregate_id"),
                 greatest(col("v"), coalesce(col("r_v"), lit(0))).as("v"),

@@ -25,7 +25,17 @@ case class CommitClaim(
     // batch's redelivery a no-op — the dedup check and the commit share the
     // chain's atomic done-flip, so there is no crash window between them
     ledgerId: Option[String] = None,
-    ledgerBatch: Long = -1L)
+    ledgerBatch: Long = -1L,
+    // bulk reservations beyond the inline threshold live in a parquet
+    // SIDECAR inside the commit dir (name only; resolved against it): one
+    // (aggregate_id, base, head) row per stream, range-sorted so point
+    // probes prune to one file + row group. The claim TSV then stays tiny
+    // no matter how many streams a backfill reserves, and the driver never
+    // folds them into memory — lookups go through reservedHeads /
+    // reservationsDF. `refCount`/`refMaxHead` are the sidecar's summary.
+    streamsRef: Option[String] = None,
+    refCount: Long = 0L,
+    refMaxHead: Int = 0)
 
 object CommitClaim {
   val KindAppend = "append"
@@ -107,9 +117,81 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     * chain never touched it). Call after [[refresh]].
     */
   def reservedHead(aggregateId: String): Int =
-    cache.values.foldLeft(0) { (acc, c) =>
-      math.max(acc, c.streams.get(aggregateId).map(_._2).getOrElse(0))
+    reservedHeads(Seq(aggregateId)).getOrElse(aggregateId, 0)
+
+  /** Batched reserved-head lookup for a TOUCHED stream set (an append batch —
+    * never the log): inline claim lines fold driver-side; sidecar claims are
+    * consulted with ONE pruned parquet read across all of them (predicate
+    * pushdown on the range-sorted stream key). Returns only streams the
+    * chain reserves.
+    */
+  def reservedHeads(ids: Seq[String]): Map[String, Int] = {
+    if (ids.isEmpty) return Map.empty
+    val wanted = ids.toSet
+    val acc = scala.collection.mutable.Map.empty[String, Int]
+    cache.values.foreach(_.streams.foreach { case (s, (_, h)) =>
+      if (wanted.contains(s) && h > acc.getOrElse(s, 0)) acc.put(s, h): Unit
+    })
+    val refs = sidecarPaths()
+    if (refs.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, max}
+      spark.read.parquet(refs: _*)
+        .filter(col("aggregate_id").isin(ids: _*))
+        .groupBy(col("aggregate_id")).agg(max(col("head")).as("head"))
+        .collect().foreach { r =>
+          val s = r.getString(0); val h = r.getInt(1)
+          if (h > acc.getOrElse(s, 0)) acc.put(s, h): Unit
+        }
     }
+    acc.toMap
+  }
+
+  /** Every chain reservation as a DataFrame `(aggregate_id, base, head)` —
+    * for DISTRIBUTED consumers (bulk new-stream probes, fence head merges,
+    * migration staleness). None when the chain reserves nothing.
+    */
+  def reservationsDF(): Option[org.apache.spark.sql.DataFrame] = {
+    import spark.implicits._
+    val inline = cache.values
+      .flatMap(c => c.streams.map { case (s, (b, h)) => (s, b, h) }).toSeq
+    val refs = sidecarPaths()
+    val inlineDF =
+      if (inline.isEmpty) None
+      else Some(inline.toDF("aggregate_id", "base", "head"))
+    val sideDF =
+      if (refs.isEmpty) None
+      else Some(spark.read.parquet(refs: _*)
+        .selectExpr("aggregate_id", "base", "head"))
+    (inlineDF, sideDF) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Stage a bulk claim's reservation sidecar BEFORE claiming: one parquet
+    * table `(aggregate_id, base, head)`, range-sorted on the stream key so
+    * point probes prune. Returns (name, count, maxHead) for the claim line.
+    * A sidecar whose tryClaim never wins is an orphan; [[prune]] sweeps
+    * unreferenced sidecars past the staleness horizon.
+    */
+  def writeSidecar(streams: org.apache.spark.sql.DataFrame): (String, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, count => cnt, max}
+    val name = s"r${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    val f = fs
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val body = streams.selectExpr("aggregate_id", "base", "head")
+    body
+      .repartitionByRange(col("aggregate_id"))
+      .sortWithinPartitions(col("aggregate_id"))
+      .write.parquet(new Path(dir, name).toString)
+    val summary = spark.read.parquet(new Path(dir, name).toString)
+      .agg(cnt(col("aggregate_id")), max(col("head"))).collect()(0)
+    (name, summary.getLong(0), summary.getInt(1))
+  }
+
+  private def sidecarPaths(): Seq[String] =
+    cache.values.flatMap(_.streamsRef).toSeq.distinct
+      .map(n => new Path(dir, n).toString)
 
   /** Step 3: conditional create of claim `n`. False = lost the race.
     *
@@ -216,6 +298,12 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
           // replaced files) until those files are physically gone
           case CommitClaim.KindRewrite =>
             c.done && c.replaced.forall(p => !f.exists(new Path(p)))
+          case _ if c.streamsRef.isDefined =>
+            // sidecar bulk claim: its data is visible the instant done flips
+            // (files move before markDone), so parquet heads cover the
+            // reservations by construction — forget after the staleness
+            // horizon rather than folding 10⁸ sidecar lines against `heads`
+            nowMs - c.tsMs > staleMs
           case _ =>
             (c.done &&
               c.streams.forall { case (s, (_, head)) => heads.getOrElse(s, 0) >= head }) ||
@@ -225,10 +313,23 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     removable.foreach { c =>
       if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
       if (!c.done) deleteTokenFiles(f, c.n)
+      c.streamsRef.foreach(r => f.delete(new Path(dir, r), true): Unit)
       f.delete(claimPath(c.n), false)
       f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
       // keep the cache entry: it still carries the reservation in-memory,
       // protecting concurrent local writers; fresh processes rely on `heads`.
+      // (the sidecar file is gone, so drop the ref or lookups would fail)
+      cache.put(c.n, c.copy(streamsRef = None)): Unit
+    }
+    // sweep ORPHAN sidecars: staged for a claim that never won its race (or
+    // whose writer died before tryClaim) — unreferenced and past the horizon
+    if (f.exists(dir)) {
+      val referenced = cache.values.flatMap(_.streamsRef).toSet
+      f.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith("r") && s.isDirectory &&
+          !referenced.contains(s.getPath.getName) &&
+          nowMs - s.getModificationTime > staleMs)
+        .foreach(s => f.delete(s.getPath, true): Unit)
     }
     removable.size
   }
@@ -281,6 +382,14 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
 
 object ManifestCommitLog {
   val CommitDir = "_graft_commit"
+
+  /** Streams per bulk claim above which reservations move to a parquet
+    * sidecar (tunable via `-Dgraft.bulkClaim.inlineMax=`; tests shrink it).
+    * 10⁴ inline lines ≈ a 500 KB claim TSV — still one cheap read; beyond
+    * that the TSV and the driver fold would grow with the backfill.
+    */
+  def inlineClaimMaxStreams: Int =
+    sys.props.get("graft.bulkClaim.inlineMax").flatMap(_.toIntOption).getOrElse(10000)
   private val ClaimRe = "v(\\d+)\\.tsv".r
   private val DoneRe = "v(\\d+)\\.done".r
 
@@ -303,6 +412,8 @@ object ManifestCommitLog {
     c.replaced.foreach(p => sb.append("replace\t").append(enc(p)).append('\n'))
     c.ledgerId.foreach(id => sb.append("ledger\t").append(enc(id)).append('\t')
       .append(c.ledgerBatch).append('\n'))
+    c.streamsRef.foreach(r => sb.append("streamsref\t").append(enc(r)).append('\t')
+      .append(c.refCount).append('\t').append(c.refMaxHead).append('\n'))
     sb.toString
   }
 
@@ -312,6 +423,9 @@ object ManifestCommitLog {
     var kind = CommitClaim.KindAppend
     var ledgerId: Option[String] = None
     var ledgerBatch = -1L
+    var streamsRef: Option[String] = None
+    var refCount = 0L
+    var refMaxHead = 0
     val streams = Map.newBuilder[String, (Int, Int)]
     val events = Seq.newBuilder[String]
     val replaced = Seq.newBuilder[String]
@@ -323,11 +437,13 @@ object ManifestCommitLog {
         case Array("event", id) => events += dec(id)
         case Array("replace", p) => replaced += dec(p)
         case Array("ledger", id, b) => ledgerId = Some(dec(id)); ledgerBatch = b.toLong
+        case Array("streamsref", r, c, mh) =>
+          streamsRef = Some(dec(r)); refCount = c.toLong; refMaxHead = mh.toInt
         case _ =>
       }
     }
     CommitClaim(n, streams.result(), events.result(), writer, ts, done, kind,
-      replaced.result(), ledgerId, ledgerBatch)
+      replaced.result(), ledgerId, ledgerBatch, streamsRef, refCount, refMaxHead)
   }
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")

@@ -401,6 +401,61 @@ class ManifestCommitSpec extends AnyFunSuite {
       "a fresh reader must not see the dead claim's rows resurface")
   }
 
+  test("bulk reservations beyond the inline threshold ride a parquet sidecar") {
+    sys.props("graft.bulkClaim.inlineMax") = "3"
+    try {
+      val log = newLog()
+      val s = spark
+      import s.implicits._
+      val batch = (1 to 8).map(i => (s"sc-$i", "Account", "Created", "{}", 1))
+        .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+      assert(log.bulkImport(batch) === 8L)
+      val bulk = log.manifest.claims().last
+      assert(bulk.streams.isEmpty && bulk.streamsRef.isDefined,
+        "above the threshold the claim TSV must carry a sidecar ref, not stream lines")
+      assert(bulk.refCount === 8L && bulk.refMaxHead === 1)
+      assert(log.streamEvents("sc-3").count() === 1L)
+
+      // a FRESH instance (cold cache — restarted driver) parses the ref and
+      // resolves reservations from the sidecar parquet
+      val log2 = new EventLog(spark, log.path, numBuckets = 4,
+        ulidSeed = Some(44L), commitMode = CommitMode.Manifest)
+      log2.manifest.refresh()
+      assert(log2.manifest.reservedHeads(Seq("sc-3", "sc-nope")) === Map("sc-3" -> 1))
+
+      // dead bulk writer: a PENDING sidecar reservation with no data must
+      // fence writers exactly like inline reservation lines
+      val heads = Seq(("sc-dead", 0, 3)).toDF("aggregate_id", "base", "head")
+      val (name, cnt, mh) = log.manifest.writeSidecar(heads)
+      log.manifest.refresh()
+      val tip = log.manifest.claims().map(_.n).max
+      assert(log.manifest.tryClaim(CommitClaim(tip + 1, Map.empty, Seq.empty,
+        "dead-writer", System.currentTimeMillis() - 100000L, done = false,
+        streamsRef = Some(name), refCount = cnt, refMaxHead = mh)))
+      intercept[ConcurrentModificationException] {
+        log.append(Seq(rec("sc-dead", 0)))
+      }
+      // the distributed requireNew probe sees the sidecar reservation too
+      intercept[ConcurrentModificationException] {
+        log.bulkImport(Seq(("sc-dead", "Account", "Created", "{}", 1))
+          .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq"))
+      }
+      // appendBulk continues past it: versions 1..3 stay the dead writer's gap
+      assert(log.appendBulk(Seq(("sc-dead", "Account", "Deposited", "{}", 1))
+        .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")) === 1L)
+      assert(log.streamEvents("sc-dead").collect().map(_.getInt(3)).toSeq === Seq(4))
+
+      // prune condemns the dead claim and deletes its sidecar
+      log.append(Seq(rec("sc-live", 0))) // move the tip off the dead claim
+      log.manifest.prune(Map.empty, staleMs = 60000L): Unit
+      val conf = spark.sessionState.newHadoopConf()
+      val side = new org.apache.hadoop.fs.Path(
+        s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}/$name")
+      assert(!side.getFileSystem(conf).exists(side),
+        "a condemned bulk claim's sidecar must be swept with it")
+    } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
+  }
+
   test("an append landing mid-migrate forces a re-plan: both writes survive") {
     // the reference fences migration against concurrent writers with its
     // unique index (store/postgresql/events_migration.go:90-206); here the
