@@ -44,18 +44,34 @@ class CheckpointStore(spark: SparkSession, path: String) {
   }
 
   /** Drop superseded token rows (the table is append-only; only the latest
-    * row per (projection, partition) is ever read). Same maintenance story
-    * as the log/snapshot compaction.
+    * row per (projection, partition) is ever read). Same two-phase shape as
+    * [[ReadModel.compact]]: re-append the latest rows under a fresh
+    * `saved_at` stamp (supersedes without deleting — concurrent loads keep
+    * resolving from either listing), then delete superseded files only past
+    * the retention horizon. Writer scope: the owning projector, between
+    * batches; an in-place Overwrite would race concurrent `load`s on any
+    * store without atomic directory replacement.
     */
-  def compact(): Unit = {
-    if (!hasData) return
+  def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return
+    val snapshot = fs.listStatus(hp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
     val w = Window.partitionBy(col("projection"), col("partition"))
       .orderBy(col("saved_at").desc)
-    val latest = spark.read.parquet(path)
+    val latest = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn", "saved_at")
       .localCheckpoint()
-    latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    latest
+      .withColumn("saved_at", concat(lit(gen.next()), lit("-"),
+        monotonically_increasing_id()))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    val horizon = System.currentTimeMillis() - gcRetentionMs
+    snapshot.filter(_.getModificationTime < horizon)
+      .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 
   def load(projection: String): Map[Int, Checkpoint] = {

@@ -49,16 +49,47 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
       .drop("__rn", "__rm_version")
   }
 
-  /** Drop superseded versions (same maintenance story as the log). */
-  def compact(): Unit = {
+  /** Drop superseded versions (same maintenance story as the log).
+    *
+    * Object-store-safe two-phase shape, mirroring the log's
+    * compact-then-[[graft.log.EventLog.gcReplaced]]: the latest row per key
+    * is RE-APPENDED under a fresh (strictly higher) `__rm_version` stamp,
+    * which supersedes every pre-existing file without touching it — a
+    * concurrent reader that listed the directory before the append still
+    * resolves every key from the old files, and one that lists after sees
+    * both copies and latest-wins dedup returns the new one. Superseded files
+    * are only deleted once older than `gcRetentionMs` (in-flight readers
+    * have drained by then); younger leftovers are swept by the next compact.
+    * An in-place Overwrite would instead open a read-after-delete window on
+    * any store where directory replacement is not atomic (S3/HDFS).
+    *
+    * Writer scope: single owner. `merge` during the snapshot-to-append gap
+    * could stamp below the compaction stamp and lose its update — the owning
+    * projector calls compact between its own batches (the reference's
+    * projection owns its read model the same way).
+    */
+  def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return
+    val snapshot = fs.listStatus(hp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
     val latest = {
       val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
-      spark.read.parquet(path)
+      spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .drop("__rn")
+        .drop("__rn", "__rm_version")
         .localCheckpoint()
     }
-    latest.write.mode(SaveMode.Overwrite).parquet(path)
+    val stamp = gen.next()
+    latest
+      .withColumn("__rm_version",
+        concat(lit(stamp), lit("-"), monotonically_increasing_id()))
+      .write.mode(SaveMode.Append).parquet(path)
+    val horizon = System.currentTimeMillis() - gcRetentionMs
+    snapshot.filter(_.getModificationTime < horizon)
+      .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 }

@@ -80,7 +80,13 @@ class CompactionSpec extends AnyFunSuite {
       cp.save(Seq(graft.streaming.Checkpoint("p", 1, s"id$i", i.toLong, done = true)))
     }
     cp.save(Seq(graft.streaming.Checkpoint("q", 2, "other", 9L, done = false)))
+    // default retention: append-then-defer — superseded token rows survive
+    // (a concurrent load with a stale listing stays whole), loads resolve new
     cp.compact()
+    assert(spark.read.parquet(s"$dir/cp").count() > 2)
+    assert(cp.load("p")(1).event_id == "id5")
+    // past the horizon the superseded files are swept
+    cp.compact(gcRetentionMs = 0L)
     assert(spark.read.parquet(s"$dir/cp").count() == 2) // one per (projection, partition)
     val loaded = cp.load("p")
     assert(loaded(1).event_id == "id5" && loaded(1).sequence == 5L)

@@ -68,9 +68,50 @@ class ReadModelSpec extends AnyFunSuite {
       .toDF("aggregate_id", "owner", "balance"))
     assert(state()("01HXRMACCTA00000000000001") == 115L)
 
-    rm.compact()
+    rm.compact(gcRetentionMs = 0L)
     assert(state() == Map(
       "01HXRMACCTA00000000000001" -> 115L, "01HXRMACCTB00000000000002" -> 50L))
     assert(spark.read.parquet(s"$dir/balances").count() == 2) // one row per key
+  }
+
+  test("compact is reader-safe: superseded files survive to the retention horizon") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrmgc").toFile.getAbsolutePath
+    val rm = new ReadModel(spark, s"$dir/rm", "k")
+    rm.merge(Seq(("a", 1L), ("b", 1L)).toDF("k", "v"))
+    rm.merge(Seq(("a", 2L)).toDF("k", "v"))
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/rm")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def files() = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    val staleListing = files()
+
+    // default retention: compact APPENDS the latest rows and deletes nothing
+    rm.compact()
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    assert(staleListing.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "superseded files must outlive compact until the retention horizon")
+    // a reader that listed BEFORE the compact still resolves the full state
+    // from its stale listing (no read-after-delete window)
+    val staleView = spark.read.parquet(staleListing: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("k"))
+      .orderBy(org.apache.spark.sql.functions.col("__rm_version").desc)
+    val staleState = staleView
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(staleState == Map("a" -> 2L, "b" -> 1L))
+
+    // a merge AFTER compact stamps higher and wins over the compacted copy
+    rm.merge(Seq(("b", 9L)).toDF("k", "v"))
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 9L))
+
+    // past the horizon the superseded files go; resolved state is unchanged
+    rm.compact(gcRetentionMs = 0L)
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 9L))
+    assert(spark.read.parquet(s"$dir/rm").count() == 2)
   }
 }
