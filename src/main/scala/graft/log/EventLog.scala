@@ -181,9 +181,12 @@ class EventLog(
     * reused. Applies to events and snapshots alike (claims carry absolute
     * paths; both tables share the one chain).
     */
-  private def committedView(df: DataFrame): DataFrame = {
+  private def committedView(df: DataFrame, refreshed: Boolean = false): DataFrame = {
     if (commitMode == CommitMode.Lock) return df
-    val claims = manifest.claims()
+    // `refreshed = true` skips the chain LIST for callers inside a retry
+    // loop that just paid manifest.refresh() — on object stores the listing
+    // is the dominant commit-path cost, and claims() would repeat it
+    val claims = if (refreshed) manifest.cachedClaims() else manifest.claims()
     val pending = claims.filterNot(_.done).map(c => s"c${c.n}")
     val replaced = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
       .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1))
@@ -363,7 +366,7 @@ class EventLog(
     var attempts = 0
     while (attempts < 100) {
       val tip = manifest.refresh()
-      val parquetHeads = maxVersions(touched)
+      val parquetHeads = maxVersions(touched, refreshed = true)
       val resvHeads = manifest.reservedHeads(touched)
       val heads = touched.map(s =>
         s -> math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0))).toMap
@@ -619,14 +622,19 @@ class EventLog(
     }.flatten
     val committed = readLedger()
     def commitLedger(): Unit = ledger.zip(ledgerFs).foreach { case (p, f) =>
-      // write-temp + swap: the ledger is never observable half-written
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-        s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      f.delete(p, false)
-      if (!f.rename(tmp, p)) { f.delete(tmp, false); throw new java.io.IOException(
-        s"could not commit ingest ledger $p") }
+      // NEVER regress: a failover rival may have committed a HIGHER batch
+      // while this delivery was stalled — overwriting its mark would re-open
+      // the dedup hole the moment the rival's claim is pruned off the chain
+      if (!readLedger().exists(_ >= batchId)) {
+        // write-temp + swap: the ledger is never observable half-written
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+          s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        f.delete(p, false)
+        if (!f.rename(tmp, p)) { f.delete(tmp, false); throw new java.io.IOException(
+          s"could not commit ingest ledger $p") }
+      }
     }
     // Manifest mode also consults the chain: a done claim carrying this
     // ledger's mark proves the batch committed even if the crash hit between
@@ -753,7 +761,7 @@ class EventLog(
                     "retry after it completes or manifest.prune condemns it")
               Thread.sleep(100)
             } else {
-            val parquetHeads = maxVersions(touched)
+            val parquetHeads = maxVersions(touched, refreshed = true)
             val resvHeads = manifest.reservedHeads(touched)
             val merged = touched.map(s => s ->
               math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0)))
@@ -1427,10 +1435,11 @@ class EventLog(
     * physically deleted before the claim is forgotten. Reading them here
     * would otherwise couple correctness to prune's internal delete ordering.
     */
-  private def maxVersions(aggregateIds: Seq[String]): Map[String, Int] = {
+  private def maxVersions(aggregateIds: Seq[String],
+      refreshed: Boolean = false): Map[String, Int] = {
     if (!exists(eventsPath)) return Map.empty
     val buckets = aggregateIds.map(bucketOf).distinct
-    committedView(eventsWithBucket)
+    committedView(eventsWithBucket, refreshed)
       .filter(col("bucket").isin(buckets: _*) &&
         col("aggregate_id").isin(aggregateIds: _*))
       .groupBy("aggregate_id")
@@ -1759,8 +1768,25 @@ object EventLog {
                 val restoreDeadline = System.currentTimeMillis() + LockAcquireTimeoutMs
                 while (!restored && System.currentTimeMillis() < restoreDeadline) {
                   restored =
-                    try fs.rename(tomb, lockFile)
-                    catch { case _: java.io.IOException => false }
+                    if (fs.getScheme == "file") {
+                      // RawLocalFileSystem.rename is POSIX rename(2), which
+                      // REPLACES an existing target — a plain rename-back
+                      // would clobber an interloper's lock. link(2) is the
+                      // atomic create-if-absent: link the tomb back in only
+                      // when the slot is free, then drop the tomb name (same
+                      // inode — the holder's lock survives under its path).
+                      try {
+                        java.nio.file.Files.createLink(
+                          java.nio.file.Paths.get(lockFile.toUri.getPath),
+                          java.nio.file.Paths.get(tomb.toUri.getPath))
+                        java.nio.file.Files.delete(
+                          java.nio.file.Paths.get(tomb.toUri.getPath))
+                        true
+                      } catch { case _: java.io.IOException => false }
+                    } else
+                      // HDFS rename fails when the destination exists
+                      try fs.rename(tomb, lockFile)
+                      catch { case _: java.io.IOException => false }
                   if (!restored) Thread.sleep(20)
                 }
                 if (!restored) throw new IllegalStateException(

@@ -176,7 +176,10 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     */
   def writeSidecar(streams: org.apache.spark.sql.DataFrame): (String, Long, Int) = {
     import org.apache.spark.sql.functions.{col, count => cnt, max}
-    val name = s"r${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    // name carries the creation time: the orphan sweep ages sidecars by it
+    // (directory mtimes are synthetic on object stores)
+    val name = s"r${System.currentTimeMillis()}x" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val f = fs
     if (!f.exists(dir)) f.mkdirs(dir)
     val body = streams.selectExpr("aggregate_id", "base", "head")
@@ -295,9 +298,15 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
       c.n != tip && // keep the tip so refresh() never regresses the chain
         (c.kind match {
           // a rewrite claim still carries read-path semantics (exclude the
-          // replaced files) until those files are physically gone
+          // replaced files) until those files are physically gone. A claim
+          // whose writer DIED pending must also be condemnable — its staged
+          // files never became visible, the replaced files were never
+          // deleted, so dropping its tokens restores the exact pre-rewrite
+          // log; leaving it would wedge the live-projector commit gate and
+          // every future migration forever
           case CommitClaim.KindRewrite =>
-            c.done && c.replaced.forall(p => !f.exists(new Path(p)))
+            (c.done && c.replaced.forall(p => !f.exists(new Path(p)))) ||
+              (!c.done && nowMs - c.tsMs > staleMs)
           case _ if c.streamsRef.isDefined =>
             // sidecar bulk claim: its data is visible the instant done flips
             // (files move before markDone), so parquet heads cover the
@@ -326,9 +335,19 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     if (f.exists(dir)) {
       val referenced = cache.values.flatMap(_.streamsRef).toSet
       f.listStatus(dir)
-        .filter(s => s.getPath.getName.startsWith("r") && s.isDirectory &&
-          !referenced.contains(s.getPath.getName) &&
-          nowMs - s.getModificationTime > staleMs)
+        .filter { s =>
+          val nm = s.getPath.getName
+          nm.startsWith("r") && s.isDirectory && !referenced.contains(nm) && {
+            // age from the CREATION TIME embedded in the name — object
+            // stores don't maintain directory mtimes, and a synthetic mtime
+            // of 0 would condemn an in-flight import's just-written sidecar
+            val born = nm match {
+              case ManifestCommitLog.SidecarRe(ts) => ts.toLong
+              case _ => s.getModificationTime
+            }
+            nowMs - born > staleMs
+          }
+        }
         .foreach(s => f.delete(s.getPath, true): Unit)
     }
     removable.size
@@ -392,6 +411,7 @@ object ManifestCommitLog {
     sys.props.get("graft.bulkClaim.inlineMax").flatMap(_.toIntOption).getOrElse(10000)
   private val ClaimRe = "v(\\d+)\\.tsv".r
   private val DoneRe = "v(\\d+)\\.done".r
+  private[log] val SidecarRe = "r(\\d+)x.*".r
 
   /** TSV, ids URL-encoded — no JSON library dependency, trivially greppable:
     * {{{

@@ -6,7 +6,7 @@ import graft.replay.{EventFilter, Player}
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** A projection message: the reference's `projection.Message` envelope —
   * `Meta{name, kind, partition, sequence}` + the event
@@ -25,8 +25,6 @@ case class ProjMessage(
     body: String,
     created_at: Timestamp)
 
-private case class DedupState(lastId: String, lastSeq: Long)
-
 /** The projection runtime: catchup → switch → live, with the reference's
   * exactly-once dedup semantics (T1-T6, projection/projection.go +
   * projection/checkpoints.go) restated on Spark:
@@ -40,9 +38,10 @@ private case class DedupState(lastId: String, lastSeq: Long)
   *    control message to the handler.
   *  - **live** = Structured Streaming over the log's file source (new parquet
   *    files appear as the log appends; a broker source mounts behind the same
-  *    shape). Late/duplicate rejection (T4): a per-partition
-  *    `flatMapGroupsWithState` keeps the last seen id, seeded from the saved
-  *    checkpoints — reject `id <= checkpoint.id`, exactly
+  *    shape). Late/duplicate rejection (T4): a per-partition monotonic
+  *    watermark `(lastId, sequence)` — seeded from the saved checkpoints,
+  *    held on the driver, advanced inside each foreachBatch only by rows
+  *    actually delivered — rejects `id <= checkpoint.id`, exactly
   *    projection/checkpoints.go:58-92.
   *  - the handler runs inside `foreachBatch` together with the checkpoint
   *    save — the reference's handle+checkpoint-in-one-transaction (T5);
@@ -70,14 +69,17 @@ class Projector(
   val checkpoints = new CheckpointStore(spark, s"$statePath/checkpoints")
   import spark.implicits._
 
+  // ONE source of truth for the ProjMessage projection — batch shaping and
+  // the live stream struct must never drift apart field-by-field
+  private def shapedCols(metaKind: String): Seq[org.apache.spark.sql.Column] = Seq(
+    lit(metaKind).as("meta_kind"),
+    graft.functions.calc_partition(col("aggregate_id_hash"), numPartitions).as("partition"),
+    lit(0L).as("sequence"),
+    col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
+    col("body"), col("created_at"))
+
   private def shaped(df: DataFrame, metaKind: String): Dataset[ProjMessage] =
-    df.select(
-      lit(metaKind).as("meta_kind"),
-      graft.functions.calc_partition(col("aggregate_id_hash"), numPartitions).as("partition"),
-      lit(0L).as("sequence"),
-      col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
-      col("body"), col("created_at"))
-      .as[ProjMessage]
+    df.select(shapedCols(metaKind): _*).as[ProjMessage]
 
   /** Saved checkpoints are keyed by partition — reopening a projector with
     * a DIFFERENT partition count would silently remap every stream to a
@@ -86,28 +88,24 @@ class Projector(
     * (`calc_partition` is 1-based, so 0 never collides) and enforced here;
     * pre-metadata checkpoint tables skip the check.
     */
-  private def loadChecked(): Map[Int, Checkpoint] = {
+  private def loadChecked(): (Map[Int, Checkpoint], Boolean) = {
     val all = checkpoints.load(name)
     all.get(0).foreach { m =>
       require(m.sequence == numPartitions.toLong,
         s"projector '$name' was checkpointed with ${m.sequence} partitions; " +
           s"this instance uses $numPartitions — construct it with partitions = ${m.sequence}")
     }
-    // Pin the partition count on FIRST open, whichever entry point that is:
-    // a projector started directly with live() (no catchup) must not stay
-    // "pre-metadata" forever — a later restart under a different bucket
-    // count (partitions = -1 default after log.rebucket) would then
-    // silently remap streams to fresh dedup partitions and redeliver
-    // history. Idempotent: latest-per-key reads make duplicates harmless.
-    if (!all.contains(0))
-      checkpoints.save(Seq(Checkpoint(name, 0, "", numPartitions.toLong, done = true)))
-    all - 0
+    // read-only: the entry points (catchup's switch save, live's first-open
+    // pin) write the partition-count metadata row AFTER this check passes —
+    // a load must not be a writer, and writing from here would let two
+    // racing first-opens each pin before seeing the other's check
+    (all - 0, all.contains(0))
   }
 
   /** T1+T2: catchup replay then switch. Returns the switch watermark ULID. */
   def catchup(handle: Dataset[ProjMessage] => Unit,
       nowMs: Long = System.currentTimeMillis()): String = {
-    val cps = loadChecked()
+    val (cps, _) = loadChecked()
     val after = {
       val resumed = cps.values.filterNot(_.done)
       if (cps.isEmpty) ""
@@ -131,11 +129,28 @@ class Projector(
     * the checkpoint save share each micro-batch (T5). `trigger` reproduces
     * the reference's poller cadence when set (S13: 200 ms default there);
     * None = as-fast-as-possible micro-batches.
+    *
+    * The read-committed gate runs BEFORE the dedup watermark can advance:
+    * each micro-batch first resolves its source files against the claim
+    * chain (deliver / drop condemned / wait on pending), and only rows that
+    * actually reach the handler move the per-partition `(lastId, sequence)`
+    * watermark — which lives on the driver, seeded from the checkpoint
+    * table, and is saved in the same foreachBatch as the handler call (T5).
+    * The former in-stream `flatMapGroupsWithState` advanced its state before
+    * the gate dropped condemned rows, so a condemned row minted by a
+    * clock-skewed-ahead writer would swallow its own legitimate redelivery
+    * (the re-appended copy carries fresh — lower — ULIDs) — silent loss.
     */
   def live(handle: Dataset[ProjMessage] => Unit,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
-    val initial: Map[Int, (String, Long)] =
-      loadChecked().map { case (p, c) => p -> (c.event_id, c.sequence) }
+    val (cps, pinned) = loadChecked()
+    // pin the partition count on a live()-first open (catchup pins via its
+    // switch save): a later restart under a different bucket count must
+    // fail fast, not silently remap streams to fresh dedup partitions
+    if (!pinned)
+      checkpoints.save(Seq(Checkpoint(name, 0, "", numPartitions.toLong, done = true)))
+    val watermarks = scala.collection.mutable.Map.empty[Int, (String, Long)]
+    cps.foreach { case (p, c) => watermarks.put(p, (c.event_id, c.sequence)): Unit }
 
     // Each row carries its source file so foreachBatch can hold back rows of
     // claims whose commit has not flipped `done` yet (manifest mode): the
@@ -156,44 +171,14 @@ class Projector(
 
     val shapedLive = src.select(
       col("__file").as("_1"),
-      struct(
-        lit("live").as("meta_kind"),
-        graft.functions.calc_partition(col("aggregate_id_hash"), numPartitions).as("partition"),
-        lit(0L).as("sequence"),
-        col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
-        col("body"), col("created_at")).as("_2"))
+      struct(shapedCols("live"): _*).as("_2"))
       .as[(String, ProjMessage)]
-
-    val deduped = shapedLive
-      .groupByKey(_._2.partition)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (part: Int, it: Iterator[(String, ProjMessage)], state: GroupState[DedupState]) =>
-          val init = state.getOption
-            .orElse(initial.get(part).map { case (id, seq) => DedupState(id, seq) })
-            .getOrElse(DedupState("", 0L))
-          var last = init.lastId
-          var seq = init.lastSeq
-          // micro-batches are small slices; sort by id for in-order handling.
-          // Survivors get the per-partition monotonic bus sequence the
-          // reference's live consumers carry (projection/checkpoints.go:58-92
-          // rejects on BOTH id ≤ checkpoint.id and seq ≤ checkpoint.seq);
-          // sequence continuity is restored from the checkpoint on restart.
-          // Advancing past a row foreachBatch later DROPS (condemned claim)
-          // is sound: its replacement rows are minted at re-append time with
-          // strictly higher ULIDs, which still pass `id > last`.
-          val out = it.toSeq.sortBy(_._2.id).flatMap { case (tok, m) =>
-            if (m.id > last) { last = m.id; seq += 1; Some((tok, m.copy(sequence = seq))) }
-            else None
-          }
-          state.update(DedupState(last, seq))
-          out.iterator
-      }
 
     val cpStore = checkpoints
     val projName = name
     val theLog = log
     val waitMs = claimWaitMs
-    val writer0 = deduped.writeStream
+    val writer0 = shapedLive.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$statePath/stream_checkpoint")
     val writer = trigger.fold(writer0)(writer0.trigger)
@@ -203,8 +188,28 @@ class Projector(
         try {
           val files = b0.select(col("_1")).distinct().as[String].collect()
           val drop = Projector.resolveUncommitted(theLog, files, waitMs)
-          val b = (if (drop.isEmpty) b0.map(_._2)
-            else b0.filter(!col("_1").isin(drop.toSeq: _*)).map(_._2)).persist()
+          val flat = (if (drop.isEmpty) b0
+            else b0.filter(!col("_1").isin(drop.toSeq: _*)))
+            .select(col("_2.*"))
+          // monotonic dedup + bus-sequence assignment against the driver
+          // watermark (numPartitions tiny rows — broadcast): survivors get
+          // the per-partition sequence the reference's live consumers carry
+          // (projection/checkpoints.go:58-92 rejects on BOTH id ≤
+          // checkpoint.id and seq ≤ checkpoint.seq); continuity restores
+          // from the checkpoint table on restart
+          val wmDF = watermarks.toSeq.map { case (p, (id, sq)) => (p, id, sq) }
+            .toDF("partition", "__wm_id", "__wm_seq")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("partition")).orderBy(col("id"))
+          val b = flat
+            .join(broadcast(wmDF), Seq("partition"), "left")
+            .filter(col("id") > coalesce(col("__wm_id"), lit("")))
+            .withColumn("sequence",
+              coalesce(col("__wm_seq"), lit(0L)) + row_number().over(w).cast("long"))
+            .select(col("meta_kind"), col("partition"), col("sequence"),
+              col("id"), col("aggregate_id"), col("aggregate_kind"), col("kind"),
+              col("body"), col("created_at"))
+            .as[ProjMessage].persist()
           try {
             handle(b)
             val tokens = b.groupBy(col("partition"))
@@ -212,6 +217,11 @@ class Projector(
               .collect()
               .map(r => Checkpoint(projName, r.getInt(0), r.getString(1), r.getLong(2), done = true))
             cpStore.save(tokens.toSeq)
+            // advance only by what was DELIVERED — dropped condemned rows
+            // leave the watermark untouched, so their redelivered
+            // replacements (whatever their ULIDs) still pass the gate
+            tokens.foreach(t =>
+              watermarks.put(t.partition, (t.event_id, t.sequence)): Unit)
           } finally { b.unpersist(); () }
         } finally { b0.unpersist(); () }
       }

@@ -138,6 +138,51 @@ class LiveCommitGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a condemned claim from a clock-skewed writer cannot swallow its redelivery") {
+    // the zombie's clock ran an hour AHEAD: its staged rows carry ULIDs far
+    // above real time. If the dedup watermark advanced on those rows before
+    // the gate dropped them, the legitimate redelivery — minted at true
+    // wall-clock, i.e. LOWER ids — would be silently discarded forever.
+    // The watermark must move only with rows actually delivered.
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(43L),
+      commitMode = CommitMode.Manifest)
+    log.append(Seq(AppendRecord("gate4-seed", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "S")))), nowMs = t0)
+
+    val buf = ArrayBuffer[ProjMessage]()
+    val proj = new Projector(log, "gate4", tempDir, partitions = 2)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      craftPendingClaim(log,
+        Seq(AppendRecord("gate4-x", "Account", 0, Map.empty, Seq(dep(1), dep(2)))),
+        nowMs = t0 + 3600000L, // skewed one hour ahead
+        tsMs = System.currentTimeMillis() - 600000L)
+      log.append(Seq(AppendRecord("gate4-z", "Account", 0, Map.empty,
+        Seq(dep(9)))), nowMs = t0 + 30000L)
+      val pruner = new Thread(() => {
+        Thread.sleep(2000)
+        log.manifest.prune(Map("gate4-seed" -> 1, "gate4-z" -> 1),
+          staleMs = 60000L): Unit
+      })
+      pruner.start()
+      q.processAllAvailable()
+      pruner.join()
+      assert(!buf.exists(_.aggregate_id == "gate4-x"))
+
+      // redelivery at TRUE wall-clock: ULIDs BELOW the condemned copies'
+      assert(log.appendBulk(
+        { val s = spark; import s.implicits._
+          Seq(("gate4-x", "Account", "Deposited", """{"money":1}""", 1),
+            ("gate4-x", "Account", "Deposited", """{"money":2}""", 2))
+            .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq") },
+        nowMs = t0 + 120000L) == 2L)
+      q.processAllAvailable()
+      assert(buf.count(_.aggregate_id == "gate4-x") == 2,
+        "lower-ULID redelivery must pass: the watermark never saw the skewed rows")
+    } finally q.stop()
+  }
+
   test("a projector started directly with live() pins its partition count") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
     val statePath = tempDir

@@ -208,6 +208,95 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(log.committedEvents.count() === 1L)
   }
 
+  test("a crashed pending rewrite claim is condemned by prune (no permanent wedge)") {
+    val log = newLog()
+    log.append(Seq(rec("prc-a", 0)))
+    log.manifest.refresh()
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.toString).toSeq
+    // the dead rewriter staged a token file into a bucket (valid parquet —
+    // staged files are complete before the move), then died before done
+    val bucketDir = new org.apache.hadoop.fs.Path(orig.head).getParent
+    val staged = new org.apache.hadoop.fs.Path(bucketDir, "c2-part-dead.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(orig.head),
+      fs, staged, false, conf)
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map.empty, Seq.empty,
+      "dead-rewriter", System.currentTimeMillis() - 100000L, done = false,
+      CommitClaim.KindRewrite, orig)))
+    assert(log.committedEvents.count() === 1L, "staged token rows stay hidden")
+    log.append(Seq(rec("prc-b", 0))) // move the tip past the dead claim
+    assert(log.manifest.prune(Map.empty, staleMs = 60000L) >= 1)
+    assert(!fs.exists(staged), "condemned rewrite's staged token files must go")
+    assert(log.manifest.status(2L).isEmpty, "the dead rewrite claim must go")
+    assert(log.committedEvents.count() === 2L,
+      "replaced files were never deleted — the pre-rewrite log is intact")
+    // and the log is not wedged: maintenance and appends proceed
+    log.append(Seq(rec("prc-a", 1)))
+    assert(log.streamEvents("prc-a").count() === 2L)
+  }
+
+  test("racing deliveries of DIFFERENT batches never regress the ingest ledger") {
+    val log = newLog()
+    val s = spark
+    import s.implicits._
+    def batchDF(tag: String) = Seq((s"lg-$tag", "Account", "Created", "{}", 1))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def deliver(tag: String, b: Long) = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        start.await()
+        log.appendBulk(batchDF(tag), ledgerId = Some("LR"), batchId = b)
+      }
+    })
+    val f7 = deliver("b7", 7L)
+    val f8 = deliver("b8", 8L)
+    start.countDown()
+    f7.get(120, TimeUnit.SECONDS): Unit
+    f8.get(120, TimeUnit.SECONDS): Unit
+    pool.shutdown()
+    // whatever the interleaving, the ledger must end at the HIGHEST committed
+    // batch — a zombie's lower batch overwriting it would re-open the dedup
+    // hole once the chain claim is pruned
+    val lp = new org.apache.hadoop.fs.Path(s"${log.path}/_ingest/LR")
+    val lfs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = lfs.open(lp)
+    val mark = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(mark === "8", s"ledger must never regress below the max batch (read $mark)")
+    assert(log.streamEvents("lg-b8").count() === 1L)
+    // a fresh redelivery of batch 8 is a no-op even after prune forgets claims
+    log.manifest.prune(Map.empty, staleMs = 0L): Unit
+    assert(log.appendBulk(batchDF("b8"), ledgerId = Some("LR"), batchId = 8L) === 0L)
+    assert(log.streamEvents("lg-b8").count() === 1L)
+  }
+
+  test("orphan sidecar sweep ages by creation time in the name, not dir mtime") {
+    val log = newLog()
+    log.append(Seq(rec("os-a", 0)))
+    val s = spark
+    import s.implicits._
+    val heads = Seq(("os-x", 0, 1)).toDF("aggregate_id", "base", "head")
+    val (freshName, _, _) = log.manifest.writeSidecar(heads)
+    val (tmpName, _, _) = log.manifest.writeSidecar(heads)
+    val conf = spark.sessionState.newHadoopConf()
+    val cdir = new org.apache.hadoop.fs.Path(
+      s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}")
+    val fs = cdir.getFileSystem(conf)
+    // forge an AGED orphan by renaming to a name with an old birth stamp
+    val oldName = s"r${System.currentTimeMillis() - 100000L}xforged00"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(cdir, tmpName),
+      new org.apache.hadoop.fs.Path(cdir, oldName)))
+    log.manifest.prune(Map.empty, staleMs = 60000L): Unit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cdir, oldName)),
+      "an orphan past its birth-stamp horizon is swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(cdir, freshName)),
+      "a just-written orphan survives even where dir mtimes are synthetic")
+  }
+
   test("snapshot rewrites go through claims too: compact keeps only the latest") {
     val log = newLog()
     log.append(Seq(rec("sn-a", 0)))
