@@ -52,9 +52,9 @@ class Projector(
     val name: String,
     val statePath: String,
     filter: EventFilter = EventFilter(),
-    // one dedup partition per log bucket by default: live dedup state groups
-    // by partition, so the old default of 1 funneled every event through a
-    // single flatMapGroupsWithState task — correct, but a throughput ceiling
+    // one dedup partition per log bucket by default: dedup and sequence
+    // assignment parallelize by partition, so the old default of 1 funneled
+    // every event through one task — correct, but a throughput ceiling
     // the reference's K split workers never had (projection/projection.go)
     partitions: Int = -1,
     untilOffsetMs: Long = 60000L,
