@@ -1765,6 +1765,7 @@ object EventLog {
                 // remove the interloper's lock: cascading breakage). Retry
                 // until the slot frees; fail LOUDLY if it never does.
                 var restored = false
+                var linked = false // file://: survives a failed tomb delete
                 val restoreDeadline = System.currentTimeMillis() + LockAcquireTimeoutMs
                 while (!restored && System.currentTimeMillis() < restoreDeadline) {
                   restored =
@@ -1775,12 +1776,18 @@ object EventLog {
                       // atomic create-if-absent: link the tomb back in only
                       // when the slot is free, then drop the tomb name (same
                       // inode — the holder's lock survives under its path).
+                      // `linked` remembers a link that succeeded so a failed
+                      // tomb delete retries ONLY the delete — re-linking
+                      // would hit our own lock file forever.
                       try {
-                        java.nio.file.Files.createLink(
-                          java.nio.file.Paths.get(lockFile.toUri.getPath),
-                          java.nio.file.Paths.get(tomb.toUri.getPath))
-                        java.nio.file.Files.delete(
-                          java.nio.file.Paths.get(tomb.toUri.getPath))
+                        if (!linked) {
+                          java.nio.file.Files.createLink(
+                            java.nio.file.Paths.get(lockFile.toUri.getPath),
+                            java.nio.file.Paths.get(tomb.toUri.getPath))
+                          linked = true
+                        }
+                        java.nio.file.Files.deleteIfExists(
+                          java.nio.file.Paths.get(tomb.toUri.getPath)): Unit
                         true
                       } catch { case _: java.io.IOException => false }
                     } else

@@ -240,11 +240,27 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     true
   }
 
-  /** Step 4: mark the claim's data as visible (idempotent, unconditional). */
+  /** Step 4: mark the claim's data as visible. Idempotent for the claim's
+    * owner — but REFUSES a claim that [[prune]] condemned meanwhile (a
+    * writer that outlived the staleness horizon): an unconditional done
+    * marker for a deleted claim would be an orphan `v{n}.done` that flips
+    * the condemned claim's partially-staged files to "committed" and lets
+    * the zombie's GC delete live data. Two-marker handshake with prune:
+    * prune writes `v{n}.condemned` BEFORE touching the claim's files and
+    * backs off if the done marker already exists; markDone re-checks the
+    * condemned marker AFTER creating the done marker and rolls back —
+    * whichever party's second look observes the other's first mark yields.
+    */
   def markDone(n: Long): Unit = {
     val f = fs
+    def condemned = f.exists(new Path(dir, s"v$n.condemned")) || !f.exists(claimPath(n))
+    def refuse(): Nothing = throw new ConcurrentModificationException(
+      s"claim $n was condemned by prune before markDone — the writer outlived " +
+        "the staleness horizon; its staged files are gone, retry the whole write")
+    if (condemned) refuse()
     val out = f.create(new Path(dir, s"v$n.done"), true)
     out.close()
+    if (condemned) { f.delete(new Path(dir, s"v$n.done"), false): Unit; refuse() }
     cache.get(n).foreach(c => cache.put(n, c.copy(done = true)))
   }
 
@@ -293,7 +309,17 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
       nowMs: Long = System.currentTimeMillis()): Int = {
     refresh(): Unit
     val f = fs
-    val tip = cache.keys.foldLeft(0L)(math.max)
+    var tip = cache.keys.foldLeft(0L)(math.max)
+    // A stale pending claim AT THE TIP would otherwise be un-condemnable
+    // forever on an idle log (the tip is pinned below so cold-start claim
+    // numbering never regresses): move the tip off it with a no-op fence
+    // claim, then condemn it in this same pass.
+    if (cache.get(tip).exists(c => !c.done && nowMs - c.tsMs > staleMs)) {
+      val fence = CommitClaim(tip + 1, Map.empty, Seq.empty, "prune-fence",
+        nowMs, done = false)
+      if (tryClaim(fence)) markDone(fence.n)
+      tip = math.max(refresh(), tip + 1)
+    }
     val removable = cache.values.filter { c =>
       c.n != tip && // keep the tip so refresh() never regresses the chain
         (c.kind match {
@@ -320,19 +346,48 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         })
     }.toSeq
     removable.foreach { c =>
-      if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
-      if (!c.done) deleteTokenFiles(f, c.n)
-      c.streamsRef.foreach(r => f.delete(new Path(dir, r), true): Unit)
-      f.delete(claimPath(c.n), false)
-      f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
-      // keep the cache entry: it still carries the reservation in-memory,
-      // protecting concurrent local writers; fresh processes rely on `heads`.
-      // (the sidecar file is gone, so drop the ref or lookups would fail)
-      cache.put(c.n, c.copy(streamsRef = None)): Unit
+      // Handshake with a possibly-still-ALIVE slow writer (see markDone):
+      // mark the pending claim condemned FIRST, then look for its done
+      // marker — if one appeared, the writer finished after all; back off
+      // and treat it as the committed claim it is. Without this, condemning
+      // a stalled-but-alive rewriter would let its late markDone flip
+      // partially-deleted staged files to "committed".
+      val writerWon = !c.done && {
+        val cond = new Path(dir, s"v${c.n}.condemned")
+        f.create(cond, true).close()
+        if (f.exists(new Path(dir, s"v${c.n}.done"))) {
+          f.delete(cond, false): Unit
+          cache.put(c.n, c.copy(done = true)): Unit
+          true
+        } else false
+      }
+      if (!writerWon) {
+        if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
+        if (!c.done) deleteTokenFiles(f, c.n)
+        c.streamsRef.foreach(r => f.delete(new Path(dir, r), true): Unit)
+        f.delete(claimPath(c.n), false)
+        f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
+        if (!c.done) f.delete(new Path(dir, s"v${c.n}.condemned"), false): Unit
+        // keep the cache entry: it still carries the reservation in-memory,
+        // protecting concurrent local writers; fresh processes rely on
+        // `heads`. (the sidecar file is gone, so drop the ref or lookups
+        // would fail)
+        cache.put(c.n, c.copy(streamsRef = None)): Unit
+      }
     }
     // sweep ORPHAN sidecars: staged for a claim that never won its race (or
     // whose writer died before tryClaim) — unreferenced and past the horizon
     if (f.exists(dir)) {
+      // sweep condemnation markers orphaned by a prune that crashed between
+      // deleting a claim and its marker (harmless meanwhile: markDone
+      // refuses on the missing claim file alone)
+      f.listStatus(dir).foreach { s =>
+        s.getPath.getName match {
+          case ManifestCommitLog.CondemnedRe(n) if !f.exists(claimPath(n.toLong)) =>
+            f.delete(s.getPath, false): Unit
+          case _ =>
+        }
+      }
       val referenced = cache.values.flatMap(_.streamsRef).toSet
       f.listStatus(dir)
         .filter { s =>
@@ -412,6 +467,7 @@ object ManifestCommitLog {
   private val ClaimRe = "v(\\d+)\\.tsv".r
   private val DoneRe = "v(\\d+)\\.done".r
   private[log] val SidecarRe = "r(\\d+)x.*".r
+  private[log] val CondemnedRe = "v(\\d+)\\.condemned".r
 
   /** TSV, ids URL-encoded — no JSON library dependency, trivially greppable:
     * {{{

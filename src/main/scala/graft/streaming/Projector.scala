@@ -95,17 +95,24 @@ class Projector(
         s"projector '$name' was checkpointed with ${m.sequence} partitions; " +
           s"this instance uses $numPartitions — construct it with partitions = ${m.sequence}")
     }
-    // read-only: the entry points (catchup's switch save, live's first-open
-    // pin) write the partition-count metadata row AFTER this check passes —
-    // a load must not be a writer, and writing from here would let two
-    // racing first-opens each pin before seeing the other's check
+    // read-only: the entry points write the partition-count metadata row
+    // AFTER this check passes — a load must not be a writer. NOTE the pin is
+    // best-effort against concurrent FIRST opens: two projectors first-opened
+    // simultaneously with different counts each pass the vacuous check before
+    // either pin lands (the parquet KV has no conditional put). First open is
+    // a deployment event — serialize it; every REopen fails fast here.
     (all - 0, all.contains(0))
   }
 
   /** T1+T2: catchup replay then switch. Returns the switch watermark ULID. */
   def catchup(handle: Dataset[ProjMessage] => Unit,
       nowMs: Long = System.currentTimeMillis()): String = {
-    val (cps, _) = loadChecked()
+    val (cps, pinned) = loadChecked()
+    // pin the partition count BEFORE the (potentially long) replay, not just
+    // in the switch save — a restart mid-catchup must already fail fast on a
+    // mismatched count
+    if (!pinned)
+      checkpoints.save(Seq(Checkpoint(name, 0, "", numPartitions.toLong, done = true)))
     val after = {
       val resumed = cps.values.filterNot(_.done)
       if (cps.isEmpty) ""
@@ -191,6 +198,14 @@ class Projector(
           val flat = (if (drop.isEmpty) b0
             else b0.filter(!col("_1").isin(drop.toSeq: _*)))
             .select(col("_2.*"))
+            // a batch can still carry the SAME event twice under one id: a
+            // lock-mode rewrite (compact/forget) briefly leaves the old file
+            // and its rewritten copy side by side. The watermark filter below
+            // compares every row against the PRE-batch watermark, so equal
+            // ids would all pass — collapse them here (the manifest-mode
+            // replaced-file drop in resolveUncommitted already picked the
+            // rewritten copy; this is the scheme-agnostic backstop)
+            .dropDuplicates(Seq("id"))
           // monotonic dedup + bus-sequence assignment against the driver
           // watermark (numPartitions tiny rows — broadcast): survivors get
           // the per-partition sequence the reference's live consumers carry
@@ -245,8 +260,13 @@ object Projector {
     *  - token file with NO claim on disk → the claim was pruned; committed
     *    data files survive prune (deliver) while a condemned claim's staged
     *    files are deleted by it, so a vanished file means drop. The dedup
-    *    state having advanced past dropped ids is safe: the re-appended
-    *    batch mints strictly higher ULIDs;
+    *    state never advanced past dropped ids (the watermark moves only with
+    *    delivered rows), so the re-appended batch passes whatever its ULIDs;
+    *  - file on a done rewrite claim's `replaced` list → drop: its rewritten
+    *    copy (same ids, possibly scrubbed bodies) is the committed version —
+    *    exactly the batch readers' committedView exclusion, without which a
+    *    fresh projector in the pre-gcReplaced window would deliver both
+    *    copies (and could hand a forgotten body to the handler);
     *  - tokenless file (Lock mode / pre-manifest history) → deliver.
     *
     * Returns the file names whose rows must be dropped from the batch.
@@ -254,8 +274,13 @@ object Projector {
   private[streaming] def resolveUncommitted(log: EventLog, files: Seq[String],
       waitMs: Long): Set[String] = {
     if (log.commitMode != graft.log.CommitMode.Manifest) return Set.empty
+    val replacedBase = log.manifest.claims()
+      .filter(c => c.done && c.kind == graft.log.CommitClaim.KindRewrite)
+      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val replacedDrops = files
+      .filter(f => replacedBase.contains(f.substring(f.lastIndexOf('/') + 1))).toSet
     val tokened = files.collect { case f @ TokenRe(_, n) => f -> n.toLong }
-    if (tokened.isEmpty) return Set.empty
+    if (tokened.isEmpty) return replacedDrops
     val conf = log.spark.sessionState.newHadoopConf()
     val dropped = scala.collection.mutable.Set.empty[String]
     var unresolved = tokened
@@ -280,6 +305,6 @@ object Projector {
         Thread.sleep(100)
       }
     }
-    dropped.toSet
+    dropped.toSet ++ replacedDrops
   }
 }

@@ -183,6 +183,32 @@ class LiveCommitGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a fresh live stream after forget delivers ONE copy — the scrubbed one") {
+    // a done rewrite leaves the replaced file and its c{N}- copy side by side
+    // until gcReplaced (10-min retention): same ids, different bodies. A
+    // fresh projector listing both in one micro-batch must drop the replaced
+    // file's rows (committedView parity) — not deliver both copies, and
+    // never hand the pre-forget body to the handler.
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(47L),
+      commitMode = CommitMode.Manifest)
+    log.append(Seq(AppendRecord("gate5-x", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "Secret"), dep(5)))), nowMs = t0)
+    log.forget("gate5-x", Set("AccountCreated"),
+      b => b.replace("Secret", "[gone]"), identity)
+
+    val buf = ArrayBuffer[ProjMessage]()
+    val proj = new Projector(log, "gate5", tempDir, partitions = 2)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      assert(buf.size == 2, s"each event exactly once, got ${buf.size}")
+      val created = buf.filter(_.kind == "AccountCreated")
+      assert(created.size == 1 && created.head.body.contains("[gone]") &&
+        !created.head.body.contains("Secret"),
+        "the delivered copy must be the scrubbed one")
+    } finally q.stop()
+  }
+
   test("a projector started directly with live() pins its partition count") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
     val statePath = tempDir

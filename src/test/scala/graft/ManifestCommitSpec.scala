@@ -258,20 +258,57 @@ class ManifestCommitSpec extends AnyFunSuite {
     f7.get(120, TimeUnit.SECONDS): Unit
     f8.get(120, TimeUnit.SECONDS): Unit
     pool.shutdown()
-    // whatever the interleaving, the ledger must end at the HIGHEST committed
-    // batch — a zombie's lower batch overwriting it would re-open the dedup
-    // hole once the chain claim is pruned
+    assert(log.streamEvents("lg-b8").count() === 1L)
+    // the commitLedger guard makes an in-order regression impossible, and a
+    // sub-millisecond check/write interleaving is repaired at prune time:
+    // restoreLedger maxes the file against every forgotten claim's mark, so
+    // after the chain claims retire the ledger MUST read the highest batch
+    log.append(Seq(rec("lg-tip", 0))) // move the tip off the batch claims
+    log.manifest.prune(Map("lg-b7" -> 1, "lg-b8" -> 1, "lg-tip" -> 1),
+      staleMs = 0L): Unit
     val lp = new org.apache.hadoop.fs.Path(s"${log.path}/_ingest/LR")
     val lfs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     val in = lfs.open(lp)
     val mark = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     assert(mark === "8", s"ledger must never regress below the max batch (read $mark)")
-    assert(log.streamEvents("lg-b8").count() === 1L)
-    // a fresh redelivery of batch 8 is a no-op even after prune forgets claims
-    log.manifest.prune(Map.empty, staleMs = 0L): Unit
+    // a fresh redelivery of batch 8 is a no-op even with the claims pruned
     assert(log.appendBulk(batchDF("b8"), ledgerId = Some("LR"), batchId = 8L) === 0L)
     assert(log.streamEvents("lg-b8").count() === 1L)
+  }
+
+  test("a stale pending claim AT THE TIP is condemned via a fence claim") {
+    val log = newLog()
+    log.append(Seq(rec("tipc-a", 0)))
+    log.manifest.refresh()
+    // dead writer's claim lands at the tip; the log then goes idle
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map("tipc-x" -> (0, 1)),
+      Seq.empty, "dead-writer", System.currentTimeMillis() - 100000L, done = false)))
+    intercept[ConcurrentModificationException] { log.append(Seq(rec("tipc-x", 0))) }
+    // ONE prune call must clear it — no unrelated append needed to move the tip
+    assert(log.manifest.prune(Map.empty, staleMs = 60000L) >= 1)
+    assert(log.manifest.status(2L).isEmpty, "the dead tip claim must be gone")
+    // the condemned reservation stays a permanent version GAP (the cache
+    // remembers it in-process): appends continue past it
+    log.append(Seq(rec("tipc-x", 1)))
+    assert(log.streamEvents("tipc-x").collect().map(_.getInt(3)).toSeq === Seq(2))
+  }
+
+  test("markDone refuses a claim that prune condemned (slow-but-alive writer)") {
+    val log = newLog()
+    log.append(Seq(rec("slow-a", 0)))
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map("slow-x" -> (0, 1)),
+      Seq.empty, "slow-writer", System.currentTimeMillis() - 100000L, done = false)))
+    log.append(Seq(rec("slow-b", 0))) // move the tip
+    log.manifest.prune(Map.empty, staleMs = 60000L): Unit
+    // the stalled writer wakes up and tries to flip its (condemned) claim
+    intercept[ConcurrentModificationException] { log.manifest.markDone(2L) }
+    val conf = spark.sessionState.newHadoopConf()
+    val done = new org.apache.hadoop.fs.Path(
+      s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}/v2.done")
+    assert(!done.getFileSystem(conf).exists(done),
+      "no orphan done marker may survive the refused flip")
   }
 
   test("orphan sidecar sweep ages by creation time in the name, not dir mtime") {
