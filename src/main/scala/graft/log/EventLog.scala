@@ -527,12 +527,16 @@ class EventLog(
           .groupBy(col("aggregate_id"))
           .agg(max(col("aggregate_version")).as("head"))
           .select(col("aggregate_id"), lit(0).as("base"), col("head"))
-          .localCheckpoint()
-        val streamCount = headsDF.count()
-        val useSidecar = streamCount > ManifestCommitLog.inlineClaimMaxStreams
+        // bounded decision probe: collect at most inlineMax+1 heads — the
+        // common (inline) import pays ONE job and no checkpoint; only a
+        // sidecar-scale import re-evaluates the aggregation for the parquet
+        // write, over the already-checkpointed `imported`, so the recompute
+        // is one in-memory pass
+        val probe = headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect()
+        val useSidecar = probe.length > ManifestCommitLog.inlineClaimMaxStreams
         val inlineStreams =
           if (useSidecar) Map.empty[String, (Int, Int)]
-          else headsDF.collect().map(r => r.getString(0) -> (0, r.getInt(2))).toMap
+          else probe.map(r => r.getString(0) -> (0, r.getInt(2))).toMap
         val sidecar =
           if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
         var attempts = 0
