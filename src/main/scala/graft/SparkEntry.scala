@@ -465,6 +465,42 @@ object SparkEntry {
         graft.functions.ulid_millis(col("id")).as("t_ms"))
     }),
 
+    // ── W8: the same bulk roundtrip through MANIFEST commit with the inline
+    //    threshold forced below the stream count, so the reservations ride a
+    //    parquet SIDECAR claim (round-7 mechanism) and the read-back goes
+    //    through the committed view — the oracle proves the claim machinery
+    //    is invisible to query results.
+    "w8_sidecar_roundtrip" -> ((s, dir) => {
+      val tmp = tempLogDir("graftw8")
+      val prev = sys.props.get("graft.bulkClaim.inlineMax")
+      sys.props("graft.bulkClaim.inlineMax") = "8"
+      try {
+        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+          ulidSeed = Some(78L), commitMode = graft.log.CommitMode.Manifest)
+        log.bulkImport(
+          t(s, dir, "events").select(
+            concat(lit("u"), col("user_id")).as("aggregate_id"),
+            lit("User").as("aggregate_kind"),
+            col("event_type").as("kind"),
+            col("props").as("body"),
+            col("event_id").as("seq"),
+            unix_millis(col("ts")).as("tms")),
+          seqCol = "seq", timeCol = Some("tms"))
+        require(log.manifest.claims().exists(_.streamsRef.isDefined),
+          "w8 must exercise the sidecar claim path")
+        log.activeEvents.select(
+          col("aggregate_id"),
+          col("aggregate_version").cast("long").as("aggregate_version"),
+          col("kind"),
+          graft.functions.ulid_millis(col("id")).as("t_ms"))
+      } finally {
+        prev match {
+          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
+          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
+        }
+      }
+    }),
+
     // ── M5: retention keeps folds reproducible, oracle-checked: import the
     //    events table, snapshot every stream's state as of Jan 15, prune
     //    everything older AND covered (pruneSnapshotted), rebuild state as
@@ -1204,6 +1240,13 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     "w7_bulk_roundtrip" ->
+      """SELECT 'u' || user_id AS aggregate_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
+        |       event_type AS kind,
+        |       epoch_ms(ts) AS t_ms
+        |FROM events""".stripMargin,
+
+    "w8_sidecar_roundtrip" ->
       """SELECT 'u' || user_id AS aggregate_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
         |       event_type AS kind,

@@ -60,7 +60,13 @@ class Projector(
     untilOffsetMs: Long = 60000L,
     // how long a live micro-batch waits for an in-flight commit's done-flip
     // before failing loudly (manifest mode; see Projector.resolveUncommitted)
-    claimWaitMs: Long = 600000L) {
+    claimWaitMs: Long = 600000L,
+    // every N live micro-batches, fold the append-only checkpoint table back
+    // to one row per partition (reader-safe two-phase compact; the projector
+    // IS the single writer, so this is the sanctioned call site). 0 = never.
+    // Without it a long-running projector accretes one tiny parquet file per
+    // micro-batch forever.
+    compactEvery: Int = 256) {
 
   /** Effective dedup/checkpoint parallelism (−1 = follow the log's buckets). */
   val numPartitions: Int = if (partitions > 0) partitions else log.numBuckets
@@ -185,6 +191,8 @@ class Projector(
     val projName = name
     val theLog = log
     val waitMs = claimWaitMs
+    val compactN = compactEvery
+    var batchesSinceCompact = 0
     val writer0 = shapedLive.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$statePath/stream_checkpoint")
@@ -237,6 +245,11 @@ class Projector(
             // replacements (whatever their ULIDs) still pass the gate
             tokens.foreach(t =>
               watermarks.put(t.partition, (t.event_id, t.sequence)): Unit)
+            batchesSinceCompact += 1
+            if (compactN > 0 && batchesSinceCompact >= compactN) {
+              batchesSinceCompact = 0
+              cpStore.compact()
+            }
           } finally { b.unpersist(); () }
         } finally { b0.unpersist(); () }
       }

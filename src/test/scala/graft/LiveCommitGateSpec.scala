@@ -209,6 +209,41 @@ class LiveCommitGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live auto-compacts its checkpoint table without losing resume state") {
+    val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(53L))
+    val statePath = tempDir
+    val buf = ArrayBuffer[ProjMessage]()
+    val p1 = new Projector(log, "gatec", statePath, partitions = 2, compactEvery = 1)
+    val q1 = p1.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      log.append(Seq(AppendRecord("gatec-a", "Account", 0, Map.empty,
+        Seq(AccountType.created(1, "A"), dep(2)))), nowMs = t0)
+      q1.processAllAvailable()
+      log.append(Seq(AppendRecord("gatec-a", "Account", 2, Map.empty,
+        Seq(dep(3)))), nowMs = t0 + 60000L)
+      q1.processAllAvailable()
+      assert(buf.size == 3)
+    } finally q1.stop()
+
+    // restart WITHOUT the engine stream checkpoint: resume rides entirely on
+    // the (now compacted) checkpoint table watermarks — nothing redelivers
+    val conf = spark.sessionState.newHadoopConf()
+    val sc = new org.apache.hadoop.fs.Path(s"$statePath/stream_checkpoint")
+    sc.getFileSystem(conf).delete(sc, true): Unit
+    val buf2 = ArrayBuffer[ProjMessage]()
+    val p2 = new Projector(log, "gatec", statePath, partitions = 2, compactEvery = 1)
+    val q2 = p2.live(ds => buf2.synchronized { buf2 ++= ds.collect(); () })
+    try {
+      q2.processAllAvailable()
+      assert(buf2.isEmpty, s"compacted watermarks must suppress redelivery, got $buf2")
+      log.append(Seq(AppendRecord("gatec-a", "Account", 3, Map.empty,
+        Seq(dep(4)))), nowMs = t0 + 120000L)
+      q2.processAllAvailable()
+      assert(buf2.map(_.kind).toSeq == Seq("MoneyDeposited") && buf2.head.sequence == 4L,
+        "only the new event arrives, with the sequence continuing past the compacted tokens")
+    } finally q2.stop()
+  }
+
   test("a projector started directly with live() pins its partition count") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
     val statePath = tempDir

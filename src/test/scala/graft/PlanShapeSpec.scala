@@ -111,7 +111,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // rebucket side effects run eagerly before the returned plan); m5's
       // returned plan is the snapshot ⊕ tail stitch: tail semi-prune join,
       // per-stream aggs, and the full-outer stitch of two stream-keyed frames
-      "w7_bulk_roundtrip" -> 0, "m5_retention_stitch" -> 3,
+      "w7_bulk_roundtrip" -> 0, "w8_sidecar_roundtrip" -> 0,
+      "m5_retention_stitch" -> 3,
       // x1: sketch agg (1) + two split exact-distinct twins (2 each: the
       // distinct and its per-type recount) — split on purpose, a fused
       // multi-distinct Expand tripled the scan and measured 6× slower
