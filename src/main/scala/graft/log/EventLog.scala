@@ -188,8 +188,7 @@ class EventLog(
     // is the dominant commit-path cost, and claims() would repeat it
     val claims = if (refreshed) manifest.cachedClaims() else manifest.claims()
     val pending = claims.filterNot(_.done).map(c => s"c${c.n}")
-    val replaced = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
-      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1))
+    val replaced = manifest.replacedBasenames().toSeq
     var out = df
     if (pending.nonEmpty)
       out = out.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
@@ -1030,8 +1029,7 @@ class EventLog(
     // input rules as rewriteBucketManifest, across the affected bucket set
     def liveFiles(tablePath: String): Seq[String] = {
       val claims = manifest.cachedClaims()
-      val staleNames = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
-        .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      val staleNames = manifest.replacedBasenames()
       val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
       buckets.flatMap { b =>
         val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$b")
@@ -1568,9 +1566,8 @@ class EventLog(
     // rewrite only LIVE files: skip files a previous (not-yet-GCed) rewrite
     // already replaced — copying them back in would resurrect stale rows —
     // and skip pending claims' files, which are not yet committed
-    val claims = { manifest.refresh(): Unit; manifest.claims() }
-    val staleNames = claims.filter(c => c.done && c.kind == CommitClaim.KindRewrite)
-      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val claims = manifest.claims()
+    val staleNames = manifest.replacedBasenames()
     val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
     val inputs = hfs.listStatus(bdir)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -1800,9 +1797,22 @@ object EventLog {
                       catch { case _: java.io.IOException => false }
                   if (!restored) Thread.sleep(20)
                 }
-                if (!restored) throw new IllegalStateException(
-                  s"stale-break race: could not hand back fresh lock $lockFile; " +
-                    s"holder's lock is at $tomb — manual cleanup required")
+                if (!restored) {
+                  if (linked)
+                    // the link DID restore the holder's lock — the tomb is
+                    // just a redundant hard-link name for the same inode
+                    // that kept resisting deletion. Not a lock-safety
+                    // problem: nothing ever treats a `.stale.*` tombstone
+                    // as a lock. Leave it for a later sweep, don't tell an
+                    // operator to "restore" it over a live lock.
+                    System.err.println(
+                      s"[graft] stale-break: lock $lockFile handed back via " +
+                        s"link, but the tombstone $tomb could not be deleted " +
+                        "— harmless leftover, safe to delete manually")
+                  else throw new IllegalStateException(
+                    s"stale-break race: could not hand back fresh lock $lockFile; " +
+                      s"holder's lock is at $tomb — manual cleanup required")
+                }
               }
             }
           } else if (System.currentTimeMillis() > deadline) {

@@ -84,6 +84,7 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
 
   // claims are immutable once created — cache by number; `done` can flip once
   private val cache = TrieMap.empty[Long, CommitClaim]
+  @volatile private var lastRefreshNanos = 0L
 
   /** List the chain, load any claims not yet cached, return the tip (0 when
     * the chain is empty). One LIST per refresh — the object-store cost of a
@@ -91,6 +92,7 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     */
   def refresh(): Long = {
     val f = fs
+    lastRefreshNanos = System.nanoTime()
     if (!f.exists(dir)) return cache.keys.foldLeft(0L)(math.max)
     val statuses = f.listStatus(dir)
     val doneSet = statuses.iterator.map(_.getPath.getName)
@@ -196,29 +198,24 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     cache.values.flatMap(_.streamsRef).toSeq.distinct
       .map(n => new Path(dir, n).toString)
 
-  /** Step 3: conditional create of claim `n`. False = lost the race.
-    *
-    * The content is fully written to a writer-private temp file first and
-    * the CLAIM is the atomic rename onto `v{n}.tsv` (rename-to-existing
-    * returns false on HDFS and POSIX) — so no reader can ever observe a
-    * half-written claim and under-count its reservations. On an object
-    * store the conditional PUT uploads the full body atomically, which is
-    * the same guarantee.
+  /** Atomic create-if-absent WITH full content — the chain's one consensus
+    * primitive, used for claims and for the per-claim fate file. Local
+    * filesystems get a hard link (POSIX link(2) fails EEXIST — note plain
+    * rename(2) OVERWRITES an existing destination, so rename is NOT a valid
+    * primitive here); HDFS gets rename, which is atomic and refuses existing
+    * destinations; object stores swap this for a conditional PUT
+    * (`If-None-Match: *`), which uploads the body atomically. The content is
+    * fully written to a writer-private temp file first, so no reader can
+    * ever observe a half-written file. False = the path already existed
+    * (someone else won).
     */
-  def tryClaim(claim: CommitClaim): Boolean = {
+  private def atomicCreate(p: Path, content: String): Boolean = {
     val f = fs
     if (!f.exists(dir)) f.mkdirs(dir)
-    val p = claimPath(claim.n)
     if (f.exists(p)) return false // cheap pre-check before writing the temp
-    val tmp = new Path(dir, s".v${claim.n}.tmp.${java.util.UUID.randomUUID()}")
+    val tmp = new Path(dir, s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(render(claim).getBytes("UTF-8")) finally out.close()
-    // The claim must be atomic-exclusive WITH full content. Local
-    // filesystems get a hard link (POSIX link(2) fails EEXIST — note plain
-    // rename(2) OVERWRITES an existing destination, so rename is NOT a
-    // valid claim primitive here); HDFS gets rename, which is atomic and
-    // refuses existing destinations; object stores swap this for a
-    // conditional PUT, which uploads the body atomically.
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val won =
       if (f.getScheme == "file") {
         try {
@@ -235,9 +232,24 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         catch { case _: java.io.IOException => false }
       }
     f.delete(tmp, false): Unit // raw link target cleaned up either way
-    if (!won) return false
+    won
+  }
+
+  /** Step 3: conditional create of claim `n`. False = lost the race. */
+  def tryClaim(claim: CommitClaim): Boolean = {
+    if (!atomicCreate(claimPath(claim.n), render(claim))) return false
     cache.put(claim.n, claim)
     true
+  }
+
+  /** The fate file's content (`done` | `condemned`), None when absent. */
+  private def readFate(n: Long): Option[String] = {
+    val f = fs
+    try {
+      val in = f.open(fatePath(n))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Step 4: mark the claim's data as visible. Idempotent for the claim's
@@ -245,23 +257,42 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     * writer that outlived the staleness horizon): an unconditional done
     * marker for a deleted claim would be an orphan `v{n}.done` that flips
     * the condemned claim's partially-staged files to "committed" and lets
-    * the zombie's GC delete live data. Two-marker handshake with prune:
-    * prune writes `v{n}.condemned` BEFORE touching the claim's files and
-    * backs off if the done marker already exists; markDone re-checks the
-    * condemned marker AFTER creating the done marker and rolls back —
-    * whichever party's second look observes the other's first mark yields.
+    * the zombie's GC delete live data.
+    *
+    * Consensus with prune is ONE atomic create-if-absent of `v{n}.fate`:
+    * the writer races to create it with content `done`, prune with
+    * `condemned` — the single winner decides the claim's fate and the loser
+    * reads the content and yields. (A previous design used two separate
+    * marker files with mutual second looks; an interleaving existed where
+    * BOTH parties observed the other's first mark and both yielded — the
+    * writer rolling back a done marker prune had already trusted, poisoning
+    * prune's cache into done=true for a claim still pending on disk, whose
+    * next prune then forgot the claim WITHOUT deleting its staged files.)
+    * The listing-visible `v{n}.done` marker is DERIVED from a won fate —
+    * created only when the fate file says done — so it can never be rolled
+    * back once observed.
     */
   def markDone(n: Long): Unit = {
     val f = fs
-    def condemned = f.exists(new Path(dir, s"v$n.condemned")) || !f.exists(claimPath(n))
     def refuse(): Nothing = throw new ConcurrentModificationException(
       s"claim $n was condemned by prune before markDone — the writer outlived " +
         "the staleness horizon; its staged files are gone, retry the whole write")
-    if (condemned) refuse()
-    val out = f.create(new Path(dir, s"v$n.done"), true)
-    out.close()
-    if (condemned) { f.delete(new Path(dir, s"v$n.done"), false): Unit; refuse() }
-    cache.get(n).foreach(c => cache.put(n, c.copy(done = true)))
+    if (!f.exists(claimPath(n))) refuse() // pruned long ago
+    def flip(): Unit = {
+      f.create(donePath(n), true).close()
+      cache.get(n).foreach(c => cache.put(n, c.copy(done = true)))
+    }
+    if (atomicCreate(fatePath(n), "done")) {
+      // prune deletes the claim file BEFORE the fate file, so winning the
+      // fate race against an already-cleaned claim is possible — re-check
+      // and retract. Nothing can have trusted the retracted fate: status()
+      // ignores a fate whose claim file is gone.
+      if (!f.exists(claimPath(n))) { f.delete(fatePath(n), false): Unit; refuse() }
+      flip()
+    } else readFate(n) match {
+      case Some("done") => flip() // idempotent re-call, or healing a crashed twin
+      case _ => refuse() // condemned (or condemned-and-swept mid-read)
+    }
   }
 
   /** The chain, oldest first (for inspection and tests). */
@@ -269,6 +300,29 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     refresh(): Unit
     cachedClaims()
   }
+
+  /** Like [[claims]], but reuses the cached chain when the last LIST is
+    * younger than `maxAgeMs` — for per-micro-batch callers whose staleness
+    * tolerance is explicit (the live gate re-checks disk truth per claim
+    * via [[status]] regardless).
+    */
+  def claims(maxAgeMs: Long): Seq[CommitClaim] = {
+    val fresh = lastRefreshNanos != 0L &&
+      (System.nanoTime() - lastRefreshNanos) / 1000000L <= maxAgeMs
+    if (!fresh) refresh(): Unit
+    cachedClaims()
+  }
+
+  /** Basenames of every file superseded by a completed rewrite — THE
+    * committed-read exclusion, shared by the batch readers
+    * ([[graft.log.EventLog]]'s committedView) and the live projector gate
+    * so the two can never drift. Pure cache read; callers pick the refresh
+    * policy ([[refresh]]/[[claims]]) first. Basenames suffice: part-file
+    * names carry task UUIDs, never reused.
+    */
+  def replacedBasenames(): Set[String] = cache.values
+    .filter(c => c.done && c.kind == CommitClaim.KindRewrite)
+    .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
 
   /** The cached chain WITHOUT a fresh LIST — what the latest [[refresh]]
     * observed (plus pruned-but-remembered entries). For retry loops that
@@ -285,9 +339,17 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     */
   def status(n: Long): Option[Boolean] = {
     val f = fs
-    if (f.exists(new Path(dir, s"v$n.done"))) Some(true)
-    else if (f.exists(claimPath(n))) Some(false)
-    else None
+    if (f.exists(donePath(n))) Some(true)
+    else if (f.exists(claimPath(n))) {
+      // fate says done but the marker is missing: the writer won the fate
+      // race and crashed in the instant before deriving the marker — heal
+      // it (idempotent; a won fate is final). Gated on the claim file
+      // existing so a retracted fate (markDone's losing window against an
+      // already-cleaned claim) is never trusted.
+      if (readFate(n).contains("done")) {
+        f.create(donePath(n), true).close(); Some(true)
+      } else Some(false)
+    } else None
   }
 
   /** Drop chain entries whose reservations are fully reflected in `heads`
@@ -346,28 +408,36 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         })
     }.toSeq
     removable.foreach { c =>
-      // Handshake with a possibly-still-ALIVE slow writer (see markDone):
-      // mark the pending claim condemned FIRST, then look for its done
-      // marker — if one appeared, the writer finished after all; back off
-      // and treat it as the committed claim it is. Without this, condemning
-      // a stalled-but-alive rewriter would let its late markDone flip
-      // partially-deleted staged files to "committed".
+      // Handshake with a possibly-still-ALIVE slow writer: race for the
+      // claim's single fate file (see markDone). Winning it condemns the
+      // claim irrevocably; losing it means the writer committed after all —
+      // back off and treat the claim as the committed claim it is (deriving
+      // the done marker the writer may not have written yet). Exactly one
+      // party ever wins, so a late markDone can never flip a claim this
+      // pass cleans, and this pass can never cache done=true for a claim
+      // the writer is about to roll back.
       val writerWon = !c.done && {
-        val cond = new Path(dir, s"v${c.n}.condemned")
-        f.create(cond, true).close()
-        if (f.exists(new Path(dir, s"v${c.n}.done"))) {
-          f.delete(cond, false): Unit
-          cache.put(c.n, c.copy(done = true)): Unit
-          true
-        } else false
+        if (atomicCreate(fatePath(c.n), "condemned")) false
+        else readFate(c.n) match {
+          case Some("done") =>
+            f.create(donePath(c.n), true).close()
+            cache.put(c.n, c.copy(done = true)): Unit
+            true
+          case _ => false // a crashed prior prune's "condemned": finish its job
+        }
       }
       if (!writerWon) {
         if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
         if (!c.done) deleteTokenFiles(f, c.n)
         c.streamsRef.foreach(r => f.delete(new Path(dir, r), true): Unit)
+        // deletion order carries the protocol: the CLAIM file goes first
+        // (markDone refuses on a missing claim; until then the condemned
+        // fate blocks it), the fate file goes LAST — so no window exists in
+        // which a late markDone could win a fresh fate on a half-cleaned
+        // claim whose file deletions are still in flight.
         f.delete(claimPath(c.n), false)
-        f.delete(new Path(dir, s"v${c.n}.done"), false): Unit
-        if (!c.done) f.delete(new Path(dir, s"v${c.n}.condemned"), false): Unit
+        f.delete(donePath(c.n), false): Unit
+        f.delete(fatePath(c.n), false): Unit
         // keep the cache entry: it still carries the reservation in-memory,
         // protecting concurrent local writers; fresh processes rely on
         // `heads`. (the sidecar file is gone, so drop the ref or lookups
@@ -375,24 +445,26 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         cache.put(c.n, c.copy(streamsRef = None)): Unit
       }
     }
-    // sweep ORPHAN sidecars: staged for a claim that never won its race (or
-    // whose writer died before tryClaim) — unreferenced and past the horizon
+    // ONE listing serves both sweeps (a LIST is the dominant object-store
+    // cost): orphan markers — fate/done files whose claim a crashed prune
+    // deleted first (harmless meanwhile: markDone refuses on the missing
+    // claim alone; status() ignores a claimless fate) — and orphan sidecars,
+    // staged for a claim that never won its race (or whose writer died
+    // before tryClaim), unreferenced and past the horizon.
     if (f.exists(dir)) {
-      // sweep condemnation markers orphaned by a prune that crashed between
-      // deleting a claim and its marker (harmless meanwhile: markDone
-      // refuses on the missing claim file alone)
-      f.listStatus(dir).foreach { s =>
-        s.getPath.getName match {
-          case ManifestCommitLog.CondemnedRe(n) if !f.exists(claimPath(n.toLong)) =>
-            f.delete(s.getPath, false): Unit
-          case _ =>
-        }
-      }
+      val statuses = f.listStatus(dir)
+      val claimNames = statuses.iterator.map(_.getPath.getName)
+        .collect { case nm @ ManifestCommitLog.ClaimRe(_) => nm }.toSet
+      def claimMissing(n: String) = !claimNames.contains(s"v$n.tsv")
       val referenced = cache.values.flatMap(_.streamsRef).toSet
-      f.listStatus(dir)
-        .filter { s =>
-          val nm = s.getPath.getName
-          nm.startsWith("r") && s.isDirectory && !referenced.contains(nm) && {
+      statuses.foreach { s =>
+        s.getPath.getName match {
+          case ManifestCommitLog.FateRe(n) if claimMissing(n) =>
+            f.delete(s.getPath, false): Unit
+          case ManifestCommitLog.DoneRe(n) if claimMissing(n) =>
+            f.delete(s.getPath, false): Unit
+          case nm if nm.startsWith("r") && s.isDirectory &&
+              !referenced.contains(nm) => {
             // age from the CREATION TIME embedded in the name — object
             // stores don't maintain directory mtimes, and a synthetic mtime
             // of 0 would condemn an in-flight import's just-written sidecar
@@ -400,10 +472,11 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
               case ManifestCommitLog.SidecarRe(ts) => ts.toLong
               case _ => s.getModificationTime
             }
-            nowMs - born > staleMs
+            if (nowMs - born > staleMs) f.delete(s.getPath, true): Unit
           }
+          case _ =>
         }
-        .foreach(s => f.delete(s.getPath, true): Unit)
+      }
     }
     removable.size
   }
@@ -446,6 +519,8 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     }
 
   private def claimPath(n: Long) = new Path(dir, s"v$n.tsv")
+  private def donePath(n: Long) = new Path(dir, s"v$n.done")
+  private def fatePath(n: Long) = new Path(dir, s"v$n.fate")
 
   private def readClaim(f: FileSystem, n: Long, done: Boolean): CommitClaim = {
     val in = f.open(claimPath(n))
@@ -466,8 +541,8 @@ object ManifestCommitLog {
     sys.props.get("graft.bulkClaim.inlineMax").flatMap(_.toIntOption).getOrElse(10000)
   private val ClaimRe = "v(\\d+)\\.tsv".r
   private val DoneRe = "v(\\d+)\\.done".r
+  private val FateRe = "v(\\d+)\\.fate".r
   private[log] val SidecarRe = "r(\\d+)x.*".r
-  private[log] val CondemnedRe = "v(\\d+)\\.condemned".r
 
   /** TSV, ids URL-encoded — no JSON library dependency, trivially greppable:
     * {{{

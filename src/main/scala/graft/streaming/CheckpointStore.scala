@@ -45,12 +45,18 @@ class CheckpointStore(spark: SparkSession, path: String) {
 
   /** Drop superseded token rows (the table is append-only; only the latest
     * row per (projection, partition) is ever read). Same two-phase shape as
-    * [[ReadModel.compact]]: re-append the latest rows under a fresh
-    * `saved_at` stamp (supersedes without deleting — concurrent loads keep
-    * resolving from either listing), then delete superseded files only past
-    * the retention horizon. Writer scope: the owning projector, between
-    * batches; an in-place Overwrite would race concurrent `load`s on any
-    * store without atomic directory replacement.
+    * [[ReadModel.compact]]: re-append the latest rows, then delete
+    * superseded files only past the retention horizon (concurrent loads
+    * keep resolving from either listing). The re-appended rows keep their
+    * ORIGINAL `saved_at` stamps, which makes compaction order-NEUTRAL: it
+    * can never promote a stale snapshot over a row a rival writer (zombie
+    * instance racing its failover replacement) saved after the snapshot was
+    * listed — a fresh stamp would sort the stale copy on top and regress
+    * the dedup watermark into redelivery. Equal-stamp duplicates from a
+    * load that lists both copies are content-identical, so latest-wins may
+    * pick either. Writer scope: the owning projector, between batches; an
+    * in-place Overwrite would race concurrent `load`s on any store without
+    * atomic directory replacement.
     */
   def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -63,12 +69,9 @@ class CheckpointStore(spark: SparkSession, path: String) {
       .orderBy(col("saved_at").desc)
     val latest = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "saved_at")
+      .filter(col("rn") === 1).drop("rn")
       .localCheckpoint()
-    latest
-      .withColumn("saved_at", concat(lit(gen.next()), lit("-"),
-        monotonically_increasing_id()))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    latest.coalesce(1).write.mode(SaveMode.Append).parquet(path)
     val horizon = System.currentTimeMillis() - gcRetentionMs
     snapshot.filter(_.getModificationTime < horizon)
       .foreach(s => fs.delete(s.getPath, false): Unit)

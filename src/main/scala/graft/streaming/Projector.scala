@@ -201,19 +201,33 @@ class Projector(
       .foreachBatch { (batch: Dataset[(String, ProjMessage)], _: Long) =>
         val b0 = batch.persist()
         try {
-          val files = b0.select(col("_1")).distinct().as[String].collect()
+          val files = b0.select(col("_1")).distinct().as[String].collect().toSeq
           val drop = Projector.resolveUncommitted(theLog, files, waitMs)
+          // a batch can still carry the SAME event twice under one id: a
+          // lock-mode rewrite (compact/forget/migrate) briefly leaves the
+          // old file and its rewritten copy side by side, then the
+          // overwrite deletes the old file. The watermark filter below
+          // compares every row against the PRE-batch watermark, so equal
+          // ids would all pass — and an arbitrary pick (dropDuplicates)
+          // could hand the PRE-forget body to the handler. Instead:
+          // newest-EXISTING-file wins. Rows whose source file is already
+          // gone are superseded outright — their surviving ids arrive via
+          // the successor file (this batch or a later one; the watermark
+          // only advances on delivered rows, so nothing is lost) — and
+          // among coexisting copies the youngest file is the committed one.
+          val meta = Projector.fileMeta(theLog,
+            files.filterNot(drop.contains).toSeq)
+          val metaDF = meta.toDF("_1", "__live", "__mtime")
+          val wDup = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_2.id"))
+            .orderBy(col("__mtime").desc, col("_1").desc)
           val flat = (if (drop.isEmpty) b0
             else b0.filter(!col("_1").isin(drop.toSeq: _*)))
+            .join(broadcast(metaDF), Seq("_1"), "left")
+            .filter(col("__live"))
+            .withColumn("__rk", row_number().over(wDup))
+            .filter(col("__rk") === 1)
             .select(col("_2.*"))
-            // a batch can still carry the SAME event twice under one id: a
-            // lock-mode rewrite (compact/forget) briefly leaves the old file
-            // and its rewritten copy side by side. The watermark filter below
-            // compares every row against the PRE-batch watermark, so equal
-            // ids would all pass — collapse them here (the manifest-mode
-            // replaced-file drop in resolveUncommitted already picked the
-            // rewritten copy; this is the scheme-agnostic backstop)
-            .dropDuplicates(Seq("id"))
           // monotonic dedup + bus-sequence assignment against the driver
           // watermark (numPartitions tiny rows — broadcast): survivors get
           // the per-partition sequence the reference's live consumers carry
@@ -260,6 +274,22 @@ class Projector(
 object Projector {
   private val TokenRe = ".*/(c(\\d+))-[^/]*$".r
 
+  /** Driver-side existence + mtime snapshot for a micro-batch's source
+    * files (batch-sized, bounded by the source's maxFilesPerTrigger). Lock
+    * mode runs on local/HDFS schemes where mtimes are real; manifest mode
+    * has its own claim-based resolution and uses this only as a backstop.
+    */
+  private[streaming] def fileMeta(log: EventLog,
+      files: Seq[String]): Seq[(String, Boolean, Long)] = {
+    val conf = log.spark.sessionState.newHadoopConf()
+    files.map { fpath =>
+      val hp = new org.apache.hadoop.fs.Path(fpath)
+      val st = try Some(hp.getFileSystem(conf).getFileStatus(hp))
+        catch { case _: java.io.FileNotFoundException => None }
+      (fpath, st.isDefined, st.map(_.getModificationTime).getOrElse(0L))
+    }
+  }
+
   /** Read-committed gate for the live file stream (manifest mode): decide,
     * per source FILE of a micro-batch, whether its rows may be delivered.
     *
@@ -286,14 +316,9 @@ object Projector {
     */
   private[streaming] def resolveUncommitted(log: EventLog, files: Seq[String],
       waitMs: Long): Set[String] = {
-    if (log.commitMode != graft.log.CommitMode.Manifest) return Set.empty
-    val replacedBase = log.manifest.claims()
-      .filter(c => c.done && c.kind == graft.log.CommitClaim.KindRewrite)
-      .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
-    val replacedDrops = files
-      .filter(f => replacedBase.contains(f.substring(f.lastIndexOf('/') + 1))).toSet
+    if (log.commitMode != graft.log.CommitMode.Manifest || files.isEmpty)
+      return Set.empty
     val tokened = files.collect { case f @ TokenRe(_, n) => f -> n.toLong }
-    if (tokened.isEmpty) return replacedDrops
     val conf = log.spark.sessionState.newHadoopConf()
     val dropped = scala.collection.mutable.Set.empty[String]
     var unresolved = tokened
@@ -318,6 +343,19 @@ object Projector {
         Thread.sleep(100)
       }
     }
-    dropped.toSet ++ replacedDrops
+    // Replaced-file exclusion AFTER the poll: a rewrite that flipped done
+    // while this batch waited must drop its old files in this same batch
+    // (same ids, possibly scrubbed bodies — the replaced set taken at entry
+    // would miss it). The exclusion itself is shared with the batch
+    // readers' committedView (manifest.replacedBasenames) so the two can
+    // never drift. Refresh policy: a batch that carried tokens forces a
+    // fresh LIST (a claim just resolved); tokenless batches tolerate a 1 s
+    // cached chain — ordinary micro-batches of settled files then cost no
+    // manifest IO at all, and the newest-existing-file dedup in live()
+    // backstops the sliver.
+    log.manifest.claims(if (tokened.nonEmpty) 0L else 1000L): Unit
+    val replacedBase = log.manifest.replacedBasenames()
+    dropped.toSet ++ files.filter(f =>
+      replacedBase.contains(f.substring(f.lastIndexOf('/') + 1)))
   }
 }

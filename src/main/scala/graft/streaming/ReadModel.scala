@@ -53,20 +53,23 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     *
     * Object-store-safe two-phase shape, mirroring the log's
     * compact-then-[[graft.log.EventLog.gcReplaced]]: the latest row per key
-    * is RE-APPENDED under a fresh (strictly higher) `__rm_version` stamp,
-    * which supersedes every pre-existing file without touching it — a
+    * is RE-APPENDED keeping its ORIGINAL `__rm_version` stamp — a
     * concurrent reader that listed the directory before the append still
-    * resolves every key from the old files, and one that lists after sees
-    * both copies and latest-wins dedup returns the new one. Superseded files
-    * are only deleted once older than `gcRetentionMs` (in-flight readers
-    * have drained by then); younger leftovers are swept by the next compact.
-    * An in-place Overwrite would instead open a read-after-delete window on
-    * any store where directory replacement is not atomic (S3/HDFS).
+    * resolves every key from the old files; one that lists after sees both
+    * copies, which are content-identical under latest-wins. Preserving the
+    * stamp makes compaction order-NEUTRAL: it can never promote a stale
+    * snapshot over a `merge` a rival writer landed after the snapshot was
+    * listed (a fresh stamp would sort the stale copy on top and silently
+    * roll the key back). Superseded files are only deleted once older than
+    * `gcRetentionMs` (in-flight readers have drained by then); younger
+    * leftovers are swept by the next compact. An in-place Overwrite would
+    * instead open a read-after-delete window on any store where directory
+    * replacement is not atomic (S3/HDFS).
     *
-    * Writer scope: single owner. `merge` during the snapshot-to-append gap
-    * could stamp below the compaction stamp and lose its update — the owning
-    * projector calls compact between its own batches (the reference's
-    * projection owns its read model the same way).
+    * Writer scope: single owner (the owning projector, between its own
+    * batches — the reference's projection owns its read model the same
+    * way); stamp preservation de-fangs the races a violated scope used to
+    * open.
     */
   def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -80,14 +83,10 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
       spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .drop("__rn", "__rm_version")
+        .drop("__rn")
         .localCheckpoint()
     }
-    val stamp = gen.next()
-    latest
-      .withColumn("__rm_version",
-        concat(lit(stamp), lit("-"), monotonically_increasing_id()))
-      .write.mode(SaveMode.Append).parquet(path)
+    latest.write.mode(SaveMode.Append).parquet(path)
     val horizon = System.currentTimeMillis() - gcRetentionMs
     snapshot.filter(_.getModificationTime < horizon)
       .foreach(s => fs.delete(s.getPath, false): Unit)

@@ -244,6 +244,48 @@ class LiveCommitGateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("equal-id copies in one batch: the NEWEST existing file's body wins") {
+    // A lock-mode rewrite (forget/compact) briefly leaves the old file and
+    // its rewritten copy side by side; both land in one micro-batch with
+    // the same ids but different bodies (the rewrite may have scrubbed
+    // them). An arbitrary pick could hand the pre-forget body to the
+    // handler — the gate must deterministically deliver the youngest
+    // file's copy.
+    val log = new EventLog(spark, tempDir, numBuckets = 2, ulidSeed = Some(61L))
+    log.append(Seq(AppendRecord("nf-a", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "secret")))), nowMs = t0)
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.Path
+    val events = new Path(s"${log.path}/events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    // craft the "rewritten copy": same id, scrubbed body, younger mtime
+    val scrubDir = s"$tempDir/scrub"
+    spark.read.parquet(orig.toString)
+      .withColumn("body", org.apache.spark.sql.functions.lit("""{"gone":true}"""))
+      .coalesce(1).write.parquet(scrubDir)
+    val scrubPart = fs.listStatus(new Path(scrubDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val copy = new Path(orig.getParent, s"zz-${scrubPart.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, scrubPart, fs, copy, false, conf): Unit
+    // make the ordering unambiguous: old file 10 s older than the copy
+    val now = System.currentTimeMillis()
+    fs.setTimes(orig, now - 10000L, -1L)
+    fs.setTimes(copy, now, -1L)
+
+    val buf = ArrayBuffer[ProjMessage]()
+    val proj = new Projector(log, "gatenf", tempDir, partitions = 2)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      assert(buf.size == 1, s"equal-id copies must collapse to one delivery, got $buf")
+      assert(buf.head.body == """{"gone":true}""",
+        s"the newest file's (scrubbed) body must win, got ${buf.head.body}")
+    } finally q.stop()
+  }
+
   test("a projector started directly with live() pins its partition count") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
     val statePath = tempDir

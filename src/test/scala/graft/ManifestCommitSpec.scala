@@ -311,6 +311,78 @@ class ManifestCommitSpec extends AnyFunSuite {
       "no orphan done marker may survive the refused flip")
   }
 
+  test("markDone vs condemning prune: the fate race has exactly ONE winner") {
+    // The old two-marker handshake (condemned + done with mutual second
+    // looks) had a double-yield interleaving: prune observed the done
+    // marker and trusted it (caching done=true) while the writer observed
+    // the condemned marker and rolled its done marker back — prune's next
+    // pass then forgot the claim WITHOUT deleting its staged files, leaving
+    // claimless token files every reader treats as committed. The single
+    // fate file makes the outcome a consensus: hammer the race and assert
+    // the state is one of exactly two legal worlds every time.
+    for (round <- 1 to 10) {
+      val log = newLog()
+      log.append(Seq(rec(s"fw-seed", 0)))
+      log.manifest.refresh()
+      // stale pending claim with a staged token file (the contended commit)
+      val conf = spark.sessionState.newHadoopConf()
+      val events = new org.apache.hadoop.fs.Path(log.path, "events")
+      val fs = events.getFileSystem(conf)
+      val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+        .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.toString).toSeq
+      val bucketDir = new org.apache.hadoop.fs.Path(orig.head).getParent
+      val staged = new org.apache.hadoop.fs.Path(bucketDir, "c2-part-race.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(orig.head),
+        fs, staged, false, conf)
+      assert(log.manifest.tryClaim(CommitClaim(2L, Map.empty, Seq.empty,
+        "slow-writer", System.currentTimeMillis() - 100000L, done = false,
+        CommitClaim.KindRewrite, Seq.empty)))
+      log.append(Seq(rec(s"fw-tip", 0))) // keep the contended claim off the tip
+      // a SEPARATE chain instance plays the pruner (fresh cache = fresh
+      // process), racing the in-process writer's markDone
+      val pruner = new graft.log.ManifestCommitLog(spark, log.path)
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val writerF = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { log.manifest.markDone(2L); true }
+          catch { case _: ConcurrentModificationException => false }
+        }
+      })
+      val prunerF = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { start.await(); pruner.prune(Map.empty, staleMs = 60000L): Unit }
+      })
+      start.countDown()
+      val writerWon = writerF.get(60, TimeUnit.SECONDS)
+      prunerF.get(60, TimeUnit.SECONDS)
+      pool.shutdown()
+      val statusAfterRace = new graft.log.ManifestCommitLog(spark, log.path).status(2L)
+      // ONE more prune from the pruner's (possibly poisoned, in the old
+      // design) view: in the double-yield bug this pass forgot the claim
+      // without deleting the staged file
+      pruner.prune(Map("fw-seed" -> 1, "fw-tip" -> 1), staleMs = 60000L): Unit
+      val stagedExists = fs.exists(staged)
+      if (writerWon) {
+        // world A: commit stands — staged file intact and visible (the
+        // second prune may legitimately FORGET the done claim; its data
+        // files survive and committed-by-default semantics keep them in)
+        assert(statusAfterRace === Some(true),
+          s"round $round: writer won but disk says $statusAfterRace")
+        assert(stagedExists, s"round $round: writer won but the staged file is gone")
+        assert(log.committedEvents.count() === 3L,
+          s"round $round: committed rows must include the staged file's")
+      } else {
+        // world B: condemned — claim gone, staged file deleted, rows hidden
+        assert(statusAfterRace.isEmpty,
+          s"round $round: condemned claim still on disk: $statusAfterRace")
+        assert(!stagedExists, s"round $round: condemned claim's staged file survived")
+        assert(log.committedEvents.count() === 2L,
+          s"round $round: a condemned claim's rows resurfaced")
+      }
+    }
+  }
+
   test("orphan sidecar sweep ages by creation time in the name, not dir mtime") {
     val log = newLog()
     log.append(Seq(rec("os-a", 0)))
