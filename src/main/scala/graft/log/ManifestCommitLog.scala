@@ -274,24 +274,42 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     */
   def markDone(n: Long): Unit = {
     val f = fs
-    def refuse(): Nothing = throw new ConcurrentModificationException(
+    def refuseCondemned(): Nothing = throw new ConcurrentModificationException(
       s"claim $n was condemned by prune before markDone — the writer outlived " +
         "the staleness horizon; its staged files are gone, retry the whole write")
-    if (!f.exists(claimPath(n))) refuse() // pruned long ago
+    def refusePruned(): Nothing = throw new ConcurrentModificationException(
+      s"claim $n is gone from the chain — pruned as committed-and-forgotten OR " +
+        "condemned past the staleness horizon. Do NOT blindly retry the write: " +
+        "a retry re-validates versions/ledger against the data, which is the " +
+        "safe arbiter of whether the original commit stood")
     def flip(): Unit = {
       f.create(donePath(n), true).close()
       cache.get(n).foreach(c => cache.put(n, c.copy(done = true)))
     }
-    if (atomicCreate(fatePath(n), "done")) {
-      // prune deletes the claim file BEFORE the fate file, so winning the
-      // fate race against an already-cleaned claim is possible — re-check
-      // and retract. Nothing can have trusted the retracted fate: status()
-      // ignores a fate whose claim file is gone.
-      if (!f.exists(claimPath(n))) { f.delete(fatePath(n), false): Unit; refuse() }
-      flip()
-    } else readFate(n) match {
-      case Some("done") => flip() // idempotent re-call, or healing a crashed twin
-      case _ => refuse() // condemned (or condemned-and-swept mid-read)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (!f.exists(claimPath(n))) refusePruned()
+      if (atomicCreate(fatePath(n), "done")) {
+        // prune deletes the claim file BEFORE the fate file, so winning the
+        // fate race against an already-cleaned claim is possible — re-check
+        // and retract. Nothing can have trusted the retracted fate: status()
+        // ignores a fate whose claim file is gone.
+        if (!f.exists(claimPath(n))) { f.delete(fatePath(n), false): Unit; refusePruned() }
+        flip(); return
+      }
+      readFate(n) match {
+        case Some("done") => flip(); return // idempotent re-call, or healing a crashed twin
+        case Some(_) => refuseCondemned()
+        case None =>
+          // the fate vanished between the failed create and the read: either a
+          // finishing cleanup (the claim check above re-classifies next
+          // lap) or a transient IO error inside atomicCreate — never a
+          // consensus outcome. Loop; fail loudly rather than guess.
+          if (attempts >= 5) throw new java.io.IOException(
+            s"claim $n: fate file unreadable after $attempts attempts — " +
+              "transient filesystem errors? resolve manually before retrying")
+      }
     }
   }
 
