@@ -745,10 +745,17 @@ class EventLog(
             // disk-truth for pending rivals: the cache deliberately remembers
             // PRUNED claims, and a condemned rival (crashed, then pruned) must
             // not wedge this legitimate redelivery — its staged files are
-            // gone, so re-appending is exactly the recovery path
-            val liveRivals = rivals.filter(c =>
-              c.done || manifest.status(c.n).isDefined)
-            if (liveRivals.exists(_.done) || readLedger().exists(batchId <= _)) {
+            // gone, so re-appending is exactly the recovery path. status()
+            // (not the cached done flag) decides "committed": a rival that
+            // won its done fate and crashed before deriving the marker is
+            // committed on disk even though no listing shows it — and
+            // status() is read-only, so no one heals the marker for us here
+            val liveRivals = rivals
+              .map(c => if (c.done) (c, Some(true))
+                else (c, manifest.status(c.n)))
+              .filter { case (_, st) => st.isDefined }
+            if (liveRivals.exists(_._2.contains(true)) ||
+                readLedger().exists(batchId <= _)) {
               commitLedger(); result = 0
             } else if (liveRivals.nonEmpty) {
               // the rival's commit is mid-flight (claim up, done not yet) —

@@ -84,7 +84,6 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
 
   // claims are immutable once created — cache by number; `done` can flip once
   private val cache = TrieMap.empty[Long, CommitClaim]
-  @volatile private var lastRefreshNanos = 0L
 
   /** List the chain, load any claims not yet cached, return the tip (0 when
     * the chain is empty). One LIST per refresh — the object-store cost of a
@@ -92,7 +91,6 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     */
   def refresh(): Long = {
     val f = fs
-    lastRefreshNanos = System.nanoTime()
     if (!f.exists(dir)) return cache.keys.foldLeft(0L)(math.max)
     val statuses = f.listStatus(dir)
     val doneSet = statuses.iterator.map(_.getPath.getName)
@@ -207,7 +205,11 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     * (`If-None-Match: *`), which uploads the body atomically. The content is
     * fully written to a writer-private temp file first, so no reader can
     * ever observe a half-written file. False = the path already existed
-    * (someone else won).
+    * (someone else won). Any OTHER IO failure PROPAGATES: a transient error
+    * (object-store 503, HDFS hiccup) is not a lost race, and callers treat
+    * `false` as a consensus outcome — mapping an error to `false` would let
+    * prune condemn a claim (and delete its staged files) without ever
+    * winning the fate, while the still-alive writer wins `done` concurrently.
     */
   private def atomicCreate(p: Path, content: String): Boolean = {
     val f = fs
@@ -216,7 +218,7 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     val tmp = new Path(dir, s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val won =
+    try {
       if (f.getScheme == "file") {
         try {
           java.nio.file.Files.createLink(
@@ -224,15 +226,17 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
         } catch {
+          // link(2)'s EEXIST is THE lost-race signal; everything else is an
+          // IO error and must not masquerade as one
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
         }
       } else {
+        // HadoopFS rename: false (HDFS) or FileAlreadyExistsException (some
+        // stores) when the destination exists; other failures throw
         try f.rename(tmp, p)
-        catch { case _: java.io.IOException => false }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       }
-    f.delete(tmp, false): Unit // raw link target cleaned up either way
-    won
+    } finally f.delete(tmp, false): Unit // raw link target cleaned up either way
   }
 
   /** Step 3: conditional create of claim `n`. False = lost the race. */
@@ -242,14 +246,24 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     true
   }
 
-  /** The fate file's content (`done` | `condemned`), None when absent. */
+  /** The fate file's content (`done` | `condemned`), None when absent. A
+    * missing fate falls back to the PREVIOUS format's `v{n}.condemned`
+    * marker (two-marker handshake, replaced by the single fate file): a log
+    * written by that version can carry a condemnation — possibly with some
+    * staged files already deleted by the prune that crashed leaving it —
+    * and ignoring it would let a zombie markDone flip half-deleted staged
+    * files to committed.
+    */
   private def readFate(n: Long): Option[String] = {
     val f = fs
     try {
       val in = f.open(fatePath(n))
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        if (f.exists(legacyCondemnedPath(n))) Some("condemned") else None
+    }
   }
 
   /** Step 4: mark the claim's data as visible. Idempotent for the claim's
@@ -290,6 +304,11 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     while (true) {
       attempts += 1
       if (!f.exists(claimPath(n))) refusePruned()
+      // a legacy-format condemnation (prior two-marker protocol) has no fate
+      // file to lose the race against — honor it BEFORE racing. Legacy
+      // markers are never created by this version, so pre-existing is the
+      // only way one can be observed; no check is needed after the win.
+      if (f.exists(legacyCondemnedPath(n))) refuseCondemned()
       if (atomicCreate(fatePath(n), "done")) {
         // prune deletes the claim file BEFORE the fate file, so winning the
         // fate race against an already-cleaned claim is possible — re-check
@@ -302,13 +321,13 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         case Some("done") => flip(); return // idempotent re-call, or healing a crashed twin
         case Some(_) => refuseCondemned()
         case None =>
-          // the fate vanished between the failed create and the read: either a
-          // finishing cleanup (the claim check above re-classifies next
-          // lap) or a transient IO error inside atomicCreate — never a
-          // consensus outcome. Loop; fail loudly rather than guess.
+          // the fate vanished between the failed create and the read: a
+          // prune is mid-cleanup (the claim check above re-classifies next
+          // lap). atomicCreate PROPAGATES transient IO errors, so None here
+          // is never an error in disguise — loop, bounded as a safety valve.
           if (attempts >= 5) throw new java.io.IOException(
-            s"claim $n: fate file unreadable after $attempts attempts — " +
-              "transient filesystem errors? resolve manually before retrying")
+            s"claim $n: fate file keeps vanishing after $attempts attempts — " +
+              "is a prune loop stuck mid-cleanup? resolve manually before retrying")
       }
     }
   }
@@ -316,18 +335,6 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
   /** The chain, oldest first (for inspection and tests). */
   def claims(): Seq[CommitClaim] = {
     refresh(): Unit
-    cachedClaims()
-  }
-
-  /** Like [[claims]], but reuses the cached chain when the last LIST is
-    * younger than `maxAgeMs` — for per-micro-batch callers whose staleness
-    * tolerance is explicit (the live gate re-checks disk truth per claim
-    * via [[status]] regardless).
-    */
-  def claims(maxAgeMs: Long): Seq[CommitClaim] = {
-    val fresh = lastRefreshNanos != 0L &&
-      (System.nanoTime() - lastRefreshNanos) / 1000000L <= maxAgeMs
-    if (!fresh) refresh(): Unit
     cachedClaims()
   }
 
@@ -360,13 +367,15 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     if (f.exists(donePath(n))) Some(true)
     else if (f.exists(claimPath(n))) {
       // fate says done but the marker is missing: the writer won the fate
-      // race and crashed in the instant before deriving the marker — heal
-      // it (idempotent; a won fate is final). Gated on the claim file
-      // existing so a retracted fate (markDone's losing window against an
-      // already-cleaned claim) is never trusted.
-      if (readFate(n).contains("done")) {
-        f.create(donePath(n), true).close(); Some(true)
-      } else Some(false)
+      // race and crashed in the instant before deriving the marker. Report
+      // committed WITHOUT healing the marker — status() is the read-only
+      // disk-truth probe (read-only reader deployments call it from the
+      // live gate, where a write would throw AccessControlException); the
+      // writers that heal are markDone's idempotent re-call and prune's
+      // handshake. Gated on the claim file existing so a retracted fate
+      // (markDone's losing window against an already-cleaned claim) is
+      // never trusted.
+      if (readFate(n).contains("done")) Some(true) else Some(false)
     } else None
   }
 
@@ -434,17 +443,39 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
       // party ever wins, so a late markDone can never flip a claim this
       // pass cleans, and this pass can never cache done=true for a claim
       // the writer is about to roll back.
-      val writerWon = !c.done && {
-        if (atomicCreate(fatePath(c.n), "condemned")) false
-        else readFate(c.n) match {
+      //
+      // resolution: 0 = clean up (forget a done claim / condemn a pending
+      // one), 1 = the writer committed (marker derived, claim kept), 2 =
+      // already resolved by a RIVAL prune — skip. The skip matters: the
+      // cache deliberately remembers pruned claims, so a stale entry here
+      // can describe a claim a rival already committed-and-forgot, whose
+      // surviving c{N}- files are COMMITTED data; condemning it now would
+      // win a fresh fate on a clean slate and delete live rows. Disk truth
+      // (the claim file) gates every condemnation.
+      val resolution: Int =
+        if (c.done) 0
+        else if (!f.exists(claimPath(c.n))) 2 // rival finished; nothing of ours left
+        else if (atomicCreate(fatePath(c.n), "condemned")) {
+          // symmetric with markDone's post-win re-check: the claim can
+          // vanish between the exists probe and the create (a rival
+          // forgetting a committed claim deletes claim first, fate last) —
+          // retract the hollow win and skip.
+          if (!f.exists(claimPath(c.n))) { f.delete(fatePath(c.n), false): Unit; 2 }
+          else 0
+        } else readFate(c.n) match {
           case Some("done") =>
             f.create(donePath(c.n), true).close()
             cache.put(c.n, c.copy(done = true)): Unit
-            true
-          case _ => false // a crashed prior prune's "condemned": finish its job
+            1
+          case Some(_) => 0 // a crashed prior prune's "condemned" (incl. legacy): finish its job
+          case None =>
+            // lost the fate race, then the fate vanished: a rival prune is
+            // mid-cleanup. Acting on a half-cleaned claim without a won
+            // fate would be acting without consensus — leave it to the
+            // rival (or re-examine next pass).
+            2
         }
-      }
-      if (!writerWon) {
+      if (resolution == 0) {
         if (c.done) c.ledgerId.foreach(id => restoreLedger(f, id, c.ledgerBatch))
         if (!c.done) deleteTokenFiles(f, c.n)
         c.streamsRef.foreach(r => f.delete(new Path(dir, r), true): Unit)
@@ -455,11 +486,17 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
         // claim whose file deletions are still in flight.
         f.delete(claimPath(c.n), false)
         f.delete(donePath(c.n), false): Unit
+        f.delete(legacyCondemnedPath(c.n), false): Unit
         f.delete(fatePath(c.n), false): Unit
         // keep the cache entry: it still carries the reservation in-memory,
         // protecting concurrent local writers; fresh processes rely on
         // `heads`. (the sidecar file is gone, so drop the ref or lookups
         // would fail)
+        cache.put(c.n, c.copy(streamsRef = None)): Unit
+      } else if (resolution == 2) {
+        // the rival's cleanup deleted the sidecar before the claim file —
+        // drop the dangling ref so reserved-head lookups don't read a path
+        // that is gone
         cache.put(c.n, c.copy(streamsRef = None)): Unit
       }
     }
@@ -481,6 +518,8 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
             f.delete(s.getPath, false): Unit
           case ManifestCommitLog.DoneRe(n) if claimMissing(n) =>
             f.delete(s.getPath, false): Unit
+          case ManifestCommitLog.CondemnedRe(n) if claimMissing(n) =>
+            f.delete(s.getPath, false): Unit // legacy two-marker leftover
           case nm if nm.startsWith("r") && s.isDirectory &&
               !referenced.contains(nm) => {
             // age from the CREATION TIME embedded in the name — object
@@ -539,6 +578,9 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
   private def claimPath(n: Long) = new Path(dir, s"v$n.tsv")
   private def donePath(n: Long) = new Path(dir, s"v$n.done")
   private def fatePath(n: Long) = new Path(dir, s"v$n.fate")
+  // the previous two-marker protocol's condemnation marker: honored on read
+  // (readFate fallback) and swept on prune, never created
+  private def legacyCondemnedPath(n: Long) = new Path(dir, s"v$n.condemned")
 
   private def readClaim(f: FileSystem, n: Long, done: Boolean): CommitClaim = {
     val in = f.open(claimPath(n))
@@ -560,6 +602,7 @@ object ManifestCommitLog {
   private val ClaimRe = "v(\\d+)\\.tsv".r
   private val DoneRe = "v(\\d+)\\.done".r
   private val FateRe = "v(\\d+)\\.fate".r
+  private val CondemnedRe = "v(\\d+)\\.condemned".r
   private[log] val SidecarRe = "r(\\d+)x.*".r
 
   /** TSV, ids URL-encoded — no JSON library dependency, trivially greppable:

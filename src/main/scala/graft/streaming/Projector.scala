@@ -178,6 +178,13 @@ class Projector(
     // stays empty end-to-end.
     val src = spark.readStream
       .schema(EventSchema.events)
+      // a rewrite (lock-mode overwrite, manifest GC) may delete a listed
+      // file before the batch's tasks read it — that is the gate's
+      // "superseded outright" case, not an error: the surviving ids arrive
+      // via the successor file and the watermark only advances on delivered
+      // rows. Without this, the task fails the whole stream with
+      // FAILED_READ_FILE on a perfectly ordinary mid-batch rewrite.
+      .option("ignoreMissingFiles", "true")
       .parquet(s"${log.path}/events/bucket=*")
       .filter(col("migration") === 0 && filter.toColumn)
       .withColumn("__file", input_file_name())
@@ -200,6 +207,7 @@ class Projector(
     writer
       .foreachBatch { (batch: Dataset[(String, ProjMessage)], _: Long) =>
         val b0 = batch.persist()
+        var ranked: DataFrame = null // file-dedup frame; cached across the tie re-probe loop
         try {
           val files = b0.select(col("_1")).distinct().as[String].collect().toSeq
           val drop = Projector.resolveUncommitted(theLog, files, waitMs)
@@ -215,19 +223,48 @@ class Projector(
           // the successor file (this batch or a later one; the watermark
           // only advances on delivered rows, so nothing is lost) — and
           // among coexisting copies the youngest file is the committed one.
-          val meta = Projector.fileMeta(theLog,
-            files.filterNot(drop.contains).toSeq)
-          val metaDF = meta.toDF("_1", "__live", "__mtime")
+          //
+          // An mtime TIE between coexisting copies (coarse fs granularity
+          // mid-rewrite) cannot be broken by name — part-file UUIDs are
+          // random, so a lexical tie-break would hand the pre-rewrite body
+          // to the handler about half the time. The rewrite deletes the old
+          // copy promptly, so re-probe until existence disambiguates; a tie
+          // outliving the deadline is a crashed rewrite's leftover — fail
+          // loudly, never guess.
+          val kept = if (drop.isEmpty) b0
+            else b0.filter(!col("_1").isin(drop.toSeq: _*))
           val wDup = org.apache.spark.sql.expressions.Window
             .partitionBy(col("_2.id"))
             .orderBy(col("__mtime").desc, col("_1").desc)
-          val flat = (if (drop.isEmpty) b0
-            else b0.filter(!col("_1").isin(drop.toSeq: _*)))
-            .join(broadcast(metaDF), Seq("_1"), "left")
-            .filter(col("__live"))
-            .withColumn("__rk", row_number().over(wDup))
-            .filter(col("__rk") === 1)
-            .select(col("_2.*"))
+          var flat: DataFrame = null
+          val tieDeadline = System.currentTimeMillis() + waitMs
+          while (flat == null) {
+            val meta = Projector.fileMeta(theLog, files.filterNot(drop.contains))
+            val metaDF = meta.toDF("_1", "__live", "__mtime")
+            ranked = kept
+              .join(broadcast(metaDF), Seq("_1"), "left")
+              .filter(col("__live"))
+              .withColumn("__rk", row_number().over(wDup))
+              .withColumn("__mt2", lead(col("__mtime"), 1).over(wDup))
+              .withColumn("__f2", lead(col("_1"), 1).over(wDup))
+              .persist()
+            val ties = ranked
+              .filter(col("__rk") === 1 && col("__mt2") === col("__mtime") &&
+                col("__f2") =!= col("_1"))
+              .select(col("_2.id"), col("_1"), col("__f2"))
+              .limit(3).collect()
+            if (ties.isEmpty) flat = ranked.filter(col("__rk") === 1).select(col("_2.*"))
+            else {
+              ranked.unpersist(); ranked = null
+              if (System.currentTimeMillis() > tieDeadline)
+                throw new IllegalStateException(
+                  "coexisting copies of the same event id with identical " +
+                    "mtimes cannot be ordered — crashed rewrite leftover? " +
+                    ties.map(r => s"id ${r.getString(0)}: ${r.getString(1)} vs ${r.getString(2)}")
+                      .mkString("; ") + " — delete the stale copy and restart")
+              Thread.sleep(100)
+            }
+          }
           // monotonic dedup + bus-sequence assignment against the driver
           // watermark (numPartitions tiny rows — broadcast): survivors get
           // the per-partition sequence the reference's live consumers carry
@@ -265,7 +302,10 @@ class Projector(
               cpStore.compact()
             }
           } finally { b.unpersist(); () }
-        } finally { b0.unpersist(); () }
+        } finally {
+          if (ranked != null) { ranked.unpersist(); () }
+          b0.unpersist(); ()
+        }
       }
       .start()
   }
@@ -278,16 +318,28 @@ object Projector {
     * files (batch-sized, bounded by the source's maxFilesPerTrigger). Lock
     * mode runs on local/HDFS schemes where mtimes are real; manifest mode
     * has its own claim-based resolution and uses this only as a backstop.
+    *
+    * ONE `listStatus` per touched directory, not one `getFileStatus` per
+    * file: a micro-batch's files cluster into O(numBuckets) bucket dirs,
+    * and a LIST returns existence + mtime for every sibling in one call —
+    * on an object store that is O(buckets) round-trips instead of N serial
+    * HEADs on the driver per micro-batch.
     */
   private[streaming] def fileMeta(log: EventLog,
       files: Seq[String]): Seq[(String, Boolean, Long)] = {
     val conf = log.spark.sessionState.newHadoopConf()
-    files.map { fpath =>
-      val hp = new org.apache.hadoop.fs.Path(fpath)
-      val st = try Some(hp.getFileSystem(conf).getFileStatus(hp))
-        catch { case _: java.io.FileNotFoundException => None }
-      (fpath, st.isDefined, st.map(_.getModificationTime).getOrElse(0L))
-    }
+    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).iterator
+      .flatMap { case (dirStr, group) =>
+        val dp = new org.apache.hadoop.fs.Path(dirStr)
+        val listed: Map[String, Long] =
+          try dp.getFileSystem(conf).listStatus(dp).iterator
+            .map(s => s.getPath.getName -> s.getModificationTime).toMap
+          catch { case _: java.io.FileNotFoundException => Map.empty }
+        group.map { fpath =>
+          val name = fpath.substring(fpath.lastIndexOf('/') + 1)
+          (fpath, listed.contains(name), listed.getOrElse(name, 0L))
+        }
+      }.toSeq
   }
 
   /** Read-committed gate for the live file stream (manifest mode): decide,
@@ -348,12 +400,13 @@ object Projector {
     // (same ids, possibly scrubbed bodies — the replaced set taken at entry
     // would miss it). The exclusion itself is shared with the batch
     // readers' committedView (manifest.replacedBasenames) so the two can
-    // never drift. Refresh policy: a batch that carried tokens forces a
-    // fresh LIST (a claim just resolved); tokenless batches tolerate a 1 s
-    // cached chain — ordinary micro-batches of settled files then cost no
-    // manifest IO at all, and the newest-existing-file dedup in live()
-    // backstops the sliver.
-    log.manifest.claims(if (tokened.nonEmpty) 0L else 1000L): Unit
+    // never drift. The LIST here is unconditional, one per micro-batch: a
+    // cached chain — even seconds old — reopens a cross-batch window where
+    // a just-flipped rewrite's OLD copy is delivered alone in this batch
+    // (advancing the watermark past its ids) and the rewritten copy arrives
+    // in a later batch only to be watermark-filtered; the newest-existing-
+    // file dedup in live() can only backstop copies that share one batch.
+    log.manifest.claims(): Unit
     val replacedBase = log.manifest.replacedBasenames()
     dropped.toSet ++ files.filter(f =>
       replacedBase.contains(f.substring(f.lastIndexOf('/') + 1)))

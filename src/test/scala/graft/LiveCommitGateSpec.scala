@@ -286,6 +286,72 @@ class LiveCommitGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Craft the classic mid-rewrite coexistence with an EQUAL mtime: old file
+    * and scrubbed copy, where the copy's name sorts lexically LOWER than the
+    * original — so a name-based tie-break would deterministically deliver
+    * the WRONG (pre-rewrite) body. Returns (orig, copy, fs).
+    */
+  private def craftMtimeTie(log: EventLog): (org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.Path
+    val events = new Path(s"${log.path}/events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val scrubDir = s"${log.path}/.scrub-tie"
+    spark.read.parquet(orig.toString)
+      .withColumn("body", org.apache.spark.sql.functions.lit("""{"gone":true}"""))
+      .coalesce(1).write.parquet(scrubDir)
+    val scrubPart = fs.listStatus(new Path(scrubDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val copy = new Path(orig.getParent, s"aa-${scrubPart.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, scrubPart, fs, copy, false, conf): Unit
+    fs.delete(new Path(scrubDir), true): Unit
+    val now = System.currentTimeMillis()
+    fs.setTimes(orig, now, -1L)
+    fs.setTimes(copy, now, -1L)
+    (orig, copy, fs)
+  }
+
+  test("equal-mtime tie: delivery waits until existence disambiguates the copies") {
+    val log = new EventLog(spark, tempDir, numBuckets = 2, ulidSeed = Some(62L))
+    log.append(Seq(AppendRecord("tie-a", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "secret")))), nowMs = t0)
+    val (orig, _, fs) = craftMtimeTie(log)
+    // the rewrite completes moments later: the old copy disappears and
+    // existence — not an arbitrary name comparison — picks the survivor
+    val deleter = new Thread(() => {
+      Thread.sleep(700); fs.delete(orig, false): Unit
+    })
+    deleter.setDaemon(true); deleter.start()
+    val buf = ArrayBuffer[ProjMessage]()
+    val proj = new Projector(log, "gatetie", tempDir, partitions = 2)
+    val q = proj.live(ds => buf.synchronized { buf ++= ds.collect(); () })
+    try {
+      q.processAllAvailable()
+      assert(buf.size == 1, s"equal-id copies must collapse to one delivery, got $buf")
+      assert(buf.head.body == """{"gone":true}""",
+        s"the surviving (scrubbed) copy must win the tie, got ${buf.head.body}")
+    } finally q.stop()
+  }
+
+  test("a persistent equal-mtime tie fails loudly instead of guessing") {
+    val log = new EventLog(spark, tempDir, numBuckets = 2, ulidSeed = Some(63L))
+    log.append(Seq(AppendRecord("tie-b", "Account", 0, Map.empty,
+      Seq(AccountType.created(1, "secret")))), nowMs = t0)
+    craftMtimeTie(log): Unit // neither copy ever goes away — crashed rewrite
+    val proj = new Projector(log, "gatetie2", tempDir, partitions = 2,
+      claimWaitMs = 1500L)
+    val q = proj.live(_ => ())
+    val e = intercept[Throwable] { q.processAllAvailable() }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("cannot be ordered"),
+      s"expected the loud tie failure, got: $messages")
+  }
+
   test("a projector started directly with live() pins its partition count") {
     val log = new EventLog(spark, tempDir, numBuckets = 4, ulidSeed = Some(41L))
     val statePath = tempDir

@@ -383,6 +383,96 @@ class ManifestCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("a rival's stale cache cannot condemn a committed-and-forgotten claim") {
+    // The cache deliberately remembers pruned claims. A rival instance that
+    // cached claim N as PENDING, then slept through N's markDone AND the
+    // prune that forgot the done claim (chain files deleted; committed c{N}-
+    // data files survive), sees a stale-pending claim with a clean fate
+    // slate — winning a condemnation there would delete COMMITTED data.
+    val log = newLog()
+    log.append(Seq(rec("rv-a", 0))) // claim 1
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map.empty, Seq.empty,
+      "bulk-writer", System.currentTimeMillis() - 100000L, done = false)))
+    val rival = new graft.log.ManifestCommitLog(spark, log.path)
+    rival.refresh() // rival caches claim 2 as pending, then sleeps
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.toString).toSeq
+    val staged = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(orig.head).getParent, "c2-part-rival.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(orig.head),
+      fs, staged, false, conf)
+    log.manifest.markDone(2L) // the claim commits…
+    log.append(Seq(rec("rv-b", 0))) // …the tip moves on…
+    log.manifest.prune(Map("rv-a" -> 1, "rv-b" -> 1), staleMs = 60000L): Unit
+    val commitDir = s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}"
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.tsv")),
+      "precondition: the done claim was forgotten")
+    assert(fs.exists(staged), "precondition: committed data survives forgetting")
+    // …and the rival wakes up and prunes with its stale pending view
+    rival.prune(Map.empty, staleMs = 60000L): Unit
+    assert(fs.exists(staged),
+      "rival prune condemned a forgotten-but-committed claim and deleted its data")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.fate")),
+      "no fate may be minted for a claim that is gone from the chain")
+    assert(log.committedEvents.count() === 3L)
+  }
+
+  test("legacy .condemned markers are honored by markDone and swept by prune") {
+    val log = newLog()
+    log.append(Seq(rec("lg-a", 0))) // claim 1
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map.empty, Seq.empty,
+      "old-writer", System.currentTimeMillis() - 100000L, done = false)))
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val orig = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath.toString).toSeq
+    val staged = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(orig.head).getParent, "c2-part-legacy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(orig.head),
+      fs, staged, false, conf)
+    val commitDir = s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}"
+    // a condemnation left by the PREVIOUS two-marker protocol (no fate file)
+    fs.create(new org.apache.hadoop.fs.Path(s"$commitDir/v2.condemned"), true).close()
+    intercept[ConcurrentModificationException] { log.manifest.markDone(2L) }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.fate")),
+      "a legacy condemnation is honored BEFORE racing for the fate")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.done")))
+    log.append(Seq(rec("lg-b", 0))) // move the tip off the condemned claim
+    log.manifest.prune(Map("lg-a" -> 1, "lg-b" -> 1), staleMs = 60000L): Unit
+    assert(!fs.exists(staged), "the legacy-condemned claim's staged file must go")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.condemned")),
+      "the legacy marker is cleaned up with the claim")
+    // a claimless leftover from a prune that crashed mid-cleanup is swept too
+    fs.create(new org.apache.hadoop.fs.Path(s"$commitDir/v9.condemned"), true).close()
+    log.manifest.prune(Map.empty, staleMs = 60000L): Unit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v9.condemned")))
+  }
+
+  test("status() reports a won done fate without writing (read-only probe)") {
+    val log = newLog()
+    log.append(Seq(rec("st-a", 0))) // claim 1
+    log.manifest.refresh()
+    assert(log.manifest.tryClaim(CommitClaim(2L, Map.empty, Seq.empty, "w",
+      System.currentTimeMillis(), done = false)))
+    // the writer won the fate and crashed in the instant before deriving
+    // the listing-visible marker
+    val conf = spark.sessionState.newHadoopConf()
+    val commitDir = s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}"
+    val fate = new org.apache.hadoop.fs.Path(s"$commitDir/v2.fate")
+    val fs = fate.getFileSystem(conf)
+    val out = fs.create(fate, true)
+    try out.write("done".getBytes("UTF-8")) finally out.close()
+    assert(log.manifest.status(2L) === Some(true))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$commitDir/v2.done")),
+      "status() is a read-only probe — read-only reader deployments call it")
+  }
+
   test("orphan sidecar sweep ages by creation time in the name, not dir mtime") {
     val log = newLog()
     log.append(Seq(rec("os-a", 0)))
