@@ -32,18 +32,35 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=d4_ngram_jaccard,d6_dedup_survivors → subset run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+    // A query that throws must surface as an ERROR, not a fast fake timing —
+    // a plan-time failure "runs" in 0.1s and silently deflates the round's
+    // bench (this poisoned BENCH_r07). Per query: min over successful
+    // repeats, or an entry in `errors` when every repeat threw.
+    val runs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val attempts = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       }
-      name -> times.min
+      val ok = attempts.collect { case Right(t) => t }
+      if (ok.nonEmpty) (name, Right(ok.min)) else (name, Left(attempts.head.left.getOrElse("?")))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = runs.collect { case (n, Right(t)) => (n, t) }
+    val errors = runs.collect { case (n, Left(m)) => (n, m) }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, m) => jq(k) + ":" + jq(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a truncated stdout tail (loses ~15 of 78 queries
     // every round) — also persist the full JSON so the artifact survives.
@@ -54,5 +71,11 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
+    // A bench where >20% of queries errored is a broken harness, not a
+    // measurement — make the round fail loudly instead of recording fiction.
+    if (errors.size * 5 > selected.size) {
+      System.err.println(s"[bench] ${errors.size}/${selected.size} queries errored — failing run")
+      sys.exit(1)
+    }
   }
 }

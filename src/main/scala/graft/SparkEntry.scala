@@ -30,13 +30,25 @@ object SparkEntry {
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's events table stores ts as TIMESTAMP(NANOS), which Spark's
-    // parquet reader rejects by default; read nanos as long and truncate to
-    // microseconds — exactly what DuckDB does when it loads the same file.
+    // The driver's events table has shipped with ts as TIMESTAMP(NANOS) (rounds
+    // 1-6) and TIMESTAMP(MICROS) (round 7+). Spark's parquet reader rejects
+    // nanos by default; with nanosAsLong=true a nanos column reads as BIGINT
+    // while a micros column reads as TIMESTAMP_NTZ. Adapt on the observed
+    // dtype so the harness tolerates either vintage of testdata, and
+    // normalize BOTH to TimestampType: truncate nanos-as-long to micros
+    // (what DuckDB does loading the same file), cast NTZ to LTZ (value-
+    // preserving — every harness session runs UTC) so downstream
+    // unix_millis/date arithmetic sees one dtype regardless of vintage.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -22,13 +22,16 @@ object Verify {
       require(unknown.isEmpty,
         s"GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failures = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +49,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record beside the dumps: an empty round
+    // artifact must never again read as a quiet success (round-7 lesson).
+    val failJson = failures
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
     spark.stop()
+    // >10% of queries failing is a harness/environment break, not a few
+    // flaky operators — exit non-zero so the driver sees a red round.
+    if (failures.size * 10 > selected.size) {
+      System.err.println(
+        s"[verify] ${failures.size}/${selected.size} queries failed — exiting non-zero")
+      sys.exit(1)
+    }
   }
 }
