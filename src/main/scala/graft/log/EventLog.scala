@@ -1019,17 +1019,29 @@ class EventLog(
     *    not in the claim's `replaced` set, and the bounded invalidation
     *    never flags rows past each stream's planned head.
     *
-    * The claim lists one reservation line per migrated stream (the
-    * bulkImport claim-scale contract: chunk colossal migrations by kind or
-    * discriminator until bulk claims are segmented).
+    * Reservations ride the claim TSV up to
+    * [[ManifestCommitLog.inlineClaimMaxStreams]] streams; beyond that they
+    * go to the range-sorted parquet sidecar (the bulkImport mechanism) and
+    * the migrated stream set never touches the driver — a 10⁸-stream
+    * migration costs the same driver memory as 10.
     */
   private def migrateCommitManifest(plan: Dataset[MigrationPlan], buckets: Seq[Int],
       invalidate: DataFrame => DataFrame,
       dropSnapshots: DataFrame => DataFrame): Boolean = {
-    import spark.implicits._
-    val resv: Map[String, (Int, Int)] = plan
-      .map(p => (p.aggregateId, p.maxVersion, p.details.size))
-      .collect().map { case (id, v, k) => id -> (v, v + 1 + k) }.toMap
+    // (aggregate_id, base = head at plan time, head = base + 1 fence + copies)
+    val headsDF = plan.select(col("aggregateId").as("aggregate_id"),
+      col("maxVersion").as("base"),
+      (col("maxVersion") + lit(1) + size(col("details"))).cast("int").as("head"))
+    // bounded decision probe (bulkImport's): collect at most inlineMax+1 rows
+    val probe = headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect()
+    val useSidecar = probe.length > ManifestCommitLog.inlineClaimMaxStreams
+    val resv: Map[String, (Int, Int)] =
+      if (useSidecar) Map.empty
+      else probe.map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val sidecar = if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
+    // every no-commit exit reclaims the staged sidecar (else it would sit as
+    // an orphan until prune's staleness sweep)
+    def abandon(): Boolean = { sidecar.foreach(s => manifest.dropSidecar(s._1)); false }
     val conf = spark.sessionState.newHadoopConf()
 
     // live bucket files (committed, not replaced, not pending) — the same
@@ -1058,20 +1070,23 @@ class EventLog(
       val tip = manifest.refresh()
       // chain staleness: any reservation past a planned stream's base means
       // an append committed (or is in flight) beyond the plan's snapshot.
-      // Inline lines fold driver-side; sidecar reservations (bulk imports)
-      // are compared in ONE distributed join against the plan.
-      val chainStaleInline = manifest.cachedClaims().exists(_.streams.exists {
-        case (s, (_, head)) => resv.get(s).exists(_._1 < head)
-      })
-      if (chainStaleInline) return false
-      if (manifest.cachedClaims().exists(_.streamsRef.isDefined)) {
+      // An inline-scale plan folds inline chain lines driver-side; a
+      // sidecar-scale plan (or a chain carrying sidecars) is compared in
+      // ONE distributed join — reservationsDF covers both line kinds, so
+      // the migrated stream set never rides an isin list or a driver map.
+      val chainStaleInline = !useSidecar &&
+        manifest.cachedClaims().exists(_.streams.exists {
+          case (s, (_, head)) => resv.get(s).exists(_._1 < head)
+        })
+      if (chainStaleInline) return abandon()
+      if (useSidecar || manifest.cachedClaims().exists(_.streamsRef.isDefined)) {
         val planned = plan.select(col("aggregateId").as("m_id"),
           col("maxVersion").as("m_v"))
-        val sidecarStale = manifest.reservationsDF().exists(_
+        val chainStale = manifest.reservationsDF().exists(_
           .join(planned, col("aggregate_id") === col("m_id"))
           .filter(col("head") > col("m_v"))
           .limit(1).count() > 0)
-        if (sidecarStale) return false
+        if (chainStale) return abandon()
       }
       // parquet staleness, checked DISTRIBUTED (never an isin list of the
       // migrated stream set): one pruned aggregation over the affected
@@ -1085,16 +1100,22 @@ class EventLog(
         .agg(max(col("aggregate_version")).as("cur"))
         .filter(col("cur") > col("m_v"))
         .limit(1).count() > 0
-      if (parquetStale) return false
+      if (parquetStale) return abandon()
       eventInputs = liveFiles(eventsPath)
       snapInputs = if (exists(snapshotsPath)) liveFiles(snapshotsPath) else Nil
       val c = CommitClaim(tip + 1, resv, Seq.empty, writerId,
         System.currentTimeMillis(), done = false, CommitClaim.KindRewrite,
-        eventInputs ++ snapInputs)
+        eventInputs ++ snapInputs,
+        streamsRef = sidecar.map(_._1),
+        refCount = sidecar.map(_._2).getOrElse(0L),
+        refMaxHead = sidecar.map(_._3).getOrElse(0))
       if (manifest.tryClaim(c)) claimed = Some(c) else attempts += 1
     }
-    val claim = claimed.getOrElse(throw new IllegalStateException(
-      s"migration rewrite lost $attempts claim races — giving up"))
+    val claim = claimed.getOrElse {
+      abandon(): Unit
+      throw new IllegalStateException(
+        s"migration rewrite lost $attempts claim races — giving up")
+    }
     val token = s"c${claim.n}"
     if (eventInputs.nonEmpty)
       stageRewrite(eventsPath, EventSchema.events, eventInputs, token)(invalidate)
@@ -1198,8 +1219,11 @@ class EventLog(
           // claim-fenced like every other manifest writer: reserve each
           // fenced stream's next version so concurrent appends either see
           // the reservation or lose the claim race; a lost race recomputes
-          // heads from the fresh chain. One reservation line per stream
-          // (the bulkImport claim-scale contract).
+          // heads from the fresh chain. Reservations ride the claim TSV up
+          // to [[ManifestCommitLog.inlineClaimMaxStreams]] streams; beyond
+          // that they go to a parquet sidecar (the bulkImport mechanism) —
+          // a kind-wide fence pass over 10⁸ streams never folds its stream
+          // set into driver memory.
           var attempts = 0
           var res = -1L
           while (res < 0 && attempts < 100) {
@@ -1208,17 +1232,31 @@ class EventLog(
             val n = fences.count()
             if (n == 0) res = 0
             else {
-              val lines = fences.toDF()
-                .select(col("aggregate_id"), col("aggregate_version"))
-                .collect()
-                .map(r => r.getString(0) -> (r.getInt(1) - 1, r.getInt(1))).toMap
+              val headsDF = fences.toDF().select(col("aggregate_id"),
+                (col("aggregate_version") - 1).as("base"),
+                col("aggregate_version").as("head"))
+              val useSidecar = n > ManifestCommitLog.inlineClaimMaxStreams
+              val lines =
+                if (useSidecar) Map.empty[String, (Int, Int)]
+                else headsDF.collect()
+                  .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+              val sidecar =
+                if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
               val c = CommitClaim(tip + 1, lines, Seq.empty, writerId,
-                System.currentTimeMillis(), done = false)
+                System.currentTimeMillis(), done = false,
+                streamsRef = sidecar.map(_._1),
+                refCount = sidecar.map(_._2).getOrElse(0L),
+                refMaxHead = sidecar.map(_._3).getOrElse(0))
               if (manifest.tryClaim(c)) {
                 writeEventsDFIsolated(fences.toDF(), s"c${c.n}")
                 manifest.markDone(c.n)
                 res = n
-              } else attempts += 1
+              } else {
+                // lost the race: the next lap recomputes fences from the
+                // fresh chain — reclaim this attempt's staged sidecar
+                sidecar.foreach(s0 => manifest.dropSidecar(s0._1))
+                attempts += 1
+              }
             }
           }
           if (res < 0) throw new IllegalStateException(

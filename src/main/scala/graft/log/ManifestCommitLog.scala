@@ -192,6 +192,14 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     (name, summary.getLong(0), summary.getInt(1))
   }
 
+  /** Best-effort delete of a staged sidecar that never made it into a won
+    * claim (the stager re-planned or gave up). Purely an optimization — an
+    * un-dropped orphan is swept by [[prune]] past the staleness horizon.
+    */
+  def dropSidecar(name: String): Unit =
+    try fs.delete(new Path(dir, name), true): Unit
+    catch { case _: java.io.IOException => }
+
   private def sidecarPaths(): Seq[String] =
     cache.values.flatMap(_.streamsRef).toSeq.distinct
       .map(n => new Path(dir, n).toString)

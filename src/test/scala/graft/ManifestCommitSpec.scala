@@ -744,6 +744,109 @@ class ManifestCommitSpec extends AnyFunSuite {
     } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
   }
 
+  test("migration reservations beyond the inline threshold ride a parquet sidecar") {
+    sys.props("graft.bulkClaim.inlineMax") = "3"
+    try {
+      val log = newLog()
+      (1 to 8).foreach(i => log.append(Seq(AppendRecord(s"ms-$i", "Account", 0,
+        Map.empty, Seq(EventDetail("Created", s"""{"v":$i}"""))))))
+      val migrated = log.migrate(1, Set("Created"),
+        evs => Some(evs.map(e => EventDetail("CreatedV2", e.body))))
+      assert(migrated.size === 8)
+      val rewrite = log.manifest.claims().filter(_.kind == CommitClaim.KindRewrite).last
+      assert(rewrite.streams.isEmpty && rewrite.streamsRef.isDefined,
+        "above the threshold the migration claim must carry a sidecar ref")
+      assert(rewrite.refCount === 8L && rewrite.refMaxHead === 3)
+      // data is exactly the lock-mode shape: original invalidated, fence, copy
+      val one = log.committedEvents.filter(col("aggregate_id") === "ms-5")
+        .orderBy(col("aggregate_version")).collect()
+      assert(one.map(_.getAs[String]("kind")).toSeq ===
+        Seq("Created", "Invalidated", "CreatedV2"))
+      assert(one.map(_.getAs[Int]("migration")).toSeq === Seq(1, 1, 0))
+      // the sidecar reservation fences a stale writer exactly like inline lines
+      intercept[ConcurrentModificationException] {
+        log.append(Seq(AppendRecord("ms-5", "Account", 1, Map.empty,
+          Seq(EventDetail("Deposited", "{}")))))
+      }
+      log.append(Seq(AppendRecord("ms-5", "Account", 3, Map.empty,
+        Seq(EventDetail("Deposited", "{}")))))
+      assert(log.streamEvents("ms-5").count() === 2L)
+    } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
+  }
+
+  test("kind-wide NoOp fences beyond the inline threshold ride a sidecar claim") {
+    sys.props("graft.bulkClaim.inlineMax") = "3"
+    try {
+      val log = newLog()
+      (1 to 8).foreach(i => log.append(Seq(AppendRecord(s"nf-$i", "Account", 0,
+        Map.empty, Seq(EventDetail("Created", "{}"))))))
+      assert(log.appendNoOpFences("Account") === 8L)
+      val fenceClaim = log.manifest.claims().last
+      assert(fenceClaim.streams.isEmpty && fenceClaim.streamsRef.isDefined,
+        "above the threshold the fence claim must carry a sidecar ref")
+      assert(fenceClaim.refCount === 8L && fenceClaim.refMaxHead === 2)
+      val fences = log.activeEvents.filter(col("kind") === EventLog.KindNoOp)
+      assert(fences.count() === 8L)
+      assert(fences.filter(col("aggregate_version") =!= 2).count() === 0L)
+      // a writer that planned before the fence pass loses its optimistic check
+      intercept[ConcurrentModificationException] {
+        log.append(Seq(AppendRecord("nf-2", "Account", 1, Map.empty,
+          Seq(EventDetail("Deposited", "{}")))))
+      }
+      log.append(Seq(AppendRecord("nf-2", "Account", 2, Map.empty,
+        Seq(EventDetail("Deposited", "{}")))))
+      assert(log.streamEvents("nf-2").count() === 3L)
+    } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
+  }
+
+  test("a sidecar-scale migration re-plans when an append interleaves (no lost rows)") {
+    // inlineMax=0 forces even this 1-stream plan through the sidecar path, so
+    // the race coverage of the inline re-plan test applies to sidecar claims:
+    // stale plan abandoned (sidecar reclaimed), recomputed plan commits both
+    sys.props("graft.bulkClaim.inlineMax") = "0"
+    try {
+      val log = newLog()
+      log.append(Seq(AppendRecord("scm-race", "Account", 0, Map.empty,
+        Seq(EventDetail("Created", """{"v":1}""")))))
+      MigrateRaceGate.entered = new CountDownLatch(1)
+      MigrateRaceGate.release = new CountDownLatch(1)
+      MigrateRaceGate.handlerRuns.set(0)
+      val pool = Executors.newFixedThreadPool(1)
+      val mig = pool.submit(new java.util.concurrent.Callable[Seq[graft.log.MigratedStream]] {
+        override def call() = log.migrate(1, Set("Created"), { evs =>
+          MigrateRaceGate.handlerRuns.incrementAndGet(): Unit
+          MigrateRaceGate.entered.countDown()
+          MigrateRaceGate.release.await(60, TimeUnit.SECONDS): Unit
+          Some(evs.map(e => EventDetail(
+            if (e.kind == "Created") "CreatedV2" else e.kind, e.body)))
+        })
+      })
+      assert(MigrateRaceGate.entered.await(60, TimeUnit.SECONDS))
+      log.append(Seq(AppendRecord("scm-race", "Account", 1, Map.empty,
+        Seq(EventDetail("Deposited", """{"money":5}""")))))
+      MigrateRaceGate.release.countDown()
+      val out = try mig.get(180, TimeUnit.SECONDS) finally { pool.shutdownNow(); () }
+      assert(MigrateRaceGate.handlerRuns.get() == 2,
+        "the stale sidecar plan must be abandoned and recomputed")
+      assert(out.map(m => (m.aggregateId, m.lastVersion)) === Seq(("scm-race", 5)))
+      val rows = log.committedEvents.filter(col("aggregate_id") === "scm-race")
+        .orderBy(col("aggregate_version")).collect()
+      assert(rows.map(_.getAs[Int]("aggregate_version")).toSeq === Seq(1, 2, 3, 4, 5),
+        "single version chain — no collision, no lost row")
+      // the abandoned attempt's sidecar was reclaimed; only won-claim
+      // sidecars remain referenced in the chain
+      val refs = log.manifest.claims().flatMap(_.streamsRef)
+      val conf = spark.sessionState.newHadoopConf()
+      val cdir = new org.apache.hadoop.fs.Path(
+        s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}")
+      val fs = cdir.getFileSystem(conf)
+      val onDisk = fs.listStatus(cdir).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      assert(onDisk === refs.toSet,
+        s"orphan sidecars left behind: ${(onDisk -- refs).mkString(",")}")
+    } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
+  }
+
   test("an append landing mid-migrate forces a re-plan: both writes survive") {
     // the reference fences migration against concurrent writers with its
     // unique index (store/postgresql/events_migration.go:90-206); here the

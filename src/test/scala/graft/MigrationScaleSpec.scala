@@ -103,6 +103,52 @@ class MigrationScaleSpec extends AnyFunSuite {
     assert(log.activeEvents.count() == n * 2L, "reads unchanged after GC")
   }
 
+  test("manifest-mode migrate + fences at 1e5 streams: reservations ride sidecars, " +
+      "driver holds no per-stream state") {
+    val dir = Files.createTempDirectory("graftmigsidecar").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 8, ulidSeed = Some(79L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val n = 100000
+    // setup via bulkImport (itself sidecar-scale: n > the 1e4 inline default)
+    val batch = spark.range(1, n + 1L).select(
+      format_string("01HXSIDE%017d", col("id")).as("aggregate_id"),
+      lit("Account").as("aggregate_kind"),
+      lit("AccountCreated").as("kind"),
+      lit("""{"money":1}""").as("body"),
+      lit(1).as("seq"))
+    assert(log.bulkImport(batch, nowMs = 1700000000000L) === n.toLong)
+
+    // M2 through the DISTRIBUTED entry point — the per-stream outcome never
+    // touches the driver; neither may the claim's reservation set
+    val (migratedCount, migJobs) = countJobs {
+      log.migrateDistributed(1, Set("AccountCreated"), evs => Some(evs.map(e =>
+        graft.log.EventDetail("AccountCreated_V2", e.body))),
+        nowMs = 1700000100000L).count()
+    }
+    assert(migratedCount === n.toLong)
+    val rewrite = log.manifest.claims()
+      .filter(_.kind == graft.log.CommitClaim.KindRewrite).last
+    assert(rewrite.streams.isEmpty && rewrite.streamsRef.isDefined,
+      "a 1e5-stream migration claim must carry a sidecar ref, not 1e5 TSV lines")
+    assert(rewrite.refCount === n.toLong && rewrite.refMaxHead === 3)
+    assert(migJobs < 60,
+      s"1e5-stream migration launched $migJobs jobs — must be bucket-bounded")
+    assert(log.activeEvents.count() === n.toLong, "one migrated copy per stream")
+    assert(log.committedEvents.count() === 3L * n, "original + fence + copy")
+
+    // M4 kind-wide fence pass over the same 1e5 streams
+    val (fenced, fenceJobs) = countJobs(
+      log.appendNoOpFences("Account", nowMs = 1700000200000L))
+    assert(fenced === n.toLong)
+    val fenceClaim = log.manifest.claims().last
+    assert(fenceClaim.streams.isEmpty && fenceClaim.streamsRef.isDefined,
+      "a 1e5-stream fence claim must carry a sidecar ref")
+    assert(fenceClaim.refCount === n.toLong && fenceClaim.refMaxHead === 4)
+    assert(fenceJobs < 25, s"1e5-stream fence pass launched $fenceJobs jobs")
+    assert(log.activeEvents.filter(col("kind") === EventLog.KindNoOp).count()
+      === n.toLong)
+  }
+
   test("M4 appendNoOpFences over 300 streams launches O(1) jobs and fences all") {
     val log = freshLog()
     val (n, jobs) = countJobs(log.appendNoOpFences("Account", nowMs = 1700000002000L))
