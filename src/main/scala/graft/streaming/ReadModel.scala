@@ -29,10 +29,31 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     fs.exists(hp) && fs.listStatus(hp).nonEmpty
   }
 
-  /** Upsert a batch: every row in `batch` becomes the key's new state. */
-  def merge(batch: DataFrame): Unit = {
+  /** Upsert a batch: every row in `batch` becomes the key's new state.
+    *
+    * `version` picks the concurrency contract:
+    *  - `Some(v)` (a foreachBatch batchId, or the batch's max event
+    *    position — anything monotone in stream order): the stamp is minted
+    *    DETERMINISTICALLY from `v`, which makes merges exactly-once-
+    *    equivalent under concurrent projector instances of one name —
+    *    a redelivered batch re-appends content-identical rows (latest-wins
+    *    resolves the same state), and a STALE instance replaying an older
+    *    batch can never promote old state over new (stamps sort by `v`,
+    *    not by arrival). This is the checkpoint store's order-neutrality
+    *    applied to the model itself.
+    *  - `None`: wall-clock ULID stamp; last writer wins by arrival. Scope:
+    *    a single owning projector (the reference's projection ownership,
+    *    worker/balance_workers.go) — two unversioned writers interleaving
+    *    can reorder states.
+    * One mode per read model: deterministic stamps share the ULID string
+    * ordering, but mixing modes makes "latest" depend on wall clock again.
+    */
+  def merge(batch: DataFrame, version: Option[Long] = None): Unit = {
     require(batch.columns.contains(keyCol), s"batch must carry key column $keyCol")
-    val stamp = gen.next()
+    val stamp = version match {
+      case Some(v) => graft.core.Ulid.timeOnly(v)
+      case None => gen.next()
+    }
     batch
       .withColumn("__rm_version", concat(lit(stamp), lit("-"), monotonically_increasing_id()))
       .write.mode(SaveMode.Append).parquet(path)

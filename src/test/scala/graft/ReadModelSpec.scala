@@ -74,6 +74,31 @@ class ReadModelSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/balances").count() == 2) // one row per key
   }
 
+  test("versioned merges are order-neutral: a stale instance can't roll state back") {
+    // two projector instances of one name race; the laggard replays an OLDER
+    // batch AFTER the leader merged a newer one — with version-stamped
+    // merges the resolved state must stay the newer batch's
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrmver").toFile.getAbsolutePath
+    val rm = new ReadModel(spark, s"$dir/rm", "k")
+    rm.merge(Seq(("a", 10L)).toDF("k", "v"), version = Some(4L)) // leader, batch 4
+    rm.merge(Seq(("a", 20L)).toDF("k", "v"), version = Some(5L)) // leader, batch 5
+    rm.merge(Seq(("a", 10L)).toDF("k", "v"), version = Some(4L)) // laggard replays 4
+    def state() = rm.current().select("k", "v").as[(String, Long)].collect().toMap
+    assert(state() == Map("a" -> 20L),
+      "replayed older batch must never promote older state")
+    // duplicate redelivery of the LATEST batch is a no-op on resolved state
+    rm.merge(Seq(("a", 20L)).toDF("k", "v"), version = Some(5L))
+    assert(state() == Map("a" -> 20L))
+    // compaction preserves the version-order invariant
+    rm.compact(gcRetentionMs = 0L)
+    assert(state() == Map("a" -> 20L))
+    // and a later versioned merge still wins over the compacted copy
+    rm.merge(Seq(("a", 30L)).toDF("k", "v"), version = Some(6L))
+    assert(state() == Map("a" -> 30L))
+  }
+
   test("compact is reader-safe: superseded files survive to the retention horizon") {
     val s = spark
     import s.implicits._
