@@ -29,26 +29,79 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
+  /** Per-table expected type CLASSES (`i` integral, `f` fractional,
+    * `s` string, `t` timestamp-like, `vf` float vector) — the drift guard's
+    * contract with the driver-generated testdata. Width changes inside a
+    * class (int↔bigint, float↔double) are benign for filters/joins/aggs and
+    * pass; a class flip or a missing column is a real generation change and
+    * fails WITH THE TABLE/COLUMN/DTYPE NAMED (round-7 lesson: a silent
+    * assumption cost the round its whole correctness artifact).
+    */
+  private val expectedCols: Map[String, Map[String, String]] = Map(
+    "events" -> Map("event_id" -> "i", "user_id" -> "i", "event_type" -> "s",
+      "value" -> "f", "props" -> "s", "ts" -> "t"),
+    "lineitem" -> Map("l_orderkey" -> "i", "l_partkey" -> "i", "l_suppkey" -> "i",
+      "l_linenumber" -> "i", "l_quantity" -> "f", "l_extendedprice" -> "f",
+      "l_discount" -> "f", "l_tax" -> "f", "l_returnflag" -> "s",
+      "l_linestatus" -> "s", "l_shipdate" -> "t"),
+    "orders" -> Map("o_orderkey" -> "i", "o_custkey" -> "i", "o_orderstatus" -> "s",
+      "o_totalprice" -> "f", "o_orderdate" -> "t", "o_orderpriority" -> "s"),
+    "customer" -> Map("c_custkey" -> "i", "c_name" -> "s", "c_nationkey" -> "i",
+      "c_acctbal" -> "f", "c_mktsegment" -> "s"),
+    "nation" -> Map("n_nationkey" -> "i", "n_name" -> "s", "n_regionkey" -> "i"),
+    "region" -> Map("r_regionkey" -> "i", "r_name" -> "s"),
+    "part" -> Map("p_partkey" -> "i", "p_name" -> "s", "p_brand" -> "s",
+      "p_type" -> "s", "p_size" -> "i", "p_retailprice" -> "f"),
+    "supplier" -> Map("s_suppkey" -> "i", "s_name" -> "s", "s_nationkey" -> "i",
+      "s_acctbal" -> "f"),
+    "documents" -> Map("doc_id" -> "i", "text" -> "s", "lang" -> "s",
+      "source" -> "s", "n_chars" -> "i"),
+    "embeddings" -> Map("vec_id" -> "i", "embedding" -> "vf", "label" -> "i"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
     // The driver's events table has shipped with ts as TIMESTAMP(NANOS) (rounds
     // 1-6) and TIMESTAMP(MICROS) (round 7+). Spark's parquet reader rejects
     // nanos by default; with nanosAsLong=true a nanos column reads as BIGINT
     // while a micros column reads as TIMESTAMP_NTZ. Adapt on the observed
     // dtype so the harness tolerates either vintage of testdata, and
-    // normalize BOTH to TimestampType: truncate nanos-as-long to micros
-    // (what DuckDB does loading the same file), cast NTZ to LTZ (value-
-    // preserving — every harness session runs UTC) so downstream
-    // unix_millis/date arithmetic sees one dtype regardless of vintage.
+    // normalize to TimestampType: truncate nanos-as-long to micros (what
+    // DuckDB does loading the same file), cast NTZ to LTZ (value-preserving —
+    // every harness session runs UTC) so downstream unix_millis/date
+    // arithmetic sees one dtype regardless of vintage. The same NTZ
+    // normalization applies to EVERY table (lineitem/orders date columns are
+    // untagged micros too), and every load passes the drift guard above.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-      df.schema("ts").dataType match {
-        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
-      }
-    } else df
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    val df0 =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val df = df0.schema.fields.foldLeft(df0) { (acc, fld) =>
+      if (fld.dataType == TimestampNTZType)
+        acc.withColumn(fld.name, col(fld.name).cast("timestamp"))
+      else acc
+    }
+    def klass(dt: DataType): String = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "i"
+      case _: FloatType | _: DoubleType | _: DecimalType => "f"
+      case _: StringType => "s"
+      case _: TimestampType => "t"
+      case ArrayType(et, _) if klass(et) == "f" => "vf"
+      case _ => dt.simpleString
+    }
+    expectedCols.get(name).foreach(_.foreach { case (cn, want) =>
+      val fld = df.schema.fields.find(_.name == cn).getOrElse(
+        throw new IllegalStateException(s"testdata drift: $name.$cn is MISSING " +
+          s"(found columns: ${df.columns.mkString(", ")}) — the driver changed " +
+          "the generation; adapt SparkEntry.t()/queries (see HarnessDriftSpec)"))
+      val got = klass(fld.dataType)
+      if (got != want) throw new IllegalStateException(
+        s"testdata drift: $name.$cn reads as ${fld.dataType.simpleString} " +
+          s"(class $got), expected class $want — the driver changed the " +
+          "generation; adapt SparkEntry.t() (see HarnessDriftSpec)")
+    })
+    df
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -563,6 +616,82 @@ object SparkEntry {
             .as("balance"),
           greatest(coalesce(col("sv"), lit(0)), coalesce(col("tv"), lit(0)))
             .cast("long").as("head_version"))
+    }),
+
+    // ── M2 oracle-checked, through the round-8 SIDECAR claim path: import
+    //    the events table into a manifest-mode log with the inline threshold
+    //    forced below the stream count, migrateDistributed every stream
+    //    containing a "purchase" (rename it purchase_v2), and read the
+    //    active view back. The oracle reconstructs the exact post-migration
+    //    version chain (copies at n+1+rn for migrated streams, originals
+    //    elsewhere) — proving the invalidation rewrite, fence+copy append
+    //    and sidecar reservation claim are invisible to query results.
+    "m6_migrate_sidecar" -> ((s, dir) => {
+      val tmp = tempLogDir("graftm6")
+      val prev = sys.props.get("graft.bulkClaim.inlineMax")
+      sys.props("graft.bulkClaim.inlineMax") = "8"
+      try {
+        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+          ulidSeed = Some(66L), commitMode = graft.log.CommitMode.Manifest)
+        log.bulkImport(
+          t(s, dir, "events").select(
+            concat(lit("u"), col("user_id")).as("aggregate_id"),
+            lit("User").as("aggregate_kind"),
+            col("event_type").as("kind"),
+            col("props").as("body"),
+            col("event_id").as("seq"),
+            unix_millis(col("ts")).as("tms")),
+          seqCol = "seq", timeCol = Some("tms"))
+        log.migrateDistributed(1, Set("purchase"), evs => Some(evs.map(e =>
+          if (e.kind == "purchase") graft.log.EventDetail("purchase_v2", e.body)
+          else graft.log.EventDetail(e.kind, e.body)))).count(): Unit
+        require(log.manifest.claims().exists(c =>
+          c.kind == graft.log.CommitClaim.KindRewrite && c.streamsRef.isDefined),
+          "m6 must exercise the sidecar migration claim path")
+        log.activeEvents.select(
+          col("aggregate_id"),
+          col("aggregate_version").cast("long").as("aggregate_version"),
+          col("kind"), col("body"))
+      } finally {
+        prev match {
+          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
+          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
+        }
+      }
+    }),
+
+    // ── M4 oracle-checked through the same sidecar path: a kind-wide NoOp
+    //    fence pass (rebuild-projection fencing) over the imported log; the
+    //    oracle is originals ∪ one NoOp per stream at head+1.
+    "m7_fence_pass" -> ((s, dir) => {
+      val tmp = tempLogDir("graftm7")
+      val prev = sys.props.get("graft.bulkClaim.inlineMax")
+      sys.props("graft.bulkClaim.inlineMax") = "8"
+      try {
+        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+          ulidSeed = Some(67L), commitMode = graft.log.CommitMode.Manifest)
+        log.bulkImport(
+          t(s, dir, "events").select(
+            concat(lit("u"), col("user_id")).as("aggregate_id"),
+            lit("User").as("aggregate_kind"),
+            col("event_type").as("kind"),
+            col("props").as("body"),
+            col("event_id").as("seq"),
+            unix_millis(col("ts")).as("tms")),
+          seqCol = "seq", timeCol = Some("tms"))
+        require(log.appendNoOpFences("User") > 0, "fence pass must fence streams")
+        require(log.manifest.claims().last.streamsRef.isDefined,
+          "m7 must exercise the sidecar fence claim path")
+        log.activeEvents.select(
+          col("aggregate_id"),
+          col("aggregate_version").cast("long").as("aggregate_version"),
+          col("kind"))
+      } finally {
+        prev match {
+          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
+          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
+        }
+      }
     }),
 
     // ── approx sketches (engine capability beyond the reference). HLL
@@ -1282,6 +1411,29 @@ object SparkEntry {
         |       round(coalesce(sb, 0) + coalesce(tb, 0), 2) AS balance,
         |       greatest(coalesce(sv, 0), coalesce(tv, 0)) AS head_version
         |FROM snap FULL OUTER JOIN tail USING (user_id)""".stripMargin,
+
+    "m6_migrate_sidecar" ->
+      """WITH v AS (SELECT 'u' || user_id AS aggregate_id, event_type, props,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY user_id) AS n,
+        |                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                    OVER (PARTITION BY user_id) AS hasp
+        |           FROM events)
+        |SELECT aggregate_id,
+        |       (CASE WHEN hasp = 1 THEN n + 1 + rn ELSE rn END)::BIGINT AS aggregate_version,
+        |       CASE WHEN hasp = 1 AND event_type = 'purchase'
+        |            THEN 'purchase_v2' ELSE event_type END AS kind,
+        |       props AS body
+        |FROM v""".stripMargin,
+
+    "m7_fence_pass" ->
+      """WITH v AS (SELECT 'u' || user_id AS aggregate_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |           FROM events)
+        |SELECT aggregate_id, rn::BIGINT AS aggregate_version, event_type AS kind FROM v
+        |UNION ALL
+        |SELECT 'u' || user_id, (count(*) + 1)::BIGINT, 'NoOp'
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "a8_asof_state" ->
       """SELECT user_id,

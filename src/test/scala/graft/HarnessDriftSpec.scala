@@ -54,6 +54,37 @@ class HarnessDriftSpec extends AnyFunSuite {
     assert(rows(nanosDir) === rows(microsDir))
   }
 
+  test("a type-class flip fails loudly, naming the table, column and dtype") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftdriftbad").toFile.getAbsolutePath
+    (1 to 5).map(i => (i.toLong, 1700000000000000L + i, 7L, i.toLong, 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      SparkEntry.queries("s1_stream_scan")(spark, dir).count()
+    }
+    assert(e.getMessage.contains("events.event_type") &&
+      e.getMessage.contains("bigint"),
+      s"drift error must name table.column and the observed dtype: ${e.getMessage}")
+  }
+
+  test("a missing column fails loudly, naming it") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftdriftmiss").toFile.getAbsolutePath
+    (1 to 5).map(i => (i.toLong, 1700000000000000L + i, 7L, "click", 1.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      SparkEntry.queries("s1_stream_scan")(spark, dir).count()
+    }
+    assert(e.getMessage.contains("events.props") && e.getMessage.contains("MISSING"),
+      e.getMessage)
+  }
+
   test("timestamp arithmetic (unix_millis log import) works on both vintages") {
     // w7 funnels ts through unix_millis into a bulkImport + rebucket
     // roundtrip — the exact expression the round-7 NTZ drift broke
