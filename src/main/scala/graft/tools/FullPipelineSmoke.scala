@@ -165,12 +165,14 @@ object FullPipelineSmoke {
         s.select(col("doc_id"), col("source"), col("split"), col("text"))
       }
 
-      // ── read model: latest-wins upsert; re-merge is a no-op on reads
+      // ── read model: latest-wins upsert with a VERSIONED stamp (the
+      // concurrent-projector-safe mode); replaying the same batch version is
+      // a no-op on reads, and a laggard replay can never roll state back
       time("read-model merge + current (and idempotent re-merge)") {
         val rm = new ReadModel(spark, s"$dir/readmodel", "doc_id")
-        rm.merge(capped)
+        rm.merge(capped, version = Some(1L))
         require(rm.current().count() == 20L * cap, "read model row count")
-        rm.merge(capped)
+        rm.merge(capped, version = Some(1L))
         require(rm.current().count() == 20L * cap, "re-merge must not change reads")
       }
 
