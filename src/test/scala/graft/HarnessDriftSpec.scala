@@ -54,6 +54,18 @@ class HarnessDriftSpec extends AnyFunSuite {
     assert(rows(nanosDir) === rows(microsDir))
   }
 
+  test("benign width changes (int for bigint, float for double) pass the guard") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftdriftw").toFile.getAbsolutePath
+    (1 to 5).map(i => (i, 1700000000000000L + i, 7, "click", 1.5f, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("s1_stream_scan")(spark, dir).count() === 5L,
+      "a narrower integral/fractional width is the same type class — no drift")
+  }
+
   test("a type-class flip fails loudly, naming the table, column and dtype") {
     val s = spark
     import s.implicits._
