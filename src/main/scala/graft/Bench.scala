@@ -52,11 +52,7 @@ object Bench {
     }
     val results = runs.collect { case (n, Right(t)) => (n, t) }
     val errors = runs.collect { case (n, Left(m)) => (n, m) }
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jq(s: String): String = JsonEscape.quote(s)
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jq(k) + ":" + jq(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -73,8 +73,12 @@ object SparkEntry {
     // untagged micros too), and every load passes the drift guard above.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/$name.parquet")
+    // ts may be ABSENT under a renaming regeneration — skip the conversion
+    // and let the guard below report the named MISSING drift, instead of
+    // dying here with Spark's bare "Field ts does not exist"
     val df0 =
-      if (name == "events" && raw.schema("ts").dataType == LongType)
+      if (name == "events" &&
+          raw.schema.fields.find(_.name == "ts").exists(_.dataType == LongType))
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val df = df0.schema.fields.foldLeft(df0) { (acc, fld) =>
@@ -84,7 +88,10 @@ object SparkEntry {
     }
     def klass(dt: DataType): String = dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "i"
-      case _: FloatType | _: DoubleType | _: DecimalType => "f"
+      // decimal is deliberately NOT in "f": a double→decimal regeneration
+      // flips aggregate arithmetic and output dtypes — a semantic change
+      // that must surface as named drift, not as oracle hash confusion
+      case _: FloatType | _: DoubleType => "f"
       case _: StringType => "s"
       case _: TimestampType => "t"
       case ArrayType(et, _) if klass(et) == "f" => "vf"
@@ -102,6 +109,33 @@ object SparkEntry {
           "generation; adapt SparkEntry.t() (see HarnessDriftSpec)")
     })
     df
+  }
+
+  /** The events table shaped as a bulkImport batch — one stream per user,
+    * versions from event_id order, historical ULID times from ts — shared by
+    * every log-machinery roundtrip query (w7/w8/m5/m6/m7): the import shape
+    * is defined ONCE so the oracles can't silently diverge.
+    */
+  private def eventsImportBatch(s: SparkSession, dir: String,
+      body: org.apache.spark.sql.Column = col("props")): DataFrame =
+    t(s, dir, "events").select(
+      concat(lit("u"), col("user_id")).as("aggregate_id"),
+      lit("User").as("aggregate_kind"),
+      col("event_type").as("kind"),
+      body.as("body"),
+      col("event_id").as("seq"),
+      unix_millis(col("ts")).as("tms"))
+
+  /** Run `body` with `graft.bulkClaim.inlineMax` forced to `n` (and restored
+    * after) — the sidecar-path queries' scaffolding.
+    */
+  private def withInlineMax[A](n: Int)(body: => A): A = {
+    val prev = sys.props.get("graft.bulkClaim.inlineMax")
+    sys.props("graft.bulkClaim.inlineMax") = n.toString
+    try body finally prev match {
+      case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
+      case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -514,15 +548,7 @@ object SparkEntry {
     "w7_bulk_roundtrip" -> ((s, dir) => {
       val tmp = tempLogDir("graftw7")
       val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(77L))
-      log.bulkImport(
-        t(s, dir, "events").select(
-          concat(lit("u"), col("user_id")).as("aggregate_id"),
-          lit("User").as("aggregate_kind"),
-          col("event_type").as("kind"),
-          col("props").as("body"),
-          col("event_id").as("seq"),
-          unix_millis(col("ts")).as("tms")),
-        seqCol = "seq", timeCol = Some("tms"))
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
       log.rebucket(3).activeEvents.select(
         col("aggregate_id"),
         col("aggregate_version").cast("long").as("aggregate_version"),
@@ -535,35 +561,18 @@ object SparkEntry {
     //    parquet SIDECAR claim (round-7 mechanism) and the read-back goes
     //    through the committed view — the oracle proves the claim machinery
     //    is invisible to query results.
-    "w8_sidecar_roundtrip" -> ((s, dir) => {
+    "w8_sidecar_roundtrip" -> ((s, dir) => withInlineMax(8) {
       val tmp = tempLogDir("graftw8")
-      val prev = sys.props.get("graft.bulkClaim.inlineMax")
-      sys.props("graft.bulkClaim.inlineMax") = "8"
-      try {
-        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
-          ulidSeed = Some(78L), commitMode = graft.log.CommitMode.Manifest)
-        log.bulkImport(
-          t(s, dir, "events").select(
-            concat(lit("u"), col("user_id")).as("aggregate_id"),
-            lit("User").as("aggregate_kind"),
-            col("event_type").as("kind"),
-            col("props").as("body"),
-            col("event_id").as("seq"),
-            unix_millis(col("ts")).as("tms")),
-          seqCol = "seq", timeCol = Some("tms"))
-        require(log.manifest.claims().exists(_.streamsRef.isDefined),
-          "w8 must exercise the sidecar claim path")
-        log.activeEvents.select(
-          col("aggregate_id"),
-          col("aggregate_version").cast("long").as("aggregate_version"),
-          col("kind"),
-          graft.functions.ulid_millis(col("id")).as("t_ms"))
-      } finally {
-        prev match {
-          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
-          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
-        }
-      }
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+        ulidSeed = Some(78L), commitMode = graft.log.CommitMode.Manifest)
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      require(log.manifest.claims().exists(_.streamsRef.isDefined),
+        "w8 must exercise the sidecar claim path")
+      log.activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"),
+        graft.functions.ulid_millis(col("id")).as("t_ms"))
     }),
 
     // ── M5: retention keeps folds reproducible, oracle-checked: import the
@@ -576,13 +585,7 @@ object SparkEntry {
       val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(55L))
       val cutoffMs = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli
       log.bulkImport(
-        t(s, dir, "events").select(
-          concat(lit("u"), col("user_id")).as("aggregate_id"),
-          lit("User").as("aggregate_kind"),
-          col("event_type").as("kind"),
-          to_json(struct(col("value").as("v"))).as("body"),
-          col("event_id").as("seq"),
-          unix_millis(col("ts")).as("tms")),
+        eventsImportBatch(s, dir, body = to_json(struct(col("value").as("v")))),
         seqCol = "seq", timeCol = Some("tms"))
       def bal = sum(
         when(col("kind") === "purchase",
@@ -626,72 +629,38 @@ object SparkEntry {
     //    version chain (copies at n+1+rn for migrated streams, originals
     //    elsewhere) — proving the invalidation rewrite, fence+copy append
     //    and sidecar reservation claim are invisible to query results.
-    "m6_migrate_sidecar" -> ((s, dir) => {
+    "m6_migrate_sidecar" -> ((s, dir) => withInlineMax(8) {
       val tmp = tempLogDir("graftm6")
-      val prev = sys.props.get("graft.bulkClaim.inlineMax")
-      sys.props("graft.bulkClaim.inlineMax") = "8"
-      try {
-        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
-          ulidSeed = Some(66L), commitMode = graft.log.CommitMode.Manifest)
-        log.bulkImport(
-          t(s, dir, "events").select(
-            concat(lit("u"), col("user_id")).as("aggregate_id"),
-            lit("User").as("aggregate_kind"),
-            col("event_type").as("kind"),
-            col("props").as("body"),
-            col("event_id").as("seq"),
-            unix_millis(col("ts")).as("tms")),
-          seqCol = "seq", timeCol = Some("tms"))
-        log.migrateDistributed(1, Set("purchase"), evs => Some(evs.map(e =>
-          if (e.kind == "purchase") graft.log.EventDetail("purchase_v2", e.body)
-          else graft.log.EventDetail(e.kind, e.body)))).count(): Unit
-        require(log.manifest.claims().exists(c =>
-          c.kind == graft.log.CommitClaim.KindRewrite && c.streamsRef.isDefined),
-          "m6 must exercise the sidecar migration claim path")
-        log.activeEvents.select(
-          col("aggregate_id"),
-          col("aggregate_version").cast("long").as("aggregate_version"),
-          col("kind"), col("body"))
-      } finally {
-        prev match {
-          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
-          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
-        }
-      }
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+        ulidSeed = Some(66L), commitMode = graft.log.CommitMode.Manifest)
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      log.migrateDistributed(1, Set("purchase"), evs => Some(evs.map(e =>
+        if (e.kind == "purchase") graft.log.EventDetail("purchase_v2", e.body)
+        else graft.log.EventDetail(e.kind, e.body)))).count(): Unit
+      require(log.manifest.claims().exists(c =>
+        c.kind == graft.log.CommitClaim.KindRewrite && c.streamsRef.isDefined),
+        "m6 must exercise the sidecar migration claim path")
+      log.activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"), col("body"))
     }),
 
     // ── M4 oracle-checked through the same sidecar path: a kind-wide NoOp
     //    fence pass (rebuild-projection fencing) over the imported log; the
     //    oracle is originals ∪ one NoOp per stream at head+1.
-    "m7_fence_pass" -> ((s, dir) => {
+    "m7_fence_pass" -> ((s, dir) => withInlineMax(8) {
       val tmp = tempLogDir("graftm7")
-      val prev = sys.props.get("graft.bulkClaim.inlineMax")
-      sys.props("graft.bulkClaim.inlineMax") = "8"
-      try {
-        val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
-          ulidSeed = Some(67L), commitMode = graft.log.CommitMode.Manifest)
-        log.bulkImport(
-          t(s, dir, "events").select(
-            concat(lit("u"), col("user_id")).as("aggregate_id"),
-            lit("User").as("aggregate_kind"),
-            col("event_type").as("kind"),
-            col("props").as("body"),
-            col("event_id").as("seq"),
-            unix_millis(col("ts")).as("tms")),
-          seqCol = "seq", timeCol = Some("tms"))
-        require(log.appendNoOpFences("User") > 0, "fence pass must fence streams")
-        require(log.manifest.claims().last.streamsRef.isDefined,
-          "m7 must exercise the sidecar fence claim path")
-        log.activeEvents.select(
-          col("aggregate_id"),
-          col("aggregate_version").cast("long").as("aggregate_version"),
-          col("kind"))
-      } finally {
-        prev match {
-          case Some(v) => sys.props.put("graft.bulkClaim.inlineMax", v): Unit
-          case None => sys.props.remove("graft.bulkClaim.inlineMax"): Unit
-        }
-      }
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+        ulidSeed = Some(67L), commitMode = graft.log.CommitMode.Manifest)
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      require(log.appendNoOpFences("User") > 0, "fence pass must fence streams")
+      require(log.manifest.claims().last.streamsRef.isDefined,
+        "m7 must exercise the sidecar fence claim path")
+      log.activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"))
     }),
 
     // ── approx sketches (engine capability beyond the reference). HLL

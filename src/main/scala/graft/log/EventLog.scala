@@ -1065,6 +1065,10 @@ class EventLog(
     var claimed: Option[CommitClaim] = None
     var eventInputs: Seq[String] = Nil
     var snapInputs: Seq[String] = Nil
+    // each planned stream's (id, head-at-plan) — shared by both distributed
+    // staleness probes below
+    val planned = plan.select(col("aggregateId").as("m_id"),
+      col("maxVersion").as("m_v"))
     var attempts = 0
     while (claimed.isEmpty && attempts < 100) {
       val tip = manifest.refresh()
@@ -1080,8 +1084,6 @@ class EventLog(
         })
       if (chainStaleInline) return abandon()
       if (useSidecar || manifest.cachedClaims().exists(_.streamsRef.isDefined)) {
-        val planned = plan.select(col("aggregateId").as("m_id"),
-          col("maxVersion").as("m_v"))
         val chainStale = manifest.reservationsDF().exists(_
           .join(planned, col("aggregate_id") === col("m_id"))
           .filter(col("head") > col("m_v"))
@@ -1091,11 +1093,9 @@ class EventLog(
       // parquet staleness, checked DISTRIBUTED (never an isin list of the
       // migrated stream set): one pruned aggregation over the affected
       // buckets, compared against each stream's planned head
-      val expected = plan.select(col("aggregateId").as("m_id"),
-        col("maxVersion").as("m_v"))
       val parquetStale = committedView(eventsWithBucket)
         .filter(col("bucket").isin(buckets: _*))
-        .join(expected, col("aggregate_id") === col("m_id"))
+        .join(planned, col("aggregate_id") === col("m_id"))
         .groupBy(col("m_id"), col("m_v"))
         .agg(max(col("aggregate_version")).as("cur"))
         .filter(col("cur") > col("m_v"))

@@ -84,12 +84,16 @@ object MigrateScaleSmoke {
     // a fresh writer's view resolves reservations through the sidecars
     val fresh = new EventLog(spark, dir, numBuckets = 32,
       commitMode = graft.log.CommitMode.Manifest)
-    val heads = time("fresh-writer reservedHeads on a 100-stream batch") {
+    val probeIds = (1 to 100).map(i =>
+      f"mig${(i.toLong * math.max(1L, n / 101)).min(n)}%012d").distinct
+    val heads = time(s"fresh-writer reservedHeads on a ${probeIds.size}-stream batch") {
       fresh.manifest.refresh()
-      fresh.manifest.reservedHeads((1 to 100).map(i =>
-        f"mig${i.toLong * (n / 101)}%012d"))
+      fresh.manifest.reservedHeads(probeIds)
     }
-    require(heads.values.forall(_ == 4), s"heads ${heads.values.toSet}")
+    // every probed id must RESOLVE (an empty map would pass a bare forall —
+    // the vacuous-success trap) and carry the post-fence head
+    require(heads.size == probeIds.size && heads.values.forall(_ == 4),
+      s"resolved ${heads.size}/${probeIds.size}, heads ${heads.values.toSet}")
 
     println(s"""{"streams":$n,"migrated":$migrated,"fenced":$fenced,""" +
       s""""mig_claim_bytes":$migClaimB,"fence_claim_bytes":$fenceClaimB,"ok":true}""")

@@ -38,6 +38,14 @@ class HarnessDriftSpec extends AnyFunSuite {
   private lazy val nanosDir = writeVintage(nanosAsLong = true)
   private lazy val microsDir = writeVintage(nanosAsLong = false)
 
+  /** A REAL TIMESTAMP(NANOS)-annotated parquet (pyarrow-written, committed
+    * fixture) with the same 40 rows as [[writeVintage]] — Spark cannot write
+    * this annotation itself, and reading it REQUIRES the nanosAsLong legacy
+    * conf, so this is the only vintage that actually exercises that path.
+    */
+  private val nanosFixtureDir =
+    new java.io.File("src/test/resources/nanos-vintage").getAbsolutePath
+
   test("the events loader normalizes both ts vintages to TimestampType") {
     Seq(nanosDir, microsDir).foreach { dir =>
       val out = SparkEntry.queries("s1_stream_scan")(spark, dir)
@@ -52,6 +60,19 @@ class HarnessDriftSpec extends AnyFunSuite {
       SparkEntry.queries("s1_stream_scan")(spark, dir)
         .orderBy("event_id").collect().toSeq
     assert(rows(nanosDir) === rows(microsDir))
+  }
+
+  test("a real TIMESTAMP(NANOS) file (rounds 1-6 vintage) loads via nanosAsLong") {
+    // would throw 'Illegal Parquet type: INT64 (TIMESTAMP(NANOS))' if the
+    // loader ever dropped the legacy conf — the synthetic bigint vintage
+    // above cannot catch that regression
+    val fixture = SparkEntry.queries("s1_stream_scan")(spark, nanosFixtureDir)
+    assert(fixture.schema("ts").dataType === TimestampType)
+    val rows = fixture.orderBy("event_id").collect().toSeq
+    val synthetic = SparkEntry.queries("s1_stream_scan")(spark, microsDir)
+      .orderBy("event_id").collect().toSeq
+    assert(rows.nonEmpty && rows === synthetic,
+      "the nanos fixture must decode to the same instants as the micros vintage")
   }
 
   test("benign width changes (int for bigint, float for double) pass the guard") {
