@@ -799,6 +799,66 @@ class ManifestCommitSpec extends AnyFunSuite {
     } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
   }
 
+  test("a migration writer dying between claim and done leaves no trace after prune") {
+    // the round-8 crash window: rewrite claim won WITH a sidecar, staged
+    // token files partially moved in, writer dies. Prune must condemn the
+    // claim, delete the staged files AND the sidecar, and the log must read
+    // exactly as before the migration started.
+    val log = newLog()
+    (1 to 3).foreach(i => log.append(Seq(AppendRecord(s"mc-$i", "Account", 0,
+      Map.empty, Seq(EventDetail("Created", s"""{"v":$i}"""))))))
+    val before = log.committedEvents.orderBy("aggregate_id", "aggregate_version")
+      .collect().toSeq
+    log.manifest.refresh()
+    val s = spark
+    import s.implicits._
+    // dead migration writer: sidecar staged, rewrite claim won, no done
+    val heads = (1 to 3).map(i => (s"mc-$i", 1, 3))
+      .toDF("aggregate_id", "base", "head")
+    val (name, cnt, mh) = log.manifest.writeSidecar(heads)
+    val tip = log.manifest.claims().map(_.n).max
+    // the claim replaces a real live file (as a crashed stageRewrite would)
+    val conf = spark.sessionState.newHadoopConf()
+    val events = new org.apache.hadoop.fs.Path(log.path, "events")
+    val fs = events.getFileSystem(conf)
+    val victim = fs.listStatus(events).filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    assert(log.manifest.tryClaim(CommitClaim(tip + 1, Map.empty, Seq.empty,
+      "dead-migrator", System.currentTimeMillis() - 100000L, done = false,
+      kind = CommitClaim.KindRewrite, replaced = Seq(victim.toString),
+      streamsRef = Some(name), refCount = cnt, refMaxHead = mh)))
+    val staged = new org.apache.hadoop.fs.Path(victim.getParent,
+      s"c${tip + 1}-${victim.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs, staged, false, conf)
+
+    // while the claim pends: reads unchanged, writers fenced by the sidecar
+    assert(log.committedEvents.orderBy("aggregate_id", "aggregate_version")
+      .collect().toSeq === before, "pending rewrite must be invisible")
+    intercept[ConcurrentModificationException] {
+      log.append(Seq(AppendRecord("mc-2", "Account", 1, Map.empty,
+        Seq(EventDetail("Deposited", "{}")))))
+    }
+
+    log.append(Seq(rec("mc-live", 0))) // move the tip off the dead claim
+    log.manifest.prune(Map.empty, staleMs = 60000L): Unit
+    assert(!fs.exists(staged), "staged rewrite file must be deleted")
+    val side = new org.apache.hadoop.fs.Path(
+      s"${log.path}/${graft.log.ManifestCommitLog.CommitDir}/$name")
+    assert(!side.getFileSystem(conf).exists(side),
+      "the condemned migration's sidecar must be swept")
+    assert(fs.exists(victim), "the replaced live file must survive condemnation")
+    // a fresh reader sees the pre-migration log plus the live append
+    val fresh = new EventLog(spark, log.path, numBuckets = 4,
+      commitMode = CommitMode.Manifest)
+    assert(fresh.committedEvents.filter(col("aggregate_id").startsWith("mc-"))
+      .count() === before.size + 1L)
+    // and the fenced writer now succeeds at the real head
+    fresh.append(Seq(AppendRecord("mc-2", "Account", 1, Map.empty,
+      Seq(EventDetail("Deposited", "{}")))))
+    assert(fresh.streamEvents("mc-2").count() === 2L)
+  }
+
   test("a sidecar-scale migration re-plans when an append interleaves (no lost rows)") {
     // inlineMax=0 forces even this 1-stream plan through the sidecar path, so
     // the race coverage of the inline re-plan test applies to sidecar claims:
