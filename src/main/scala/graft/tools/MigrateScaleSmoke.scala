@@ -81,6 +81,16 @@ object MigrateScaleSmoke {
     val fenceClaimB = claimBytes(fenceClaim)
     println(f"MIG fence claim TSV on disk: $fenceClaimB%,d bytes (flat in streams)")
 
+    // storage lifecycle completes: GC the replaced pre-migration files and
+    // prove reads are unchanged — the migrate→fence→gc cadence a 100 TB log
+    // runs on a maintenance schedule
+    val gced = time("gcReplaced after the migration rewrite") {
+      log.gcReplaced(retentionMs = 0L)
+    }
+    require(gced > 0, "the migration must have superseded files to GC")
+    require(log.activeEvents.count() == 2L * n, // copy + fence per stream
+      "reads must be unchanged after GC")
+
     // a fresh writer's view resolves reservations through the sidecars
     val fresh = new EventLog(spark, dir, numBuckets = 32,
       commitMode = graft.log.CommitMode.Manifest)
