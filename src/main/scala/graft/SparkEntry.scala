@@ -940,6 +940,10 @@ object SparkEntry {
         md5(ops.TextAnalysis.piiRedact(aug)).as("red_md5"))
     }),
 
+    // ── text: CCNet-style bigram-LM quality score (self-scored corpus) ────
+    "t13_lm_quality" -> ((s, dir) =>
+      ops.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── sampling: per-domain contribution cap ─────────────────────────────
     "x5_domain_cap" -> ((s, dir) =>
       ops.Sampling.capPerKey(t(s, dir, "documents"), "doc_id", "source",
@@ -1799,6 +1803,23 @@ object SparkEntry {
         |SELECT doc_id, len(sh)::BIGINT AS n_shingles,
         |       round(1.0 - len(list_distinct(sh)) * 1.0 / greatest(len(sh), 1), 4) AS rep_frac
         |FROM sh""".stripMargin,
+
+    // t13: the oracle retrains the same add-0.1 bigram model (counts over
+    // the whole corpus, context sums per first word, V = distinct
+    // continuations) and re-derives every doc's mean negative log-likelihood;
+    // self-scoring never hits the engine's unseen-bigram floor, so the inner
+    // join here is exact parity with the engine's left-join + coalesce.
+    "t13_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |db AS (SELECT doc_id, unnest(list_transform(range(len(ws)-1), i -> ws[i+1] || ' ' || ws[i+2])) AS bigram
+        |       FROM tok WHERE len(ws) >= 2),
+        |bc AS (SELECT bigram, count(*)::DOUBLE AS b FROM db GROUP BY bigram),
+        |bcw AS (SELECT bigram, b, sum(b) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS w FROM bc),
+        |v AS (SELECT count(DISTINCT split_part(bigram, ' ', -1))::DOUBLE AS v FROM bc),
+        |sc AS (SELECT doc_id, ln((bcw.b + 0.1) / (bcw.w + 0.1 * v.v)) AS lp
+        |       FROM db JOIN bcw USING (bigram) CROSS JOIN v)
+        |SELECT doc_id, round(-avg(lp), 6) AS lm_score, count(*)::BIGINT AS n_bigrams
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "t10_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws

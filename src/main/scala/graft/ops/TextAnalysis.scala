@@ -160,6 +160,75 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("token"), col("score"), col("rn"))
   }
 
+  /** Add-k-smoothed bigram language model trained on a corpus — the model
+    * half of the CCNet-style LM quality filter (CCNet scores CommonCrawl
+    * against a Wikipedia LM; here the training corpus is a parameter, so
+    * "train on the reference corpus, score the incoming crawl" is the
+    * production call shape and self-scoring is the self-contained one).
+    *
+    * Returns one row per observed bigram: `(bigram, logp, __v)` where
+    * `logp = ln((C(w1 w2) + k) / (C(w1 ·) + k·V))`, context counts
+    * `C(w1 ·)` are derived from the bigram counts themselves (so the
+    * conditional can never disagree with its own denominator), and
+    * `V` = distinct continuation words — carried as a constant column so the
+    * persisted model is one self-contained parquet table (unseen-bigram
+    * scoring needs it for the `ln(1/V)` floor).
+    *
+    * Scale shape: ONE corpus aggregation (map-side combined to the distinct
+    * bigram vocabulary, Zipf-bounded — orders of magnitude smaller than the
+    * corpus), checkpointed, then a vocab-sized window for context sums and a
+    * broadcast 1-row frame for V. No UDFs, no driver-side state.
+    */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.1): DataFrame = {
+    require(k > 0, "smoothing k must be > 0")
+    val bc = docBigrams(docs, idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("__b"))
+      .localCheckpoint() // vocab-sized; feeds the window, V, and the join
+    val v = bc.agg(
+      countDistinct(substring_index(col("bigram"), " ", -1)).cast("double").as("__v"))
+    val ctx = Window.partitionBy(substring_index(col("bigram"), " ", 1))
+    bc.withColumn("__w", sum(col("__b")).over(ctx))
+      .crossJoin(broadcast(v))
+      .select(col("bigram"),
+        log((col("__b") + lit(k)) / (col("__w") + lit(k) * col("__v"))).as("logp"),
+        col("__v"))
+  }
+
+  /** CCNet-style LM quality score: average negative log-likelihood of each
+    * document's bigrams under an add-k bigram model (nats per bigram —
+    * LOWER = more in-distribution, the classic pretraining-data quality
+    * signal). Trains on `docs` itself when no `model` is passed; pass a
+    * [[bigramLm]] frame (fresh or loaded from parquet) to score a new batch
+    * against a fixed reference corpus. Bigrams unseen by the model take the
+    * `ln(1/V)` unseen-context floor. Documents under 2 tokens have no
+    * bigrams and drop out (they have no likelihood to speak of — screen
+    * them by [[tokenCount]]).
+    *
+    * Plan shape: the document bigram stream equi-joins the (vocab-sized,
+    * broadcast-able) model and averages per doc — one join + one final
+    * aggregation; at 100 TB both sides of the join partition on the bigram
+    * key and nothing quadratic or driver-side exists.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.1, model: Option[DataFrame] = None): DataFrame = {
+    val m = model.getOrElse(bigramLm(docs, idCol, textCol, k))
+    val vv = m.agg(max(col("__v")).as("__vv"))
+    docBigrams(docs, idCol, textCol)
+      .join(broadcast(m), Seq("bigram"), "left")
+      .crossJoin(broadcast(vv))
+      .groupBy(col(idCol))
+      .agg(round(-avg(coalesce(col("logp"), -log(col("__vv")))), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** One row per (doc, bigram occurrence) — explode of the 2-shingle array
+    * (docs under 2 tokens contribute no rows).
+    */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(Dedup.shinglesFromTokens(col("__ws"), 2)).as("bigram"))
+
   /** Split documents into fixed-size token windows with overlap — the
     * context-window chunking step before tokenization/packing. One row per
     * chunk: (id, chunk_no, chunk, n_tokens). Stride = chunkTokens − overlap;

@@ -540,4 +540,55 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "no pii in this row; version 1.2 is not an ip, 12-34 not a phone",
       "near-miss patterns must survive untouched")
   }
+
+  test("bigram LM: hand-computed add-k likelihoods on a two-doc corpus") {
+    val s = spark
+    import s.implicits._
+    // bigrams: doc1 = {a b, b a, a b}, doc2 = {a c}
+    // counts: C(a b)=2, C(b a)=1, C(a c)=1; contexts: C(a ·)=3, C(b ·)=1
+    // V = |{b, a, c}| = 3 distinct continuations; k = 0.1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lpAB = math.log(2.1 / 3.3); val lpBA = math.log(1.1 / 1.3)
+    val lpAC = math.log(1.1 / 3.3)
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 3L), (2L, 1L)))
+    assert(math.abs(got(0).getDouble(1) - -(2 * lpAB + lpBA) / 3) < 1e-6)
+    assert(math.abs(got(1).getDouble(1) - -lpAC) < 1e-6)
+  }
+
+  test("bigram LM: repetitive text scores as more likely than rare text") {
+    val s = spark
+    import s.implicits._
+    // shared corpus: doc 1 is one bigram repeated, doc 2 is all-unique
+    // bigrams — under the corpus-trained model the repetitive doc must get
+    // the LOWER (better) mean negative log-likelihood
+    val docs = Seq(
+      (1L, Seq.fill(30)("the cat").mkString(" ")),
+      (2L, (1 to 61).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val sc = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(sc(0) < sc(1),
+      s"repeated-bigram doc ${sc(0)} must beat unique-bigram doc ${sc(1)}")
+  }
+
+  test("bigram LM: trained model scores a new batch; unseen bigrams hit the 1/V floor") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLm(corpus, "doc_id", "text")
+    // "z z" shares no bigram with the corpus: both bigrams take the
+    // ln(1/V) unseen floor, so the score is exactly ln(3)
+    val batch = Seq((10L, "z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(batch, "doc_id", "text", model = Some(model))
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((10L, 2L)))
+    assert(math.abs(got.head.getDouble(1) - math.log(3.0)) < 1e-6)
+    // a seen bigram in the new batch scores with the trained logp, not the
+    // floor: "a b" carries ln(2.1/3.3) from the corpus model
+    val seen = TextAnalysis.lmScore(Seq((11L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", model = Some(model)).collect()
+    assert(math.abs(seen.head.getDouble(1) - -math.log(2.1 / 3.3)) < 1e-6)
+  }
 }
