@@ -636,7 +636,7 @@ object SparkEntry {
       log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
       log.migrateDistributed(1, Set("purchase"), evs => Some(evs.map(e =>
         if (e.kind == "purchase") graft.log.EventDetail("purchase_v2", e.body)
-        else graft.log.EventDetail(e.kind, e.body)))).count(): Unit
+        else graft.log.EventDetail(e.kind, e.body))), dense = true).count(): Unit
       require(log.manifest.claims().exists(c =>
         c.kind == graft.log.CommitClaim.KindRewrite && c.streamsRef.isDefined),
         "m6 must exercise the sidecar migration claim path")

@@ -138,6 +138,16 @@ class EventLog(
   private val snapshotsPath = s"$path/snapshots"
   private val gen = new Ulid.Generator(seed = ulidSeed)
 
+  /** Dev-only phase timing for the maintenance paths (`-Dgraft.phaseTiming`):
+    * prints per-phase wall time so slow-query triage attributes seconds to
+    * jobs, not guesses. Free when the property is unset.
+    */
+  @inline private def phase[A](label: String)(f: => A): A =
+    if (EventLog.phaseTiming) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   def bucketOf(aggregateId: String): Int =
@@ -481,7 +491,7 @@ class EventLog(
       if (clash.nonEmpty) throw new ConcurrentModificationException(
         s"bulkImport: stream ${clash.head} already exists in the log")
     }
-    val imported = prepared
+    val minted = prepared
       .repartition(col("aggregate_id"))
       .sortWithinPartitions(col("aggregate_id"), col(seqCol))
       .select(col("aggregate_id"), col("aggregate_kind"), col("kind"),
@@ -511,8 +521,8 @@ class EventLog(
             kind, body, discFn(d), new Timestamp(ts), 0, false)
         }
       }
-      .localCheckpoint() // one materialization: counted, then written
-    val n = imported.count()
+    val imported = phase("import: checkpoint rows")(minted.localCheckpoint())
+    val n = phase("import: count")(imported.count())
     if (n > 0) commitMode match {
       case CommitMode.Lock => writeEventsDF(imported.toDF())
       case CommitMode.Manifest =>
@@ -531,13 +541,15 @@ class EventLog(
         // sidecar-scale import re-evaluates the aggregation for the parquet
         // write, over the already-checkpointed `imported`, so the recompute
         // is one in-memory pass
-        val probe = headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect()
+        val probe = phase("import: heads probe")(
+          headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect())
         val useSidecar = probe.length > ManifestCommitLog.inlineClaimMaxStreams
         val inlineStreams =
           if (useSidecar) Map.empty[String, (Int, Int)]
           else probe.map(r => r.getString(0) -> (0, r.getInt(2))).toMap
         val sidecar =
-          if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
+          if (useSidecar) Some(phase("import: sidecar write")(manifest.writeSidecar(headsDF)))
+          else None
         var attempts = 0
         var committed = false
         while (!committed && attempts < 100) {
@@ -550,13 +562,13 @@ class EventLog(
           if (requireNew) {
             val chainHasSidecars = manifest.cachedClaims().exists(_.streamsRef.isDefined)
             if (useSidecar || chainHasSidecars)
-              manifest.reservationsDF().foreach { resv =>
+              phase("import: chain clash join")(manifest.reservationsDF().foreach { resv =>
                 val clash = headsDF.select(col("aggregate_id"))
                   .join(resv.select(col("aggregate_id")), Seq("aggregate_id"), "left_semi")
                   .limit(1).collect()
                 if (clash.nonEmpty) throw new ConcurrentModificationException(
                   s"bulkImport: stream ${clash.head.getString(0)} already reserved in the commit chain")
-              }
+              })
             else
               manifest.reservedHeads(inlineStreams.keys.toSeq).find(_._2 > 0)
                 .foreach { case (s, _) => throw new ConcurrentModificationException(
@@ -568,8 +580,9 @@ class EventLog(
             refCount = sidecar.map(_._2).getOrElse(0L),
             refMaxHead = sidecar.map(_._3).getOrElse(0))
           if (manifest.tryClaim(claim)) {
-            writeEventsDFIsolated(imported.toDF(), s"c${claim.n}")
-            manifest.markDone(claim.n)
+            phase("import: bucketed write")(
+              writeEventsDFIsolated(imported.toDF(), s"c${claim.n}"))
+            phase("import: markDone")(manifest.markDone(claim.n))
             committed = true
           } else attempts += 1
         }
@@ -877,25 +890,35 @@ class EventLog(
     */
   def migrate(revision: Int, targetKinds: Set[String],
       handler: Seq[EventRow] => Option[Seq[EventDetail]],
-      nowMs: => Long = System.currentTimeMillis()): Seq[MigratedStream] = {
+      nowMs: => Long = System.currentTimeMillis(),
+      dense: Boolean = false): Seq[MigratedStream] = {
     import spark.implicits._
-    migrateDistributed(revision, targetKinds, handler, nowMs)
+    migrateDistributed(revision, targetKinds, handler, nowMs, dense)
       .collect().toSeq.sortBy(_.aggregateId)
   }
 
   /** Distributed M2: as [[migrate]] but returns the per-stream outcome as a
     * Dataset, so a migration touching 10⁸ streams never materializes its
     * result on the driver (callers aggregate or write it out instead).
+    *
+    * `dense = true` declares that the target kinds touch most streams (the
+    * kind-wide copy-replace shape): the plan fold then runs as one scan +
+    * one shuffle with candidate detection inside the fold, instead of the
+    * default candidates-distinct + semi-join shape that keeps a SELECTIVE
+    * migration's shuffle bounded by the candidate sliver. Wrong-direction
+    * hints are never incorrect, only slower.
     */
   def migrateDistributed(revision: Int, targetKinds: Set[String],
       handler: Seq[EventRow] => Option[Seq[EventDetail]],
-      nowMs: => Long = System.currentTimeMillis()): Dataset[MigratedStream] =
+      nowMs: => Long = System.currentTimeMillis(),
+      dense: Boolean = false): Dataset[MigratedStream] =
     withLogLock(path) {
       import spark.implicits._
       require(revision > 0, "migration revision must be > 0")
       val t = nowMs
       val seedBase = ulidSeed
       val h = handler
+      val tk = targetKinds
       val nb = numBuckets
       val fenceKind = KindInvalidated
 
@@ -904,30 +927,78 @@ class EventLog(
       while (result.isEmpty) {
         planAttempts += 1
 
-        // 1. candidate streams, kept distributed (left-semi on the stream key —
-        // co-partitioned with the event scan's own key, one shuffle total)
-        val candidates = activeEvents
-          .filter(col("kind").isin(targetKinds.toSeq: _*))
-          .select("aggregate_id").distinct()
-
-        // 2. run the handler per stream on executors (sorted-group fold — the
-        // rehydrateAll shape), then mint fence+copy rows with a per-partition
-        // monotonic ULID generator; materialize BEFORE any rewrite below
-        // invalidates the lineage's source files.
-        val plan: Dataset[MigrationPlan] = activeEvents
-          .join(candidates, Seq("aggregate_id"), "left_semi")
-          .as[EventRow]
-          .groupByKey(_.aggregate_id)
-          .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
-            val evs = it.toSeq
-            h(evs).filter(_.nonEmpty) match {
-              case Some(details) =>
-                Iterator(MigrationPlan(id, evs.head.aggregate_kind,
-                  evs.head.discriminator, evs.map(_.aggregate_version).max,
-                  details, Seq.empty))
-              case None => Iterator.empty
-            }
+        // 1+2. per-stream sorted fold over the candidate streams, two plan
+        // shapes by declared selectivity:
+        //  - dense = false (default): candidate ids first (scan + small
+        //    distinct), then a semi-join restricts the fold's shuffle to
+        //    candidate events only — right when the target kinds are rare
+        //    (the fold shuffle carries the sliver, and AQE's runtime filters
+        //    prune the probe side);
+        //  - dense = true: ONE scan + ONE shuffle of the log, candidates
+        //    detected inside the fold — right for the reference's
+        //    kind-wide copy-replace shape (events_migration.go walks every
+        //    aggregate of a kind) where "candidates" ≈ all streams and the
+        //    semi-join would shuffle the same volume plus an extra scan +
+        //    distinct.
+        // Both run the handler on the stream's version-ordered active
+        // events and yield identical plans.
+        val folded: Dataset[MigrationPlan] =
+          if (dense)
+            activeEvents.as[EventRow]
+              .repartition(col("aggregate_id"))
+              .sortWithinPartitions(col("aggregate_id"), col("aggregate_version"))
+              .mapPartitions { it =>
+                val buf = it.buffered
+                new Iterator[MigrationPlan] {
+                  private var nextPlan: MigrationPlan = _
+                  private var done = false
+                  private def advance(): Unit = {
+                    nextPlan = null
+                    while (nextPlan == null && buf.hasNext) {
+                      val id = buf.head.aggregate_id
+                      val evs = scala.collection.mutable.ArrayBuffer.empty[EventRow]
+                      while (buf.hasNext && buf.head.aggregate_id == id)
+                        evs += buf.next()
+                      if (evs.exists(e => tk.contains(e.kind)))
+                        h(evs.toSeq).filter(_.nonEmpty).foreach { details =>
+                          nextPlan = MigrationPlan(id, evs.head.aggregate_kind,
+                            evs.head.discriminator,
+                            evs.map(_.aggregate_version).max, details, Seq.empty)
+                        }
+                    }
+                    if (nextPlan == null) done = true
+                  }
+                  advance()
+                  override def hasNext: Boolean = !done
+                  override def next(): MigrationPlan = {
+                    val p = nextPlan; advance(); p
+                  }
+                }
+              }
+          else {
+            val candidates = activeEvents
+              .filter(col("kind").isin(targetKinds.toSeq: _*))
+              .select("aggregate_id").distinct()
+            activeEvents
+              .join(candidates, Seq("aggregate_id"), "left_semi")
+              .as[EventRow]
+              .groupByKey(_.aggregate_id)
+              .flatMapSortedGroups(col("aggregate_version")) { (id, it) =>
+                val evs = it.toSeq
+                h(evs).filter(_.nonEmpty) match {
+                  case Some(details) =>
+                    Iterator(MigrationPlan(id, evs.head.aggregate_kind,
+                      evs.head.discriminator, evs.map(_.aggregate_version).max,
+                      details, Seq.empty))
+                  case None => Iterator.empty
+                }
+              }
           }
+
+        // 3. mint fence+copy rows with a per-partition monotonic ULID
+        // generator; materialize BEFORE any rewrite below invalidates the
+        // lineage's source files.
+        val plan: Dataset[MigrationPlan] = phase("migrate: plan fold+checkpoint")(folded
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val pgen = new Ulid.Generator(seed = seedBase.map(s => s * 1000003L + pid))
@@ -944,9 +1015,17 @@ class EventLog(
               p.copy(rows = fence +: copies)
             }
           }
-          .localCheckpoint()
+          .localCheckpoint())
 
-        if (plan.isEmpty) result = Some(spark.emptyDataset[MigratedStream])
+        // emptiness falls out of the bucket-set collect below — no separate
+        // isEmpty job
+        val ids0 = plan.select(col("aggregateId").as("m_id"),
+          col("maxVersion").as("m_maxv"),
+          pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
+        val buckets0 = phase("migrate: bucket-set collect")(
+          ids0.select("m_bucket").distinct().as[Int].collect().sorted)
+        if (buckets0.isEmpty)
+          result = Some(spark.emptyDataset[MigratedStream])
         else {
           // 3. ONE invalidation rewrite over the affected bucket SET: flag old
           // rows via a join against the migrated stream ids, BOUNDED by each
@@ -957,10 +1036,8 @@ class EventLog(
           // rewrite AND the fence+copy append under ONE rewrite claim whose
           // done-flip swaps the whole migration in atomically (see
           // [[migrateCommitManifest]]).
-          val ids = plan.select(col("aggregateId").as("m_id"),
-            col("maxVersion").as("m_maxv"),
-            pmod(graft.functions.fnv1a32(col("aggregateId")), lit(nb)).as("m_bucket"))
-          val buckets = ids.select("m_bucket").distinct().as[Int].collect().sorted
+          val ids = ids0
+          val buckets = buckets0
           val invalidate: DataFrame => DataFrame = { df =>
             val allIds = ids.select("m_id", "m_maxv")
             df.join(allIds, df("aggregate_id") === allIds("m_id"), "left")
@@ -1033,12 +1110,15 @@ class EventLog(
       col("maxVersion").as("base"),
       (col("maxVersion") + lit(1) + size(col("details"))).cast("int").as("head"))
     // bounded decision probe (bulkImport's): collect at most inlineMax+1 rows
-    val probe = headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect()
+    val probe = phase("migrate: heads probe")(
+      headsDF.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect())
     val useSidecar = probe.length > ManifestCommitLog.inlineClaimMaxStreams
     val resv: Map[String, (Int, Int)] =
       if (useSidecar) Map.empty
       else probe.map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
-    val sidecar = if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
+    val sidecar =
+      if (useSidecar) Some(phase("migrate: sidecar write")(manifest.writeSidecar(headsDF)))
+      else None
     // every no-commit exit reclaims the staged sidecar (else it would sit as
     // an orphan until prune's staleness sweep)
     def abandon(): Boolean = { sidecar.foreach(s => manifest.dropSidecar(s._1)); false }
@@ -1083,24 +1163,29 @@ class EventLog(
           case (s, (_, head)) => resv.get(s).exists(_._1 < head)
         })
       if (chainStaleInline) return abandon()
-      if (useSidecar || manifest.cachedClaims().exists(_.streamsRef.isDefined)) {
-        val chainStale = manifest.reservationsDF().exists(_
-          .join(planned, col("aggregate_id") === col("m_id"))
-          .filter(col("head") > col("m_v"))
-          .limit(1).count() > 0)
-        if (chainStale) return abandon()
-      }
-      // parquet staleness, checked DISTRIBUTED (never an isin list of the
-      // migrated stream set): one pruned aggregation over the affected
-      // buckets, compared against each stream's planned head
-      val parquetStale = committedView(eventsWithBucket)
+      // chain + parquet staleness in ONE distributed job: any observed head
+      // (a chain reservation's, or a committed row's version in the affected
+      // buckets) past a planned stream's plan-time head means an append
+      // committed or is in flight beyond the plan's snapshot. Existence of
+      // ANY such row is the predicate, so no per-stream aggregation is
+      // needed, and the migrated stream set never rides an isin list or a
+      // driver map — reservationsDF covers inline and sidecar lines alike.
+      val chainHeads =
+        if (useSidecar || manifest.cachedClaims().exists(_.streamsRef.isDefined))
+          manifest.reservationsDF().map(_.select(col("aggregate_id"),
+            col("head").cast("int").as("observed")))
+        else None
+      // refreshed = true: the loop top just paid manifest.refresh(), skip
+      // the repeat chain listing inside the read filter
+      val parquetHeads = committedView(eventsWithBucket, refreshed = true)
         .filter(col("bucket").isin(buckets: _*))
-        .join(planned, col("aggregate_id") === col("m_id"))
-        .groupBy(col("m_id"), col("m_v"))
-        .agg(max(col("aggregate_version")).as("cur"))
-        .filter(col("cur") > col("m_v"))
-        .limit(1).count() > 0
-      if (parquetStale) return abandon()
+        .select(col("aggregate_id"), col("aggregate_version").as("observed"))
+      val stale = phase("migrate: staleness probe")(
+        chainHeads.fold(parquetHeads)(parquetHeads.unionByName(_))
+          .join(planned, col("aggregate_id") === col("m_id"))
+          .filter(col("observed") > col("m_v"))
+          .limit(1).count() > 0)
+      if (stale) return abandon()
       eventInputs = liveFiles(eventsPath)
       snapInputs = if (exists(snapshotsPath)) liveFiles(snapshotsPath) else Nil
       val c = CommitClaim(tip + 1, resv, Seq.empty, writerId,
@@ -1118,11 +1203,15 @@ class EventLog(
     }
     val token = s"c${claim.n}"
     if (eventInputs.nonEmpty)
-      stageRewrite(eventsPath, EventSchema.events, eventInputs, token)(invalidate)
+      phase("migrate: stage events rewrite")(
+        stageRewrite(eventsPath, EventSchema.events, eventInputs, token)(invalidate))
     if (snapInputs.nonEmpty)
-      stageRewrite(snapshotsPath, EventSchema.snapshots, snapInputs, token)(dropSnapshots)
-    writeEventsDFIsolated(plan.select(explode(col("rows")).as("r")).select("r.*"), token)
-    manifest.markDone(claim.n) // the atomic swap: old files out, rewrite + fences in
+      phase("migrate: stage snapshot rewrite")(
+        stageRewrite(snapshotsPath, EventSchema.snapshots, snapInputs, token)(dropSnapshots))
+    phase("migrate: fence+copy append")(
+      writeEventsDFIsolated(plan.select(explode(col("rows")).as("r")).select("r.*"), token))
+    phase("migrate: markDone")(
+      manifest.markDone(claim.n)) // the atomic swap: old files out, rewrite + fences in
     true
   }
 
@@ -1228,8 +1317,8 @@ class EventLog(
           var res = -1L
           while (res < 0 && attempts < 100) {
             val tip = manifest.refresh()
-            val fences = computeFences()
-            val n = fences.count()
+            val fences = phase("fences: compute+checkpoint")(computeFences())
+            val n = phase("fences: count")(fences.count())
             if (n == 0) res = 0
             else {
               val headsDF = fences.toDF().select(col("aggregate_id"),
@@ -1241,15 +1330,17 @@ class EventLog(
                 else headsDF.collect()
                   .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
               val sidecar =
-                if (useSidecar) Some(manifest.writeSidecar(headsDF)) else None
+                if (useSidecar) Some(phase("fences: sidecar write")(manifest.writeSidecar(headsDF)))
+                else None
               val c = CommitClaim(tip + 1, lines, Seq.empty, writerId,
                 System.currentTimeMillis(), done = false,
                 streamsRef = sidecar.map(_._1),
                 refCount = sidecar.map(_._2).getOrElse(0L),
                 refMaxHead = sidecar.map(_._3).getOrElse(0))
               if (manifest.tryClaim(c)) {
-                writeEventsDFIsolated(fences.toDF(), s"c${c.n}")
-                manifest.markDone(c.n)
+                phase("fences: bucketed write")(
+                  writeEventsDFIsolated(fences.toDF(), s"c${c.n}"))
+                phase("fences: markDone")(manifest.markDone(c.n))
                 res = n
               } else {
                 // lost the race: the next lap recomputes fences from the
@@ -1734,6 +1825,9 @@ object EventLog {
     * range-scanned many times (catchup replays at 100 TB are IO-bound).
     */
   val Compression = "zstd"
+
+  /** See [[EventLog.phase]] — read once so the hot path costs one static. */
+  private[log] val phaseTiming: Boolean = sys.props.contains("graft.phaseTiming")
 
   /** Commit lock acquisition timeout / staleness horizon. */
   val LockAcquireTimeoutMs = 60000L

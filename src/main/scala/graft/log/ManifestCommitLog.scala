@@ -182,14 +182,18 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val f = fs
     if (!f.exists(dir)) f.mkdirs(dir)
-    val body = streams.selectExpr("aggregate_id", "base", "head")
-    body
+    // the claim-line summary rides an Observation on the write job itself —
+    // no second job re-reading the parquet we just wrote
+    val obs = org.apache.spark.sql.Observation()
+    streams.selectExpr("aggregate_id", "base", "head")
       .repartitionByRange(col("aggregate_id"))
       .sortWithinPartitions(col("aggregate_id"))
+      // AFTER the range shuffle: repartitionByRange samples its input in an
+      // extra pass, and an upstream observe would double-count every row
+      .observe(obs, cnt(col("aggregate_id")).as("n"), max(col("head")).as("h"))
       .write.parquet(new Path(dir, name).toString)
-    val summary = spark.read.parquet(new Path(dir, name).toString)
-      .agg(cnt(col("aggregate_id")), max(col("head"))).collect()(0)
-    (name, summary.getLong(0), summary.getInt(1))
+    val summary = obs.get
+    (name, summary("n").asInstanceOf[Long], summary("h").asInstanceOf[Int])
   }
 
   /** Best-effort delete of a staged sidecar that never made it into a won

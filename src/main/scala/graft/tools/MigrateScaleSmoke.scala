@@ -56,7 +56,8 @@ object MigrateScaleSmoke {
 
     val migrated = time(f"migrateDistributed over $n%,d streams (sidecar rewrite claim)") {
       log.migrateDistributed(1, Set("Created"), evs => Some(evs.map(e =>
-        graft.log.EventDetail("CreatedV2", e.body))), nowMs = 1700000100000L)
+        graft.log.EventDetail("CreatedV2", e.body))), nowMs = 1700000100000L,
+        dense = true)
         .count()
     }
     require(migrated == n, s"migrated $migrated of $n")

@@ -73,6 +73,56 @@ class MigrationScaleSpec extends AnyFunSuite {
     assert(log.activeEvents.count() == nStreams * 2L)
   }
 
+  test("dense and selective plan shapes produce the same migration (hint parity)") {
+    // a SELECTIVE handler (half the streams rewritten, a quarter declined by
+    // the handler) through BOTH plan shapes: the dense single-shuffle fold
+    // and the default candidates+semi-join fold must agree on every surviving
+    // row — the hint may only change the plan, never the data
+    def handler(evs: Seq[graft.core.EventRow]): Option[Seq[graft.log.EventDetail]] = {
+      val n = evs.head.aggregate_id.takeRight(3).toInt
+      if (n % 4 == 0) None // candidate stream the handler leaves untouched
+      else Some(evs.map(e =>
+        if (e.kind == "AccountCreated") graft.log.EventDetail("AccountCreated_V2", e.body)
+        else graft.log.EventDetail(e.kind, e.body)))
+    }
+    def run(dense: Boolean) = {
+      val log = freshLog()
+      // only even-numbered streams hold the target kind after this scrub:
+      // make the target kinds genuinely selective by renaming odd streams'
+      // Created events out of the target set first
+      val pre = log.migrateDistributed(1, Set("AccountCreated"), evs =>
+        if (evs.head.aggregate_id.takeRight(3).toInt % 2 == 1)
+          Some(evs.map(e =>
+            if (e.kind == "AccountCreated") graft.log.EventDetail("LegacyCreated", e.body)
+            else graft.log.EventDetail(e.kind, e.body)))
+        else None, nowMs = 1700000001000L, dense = dense).count()
+      assert(pre == nStreams / 2)
+      val out = log.migrateDistributed(2, Set("AccountCreated"), handler,
+        nowMs = 1700000002000L, dense = dense)
+      (log, out.collect().map(_.aggregateId).sorted.toSeq)
+    }
+    val (denseLog, denseIds) = run(dense = true)
+    val (selLog, selIds) = run(dense = false)
+    assert(denseIds === selIds)
+    assert(denseIds.nonEmpty && denseIds.size < nStreams,
+      "the scenario must be genuinely selective for the parity to mean anything")
+    def shape(log: EventLog) = log.events
+      .select("aggregate_id", "aggregate_version", "kind", "body", "migration", "migrated")
+      .orderBy("aggregate_id", "aggregate_version")
+      .collect().toSeq
+    assert(shape(denseLog) === shape(selLog))
+    // per-stream replacement-id monotonicity holds in the dense shape too
+    val ids = denseLog.activeEvents
+      .filter(col("migrated"))
+      .select("aggregate_id", "aggregate_version", "id")
+      .orderBy("aggregate_id", "aggregate_version").collect()
+      .groupBy(_.getString(0)).values
+    ids.foreach { rows =>
+      val seq = rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      assert(seq == seq.sorted && seq.distinct.size == seq.size)
+    }
+  }
+
   test("M2 migrate under Manifest commit mode: one atomic rewrite claim, one visible version") {
     val dir = Files.createTempDirectory("graftmigmanifest").toFile.getAbsolutePath
     val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(78L),

@@ -128,7 +128,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // semi-join prune of corpus verify docs (AQE broadcasts the candidate
       // ids), verify join — corpus shingle sets are never materialized
       "d11_span_dedup" -> 3, "d12_incremental" -> 2,
-      "t12_pii_redact" -> 0, "x5_domain_cap" -> 1)
+      "t12_pii_redact" -> 0, "x5_domain_cap" -> 1,
+      // t13: per-doc score agg (1) + the broadcast model subtree's vocab
+      // aggregation, context-sum window and V single-row agg — all over the
+      // checkpointed bigram-count frame, never the corpus
+      "t13_lm_quality" -> 4)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty, s"no shuffle budget declared for: $missing")
