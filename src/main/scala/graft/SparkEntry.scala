@@ -834,6 +834,26 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
     }),
 
+    // ── similarity: persisted IVF index roundtrip (build → append → load →
+    //    probe). Centroids come from the full corpus (production: trained on
+    //    a sample), the index is BUILT on even ids and incrementally
+    //    APPENDED with odd ids — assignments agree with a one-shot build, so
+    //    the e3 declarative-IVF oracle must reproduce the result exactly.
+    //    The cell table persists PARTITIONED BY cell: the probe join prunes
+    //    unprobed cells at the parquet level (the 100-TB query shape).
+    "e6_indexed_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte6")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents))
+      ops.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1093,6 +1113,34 @@ object SparkEntry {
     * SQL twin of `Similarity.cosinePairs` at its defaults (16-bit buckets ×
     * 8 tables, same seeded ±1 matrix): `pairs(id_a, id_b, sim)`.
     */
+  /** The declarative IVF oracle (deterministic first-8 centroids, 1-cell
+    * corpus assign, 2-cell query probe, exact cosine top-3) — shared by e3
+    * (in-memory IVF) and e6 (persisted-index roundtrip): both must equal
+    * this one-shot assignment exactly.
+    */
+  private val ivfOracleSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+      |               FROM embeddings ORDER BY vec_id LIMIT 8),
+      |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      |cassign AS (SELECT vec_id, ce, cent_id AS cell,
+      |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+      |            FROM (SELECT vec_id, ce, cent_id,
+      |                         round(list_cosine_similarity(ce, cent), 6) AS csim
+      |                  FROM corpus CROSS JOIN cents)),
+      |ccells AS (SELECT vec_id, ce, cell FROM cassign WHERE crn = 1),
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+      |      WHERE vec_id BETWEEN 100 AND 109),
+      |qassign AS (SELECT qid, qe, cent_id AS cell,
+      |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+      |            FROM (SELECT qid, qe, cent_id,
+      |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+      |                  FROM q CROSS JOIN cents)),
+      |qcells AS (SELECT qid, qe, cell FROM qassign WHERE crn <= 2),
+      |c AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
+      |      FROM ccells JOIN qcells USING (cell) WHERE vec_id != qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+      |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin
+
   private def embPairsCte(threshold: Double): String = {
     val tables = 8; val bits = 16
     val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, tables, bits, 64)
@@ -1602,28 +1650,11 @@ object SparkEntry {
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin
     },
 
-    "e3_ivf_ann" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
-        |               FROM embeddings ORDER BY vec_id LIMIT 8),
-        |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
-        |cassign AS (SELECT vec_id, ce, cent_id AS cell,
-        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
-        |            FROM (SELECT vec_id, ce, cent_id,
-        |                         round(list_cosine_similarity(ce, cent), 6) AS csim
-        |                  FROM corpus CROSS JOIN cents)),
-        |ccells AS (SELECT vec_id, ce, cell FROM cassign WHERE crn = 1),
-        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
-        |      WHERE vec_id BETWEEN 100 AND 109),
-        |qassign AS (SELECT qid, qe, cent_id AS cell,
-        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
-        |            FROM (SELECT qid, qe, cent_id,
-        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
-        |                  FROM q CROSS JOIN cents)),
-        |qcells AS (SELECT qid, qe, cell FROM qassign WHERE crn <= 2),
-        |c AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
-        |      FROM ccells JOIN qcells USING (cell) WHERE vec_id != qid),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
-        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
+    "e3_ivf_ann" -> ivfOracleSql,
+    // e6 = the same declarative IVF semantics: the persisted-index roundtrip
+    // (build on evens, append odds, load, probe) must be indistinguishable
+    // from the one-shot assignment the oracle computes
+    "e6_indexed_ann" -> ivfOracleSql,
 
     "t6_blocklist_scrub" ->
       """SELECT doc_id,

@@ -132,21 +132,38 @@ object Similarity {
       centroids: Option[DataFrame] = None): DataFrame = {
     // default: the deterministic first-nlist seed (the e3 oracle's form);
     // pass kmeansCentroids(...) for Lloyd-refined cells with better recall
-    val cents = centroids.getOrElse(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent")))
-    def cells(df: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("csim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
-        .join(broadcast(cents), lit(true))
-        .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= nCells)
-        .select(col(outId), col(outVec), col("cent_id").as("cell"))
-    }
-    val corpusCells = cells(corpus, "vec_id", "ce", 1)
-    val queryCells = cells(queries, "qid", "qe", nprobe)
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    ivfTopKJoin(
+      assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1),
+      assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
+  }
+
+  /** The deterministic first-`nlist` centroid seed (the e3 oracle's form). */
+  def defaultCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent"))
+
+  /** Assign each vector to its `nCells` nearest centroid cells (broadcast
+    * centroid table, per-row top-cells window).
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
+    val w = Window.partitionBy(col(outId))
+      .orderBy(col("csim").desc, col("cent_id"))
+    df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nCells)
+      .select(col(outId), col(outVec), col("cent_id").as("cell"))
+  }
+
+  /** Probe assigned corpus cells with assigned query cells: equi-join on the
+    * cell key, exact cosine inside the candidate sliver, per-query top-k.
+    */
+  private def ivfTopKJoin(corpusCells: DataFrame, queryCells: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -154,6 +171,53 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** Build and PERSIST an IVF index: `path/centroids` (nlist rows) and
+    * `path/cells` (one row per corpus vector, parquet PARTITIONED BY the
+    * cell id). This is the production similarity shape at 100 TB — the
+    * corpus is assigned once, queries only ever read the `nprobe` cell
+    * partitions they hash to (the cell partition column turns the probe's
+    * equi-join into parquet partition pruning), and new vectors append
+    * incrementally without touching existing cells. Centroids default to
+    * the deterministic first-nlist seed; pass [[kmeansCentroids]] (trained
+    * on a sample) for refined cells.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 8,
+      centroids: Option[DataFrame] = None): Unit = {
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Incrementally index a new vector batch: assign against the PERSISTED
+    * centroids (so assignments agree with the build) and append to the cell
+    * table — existing cell files are never rewritten, the ingest-side cost
+    * is one broadcast join + one partitioned append per batch.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a persisted index: queries assign to their `nprobe`
+    * cells against the loaded centroids, then probe the cell table — the
+    * broadcast equi-join on the PARTITION column lets dynamic partition
+    * pruning skip every unprobed cell's files, so query cost scales with
+    * `nprobe / nlist` of the corpus, not the corpus.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("ce"), col("cell"))
+    ivfTopKJoin(cells,
+      assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
   }
 
   /** Deterministic farthest-first seeding (the k-means++ idea without

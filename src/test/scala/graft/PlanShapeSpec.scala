@@ -89,6 +89,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
       "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
+      // e6: the persisted-index probe — query-assign window exchange + the
+      // final top-k window; the cell scan itself is pruned, never shuffled
+      "e6_indexed_ann" -> 3,
       // recall metrics join the exact and approx top-k subplans; their SMJ is
       // the left join of two tiny rank outputs (AQE broadcasts at runtime)
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,

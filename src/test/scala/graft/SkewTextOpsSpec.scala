@@ -541,6 +541,42 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "near-miss patterns must survive untouched")
   }
 
+  test("persisted IVF index: build+append roundtrip equals the one-shot ivfTopK") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graftivf").toFile.getAbsolutePath
+    val cents = graft.ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 6)
+    // build on one half, append the other: assignments against the SAME
+    // persisted centroids must make the roundtrip indistinguishable from a
+    // one-shot in-memory IVF over the full corpus
+    graft.ops.Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 6, centroids = Some(cents))
+    graft.ops.Similarity.appendToIvfIndex(s, idx,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val indexed = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    val oneShot = graft.ops.Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 4, nlist = 6, nprobe = 2,
+      centroids = Some(cents))
+    val a = indexed.orderBy("qid", "rn").collect().toSeq
+    val b = oneShot.orderBy("qid", "rn").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the cell table is partitioned on the cell id, and the probe join
+    // carries a dynamic-pruning subquery on it: unprobed cells' files are
+    // skipped at the parquet level, so query cost scales with nprobe/nlist
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.size > 1, s"expected multiple cell partitions, got $cellDirs")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the probe must prune cell partitions dynamically:\n" + plan.take(2000))
+  }
+
   test("bigram LM: hand-computed add-k likelihoods on a two-doc corpus") {
     val s = spark
     import s.implicits._
