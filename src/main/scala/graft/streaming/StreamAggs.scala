@@ -126,6 +126,28 @@ object StreamAggs {
         col("quality") >= minQuality && col("rep_frac") <= maxRepetition)
   }
 
+  /** Streaming LM quality screen: score every micro-batch of incoming
+    * documents against a FIXED bigram model (trained once on a reference
+    * corpus via [[graft.ops.TextAnalysis.bigramLm]] — at 100 TB the model is
+    * persisted parquet, loaded here) and hand `(scored, batchId)` to the
+    * sink. The score is mean negative log-likelihood (lower = more
+    * in-distribution); unseen bigrams take the model's ln(1/V) floor, so a
+    * crawl batch from a different distribution scores visibly worse — the
+    * CCNet filter shape, at ingest. The model is vocab-sized and broadcast;
+    * per batch the cost is one equi-join + one per-doc aggregation.
+    * Exactly-once delivery of screen results is the caller's query
+    * checkpoint (batchId-idempotent sinks, the T5 pattern).
+    */
+  def screenLmAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, k: Double = 0.1)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val m = model.localCheckpoint() // resolved once, reused by every batch
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.TextAnalysis.lmScore(batch.toDF(), idCol, textCol, k,
+        model = Some(m)), batchId)
+    }
+  }
+
   /** Continuous ingestion INTO the log: every micro-batch of incoming event
     * rows (`aggregate_id, aggregate_kind, kind, body, seq[, discriminator]`)
     * appends at each stream's current head via

@@ -234,4 +234,50 @@ class StreamAggsSpec extends AnyFunSuite {
       assert(matched == 5, s"5 planted near-dups must be flagged, got $matched")
     } finally q.stop()
   }
+
+  test("streaming LM screen: batch scores equal the batch lmScore; off-corpus text scores worse") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lmscreen").toFile.getAbsolutePath
+
+    // reference corpus: repetitive in-distribution phrasing
+    val corpus = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.bigramLm(corpus, "doc_id", "text")
+
+    // incoming: ids < 105 reuse corpus phrasing, the rest are out of
+    // distribution (all-unseen bigrams -> the ln(1/V) floor)
+    val incoming = (100L until 110L).map { i =>
+      if (i < 105) (i, "the quick brown fox jumps over the lazy dog")
+      else (i, s"zeta$i omicron$i upsilon$i sigma$i entirely novel vocabulary")
+    }
+    incoming.toDF("doc_id", "text").write.parquet(s"$dir/in")
+
+    val expected = graft.ops.TextAnalysis.lmScore(
+        spark.read.parquet(s"$dir/in"), "doc_id", "text", model = Some(model))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamAggs.screenLmAtIngest(
+        spark.readStream.schema("doc_id long, text string").parquet(s"$dir/in"),
+        model, "doc_id", "text") { (res, _) =>
+        got.synchronized { got ++= res.orderBy("doc_id").collect().map(_.toString); () }
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === expected.sorted,
+        "the streaming screen must score exactly like the batch lmScore")
+      // direction check: every off-corpus doc scores strictly worse than
+      // every in-corpus doc
+      val scores = graft.ops.TextAnalysis.lmScore(
+          spark.read.parquet(s"$dir/in"), "doc_id", "text", model = Some(model))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val inMax = (100L until 105L).map(scores).max
+      val outMin = (105L until 110L).map(scores).min
+      assert(inMax < outMin,
+        s"in-distribution max $inMax must beat out-of-distribution min $outMin")
+    } finally q.stop()
+  }
 }
