@@ -1318,20 +1318,27 @@ class EventLog(
           while (res < 0 && attempts < 100) {
             val tip = manifest.refresh()
             val fences = phase("fences: compute+checkpoint")(computeFences())
-            val n = phase("fences: count")(fences.count())
-            if (n == 0) res = 0
+            // bounded decision probe (bulkImport's): at most inlineMax+1
+            // fence rows decide inline-vs-sidecar AND become the inline
+            // claim lines — no full count job, no second inline collect; a
+            // sidecar-scale pass gets its exact n from the sidecar write's
+            // own summary
+            val probe = phase("fences: bounded probe")(
+              fences.limit(ManifestCommitLog.inlineClaimMaxStreams + 1).collect())
+            if (probe.isEmpty) res = 0
             else {
-              val headsDF = fences.toDF().select(col("aggregate_id"),
-                (col("aggregate_version") - 1).as("base"),
-                col("aggregate_version").as("head"))
-              val useSidecar = n > ManifestCommitLog.inlineClaimMaxStreams
+              val useSidecar = probe.length > ManifestCommitLog.inlineClaimMaxStreams
               val lines =
                 if (useSidecar) Map.empty[String, (Int, Int)]
-                else headsDF.collect()
-                  .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+                else probe.map(e =>
+                  e.aggregate_id -> (e.aggregate_version - 1, e.aggregate_version)).toMap
               val sidecar =
-                if (useSidecar) Some(phase("fences: sidecar write")(manifest.writeSidecar(headsDF)))
+                if (useSidecar) Some(phase("fences: sidecar write")(manifest.writeSidecar(
+                  fences.toDF().select(col("aggregate_id"),
+                    (col("aggregate_version") - 1).as("base"),
+                    col("aggregate_version").as("head")))))
                 else None
+              val n = sidecar.map(_._2).getOrElse(probe.length.toLong)
               val c = CommitClaim(tip + 1, lines, Seq.empty, writerId,
                 System.currentTimeMillis(), done = false,
                 streamsRef = sidecar.map(_._1),
