@@ -924,6 +924,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_spans"), col("n_dropped"),
           md5(col("kept_text")).as("kept_md5"))),
 
+    // ── dedup: exact duplicated-substring removal (overlapping windows) ───
+    "d13_substring_dedup" -> ((s, dir) =>
+      ops.Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+          md5(col("kept_text")).as("kept_md5"))),
+
     // ── dedup: incremental batch-vs-corpus screen (continuous ingest) ─────
     "d12_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1917,6 +1924,30 @@ object SparkEntry {
         |       md5(string_agg(CASE WHEN first_seen THEN span END, ' '
         |                      ORDER BY span_pos)) AS kept_md5
         |FROM fs GROUP BY doc_id""".stripMargin,
+
+    "d13_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |w AS (SELECT doc_id,
+        |        unnest(range(len(ws)-7)) AS s,
+        |        unnest(list_transform(range(len(ws)-7),
+        |          i -> array_to_string(ws[(i+1):(i+8)], ' '))) AS win
+        |      FROM tok WHERE len(ws) >= 8),
+        |fs AS (SELECT doc_id, s,
+        |         count(*) OVER (PARTITION BY win) AS c,
+        |         row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn
+        |       FROM w),
+        |dp AS (SELECT DISTINCT doc_id, p FROM
+        |        (SELECT doc_id, s + unnest(range(8)) AS p FROM fs
+        |         WHERE c > 1 AND rn > 1)),
+        |tp AS (SELECT doc_id, unnest(range(len(ws))) AS p, unnest(ws) AS w FROM tok),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.w
+        |         FROM tp LEFT JOIN dp ON dp.doc_id = tp.doc_id AND dp.p = tp.p
+        |         WHERE dp.doc_id IS NULL)
+        |SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+        |       (len(t.ws) - count(k.p))::BIGINT AS n_dropped,
+        |       md5(string_agg(k.w, ' ' ORDER BY k.p)) AS kept_md5
+        |FROM tok t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.ws)""".stripMargin,
 
     "d12_incremental" ->
       """WITH b AS (SELECT doc_id, text,

@@ -465,6 +465,71 @@ object Dedup {
           .as("kept_text"))
   }
 
+  /** Exact duplicated-substring removal over OVERLAPPING token windows —
+    * the position-level form of training-data dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * occurrence of a k-token window whose exact text appears elsewhere in
+    * the corpus — other than the globally first occurrence — has ALL its
+    * covered token positions removed; the canonical occurrence survives
+    * intact. Unlike [[spanDedup]]'s fixed non-overlapping spans, windows
+    * slide by one token, so a duplicated phrase is excised wherever it
+    * starts, and overlapping duplicate windows merge naturally at position
+    * level (interval union == the distinct covered-position set).
+    *
+    * Returns one row per input doc: `n_tokens`, `n_dropped`, `kept_text`
+    * (null when every position is covered by a non-canonical duplicate).
+    *
+    * Scale shape: window rows ≈ one per corpus token, each carrying ≤k
+    * tokens of text; the duplicated-window table collapses map-side
+    * (count + min(struct)) to one row per DISTINCT window before its
+    * shuffle. The occurrence↔dup-window equi-join fans out per occurrence
+    * (irreducible — every non-canonical occurrence must be marked) and a
+    * boilerplate hot window splits under AQE skew-join; covered positions
+    * explode only from duplicated occurrences (k× that set, not the
+    * corpus); the keep-filter is a left-anti hash join on (doc, pos). No
+    * window function partitions by the window string, so a 10⁷-occurrence
+    * span never serializes through one task. Suffix arrays (the paper's
+    * single-node tool) don't distribute; fixed-k sliding windows are the
+    * shuffle-native equivalent — k bounds the shortest duplicate run
+    * detected, and any run ≥ k is removed in full because every window
+    * inside it is duplicated too.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens >= 2")
+    val k = windowTokens
+    val tok = df.select(col(idCol).as("ssd_id"),
+      TextAnalysis.tokens(col(textCol)).as("__ws"))
+    val wins = tok.filter(size(col("__ws")) >= k)
+      .select(col("ssd_id"),
+        posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
+          i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(k))))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "win")
+    val dup = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("ssd_id"), col("s"))).as("__f"))
+      .filter(col("__c") > 1)
+      .select(col("win"), col("__f.ssd_id").as("__f_id"), col("__f.s").as("__f_s"))
+    val dropPos = wins.join(dup, Seq("win"))
+      .filter(!(col("ssd_id") === col("__f_id") && col("s") === col("__f_s")))
+      .select(col("ssd_id"),
+        explode(sequence(col("s"), col("s") + lit(k - 1))).as("p"))
+      .distinct()
+    val toks = tok.select(col("ssd_id"), posexplode(col("__ws")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+    val kept = toks.join(dropPos, Seq("ssd_id", "p"), "left_anti")
+      .groupBy(col("ssd_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_sort(collect_list(struct(col("p"), col("w")))).as("__kept"))
+    tok.select(col("ssd_id"), size(col("__ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("ssd_id"), "left")
+      .select(col("ssd_id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+        when(size(col("__kept")) > 0,
+          concat_ws(" ", transform(col("__kept"), x => x.getField("w"))))
+          .as("kept_text"))
+  }
+
   /** Incremental dedup: screen a NEW batch against an EXISTING corpus
     * without re-pairing the corpus with itself — the continuous-ingest
     * pipeline shape (nightly crawl vs. everything already accepted).

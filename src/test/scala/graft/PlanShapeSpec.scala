@@ -131,6 +131,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // semi-join prune of corpus verify docs (AQE broadcasts the candidate
       // ids), verify join — corpus shingle sets are never materialized
       "d11_span_dedup" -> 3, "d12_incremental" -> 2,
+      // d13: dup-window min-struct agg (skew-proof, map-side combined),
+      // covered-position distinct (duplicated occurrences × k only), doc
+      // reassembly agg; the dup-window and drop-position joins broadcast at
+      // this scale and stay equi-joins (AQE skew-split) at corpus scale
+      "d13_substring_dedup" -> 3,
       "t12_pii_redact" -> 0, "x5_domain_cap" -> 1,
       // t13: per-doc score agg (1) + the broadcast model subtree's vocab
       // aggregation, context-sum window and V single-row agg — all over the

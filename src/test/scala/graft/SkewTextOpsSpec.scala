@@ -387,6 +387,63 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(rep.getLong(2) === 1L && rep.getString(3) === "p q r")
   }
 
+  test("substring dedup excises overlapping duplicate windows, keeps canonical") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),       // canonical source of "a..h"
+      (2L, "x y a b c d e f g h z"),     // dup window at pos 2 → drop 2..9
+      (3L, "q a b c d e f g h i j"),     // 3 overlapping dup windows → union 1..10
+      (4L, "m n o p q r s t m n o p q r s t"), // within-doc repeat: 2nd half drops
+      (5L, "too short"))                 // < k tokens: no windows, fully kept
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L, 11L, 11L, 16L, 2L), "n_tokens")
+    assert(out(0).getLong(2) === 0L && out(0).getString(3) === "a b c d e f g h i j",
+      "canonical occurrence survives intact")
+    assert(out(1).getLong(2) === 8L && out(1).getString(3) === "x y z",
+      "single dup window removes exactly its covered positions")
+    assert(out(2).getLong(2) === 10L && out(2).getString(3) === "q",
+      "overlapping dup windows merge at position level")
+    assert(out(3).getLong(2) === 8L && out(3).getString(3) === "m n o p q r s t",
+      "within-doc repetition keeps the first run only")
+    assert(out(4).getLong(2) === 0L && out(4).getString(3) === "too short")
+  }
+
+  test("substring dedup matches the brute-force definition on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0L until 50L).map { id =>
+      val n = 1 + rnd.nextInt(14)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    val all = docs.flatMap { case (id, text) =>
+      val ws = text.split("\\s+")
+      (0 to ws.length - k).map(st => (id, st, ws.slice(st, st + k).mkString(" ")))
+    }
+    val byWin = all.groupBy(_._3)
+    val firstOf = byWin.view.mapValues(_.minBy(x => (x._1, x._2))).toMap
+    val expect = docs.map { case (id, text) =>
+      val ws = text.split("\\s+")
+      val dropped = all.filter { case (i, st, w) =>
+        i == id && byWin(w).size > 1 && firstOf(w) != ((i, st, w))
+      }.flatMap { case (_, st, _) => st until st + k }.toSet
+      val kept = ws.indices.filterNot(dropped).map(ws)
+      id -> (ws.length.toLong, dropped.size.toLong,
+        if (kept.isEmpty) null else kept.mkString(" "))
+    }.toMap
+    val got = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    assert(got === expect)
+  }
+
   test("incremental dedup flags batch docs near-duplicating the corpus") {
     val s = spark
     import s.implicits._
