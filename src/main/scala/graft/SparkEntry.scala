@@ -977,6 +977,12 @@ object SparkEntry {
           cap = 10, salt = "cap")
         .select(col("doc_id"), col("source"), col("cap_rank"))),
 
+    // ── sampling: temperature-weighted domain mixture to a token budget ───
+    "x6_mixture_sample" -> ((s, dir) =>
+      ops.Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        ops.TextAnalysis.tokenCount(col("text")), budgetTokens = 10000,
+        alpha = 0.5, salt = "mx")),
+
     // ── text: duplicate n-gram fraction (repetition quality filter) ───────
     "t11_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionFraction(t(s, dir, "documents"), "doc_id", "text")),
@@ -2029,6 +2035,22 @@ object SparkEntry {
         |SELECT doc_id, source FROM b
         |WHERE bucket < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |                           WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "x6_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |         len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n_tok
+        |       FROM documents),
+        |st AS (SELECT source, sum(n_tok) AS T, sqrt(sum(n_tok)) AS wn
+        |       FROM d GROUP BY source),
+        |r AS (SELECT source,
+        |        least(1.0, 10000 * wn / (SELECT sum(wn) FROM st) / T) AS rate
+        |      FROM st),
+        |b AS (SELECT doc_id,
+        |  (((md5_number('mx' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 1000000 AS bucket FROM documents)
+        |SELECT d.doc_id, d.source, d.n_tok, round(r.rate, 6) AS rate
+        |FROM d JOIN r USING (source) JOIN b USING (doc_id)
+        |WHERE b.bucket < r.rate * 1000000""".stripMargin,
 
     "x4_split_assign" ->
       """WITH b AS (SELECT doc_id, source,

@@ -89,4 +89,44 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w).cast("long"))
       .filter(col("cap_rank") <= cap)
   }
+
+  /** Temperature-weighted domain mixture sampling to a global token budget —
+    * the multi-corpus data-mixing primitive (the α-smoothed sampling of
+    * multilingual/multi-source training sets, cf. the exponent-smoothed
+    * mixtures in XLM-R / T5): domain d gets weight T_d^α / Σ T^α over its
+    * total token count, a keep-rate `min(1, budget·w_d / T_d)`, and rows
+    * are then kept deterministically by id hash. α < 1 flattens the mixture
+    * (up-samples rare domains, down-samples dominant ones); α = 1 is
+    * proportional; α = 0 is uniform-per-domain. α = 0.5 computes via
+    * `sqrt` (correctly rounded IEEE, engine-portable for the oracle);
+    * other α use `pow`.
+    *
+    * Returns the SELECTED rows: id, key, `n_tok`, and the domain's keep
+    * `rate` (rounded). Scale shape: one map-side-combined agg to
+    * domain-count-sized stats, a single-row total agg, a broadcast join of
+    * the tiny rate table back onto the corpus, and a per-row hash filter —
+    * nothing corpus-sized ever shuffles, and the sample is repartition- and
+    * rerun-stable like everything else here.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, keyCol: String, tokCol: Column,
+      budgetTokens: Long, alpha: Double = 0.5, salt: String = "",
+      granularity: Int = 1000000): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    val base = df.select(col(idCol), col(keyCol), tokCol.cast("long").as("__tok"))
+    val stats = base.groupBy(col(keyCol)).agg(sum(col("__tok")).as("__T"))
+      .withColumn("__wn",
+        if (alpha == 0.5) sqrt(col("__T")) else pow(col("__T"), lit(alpha)))
+    val total = stats.agg(sum(col("__wn")).as("__wsum"))
+    val rates = stats.crossJoin(broadcast(total))
+      .select(col(keyCol),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__wn") / col("__wsum") / col("__T"))
+          .as("__rate"))
+    base.join(broadcast(rates), Seq(keyCol))
+      .filter(hashBucket(col(idCol), salt, granularity) <
+        col("__rate") * granularity)
+      .select(col(idCol), col(keyCol), col("__tok").as("n_tok"),
+        round(col("__rate"), 6).as("rate"))
+  }
 }

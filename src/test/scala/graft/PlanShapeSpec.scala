@@ -137,6 +137,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // this scale and stay equi-joins (AQE skew-split) at corpus scale
       "d13_substring_dedup" -> 3,
       "t12_pii_redact" -> 0, "x5_domain_cap" -> 1,
+      // x6: domain-stats agg + the single-row weight total; the rate table
+      // broadcasts back onto the corpus — nothing corpus-sized shuffles
+      "x6_mixture_sample" -> 2,
       // t13: per-doc score agg (1) + the broadcast model subtree's vocab
       // aggregation, context-sum window and V single-row agg — all over the
       // checkpointed bigram-count frame, never the corpus

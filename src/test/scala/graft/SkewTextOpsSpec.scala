@@ -465,6 +465,43 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 
+  test("mixture sampling hits the budget with temperature-flattened weights") {
+    val s = spark
+    import s.implicits._
+    // 3 domains with very skewed token mass: big=40k, mid=4k, rare=400
+    // (2000/200/20 docs × 20 tokens each)
+    val text = Seq.fill(20)("w").mkString(" ")
+    val docs = ((0L until 2000L).map(i => (i, "big", text)) ++
+      (0L until 200L).map(i => (3000L + i, "mid", text)) ++
+      (0L until 20L).map(i => (4000L + i, "rare", text)))
+      .toDF("doc_id", "source", "text")
+    val tokc = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val out = Sampling.mixtureSample(docs, "doc_id", "source", tokc,
+      budgetTokens = 8000, alpha = 0.5, salt = "t")
+    val byDom = out.groupBy("source")
+      .agg(sum("n_tok").as("tok"), max("rate").as("rate")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // α=0.5 weights ∝ sqrt(T): w=(200,63.2,20)/283.2 → expected token mass
+    // ≈ budget·w = (5650, 1786, 565); rare exceeds its proportional share
+    // (400/44400·8000 = 72 tokens) by design, capped at rate 1.0
+    assert(byDom("rare")._2 == 1.0, "rare domain keeps everything (rate capped)")
+    assert(byDom("rare")._1 == 400L)
+    assert(byDom("big")._2 < 0.2 && byDom("big")._1 > 4000L && byDom("big")._1 < 7000L,
+      s"big domain downsampled toward its smoothed share: $byDom")
+    assert(byDom("mid")._2 > byDom("big")._2,
+      "smaller domain gets the higher keep-rate under α<1")
+    // α=1 is proportional: every domain gets the same rate
+    val prop = Sampling.mixtureSample(docs, "doc_id", "source", tokc,
+        budgetTokens = 8000, alpha = 1.0, salt = "t")
+      .select("rate").distinct().collect().map(_.getDouble(0))
+    assert(prop.length == 1 && math.abs(prop(0) - 8000.0 / 44400) < 1e-6)
+    // deterministic and repartition-stable
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(docs.repartition(13), "doc_id", "source",
+      tokc, 8000, 0.5, "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("per-key cap keeps a deterministic hash-ranked subset") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val capped = Sampling.capPerKey(docs, "doc_id", "source", cap = 3, salt = "c")
