@@ -854,6 +854,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nprobe = 2)
     }),
 
+    // ── similarity: SemDeDup — cluster-then-dedup on embeddings ───────────
+    "e7_semdedup" -> ((s, dir) =>
+      ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nlist = 8)),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1668,6 +1673,40 @@ object SparkEntry {
     // (build on evens, append odds, load, probe) must be indistinguishable
     // from the one-shot assignment the oracle computes
     "e6_indexed_ann" -> ivfOracleSql,
+
+    "e7_semdedup" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cassign AS (SELECT vec_id, ev, cent_id AS cell, csim,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, ev, cent_id,
+        |                         round(list_cosine_similarity(ev, cent), 6) AS csim
+        |                  FROM e CROSS JOIN cents)),
+        |cc AS (SELECT vec_id, ev, cell, csim FROM cassign WHERE crn = 1),
+        |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |          FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |          WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+        |l1 AS (SELECT l0.node, least(l0.label, coalesce(min(n.label), l0.label)) AS label
+        |       FROM l0 LEFT JOIN edges e ON e.src = l0.node LEFT JOIN l0 n ON n.node = e.dst
+        |       GROUP BY l0.node, l0.label),
+        |l2 AS (SELECT l1.node, least(l1.label, coalesce(min(n.label), l1.label)) AS label
+        |       FROM l1 LEFT JOIN edges e ON e.src = l1.node LEFT JOIN l1 n ON n.node = e.dst
+        |       GROUP BY l1.node, l1.label),
+        |l3 AS (SELECT l2.node, least(l2.label, coalesce(min(n.label), l2.label)) AS label
+        |       FROM l2 LEFT JOIN edges e ON e.src = l2.node LEFT JOIN l2 n ON n.node = e.dst
+        |       GROUP BY l2.node, l2.label),
+        |rep AS (SELECT l3.node, l3.label, cc.cell, cc.csim,
+        |          row_number() OVER (PARTITION BY l3.label
+        |            ORDER BY cc.csim ASC, l3.node) AS rn
+        |        FROM l3 JOIN cc ON cc.vec_id = l3.node)
+        |SELECT node AS vec_id, cell, csim, label AS component,
+        |       rn = 1 AS is_kept
+        |FROM rep""".stripMargin,
 
     "t6_blocklist_scrub" ->
       """SELECT doc_id,

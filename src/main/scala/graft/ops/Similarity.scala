@@ -220,6 +220,63 @@ object Similarity {
       assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and pairing only INSIDE each cluster cell —
+    * never corpus×corpus. Duplicate groups are the connected components of
+    * the intra-cell cosine graph at `threshold` (fixed-round min-label
+    * propagation, shared with the text-dedup family); each group keeps the
+    * example FARTHEST from its cluster centroid (lowest centroid cosine,
+    * ties by min id) — the paper's keep-rule: the most central copy of a
+    * semantic duplicate group is the most redundant with its cluster.
+    *
+    * Returns one row per vector: (id, cell, csim, component, is_kept);
+    * singletons keep themselves.
+    *
+    * Scale shape: centroid assignment is a broadcast pass; pairing is an
+    * equi-join on the cell id, so candidate pairs shrink ~1/nlist versus
+    * all-pairs (at 100 TB, raise `nlist` so cells stay task-sized — the
+    * paper runs 50k clusters; an over-full cell only ever costs that cell's
+    * square, and Lloyd-refined `kmeansCentroids` balance cells far better
+    * than the deterministic seed). Label propagation shuffles edge-sized
+    * frames; survivor election is one component-keyed min-struct agg.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 8, rounds: Int = 3,
+      centroids: Option[DataFrame] = None,
+      materializeCells: Boolean = true): DataFrame = {
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    val w = Window.partitionBy(col("sd_id")).orderBy(col("csim").desc, col("cent_id"))
+    val cells0 = corpus
+      .select(col(idCol).as("sd_id"), asDouble(col(vecCol)).as("sv"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(cosine(col("sv"), col("cent")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("sd_id"), col("sv"), col("cent_id").as("cell"), col("csim"))
+    // consumed 3× (both pair-join sides + final output). Materializing is
+    // right up to cluster-memory corpora; at 100 TB pass false — the
+    // assignment is one broadcast pass, cheaper to recompute per consumer
+    // than to cache corpus-sized state (the same trade as
+    // incrementalDedup's materializeCorpusSets).
+    val cells = if (materializeCells) cells0.localCheckpoint() else cells0
+    val pairs = cells.select(col("sd_id").as("doc_a"), col("sv").as("va"), col("cell"))
+      .join(cells.select(col("sd_id").as("doc_b"), col("sv").as("vb"), col("cell")),
+        Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labeled = graft.ops.Dedup.labelPropagation(
+      cells.select(col("sd_id").as("node")), pairs, rounds)
+    val meta = cells.select(col("sd_id").as("node"), col("cell"), col("csim"))
+    val rep = labeled.join(meta, Seq("node"))
+      .groupBy(col("label"))
+      .agg(min(struct(col("csim"), col("node"))).as("__r"))
+      .select(col("label"), col("__r.node").as("__rep"))
+    labeled.join(meta, Seq("node")).join(rep, Seq("label"))
+      .select(col("node").as(idCol), col("cell"), col("csim"),
+        col("label").as("component"), (col("node") === col("__rep")).as("is_kept"))
+  }
+
   /** Deterministic farthest-first seeding (the k-means++ idea without
     * randomness): start from the minimum-id vector, then repeatedly take the
     * vector LEAST similar to every chosen centroid (ties by id). One small

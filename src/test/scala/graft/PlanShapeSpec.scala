@@ -95,6 +95,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // recall metrics join the exact and approx top-k subplans; their SMJ is
       // the left join of two tiny rank outputs (AQE broadcasts at runtime)
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,
+      // e7: cell-assignment window + the label/meta/rep joins and the
+      // component min-struct agg (skew-proof — no per-label window, so a
+      // giant dup component never serializes); the label-propagation rounds
+      // run eagerly behind checkpoints and AQE broadcasts the tiny
+      // rep/label sides at runtime
+      "e7_semdedup" -> 8,
       "f1_composite_filter" -> 0, "f6_prefix_match" -> 1, "f7_codec_decode" -> 0,
       "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
       "j4_asof_join" -> 1, "j5_dim_rollup" -> 1, "q14_promo_effect" -> 0,
@@ -162,6 +168,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
       "d7_embedding_survivors", "d8_quality_survivors",
       "e4_ann_recall", "e5_multitable_recall",
+      // e7: same label-propagation shape as d6/d7 — the label/meta/rep
+      // joins read post-aggregate frames whose sizes exist only at
+      // runtime; AQE broadcasts them at execution
+      "e7_semdedup",
       // d12: the batch↔corpus signature join reads two post-aggregate
       // frames with runtime-only statistics — AQE broadcasts the (small)
       // batch side at execution

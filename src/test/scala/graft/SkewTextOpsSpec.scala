@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Sampling, Skew, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -162,6 +162,33 @@ class SkewTextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange hash".r.findAllIn(p).size === 1, p.take(1500))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("semdedup pairs only within cells and keeps the least-central copy") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // cell c0, csim 1.0
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // cell c0, near-dup of 1, csim ~.994
+      (3L, Array(0.6f, 0.55f, 0.0f, 0.0f)),  // cell c0, below threshold → singleton
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))   // cell c1, singleton
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Array(1.0, 0.0, 0.0, 0.0)),
+      (101L, Array(0.0, 1.0, 0.0, 0.0))).toDF("cent_id", "cent")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = Some(cents))
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(100L, 100L, 100L, 101L), "cells")
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 1L, 3L, 4L), "components")
+    assert(out.map(_.getBoolean(4)).toSeq === Seq(false, true, true, true),
+      "dup group keeps the copy FARTHEST from its centroid; singletons survive")
+    // exactly one survivor per component, and the unmaterialized (100 TB)
+    // cell path is semantically identical
+    val lazyOut = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = Some(cents), materializeCells = false)
+      .orderBy("vec_id").collect()
+    assert(lazyOut.map(_.toSeq) === out.map(_.toSeq))
   }
 
   test("label propagation finds min-label components on a hand graph") {
