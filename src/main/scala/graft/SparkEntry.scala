@@ -922,6 +922,14 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.15)
     }),
 
+    // ── dedup: Bloom-prefiltered contamination screen (huge probe sets) ───
+    "d14_bloom_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Dedup.containmentBloom(docs,
+        docs.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+        "doc_id", "text", threshold = 0.15)
+    }),
+
     // ── dedup: span-level exact-substring dedup (C4-style line dedup) ─────
     "d11_span_dedup" -> ((s, dir) =>
       ops.Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
@@ -1946,6 +1954,21 @@ object SparkEntry {
         |cs AS (SELECT doc_id AS corpus_id, unnest(sh) AS shingle FROM sets),
         |ps AS (SELECT doc_id AS probe_id, len(sh) AS probe_n, unnest(sh) AS shingle
         |       FROM sets WHERE doc_id < 25)
+        |SELECT corpus_id, probe_id, count(*)::BIGINT AS shared,
+        |       round(count(*) * 1.0 / probe_n, 4) AS containment
+        |FROM cs JOIN ps USING (shingle)
+        |WHERE corpus_id != probe_id
+        |GROUP BY corpus_id, probe_id, probe_n
+        |HAVING count(*) * 1.0 / probe_n >= 0.15""".stripMargin,
+
+    "d14_bloom_screen" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |cs AS (SELECT doc_id AS corpus_id, unnest(sh) AS shingle FROM sets),
+        |ps AS (SELECT doc_id AS probe_id, len(sh) AS probe_n, unnest(sh) AS shingle
+        |       FROM sets WHERE doc_id >= 25 AND doc_id < 50)
         |SELECT corpus_id, probe_id, count(*)::BIGINT AS shared,
         |       round(count(*) * 1.0 / probe_n, 4) AS containment
         |FROM cs JOIN ps USING (shingle)

@@ -68,6 +68,36 @@ package object functions {
     */
   def split_of(hash: Column, splits: Int): Column = pmod(hash, lit(splits))
 
+  /** Bloom-filter aggregate over a column (hashed with xxhash64, the same
+    * hash [[bloom_might_contain]] probes with) — returns the serialized
+    * filter as a single binary row. Feed the resulting one-row frame
+    * through [[graft.functions.bloom_of]] / `Bridge.scalarSubquery` to use
+    * it as a scan-side prefilter (the `InjectRuntimeFilter` pattern).
+    */
+  def bloom_agg(c: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c))),
+        expectedItems).toAggregateExpression())
+
+  /** The serialized Bloom filter of `df`'s `c` values as a scalar-subquery
+    * Column: evaluated once, shipped to every task.
+    */
+  def bloom_of(df: org.apache.spark.sql.DataFrame, c: Column,
+      expectedItems: Long): Column =
+    ExpressionUtils.scalarSubquery(df.select(bloom_agg(c, expectedItems)))
+
+  /** Membership probe against a [[bloom_of]] filter — no false negatives,
+    * bounded false positives; pair with an exact verify join downstream.
+    */
+  def bloom_might_contain(bloom: Column, c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c)))))
+
   /** Register SQL names for the custom expressions so `spark.sql` queries and
     * `expr(...)` strings can use them too.
     */

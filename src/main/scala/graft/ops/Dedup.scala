@@ -406,6 +406,45 @@ object Dedup {
         round(col("shared").cast("double") / col("probe_n"), 4).as("containment"))
   }
 
+  /** Containment screen for probe sets too large to broadcast: a Bloom
+    * filter over the probe shingles — built distributed (partial aggregates,
+    * no driver materialization) and evaluated ONCE as a scalar subquery, the
+    * `InjectRuntimeFilter` pattern — prunes corpus shingle rows BEFORE the
+    * verify shuffle, so the corpus-sized side that reaches the join is only
+    * the rows sharing a probable shingle. Output is bit-identical to
+    * [[containment]]: Bloom has no false negatives, and its false positives
+    * die in the exact verify join — the filter only prunes.
+    *
+    * Scale shape: [[containment]] broadcasts the probe shingles, which
+    * caps the probe side at executor memory; here the filter is a few MB
+    * regardless of probe count (`expectedShingles` sizes it), the verify
+    * join is a plain shuffle join of the PRUNED corpus rows against the
+    * probe rows, and everything upstream of the shuffle is a scan-side
+    * projection+filter.
+    */
+  def containmentBloom(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.0,
+      expectedShingles: Long = 4000000L): DataFrame = {
+    def shingleRows(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("__ws"))
+        .select(col(outId),
+          explode(array_distinct(shinglesFromTokens(col("__ws"), shingleSize)))
+            .as("shingle"))
+    val ps = shingleRows(probes, "probe_id").localCheckpoint() // read 3×
+    val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("probe_n"))
+    val bloom = graft.functions.bloom_of(ps, col("shingle"), expectedShingles)
+    shingleRows(corpus, "corpus_id")
+      .filter(graft.functions.bloom_might_contain(bloom, col("shingle")))
+      .join(ps, Seq("shingle")) // deliberately NOT broadcast: the big-probe shape
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(pn), Seq("probe_id"))
+      .filter(col("shared").cast("double") / col("probe_n") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("shared"),
+        round(col("shared").cast("double") / col("probe_n"), 4).as("containment"))
+  }
+
   /** Near-dup candidates by embedding cosine: delegates to Similarity — kept
     * here so the dedup namespace covers all five families (exact, minhash,
     * simhash, ngram-jaccard, embedding). Recall follows the SRP banding

@@ -24,4 +24,16 @@ object Bridge {
   def resolvedExpression(spark: org.apache.spark.sql.SparkSession,
       c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** Wrap a one-row/one-column DataFrame as a scalar-subquery Column — the
+    * plan-level "evaluate once, feed every task" shape Spark's own runtime
+    * filters use (expressions whose type checks demand a constant or scalar
+    * subquery, e.g. `BloomFilterMightContain`, accept this where a
+    * cross-joined attribute would fail analysis).
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed))
 }

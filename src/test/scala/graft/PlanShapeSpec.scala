@@ -131,6 +131,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "x1_approx_distinct" -> 5, "x2_quantiles" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
+      // d14: same verify shape as d9 (pair agg + probe_n join) with the
+      // Bloom scalar-subquery prefilter ahead of the corpus-side join
+      "d14_bloom_screen" -> 3,
       "t10_chunk" -> 0, "w6_seq_pack" -> 1, "t11_repetition" -> 0,
       // d11: span min-struct agg (skew-proof), kept/total doc reassembly aggs;
       // d12: batch↔corpus band join,

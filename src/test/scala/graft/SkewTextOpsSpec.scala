@@ -305,6 +305,31 @@ class SkewTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-screened containment is bit-identical to the broadcast screen") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 120L).map(i => (i, doc(6 + rnd.nextInt(20)))).toDF("doc_id", "text")
+    val probes = (200L until 215L).map(i => (i, doc(5 + rnd.nextInt(10)))).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = norm(Dedup.containment(corpus, probes, "doc_id", "text",
+      threshold = 0.3))
+    val bloomed = norm(Dedup.containmentBloom(corpus, probes, "doc_id", "text",
+      threshold = 0.3))
+    assert(exact.nonEmpty, "fixture must produce real containment hits")
+    assert(bloomed === exact, "bloom stage must only prune, never change results")
+    // the prefilter is really in the plan: a bloom probe over a scalar
+    // subquery guards the corpus shingle rows before any join
+    val p = Dedup.containmentBloom(corpus, probes, "doc_id", "text", threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") && p.contains("Subquery"),
+      s"expected a bloom scalar-subquery prefilter in:\n${p.take(1500)}")
+  }
+
   test("containment: probe fully quoted in a larger doc scores 1.0 (asymmetric)") {
     val s = spark
     import s.implicits._
