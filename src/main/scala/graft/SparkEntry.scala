@@ -984,6 +984,10 @@ object SparkEntry {
     "t13_lm_quality" -> ((s, dir) =>
       ops.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── text: Gopher composite quality rules (integer-exact counts) ───────
+    "t14_gopher_rules" -> ((s, dir) =>
+      ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── sampling: per-domain contribution cap ─────────────────────────────
     "x5_domain_cap" -> ((s, dir) =>
       ops.Sampling.capPerKey(t(s, dir, "documents"), "doc_id", "source",
@@ -1911,6 +1915,42 @@ object SparkEntry {
         |       FROM db JOIN bcw USING (bigram) CROSS JOIN v)
         |SELECT doc_id, round(-avg(lp), 6) AS lm_score, count(*)::BIGINT AS n_bigrams
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // t14: every rule re-derived as integer counts; the replace()-trick '...'
+    // count matches Spark's because both engines scan non-overlapping
+    // left-to-right. Thresholds are integer-ratio comparisons (sym*10 <= wc)
+    // so pass is exact, never a float-rounding coin flip.
+    "t14_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g'))::BIGINT AS chars_no_ws,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS hash_count,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS ellipsis_count
+        |  FROM documents),
+        |c AS (SELECT doc_id, chars_no_ws, hash_count, ellipsis_count,
+        |    len(toks)::BIGINT AS word_count,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣◦]')))::BIGINT AS bullet_lines,
+        |    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT AS ellipsis_lines,
+        |    len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))::BIGINT AS alpha_words,
+        |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)::BIGINT AS stop_hits
+        |  FROM m)
+        |SELECT doc_id, word_count, chars_no_ws, hash_count, ellipsis_count,
+        |  n_lines, bullet_lines, ellipsis_lines, alpha_words, stop_hits,
+        |  (word_count BETWEEN 50 AND 100000
+        |   AND chars_no_ws >= word_count * 3 AND chars_no_ws <= word_count * 10
+        |   AND hash_count * 10 <= word_count AND ellipsis_count * 10 <= word_count
+        |   AND bullet_lines * 10 <= n_lines * 9 AND ellipsis_lines * 10 <= n_lines * 3
+        |   AND alpha_words * 10 >= word_count * 8 AND stop_hits >= 2) AS pass
+        |FROM c""".stripMargin,
 
     "t10_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws

@@ -109,6 +109,64 @@ object TextAnalysis {
         round(lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
           greatest(size(col("__sh")), lit(1)), 4).as("rep_frac"))
 
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1, public):
+    * the standard pre-training document filter batteries, computed as pure
+    * integer counts so the oracle compare is exact (no float thresholds).
+    * A document passes when ALL hold:
+    *   - word count in [50, 100 000]
+    *   - mean word length in [3, 10] chars   (3·wc ≤ chars ≤ 10·wc)
+    *   - '#' and '...' symbol-to-word ratios ≤ 0.1   (sym·10 ≤ wc)
+    *   - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    *   - ≥ 80% of words contain an alphabetic character (alpha·10 ≥ 8·wc)
+    *   - ≥ 2 distinct words of the 8-word stop list appear
+    * Returns one row per document with every raw count plus the verdict —
+    * pipelines keep the counts for threshold re-tuning without a re-scan.
+    * Pure Column projection: no shuffle, whole-stage codegen, scan-speed at
+    * 100 TB. Counts use translate/replace arithmetic (not regexp) in the hot
+    * symbols path so the generated code is branch-free.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = tokens(text)
+    val lines = split(text, "\n")
+    val wc = size(words).cast("long")
+    val charsNoWs = length(regexp_replace(trim(text), "\\s+", "")).cast("long")
+    val hashCount = (length(text) - length(translate(text, "#", ""))).cast("long")
+    // non-overlapping left-to-right '...' occurrences, same greedy scan in
+    // DuckDB's replace()
+    val ellipsisCount =
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•‣◦]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    // tokens() lower-cases, so [a-z] covers the alphabetic check
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = gopherStopwords
+      .map(w => when(array_contains(words, lit(w)), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs.select(col(idCol),
+        wc.as("word_count"), charsNoWs.as("chars_no_ws"),
+        hashCount.as("hash_count"), ellipsisCount.as("ellipsis_count"),
+        nLines.as("n_lines"), bulletLines.as("bullet_lines"),
+        ellipsisLines.as("ellipsis_lines"), alphaWords.as("alpha_words"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        col("word_count").between(50L, 100000L) &&
+        col("chars_no_ws") >= col("word_count") * 3 &&
+        col("chars_no_ws") <= col("word_count") * 10 &&
+        col("hash_count") * 10 <= col("word_count") &&
+        col("ellipsis_count") * 10 <= col("word_count") &&
+        col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+        col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+        col("alpha_words") * 10 >= col("word_count") * 8 &&
+        col("stop_hits") >= 2)
+  }
+
   /** Per-document term frequencies: one row per (doc, token). The groupBy
     * partial-aggregates map-side, so the shuffle carries distinct
     * (doc, token) pairs, not raw token occurrences.

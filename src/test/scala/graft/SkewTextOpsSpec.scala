@@ -773,4 +773,47 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "doc_id", "text", model = Some(model)).collect()
     assert(math.abs(seen.head.getDouble(1) - -math.log(2.1 / 3.3)) < 1e-6)
   }
+
+  test("gopher rules: per-rule counts and the composite verdict") {
+    val s = spark
+    import s.implicits._
+    val base = ("the quick brown fox jumps over that lazy dog with vigor " * 6).trim
+    val docs = Seq(
+      1L -> base,                                   // passes everything
+      2L -> "the cat with that hat",                // < 50 words
+      3L -> (base + " " + "#" * 20),                // hash ratio > 0.1
+      4L -> (base + "\nso...\nwell...\nok\nfine"),  // >30% ellipsis lines
+      5L -> (1 to 60).map(_.toString).mkString("the of ", " ", ""), // <80% alpha
+      6L -> ((1 to 12).map(i => s"- item $i").mkString("\n")), // all-bullet lines
+      7L -> (base + " " + "supercalifragilisticexpialidocious " * 200) // mean len > 10
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1: 66 words, 3 distinct stopwords (the/that/with), no symbols
+    assert(byId(1L).getAs[Long]("word_count") === 66L)
+    assert(byId(1L).getAs[Long]("hash_count") === 0L)
+    assert(byId(1L).getAs[Long]("alpha_words") === 66L)
+    assert(byId(1L).getAs[Long]("stop_hits") === 3L)
+    assert(byId(1L).getAs[Boolean]("pass"))
+    assert(!byId(2L).getAs[Boolean]("pass"), "under the 50-word floor")
+    assert(byId(3L).getAs[Long]("hash_count") === 20L)
+    assert(!byId(3L).getAs[Boolean]("pass"), "hash symbol ratio")
+    assert(byId(4L).getAs[Long]("n_lines") === 5L)
+    assert(byId(4L).getAs[Long]("ellipsis_lines") === 2L)
+    assert(!byId(4L).getAs[Boolean]("pass"), "ellipsis-ending lines > 30%")
+    assert(!byId(5L).getAs[Boolean]("pass"), "alphabetic-word ratio < 80%")
+    assert(byId(6L).getAs[Long]("bullet_lines") === 12L)
+    assert(!byId(6L).getAs[Boolean]("pass"), "every line is a bullet (> 90%)")
+    assert(!byId(7L).getAs[Boolean]("pass"), "mean word length > 10")
+    // '...' counting is non-overlapping left-to-right: 5 dots = one hit
+    val dots = TextAnalysis.gopherRules(
+      Seq(8L -> "word .....").toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(dots.getAs[Long]("ellipsis_count") === 1L)
+    // pure projection: the plan must not shuffle
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gopher rules must be shuffle-free")
+  }
 }
