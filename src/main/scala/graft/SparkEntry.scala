@@ -859,6 +859,13 @@ object SparkEntry {
       ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlist = 8)),
 
+    // ── similarity: SQ8 compressed-domain ANN (integer dot products) ──────
+    "e8_sq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.sqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1719,6 +1726,29 @@ object SparkEntry {
         |SELECT node AS vec_id, cell, csim, label AS component,
         |       rn = 1 AS is_kept
         |FROM rep""".stripMargin,
+
+    // e8: the oracle re-derives the SQ8 codebook (per-dim min/max), requants
+    // both sides with the identical left-to-right IEEE expression and ranks
+    // by the integer dot product — levels and scores are bit-exact, no
+    // float-tolerance needed anywhere.
+    "e8_sq_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |idx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY i),
+        |b AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims),
+        |q8 AS (SELECT vec_id,
+        |         list_transform(generate_series(1, len(v)), i ->
+        |           CASE WHEN maxs[i] = mins[i] THEN 0
+        |                ELSE least(floor((v[i] - mins[i]) * 255 / (maxs[i] - mins[i]))::BIGINT, 255)
+        |           END) AS qv
+        |       FROM e CROSS JOIN b),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id,
+        |        list_sum(list_transform(generate_series(1, len(q.qv)),
+        |          i -> q.qv[i] * c.qv[i]))::BIGINT AS qscore
+        |      FROM (SELECT * FROM q8 WHERE vec_id < 5) q
+        |      CROSS JOIN q8 c WHERE c.vec_id != q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS rn FROM p)
+        |SELECT qid, vec_id, qscore, rn::BIGINT AS rn FROM r WHERE rn <= 5""".stripMargin,
 
     "t6_blocklist_scrub" ->
       """SELECT doc_id,

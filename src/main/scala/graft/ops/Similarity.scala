@@ -55,6 +55,68 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** Per-dimension [min, max] of a corpus — the SQ8 codebook (FAISS-style
+    * scalar quantization, public technique). One aggregation: posexplode is
+    * map-side combined down to `dims` rows per partition before the shuffle,
+    * so the exchange carries partitions·dims rows regardless of corpus size.
+    */
+  def sqBounds(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Quantize vectors to 8-bit levels against per-dim bounds:
+    * `q_i = min(floor((v_i − mn_i)·255 / (mx_i − mn_i)), 255)` (0 when the
+    * dimension is constant). The bounds ride along as one broadcast row of
+    * two arrays; quantization itself is a pure projection. The arithmetic is
+    * a fixed left-to-right IEEE expression, so the DuckDB oracle reproduces
+    * every level bit-for-bit. At 100 TB the quantized corpus is what you
+    * persist/cache: 4× smaller than float32, integer dot products.
+    */
+  def sqQuantize(df: DataFrame, idCol: String, vecCol: String,
+      bounds: DataFrame): DataFrame = {
+    // dims are unique, so sorting (i, bound) structs orders the arrays by i
+    val packed = bounds.agg(
+      transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+        s => s.getField("mn")).as("__mins"),
+      transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+        s => s.getField("mx")).as("__maxs"))
+    df.crossJoin(broadcast(packed))
+      .select(col(idCol),
+        transform(asDouble(col(vecCol)), (x, i) => {
+          val mn = element_at(col("__mins"), i + 1)
+          val mx = element_at(col("__maxs"), i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(least(floor((x - mn) * lit(255) / (mx - mn)), lit(255L)))
+        }).as("qv"))
+  }
+
+  /** Top-k neighbours scored in the compressed domain: symmetric SQ8
+    * (corpus AND queries quantized against the corpus bounds), ranked by the
+    * integer dot product `Σ q_i·c_i` — exact integer compare, deterministic
+    * ties by vec_id. Plan: bounds agg (dims-sized) → quantize projections →
+    * broadcast the quantized queries → per-query top-k window. The integer
+    * score is monotone in the reconstructed inner product, the standard
+    * SQ-ANN trade: ~1/4 the memory bandwidth of float scan at a small recall
+    * cost (measure with `recallAtK` against `cosineTopK`).
+    * Output: qid, vec_id, qscore, rn.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val bounds = sqBounds(corpus, vecCol)
+    val c = sqQuantize(corpus, idCol, vecCol, bounds)
+      .select(col(idCol).as("vec_id"), col("qv").as("cq"))
+    val q = sqQuantize(queries, idCol, vecCol, bounds)
+      .select(col(idCol).as("qid"), col("qv").as("qq"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qscore",
+        aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "qscore", "rn")
+  }
+
   /** Default seed of the SRP hyperplane family (any fixed value works; the
     * oracle SQL is generated from the same matrix, so changing it re-derives
     * both sides together).

@@ -94,4 +94,39 @@ class SimExprSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("SQ8 quantization: exact levels, constant dims, endpoint clamp") {
+    import graft.ops.Similarity
+    val corpus = Seq(
+      (1L, Seq(0.0f, 7.0f, 10.0f)),
+      (2L, Seq(5.0f, 7.0f, 0.0f)),
+      (3L, Seq(10.0f, 7.0f, 5.0f))).toDF("vec_id", "embedding")
+    val bounds = Similarity.sqBounds(corpus, "embedding")
+    val qv = Similarity.sqQuantize(corpus, "vec_id", "embedding", bounds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // dims 0 and 2 span [0,10]: 0→0, 5→floor(127.5)=127, 10→255 (endpoint
+    // lands exactly on 255, clamp is a no-op there); dim 1 is constant → 0
+    assert(qv(1L) === Seq(0L, 0L, 255L))
+    assert(qv(2L) === Seq(127L, 0L, 0L))
+    assert(qv(3L) === Seq(255L, 0L, 127L))
+    // integer dot-product ranking: q=vec 1 → vec 3 (255·127=32385) beats
+    // vec 2 (127·0 + 0·255 = 0)
+    val top = Similarity.sqTopK(corpus, corpus.filter($"vec_id" === 1L),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top === Seq((3L, 255L * 127L), (2L, 0L)))
+  }
+
+  test("SQ8 top-k: bounds agg is the only corpus shuffle; queries broadcast") {
+    import graft.ops.Similarity
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.sqTopK(corpus, corpus.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "quantized queries must broadcast, never shuffle the corpus for the probe")
+    // exchanges: bounds agg (corpus + queries quantize against it) and the
+    // final per-query top-k window — nothing proportional to corpus² ever
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
 }
