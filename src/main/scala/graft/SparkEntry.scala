@@ -524,6 +524,26 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // ── Q18-style large-volume orders: agg → having → join → top-k ────────
+    "q18_big_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      // the having-filter shrinks lineitem to a per-order sliver BEFORE the
+      // orders join (one shuffle on l_orderkey, map-side combined); customer
+      // broadcasts; quantities are integer-valued doubles so the sum and the
+      // >250 cut are exact under any combine order
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
     // (the temporal query an event log exists for; id bound pushes down)
     "a8_asof_state" -> ((s, dir) => {
@@ -1437,6 +1457,15 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "w7_bulk_roundtrip" ->
       """SELECT 'u' || user_id AS aggregate_id,
