@@ -1756,19 +1756,19 @@ object SparkEntry {
         |       rn = 1 AS is_kept
         |FROM rep""".stripMargin,
 
-    // e8: the oracle re-derives the SQ8 codebook (per-dim min/max), requants
-    // both sides with the identical left-to-right IEEE expression and ranks
-    // by the integer dot product — levels and scores are bit-exact, no
-    // float-tolerance needed anywhere.
+    // e8: the oracle re-derives the SQ8 code (global symmetric scale from
+    // per-dim bounds), requants both sides with the identical left-to-right
+    // IEEE expression and ranks by the signed integer dot product — levels
+    // and scores are bit-exact, no float-tolerance needed anywhere.
     "e8_sq_ann" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |idx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e),
         |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY i),
-        |b AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims),
+        |b AS (SELECT max(greatest(abs(mn), abs(mx))) AS s FROM dims),
         |q8 AS (SELECT vec_id,
         |         list_transform(generate_series(1, len(v)), i ->
-        |           CASE WHEN maxs[i] = mins[i] THEN 0
-        |                ELSE least(floor((v[i] - mins[i]) * 255 / (maxs[i] - mins[i]))::BIGINT, 255)
+        |           CASE WHEN s = 0 THEN 0
+        |                ELSE least(greatest(floor(v[i] * 127 / s + 0.5)::BIGINT, -127), 127)
         |           END) AS qv
         |       FROM e CROSS JOIN b),
         |p AS (SELECT q.vec_id AS qid, c.vec_id,

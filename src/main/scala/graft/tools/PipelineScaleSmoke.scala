@@ -255,6 +255,47 @@ object PipelineScaleSmoke {
         s"false-positive volume suspicious: $total pairs for $expected planted")
     }
 
+    // ── SQ8 compressed-domain ANN vs exact float scan at 1M vectors: the
+    // memory-bandwidth play for 100 TB (int8 corpus is 4× smaller than
+    // float32, so a full-scan rank touches a quarter of the bytes). Both
+    // scans are broadcast-probe shapes; recall@5 against the exact ranking
+    // is the honest quality number — random dense vectors are the WORST
+    // case for quantized ranking (every neighbour sits in the same thin
+    // cosine shell, so 8-bit rounding reorders the shell), so the bound
+    // here is a floor, not the figure of merit.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val q16 = emb1m.filter(col("vec_id") < 16)
+      // exact float top-5 by the same score SQ8 approximates (inner product),
+      // so recall isolates pure quantization loss
+      val exact = time(s"exact float top-5 full scan ($nVecs vectors, 16 queries)") {
+        val q = q16.select(col("vec_id").as("qid"),
+          Similarity.asDouble(col("embedding")).as("qe"))
+        val c = emb1m.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("ce"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        c.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("score", Similarity.dot(col("qe"), col("ce")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("qid", "vec_id").localCheckpoint()
+      }
+      val sq = time(s"SQ8 integer top-5 full scan ($nVecs vectors, 16 queries)") {
+        Similarity.sqTopK(emb1m, q16, "vec_id", "embedding", k = 5)
+          .localCheckpoint()
+      }
+      val rec = Similarity.recallAtK(exact, sq, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PSCALE   sq8 recall@5 vs exact inner product = $rec%.3f")
+      require(rec >= 0.5, s"SQ8 recall collapsed: $rec")
+      // planted near-pairs survive quantization: vec 10k+1 ≈ vec 10k at
+      // cosine ~0.99999, far above the shell — its quantized dot must rank
+      // it #1 for every planted query among the 16
+      val planted = sq.filter(col("qid") % 10 === 1 && col("rn") === 1 &&
+        col("vec_id") === col("qid") - 1).count()
+      require(planted == 2L, s"planted twins must top SQ8 ranking: got $planted of 2")
+    }
+
     spark.stop()
   }
 }

@@ -95,26 +95,28 @@ class SimExprSpec extends AnyFunSuite {
     }
   }
 
-  test("SQ8 quantization: exact levels, constant dims, endpoint clamp") {
+  test("SQ8 quantization: exact signed levels, negative values, endpoint clamp") {
     import graft.ops.Similarity
     val corpus = Seq(
       (1L, Seq(0.0f, 7.0f, 10.0f)),
-      (2L, Seq(5.0f, 7.0f, 0.0f)),
-      (3L, Seq(10.0f, 7.0f, 5.0f))).toDF("vec_id", "embedding")
+      (2L, Seq(-5.0f, 7.0f, 0.0f)),
+      (3L, Seq(10.0f, 7.0f, -5.0f))).toDF("vec_id", "embedding")
     val bounds = Similarity.sqBounds(corpus, "embedding")
     val qv = Similarity.sqQuantize(corpus, "vec_id", "embedding", bounds)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    // dims 0 and 2 span [0,10]: 0→0, 5→floor(127.5)=127, 10→255 (endpoint
-    // lands exactly on 255, clamp is a no-op there); dim 1 is constant → 0
-    assert(qv(1L) === Seq(0L, 0L, 255L))
-    assert(qv(2L) === Seq(127L, 0L, 0L))
-    assert(qv(3L) === Seq(255L, 0L, 127L))
-    // integer dot-product ranking: q=vec 1 → vec 3 (255·127=32385) beats
-    // vec 2 (127·0 + 0·255 = 0)
+    // global scale s = 10: 0→0, ±5→floor(±63.5+0.5)=±63/-63? round-half-up:
+    // 5→64, −5→floor(−63.0)=−63; 7→floor(89.4)=89; 10→127 exactly
+    assert(qv(1L) === Seq(0L, 89L, 127L))
+    assert(qv(2L) === Seq(-63L, 89L, 0L))
+    assert(qv(3L) === Seq(127L, 89L, -63L))
+    // integer dot ranking for q=vec 1: vec 3 (0·127 + 89·89 + 127·(−63) =
+    // −80) beats vec 2 (0·(−63) + 89·89 + 127·0 = 7921)? No — 7921 > −80,
+    // so vec 2 ranks first: the signed code preserves true inner-product
+    // order (v1·v2 = 49 > v1·v3 = −1)
     val top = Similarity.sqTopK(corpus, corpus.filter($"vec_id" === 1L),
         "vec_id", "embedding", k = 2)
       .orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(2)))
-    assert(top === Seq((3L, 255L * 127L), (2L, 0L)))
+    assert(top === Seq((2L, 7921L), (3L, 89L * 89L + 127L * -63L)))
   }
 
   test("SQ8 top-k: bounds agg is the only corpus shuffle; queries broadcast") {
