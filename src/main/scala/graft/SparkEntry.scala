@@ -1015,6 +1015,31 @@ object SparkEntry {
     "t14_gopher_rules" -> ((s, dir) =>
       ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── composed pipeline, oracle-gated end to end: quality gate from the
+    //    gopher COUNTS (thresholds re-tuned for this corpus without a
+    //    re-scan — the reason the counts are first-class columns) → exact
+    //    dedup survivors → deterministic train split → per-source token
+    //    budget. ONE scan of documents; the only shuffles are the dedup
+    //    fingerprint window and the final per-source aggregate.
+    "w9_pipeline_e2e" -> ((s, dir) => {
+      val g = ops.TextAnalysis.gopherRules(t(s, dir, "documents"),
+          "doc_id", "text", keep = Seq("source", "text"))
+        .filter(col("word_count") >= 30 &&
+          col("hash_count") * 10 <= col("word_count") &&
+          col("ellipsis_count") * 10 <= col("word_count") &&
+          col("alpha_words") * 10 >= col("word_count") * 8)
+        .select(col("doc_id"), col("source"),
+          ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+          ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val kept = g
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      ops.Sampling.assignSplit(kept, "doc_id", salt = "pipe")
+        .filter(col("split") === "train")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
     // ── sampling: per-domain contribution cap ─────────────────────────────
     "x5_domain_cap" -> ((s, dir) =>
       ops.Sampling.capPerKey(t(s, dir, "documents"), "doc_id", "source",
@@ -2010,6 +2035,30 @@ object SparkEntry {
         |   AND bullet_lines * 10 <= n_lines * 9 AND ellipsis_lines * 10 <= n_lines * 3
         |   AND alpha_words * 10 >= word_count * 8 AND stop_hits >= 2) AS pass
         |FROM c""".stripMargin,
+
+    // w9: the full pipeline re-derived in SQL — gopher-count gate, md5
+    // fingerprint survivor election, the same md5_number split hash as x4,
+    // per-source rollup. Every stage is integer/string-exact.
+    "w9_pipeline_e2e" ->
+      """WITH m AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS hash_count,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS ellipsis_count
+        |  FROM documents),
+        |f AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tok,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM m
+        |      WHERE len(toks) >= 30
+        |        AND hash_count * 10 <= len(toks)
+        |        AND ellipsis_count * 10 <= len(toks)
+        |        AND len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) * 10 >= len(toks) * 8),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f),
+        |s AS (SELECT doc_id, source, n_tok,
+        |        (((md5_number('pipe' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |           % 4294967296) % 10000 AS bucket
+        |      FROM k WHERE doc_id = keep_id)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+        |FROM s WHERE bucket < 8000 GROUP BY source""".stripMargin,
 
     "t10_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws

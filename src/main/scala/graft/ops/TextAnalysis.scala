@@ -128,7 +128,8 @@ object TextAnalysis {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val words = tokens(text)
     val lines = split(text, "\n")
@@ -149,12 +150,12 @@ object TextAnalysis {
     val stopHits = gopherStopwords
       .map(w => when(array_contains(words, lit(w)), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    docs.select(col(idCol),
-        wc.as("word_count"), charsNoWs.as("chars_no_ws"),
-        hashCount.as("hash_count"), ellipsisCount.as("ellipsis_count"),
-        nLines.as("n_lines"), bulletLines.as("bullet_lines"),
-        ellipsisLines.as("ellipsis_lines"), alphaWords.as("alpha_words"),
-        stopHits.as("stop_hits"))
+    docs.select(col(idCol) +: keep.map(col) :+
+        wc.as("word_count") :+ charsNoWs.as("chars_no_ws") :+
+        hashCount.as("hash_count") :+ ellipsisCount.as("ellipsis_count") :+
+        nLines.as("n_lines") :+ bulletLines.as("bullet_lines") :+
+        ellipsisLines.as("ellipsis_lines") :+ alphaWords.as("alpha_words") :+
+        stopHits.as("stop_hits"): _*)
       .withColumn("pass",
         col("word_count").between(50L, 100000L) &&
         col("chars_no_ws") >= col("word_count") * 3 &&

@@ -152,7 +152,19 @@ class PlanShapeSpec extends AnyFunSuite {
       // t13: per-doc score agg (1) + the broadcast model subtree's vocab
       // aggregation, context-sum window and V single-row agg — all over the
       // checkpointed bigram-count frame, never the corpus
-      "t13_lm_quality" -> 4)
+      "t13_lm_quality" -> 4,
+      // t14: pure integer-count projection, shuffle-free by construction
+      "t14_gopher_rules" -> 0,
+      // e8: per-dim bounds agg + the scale's single-row agg; quantization is
+      // a projection and the probe broadcasts — the corpus never reshuffles
+      "e8_sq_ann" -> 3,
+      // q18: per-order qty agg + the orders⋈sliver join exchanges (AQE
+      // broadcasts the sliver at runtime); top-k is TakeOrdered, no range
+      // exchange
+      "q18_big_orders" -> 1,
+      // w9: one documents scan; fingerprint-survivor window + per-source
+      // rollup are the only data shuffles (split filter is a projection)
+      "w9_pipeline_e2e" -> 2)
     val exchangeRe = "Exchange (hash|range|single)".r
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty, s"no shuffle budget declared for: $missing")
