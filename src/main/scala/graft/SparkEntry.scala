@@ -928,6 +928,33 @@ object SparkEntry {
     }),
 
     // ── sketch/stats: exact per-group quantiles (sorted-agg path) ─────────
+    // ── sketches: approx quantiles (GK sketch) gated by exact twins ───────
+    // same contract as x1: the sketch value never reaches the output — the
+    // in-query booleans assert it landed inside its rank-error bound, and
+    // the oracle recomputes the exact side + literal-true booleans. At
+    // 100 TB the sketch is the only affordable form (one pass, bounded
+    // state); the exact twin exists to keep the sketch honest at test SFs.
+    "x7_approx_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val acc = 1000 // rank error ≤ n/acc; margins below allow 5× that
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("__e50"),
+          percentile(col("value"), lit(0.9)).as("__e90"),
+          percentile(col("value"), lit(0.495)).as("__lo50"),
+          percentile(col("value"), lit(0.505)).as("__hi50"),
+          percentile(col("value"), lit(0.895)).as("__lo90"),
+          percentile(col("value"), lit(0.905)).as("__hi90"),
+          percentile_approx(col("value"), lit(0.5), lit(acc)).as("__a50"),
+          percentile_approx(col("value"), lit(0.9), lit(acc)).as("__a90"))
+        .select(col("event_type"), col("n"),
+          round(col("__e50"), 6).as("p50"), round(col("__e90"), 6).as("p90"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_within_bound"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+            .as("p90_within_bound"))
+    }),
+
     "x2_quantiles" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ev.groupBy(col("event_type"))
@@ -1969,6 +1996,14 @@ object SparkEntry {
         |       true AS users_within_bound,
         |       true AS events_within_bound
         |FROM events GROUP BY event_type""".stripMargin,
+    "x7_approx_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       true AS p50_within_bound,
+        |       true AS p90_within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "x2_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

@@ -129,6 +129,19 @@ object PipelineScaleSmoke {
       require(keptBoiler == 1L, s"hot span must survive exactly once, kept $keptBoiler")
     }
 
+    // ── substring-level dedup (overlapping windows): the planted pair
+    // duplicates every 8-token window not touching swapped token 7, so the
+    // duplicate doc loses most of its tokens while the base keeps all.
+    time("substring dedup (8-token overlapping windows)") {
+      val out = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 8)
+        .agg(sum("n_dropped"), count(lit(1))).collect()(0)
+      require(out.getLong(1) == nDocs)
+      // each planted dup drops the windows clear of token 7: ≥20 of its 40
+      // tokens go; bases keep theirs (first occurrence wins by (id, pos))
+      require(out.getLong(0) >= nDocs.toLong / 10 * 20,
+        s"expected >=${nDocs / 10 * 20} dropped tokens, got ${out.getLong(0)}")
+    }
+
     // ── incremental screen: the planted near-dups ≡1 (mod 10) as the batch,
     // everything else as the accepted corpus → every batch doc must match
     time(s"incremental dedup (${nDocs / 10} batch vs ${nDocs - nDocs / 10} corpus)") {

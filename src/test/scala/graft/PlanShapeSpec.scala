@@ -153,6 +153,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // aggregation, context-sum window and V single-row agg — all over the
       // checkpointed bigram-count frame, never the corpus
       "t13_lm_quality" -> 4,
+      // x7: one two-phase group agg carrying sketch + exact percentiles
+      "x7_approx_quantiles" -> 1,
       // t14: pure integer-count projection, shuffle-free by construction
       "t14_gopher_rules" -> 0,
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
