@@ -544,6 +544,30 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── J6: banded interval join — purchases inside 6-hour error episodes
+    //    (the range-containment shape done as an equi-join on time bins;
+    //    zero-match episodes kept via the left rollup)
+    "j6_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val episodes = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("episode_id"),
+          col("ts").as("ep_start"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("ep_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"), col("value"))
+      val matched = ops.Interval.intervalJoin(episodes, purchases,
+        Seq("user_id"), "ep_start", "ep_end", "p_ts",
+        binMillis = 6L * 3600 * 1000)
+      episodes.join(
+          matched.groupBy(col("episode_id"))
+            .agg(count(lit(1)).as("__n"), sum(col("value")).as("__v")),
+          Seq("episode_id"), "left")
+        .select(col("user_id"), col("episode_id"),
+          coalesce(col("__n"), lit(0L)).as("n_purchases"),
+          round(coalesce(col("__v"), lit(0.0)), 2).as("purchase_value"))
+    }),
+
     // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
     // (the temporal query an event log exists for; id bound pushes down)
     "a8_asof_state" -> ((s, dir) => {
@@ -1509,6 +1533,17 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "j6_interval_join" ->
+      """WITH ep AS (SELECT user_id, event_id AS episode_id, ts AS s,
+        |                   ts + INTERVAL 6 HOUR AS e
+        |            FROM events WHERE event_type = 'error'),
+        |j AS (SELECT ep.episode_id, ep.user_id, p.event_id, p.value
+        |      FROM ep LEFT JOIN events p ON p.user_id = ep.user_id
+        |        AND p.event_type = 'purchase' AND p.ts >= ep.s AND p.ts <= ep.e)
+        |SELECT user_id, episode_id, count(event_id)::BIGINT AS n_purchases,
+        |       round(coalesce(sum(value), 0), 2) AS purchase_value
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "q18_big_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty

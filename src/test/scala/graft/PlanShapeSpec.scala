@@ -153,6 +153,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // aggregation, context-sum window and V single-row agg — all over the
       // checkpointed bigram-count frame, never the corpus
       "t13_lm_quality" -> 4,
+      // j6: the (key,bin) equi-join + the per-episode rollup agg; the
+      // zero-match left join broadcasts (AQE) — nothing explodes on range
+      "j6_interval_join" -> 2,
       // x7: one two-phase group agg carrying sketch + exact percentiles
       "x7_approx_quantiles" -> 1,
       // t14: pure integer-count projection, shuffle-free by construction
@@ -183,6 +186,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // joins read post-aggregate frames whose size statistics only exist at
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
+      // j6: the zero-match-keeping rollup joins episodes to a post-agg
+      // count frame whose size exists only at runtime — AQE broadcasts it
+      "j6_interval_join",
       "d7_embedding_survivors", "d8_quality_survivors",
       "e4_ann_recall", "e5_multitable_recall",
       // e7: same label-propagation shape as d6/d7 — the label/meta/rep

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{Dedup, Interval, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -772,6 +772,47 @@ class SkewTextOpsSpec extends AnyFunSuite {
     val seen = TextAnalysis.lmScore(Seq((11L, "a b")).toDF("doc_id", "text"),
       "doc_id", "text", model = Some(model)).collect()
     assert(math.abs(seen.head.getDouble(1) - -math.log(2.1 / 3.3)) < 1e-6)
+  }
+
+  test("interval join == brute-force range join; bin width only affects volume") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000L
+    val intervals = (1 to 200).map { i =>
+      val st = base + rnd.nextInt(1000000)
+      (i.toLong, s"k${rnd.nextInt(5)}",
+        new java.sql.Timestamp(st), new java.sql.Timestamp(st + 1 + rnd.nextInt(50000)))
+    }.toDF("iv_id", "k", "s0", "e0")
+    val points = (1 to 500).map { j =>
+      (j.toLong, s"k${rnd.nextInt(5)}",
+        new java.sql.Timestamp(base + rnd.nextInt(1050000)))
+    }.toDF("p_id", "k", "ts")
+    val brute = intervals.join(points, Seq("k"))
+      .filter($"ts" >= $"s0" && $"ts" <= $"e0")
+      .select("iv_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "randomized fixture must produce matches")
+    for (bin <- Seq(1000L, 7777L, 50000L, 10000000L)) {
+      val banded = Interval.intervalJoin(points = points, intervals = intervals,
+        keys = Seq("k"), startCol = "s0", endCol = "e0", tsCol = "ts",
+        binMillis = bin)
+        .select("iv_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(banded.length === banded.toSet.size, s"bin=$bin produced duplicates")
+      assert(banded.toSet === brute, s"bin=$bin differs from brute force")
+    }
+    // boundaries: both interval endpoints are inclusive; a point one bin
+    // past the end must not match even when the bin edge aligns exactly
+    val iv = Seq((1L, "k", new java.sql.Timestamp(base),
+      new java.sql.Timestamp(base + 1000))).toDF("iv_id", "k", "s0", "e0")
+    val pts = Seq((1L, "k", new java.sql.Timestamp(base)),
+      (2L, "k", new java.sql.Timestamp(base + 1000)),
+      (3L, "k", new java.sql.Timestamp(base + 1001)))
+      .toDF("p_id", "k", "ts")
+    val hits = Interval.intervalJoin(iv, pts, Seq("k"), "s0", "e0", "ts", 1000L)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L))
   }
 
   test("gopher rules: per-rule counts and the composite verdict") {
