@@ -1062,6 +1062,21 @@ object SparkEntry {
     "t13_lm_quality" -> ((s, dir) =>
       ops.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── text: encoding/mojibake QC — replacement-char and control-char
+    //    screening (the data-janitorial pass before any text op; corpus text
+    //    is clean, so doc_id%7 rows get a planted mojibake tail exactly like
+    //    t12 plants PII — the flag must split on it)
+    "t15_encoding_qc" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit("\u0001\uFFFDx")).otherwise(lit("")))
+      val nRepl = regexp_count(aug, lit("\uFFFD")).cast("long")
+      val nCtrl = regexp_count(aug, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+      t(s, dir, "documents").select(col("doc_id"),
+        length(aug).cast("long").as("n_chars"),
+        nRepl.as("n_replacement"), nCtrl.as("n_control"),
+        (nRepl === 0 && nCtrl * 1000 <= length(aug)).as("clean"))
+    }),
+
     // ── text: Gopher composite quality rules (integer-exact counts) ───────
     "t14_gopher_rules" -> ((s, dir) =>
       ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
@@ -2069,6 +2084,19 @@ object SparkEntry {
         |       FROM db JOIN bcw USING (bigram) CROSS JOIN v)
         |SELECT doc_id, round(-avg(lp), 6) AS lm_score, count(*)::BIGINT AS n_bigrams
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "t15_encoding_qc" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN chr(1) || chr(65533) || 'x'
+        |                 ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id, length(aug)::BIGINT AS n_chars,
+        |  len(regexp_extract_all(aug, '\x{fffd}'))::BIGINT AS n_replacement,
+        |  len(regexp_extract_all(aug, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT AS n_control,
+        |  (len(regexp_extract_all(aug, '\x{fffd}')) = 0
+        |   AND len(regexp_extract_all(aug, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) * 1000
+        |       <= length(aug)) AS clean
+        |FROM a""".stripMargin,
 
     // t14: every rule re-derived as integer counts; the replace()-trick '...'
     // count matches Spark's because both engines scan non-overlapping

@@ -113,7 +113,17 @@ object Similarity {
       .select(col(idCol).as("vec_id"), col("qv").as("cq"))
     val q = sqQuantize(queries, idCol, vecCol, bounds)
       .select(col(idCol).as("qid"), col("qv").as("qq"))
-    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+    sqTopKQuantized(c, q, k)
+  }
+
+  /** The probe half alone, over pre-quantized frames (`(vec_id, cq)` /
+    * `(qid, qq)`) — the production call: quantize + persist the corpus ONCE
+    * (levels are what you cache at 100 TB; re-deriving them per probe pays
+    * the float scan you bought SQ8 to avoid), then serve every query batch
+    * from the compressed domain.
+    */
+  def sqTopKQuantized(corpusQ: DataFrame, queriesQ: DataFrame, k: Int): DataFrame = {
+    val scored = corpusQ.join(broadcast(queriesQ), col("vec_id") =!= col("qid"))
       .withColumn("qscore",
         aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x))

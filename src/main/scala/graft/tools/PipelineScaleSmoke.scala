@@ -301,6 +301,19 @@ object PipelineScaleSmoke {
         .agg(avg(col("recall"))).collect()(0).getDouble(0)
       println(f"PSCALE   sq8 recall@5 vs exact inner product = $rec%.3f")
       require(rec >= 0.5, s"SQ8 recall collapsed: $rec")
+      // the production shape: levels precomputed ONCE (what you persist at
+      // 100 TB), probes served from the compressed domain — the one-shot
+      // sqTopK above re-derives levels per call and pays the float scan back
+      val cq = time("SQ8 quantize corpus once (persist shape)") {
+        Similarity.sqQuantize(emb1m, "vec_id", "embedding",
+            Similarity.sqBounds(emb1m, "embedding"))
+          .select(col("vec_id"), col("qv").as("cq")).localCheckpoint()
+      }
+      time(s"SQ8 probe over precomputed levels ($nVecs vectors, 16 queries)") {
+        val qq = cq.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("cq").as("qq"))
+        require(Similarity.sqTopKQuantized(cq, qq, 5).count() == 16 * 5)
+      }
       // planted near-pairs survive quantization: vec 10k+1 ≈ vec 10k at
       // cosine ~0.99999, far above the shell — its quantized dot must rank
       // it #1 for every planted query among the 16
