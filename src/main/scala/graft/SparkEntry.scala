@@ -1077,6 +1077,29 @@ object SparkEntry {
         (nRepl === 0 && nCtrl * 1000 <= length(aug)).as("clean"))
     }),
 
+    // ── text: Unicode script mix — the language-consistency QC (mixed-script
+    //    documents are boilerplate/spam signals; the corpus is ASCII, so
+    //    planted Han/Cyrillic tails on doc_id%5 rows exercise the split)
+    "t16_script_mix" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 1, lit(" 你好世界"))
+          .when(col("doc_id") % 5 === 2, lit(" привет мир"))
+          .otherwise(lit("")))
+      val nLatin = regexp_count(aug, lit("\\p{IsLatin}")).cast("long")
+      val nHan = regexp_count(aug, lit("\\p{IsHan}")).cast("long")
+      val nCyr = regexp_count(aug, lit("\\p{IsCyrillic}")).cast("long")
+      t(s, dir, "documents").select(col("doc_id"),
+        nLatin.as("n_latin"), nHan.as("n_han"), nCyr.as("n_cyrillic"),
+        regexp_count(aug, lit("[0-9]")).cast("long").as("n_digit"),
+        // dominant script, ties broken latin > han > cyrillic (explicit
+        // priority keeps the verdict deterministic and oracle-exact)
+        when(nLatin >= nHan && nLatin >= nCyr, lit("latin"))
+          .when(nHan >= nCyr, lit("han")).otherwise(lit("cyrillic"))
+          .as("main_script"),
+        // mixed = any second script holds >10% of the letter mass
+        ((nHan + nCyr) * 10 > (nLatin + nHan + nCyr)).as("mixed"))
+    }),
+
     // ── text: Gopher composite quality rules (integer-exact counts) ───────
     "t14_gopher_rules" -> ((s, dir) =>
       ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
@@ -2084,6 +2107,24 @@ object SparkEntry {
         |       FROM db JOIN bcw USING (bigram) CROSS JOIN v)
         |SELECT doc_id, round(-avg(lp), 6) AS lm_score, count(*)::BIGINT AS n_bigrams
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "t16_script_mix" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 5 = 1 THEN ' 你好世界'
+        |                 WHEN doc_id % 5 = 2 THEN ' привет мир'
+        |                 ELSE '' END AS aug
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(aug, '\p{Latin}'))::BIGINT AS n_latin,
+        |    len(regexp_extract_all(aug, '\p{Han}'))::BIGINT AS n_han,
+        |    len(regexp_extract_all(aug, '\p{Cyrillic}'))::BIGINT AS n_cyrillic,
+        |    len(regexp_extract_all(aug, '[0-9]'))::BIGINT AS n_digit
+        |  FROM a)
+        |SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit,
+        |  CASE WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin'
+        |       WHEN n_han >= n_cyrillic THEN 'han' ELSE 'cyrillic' END AS main_script,
+        |  ((n_han + n_cyrillic) * 10 > (n_latin + n_han + n_cyrillic)) AS mixed
+        |FROM c""".stripMargin,
 
     "t15_encoding_qc" ->
       """WITH a AS (SELECT doc_id,
