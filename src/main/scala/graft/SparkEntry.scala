@@ -1129,6 +1129,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     }),
 
+    // ── curriculum: quality-staged phases + per-phase sequence packing ────
+    //    (anneal from clean to noisy: phase 0 = top quality tercile). The
+    //    scale-safe form of a global ntile(): exact quality cutoffs come
+    //    from ONE percentile aggregate broadcast back onto the corpus — no
+    //    single-partition global window ever exists; packing windows
+    //    partition by (phase, source) like w6, so no giant window partition
+    //    either.
+    "x8_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        ops.TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        ops.TextAnalysis.distinctRatio(col("text")).as("quality"))
+      val cuts = d.agg(percentile(col("quality"), lit(1.0 / 3)).as("c1"),
+        percentile(col("quality"), lit(2.0 / 3)).as("c2"))
+      val ph = d.crossJoin(broadcast(cuts))
+        .withColumn("phase", when(col("quality") <= col("c1"), lit(2L))
+          .when(col("quality") <= col("c2"), lit(1L)).otherwise(lit(0L)))
+      val w = Window.partitionBy(col("phase"), col("source")).orderBy(col("doc_id"))
+      ph.select(col("doc_id"), col("source"), col("n_tok"), col("phase"),
+        ((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast("long").as("bin"))
+    }),
+
     // ── sampling: per-domain contribution cap ─────────────────────────────
     "x5_domain_cap" -> ((s, dir) =>
       ops.Sampling.capPerKey(t(s, dir, "documents"), "doc_id", "source",
@@ -2107,6 +2128,27 @@ object SparkEntry {
         |       FROM db JOIN bcw USING (bigram) CROSS JOIN v)
         |SELECT doc_id, round(-avg(lp), 6) AS lm_score, count(*)::BIGINT AS n_bigrams
         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // x8: same tercile cutoffs via quantile_cont (x2 proved the
+    // interpolation matches Spark's percentile bit-for-bit), same
+    // (phase, source) running-sum packing as w6
+    "x8_curriculum" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n_tok,
+        |    round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+        |          / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS quality
+        |  FROM documents),
+        |cut AS (SELECT quantile_cont(quality, 1.0/3) AS c1,
+        |               quantile_cont(quality, 2.0/3) AS c2 FROM q),
+        |p AS (SELECT doc_id, source, n_tok,
+        |        CASE WHEN quality <= c1 THEN 2 WHEN quality <= c2 THEN 1
+        |             ELSE 0 END::BIGINT AS phase
+        |      FROM q CROSS JOIN cut)
+        |SELECT doc_id, source, n_tok, phase,
+        |  ((sum(n_tok) OVER (PARTITION BY phase, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |   // 512)::BIGINT AS bin
+        |FROM p""".stripMargin,
 
     "t16_script_mix" ->
       """WITH a AS (SELECT doc_id,

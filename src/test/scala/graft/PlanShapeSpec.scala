@@ -156,6 +156,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // j6: the (key,bin) equi-join + the per-episode rollup agg; the
       // zero-match left join broadcasts (AQE) — nothing explodes on range
       "j6_interval_join" -> 2,
+      // x8: cutoff agg (broadcast back) + the (phase,source) pack window
+      "x8_curriculum" -> 2,
       // x7: one two-phase group agg carrying sketch + exact percentiles
       "x7_approx_quantiles" -> 1,
       // t14/t15: pure integer-count projections, shuffle-free by construction
