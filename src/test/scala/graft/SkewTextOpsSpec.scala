@@ -815,6 +815,54 @@ class SkewTextOpsSpec extends AnyFunSuite {
     assert(hits === Set(1L, 2L))
   }
 
+  test("gopher rules match a JVM reference model on randomized adversarial text") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("the", "fox", "##", "...", "w1", "- item", "•x", "longishword",
+      "…", "42", "a.b", "*", "mixedCASE", "", " ", "\n", "\n- ", "...\n")
+    val docs = (1 to 250).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i.toLong, (1 to n).map(_ => atoms(rnd.nextInt(atoms.length)))
+        .mkString(rnd.nextInt(3) match { case 0 => " "; case 1 => "  "; case _ => " x " }))
+    }
+    def model(text: String) = {
+      // Spark's trim (like DuckDB's) strips SPACES only, not \n — a doc
+      // starting with a newline keeps a leading empty token; the engine and
+      // the oracle agree on that, so the model must too
+      def sqlTrim(s0: String) = s0.replaceAll("^ +", "").replaceAll(" +$", "")
+      val toks = sqlTrim(text).toLowerCase.split("\\s+", -1).toSeq
+      val lines = text.split("\n", -1).toSeq
+      def nonOverlap(s0: String, sub: String): Long = {
+        var i = 0; var c = 0L
+        while ({ val j = s0.indexOf(sub, i); if (j >= 0) { c += 1; i = j + sub.length }; j >= 0 }) ()
+        c
+      }
+      val wc = toks.size.toLong
+      val ell = nonOverlap(text, "...")
+      val nl = lines.size.toLong
+      val bl = lines.count(_.matches("^\\s*[-*•‣◦].*")).toLong
+      val el = lines.count(l => java.util.regex.Pattern.compile("(\\.\\.\\.|…)\\s*$")
+        .matcher(l).find()).toLong
+      val aw = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val sh = TextAnalysis.gopherStopwords.count(toks.contains).toLong
+      val chars = sqlTrim(text).replaceAll("\\s+", "").length.toLong
+      val hash = text.count(_ == '#').toLong
+      (wc, chars, hash, ell, nl, bl, el, aw, sh,
+        wc >= 50 && wc <= 100000 && chars >= wc * 3 && chars <= wc * 10 &&
+        hash * 10 <= wc && ell * 10 <= wc && bl * 10 <= nl * 9 &&
+        el * 10 <= nl * 3 && aw * 10 >= wc * 8 && sh >= 2)
+    }
+    val got = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    docs.zip(got).foreach { case ((id, text), r) =>
+      val m = model(text)
+      val g = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9), r.getBoolean(10))
+      assert(g === m, s"doc $id: ${text.take(80).replace("\n", "\\n")}")
+    }
+  }
+
   test("gopher rules: per-rule counts and the composite verdict") {
     val s = spark
     import s.implicits._
