@@ -568,6 +568,25 @@ object SparkEntry {
           round(coalesce(col("__v"), lit(0.0)), 2).as("purchase_value"))
     }),
 
+    // ── M8: COMPACTION promoted to the oracle gate (like m6 migrate / m7
+    //    fence): bulkImport through a manifest sidecar claim, then a
+    //    file-level rewrite claim per bucket (the append-safe incremental
+    //    compaction) + snapshot-store compaction; the read-back must be
+    //    indistinguishable from the never-compacted log.
+    "m8_compact_roundtrip" -> ((s, dir) => withInlineMax(8) {
+      val tmp = tempLogDir("graftm8")
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+        ulidSeed = Some(88L), commitMode = graft.log.CommitMode.Manifest)
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      log.compact()
+      log.compactSnapshots()
+      log.activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"),
+        graft.functions.ulid_millis(col("id")).as("t_ms"))
+    }),
+
     // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
     // (the temporal query an event log exists for; id bound pushes down)
     "a8_asof_state" -> ((s, dir) => {
@@ -1614,6 +1633,13 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "w7_bulk_roundtrip" ->
+      """SELECT 'u' || user_id AS aggregate_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
+        |       event_type AS kind,
+        |       epoch_ms(ts) AS t_ms
+        |FROM events""".stripMargin,
+
+    "m8_compact_roundtrip" ->
       """SELECT 'u' || user_id AS aggregate_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
         |       event_type AS kind,

@@ -187,8 +187,8 @@ class EventLog(
     * completed rewrite — excluded until the lazy physical delete
     * (gcReplaced) catches up. The done-flip is the atomic visibility
     * switch, so no reader ever sees both versions of a file. Replaced files
-    * are matched on basename: part-file names carry task UUIDs, never
-    * reused. Applies to events and snapshots alike (claims carry absolute
+    * are matched on their bucket-qualified relative name (one partitioned
+    * write reuses part-file basenames across bucket directories). Applies to events and snapshots alike (claims carry absolute
     * paths; both tables share the one chain).
     */
   private def committedView(df: DataFrame, refreshed: Boolean = false): DataFrame = {
@@ -198,13 +198,16 @@ class EventLog(
     // is the dominant commit-path cost, and claims() would repeat it
     val claims = if (refreshed) manifest.cachedClaims() else manifest.claims()
     val pending = claims.filterNot(_.done).map(c => s"c${c.n}")
-    val replaced = manifest.replacedBasenames().toSeq
+    val replaced = manifest.replacedRelnames().toSeq
     var out = df
     if (pending.nonEmpty)
       out = out.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
         .isin(pending: _*))
     if (replaced.nonEmpty)
-      out = out.where(!substring_index(input_file_name(), "/", -1).isin(replaced: _*))
+      // bucket-qualified (last two segments): one partitioned write reuses a
+      // part-file basename across bucket dirs, so basenames are ambiguous
+      out = out.where(!regexp_extract(input_file_name(), "/(bucket=[^/]+/[^/]+)$", 1)
+        .isin(replaced: _*))
     out
   }
 
@@ -1128,7 +1131,7 @@ class EventLog(
     // input rules as rewriteBucketManifest, across the affected bucket set
     def liveFiles(tablePath: String): Seq[String] = {
       val claims = manifest.cachedClaims()
-      val staleNames = manifest.replacedBasenames()
+      val staleNames = manifest.replacedRelnames()
       val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
       buckets.flatMap { b =>
         val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$b")
@@ -1136,7 +1139,7 @@ class EventLog(
         if (!hfs.exists(bdir)) Seq.empty[String]
         else hfs.listStatus(bdir)
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .filterNot(f => staleNames.contains(f.getPath.getName) ||
+          .filterNot(f => staleNames.contains(s"bucket=$b/" + f.getPath.getName) ||
             pendingTokens.exists(f.getPath.getName.startsWith))
           .map(_.getPath.toString).toSeq
       }
@@ -1710,11 +1713,11 @@ class EventLog(
     // already replaced — copying them back in would resurrect stale rows —
     // and skip pending claims' files, which are not yet committed
     val claims = manifest.claims()
-    val staleNames = manifest.replacedBasenames()
+    val staleNames = manifest.replacedRelnames()
     val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
     val inputs = hfs.listStatus(bdir)
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .filterNot(f => staleNames.contains(f.getPath.getName) ||
+      .filterNot(f => staleNames.contains(s"bucket=$bucket/" + f.getPath.getName) ||
         pendingTokens.exists(f.getPath.getName.startsWith))
       .map(_.getPath.toString).toSeq.sorted
     if (inputs.isEmpty) return

@@ -350,16 +350,22 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
     cachedClaims()
   }
 
-  /** Basenames of every file superseded by a completed rewrite — THE
-    * committed-read exclusion, shared by the batch readers
-    * ([[graft.log.EventLog]]'s committedView) and the live projector gate
-    * so the two can never drift. Pure cache read; callers pick the refresh
-    * policy ([[refresh]]/[[claims]]) first. Basenames suffice: part-file
-    * names carry task UUIDs, never reused.
+  /** Bucket-qualified relative names (`bucket=N/<basename>`) of every file
+    * superseded by a completed rewrite — THE committed-read exclusion,
+    * shared by the batch readers ([[graft.log.EventLog]]'s committedView)
+    * and the live projector gate so the two can never drift. Pure cache
+    * read; callers pick the refresh policy ([[refresh]]/[[claims]]) first.
+    *
+    * Bare basenames do NOT suffice, despite part-file task UUIDs: one
+    * partitioned write emits the SAME part-file name into every bucket
+    * directory it touches, so a bucket-0 rewrite keyed by basename would
+    * hide (and eventually GC) the sibling files of all other buckets —
+    * a committed-view data loss. Matching on the last two path segments
+    * pins the exclusion to the one file the rewrite actually replaced.
     */
-  def replacedBasenames(): Set[String] = cache.values
+  def replacedRelnames(): Set[String] = cache.values
     .filter(c => c.done && c.kind == CommitClaim.KindRewrite)
-    .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    .flatMap(_.replaced).map(ManifestCommitLog.relname).toSet
 
   /** The cached chain WITHOUT a fresh LIST — what the latest [[refresh]]
     * observed (plus pruned-but-remembered entries). For retry loops that
@@ -603,6 +609,16 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
 
 object ManifestCommitLog {
   val CommitDir = "_graft_commit"
+
+  /** Last two path segments of a file path (`bucket=N/<basename>`) — the
+    * unit every replaced-file comparison uses; see [[ManifestCommitLog
+    * .replacedRelnames]] for why a bare basename is not unique.
+    */
+  def relname(p: String): String = {
+    val i = p.lastIndexOf('/')
+    val j = if (i > 0) p.lastIndexOf('/', i - 1) else -1
+    p.substring(j + 1)
+  }
 
   /** Streams per bulk claim above which reservations move to a parquet
     * sidecar (tunable via `-Dgraft.bulkClaim.inlineMax=`; tests shrink it).

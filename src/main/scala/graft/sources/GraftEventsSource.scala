@@ -100,8 +100,8 @@ class GraftEventsTable(
       mergedOptions(options), numBuckets)
   }
 
-  /** Basename-exclusion predicate from the commit chain, or None when there
-    * is nothing to exclude.
+  /** Relative-name (`bucket=N/<basename>`) exclusion predicate from the
+    * commit chain, or None when there is nothing to exclude.
     */
   private def claimExclusion(): Option[String => Boolean] = {
     val logRoot = paths0.headOption.map(p =>
@@ -111,9 +111,13 @@ class GraftEventsTable(
       val pending = claims.filterNot(_.done).map(c => s"c${c.n}-")
       val replaced = claims
         .filter(c => c.done && c.kind == graft.log.CommitClaim.KindRewrite)
-        .flatMap(_.replaced).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        .flatMap(_.replaced).map(graft.log.ManifestCommitLog.relname).toSet
       if (pending.isEmpty && replaced.isEmpty) None
-      else Some(name => replaced.contains(name) || pending.exists(name.startsWith))
+      // rel = bucket-qualified "bucket=N/<basename>" (basenames recur across
+      // bucket dirs within one partitioned write); pending prefixes apply to
+      // the basename half
+      else Some(rel => replaced.contains(rel) ||
+        pending.exists(rel.substring(rel.lastIndexOf('/') + 1).startsWith))
     }
   }
 
@@ -136,7 +140,8 @@ class CommittedFileIndex(
   extends PartitioningAwareFileIndex(spark, Map.empty, None) {
 
   private lazy val filtered: Seq[org.apache.hadoop.fs.FileStatus] =
-    underlying.allFiles().filterNot(f => exclude(f.getPath.getName))
+    underlying.allFiles().filterNot(f =>
+      exclude(graft.log.ManifestCommitLog.relname(f.getPath.toString)))
 
   override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
     underlying.partitionSpec()

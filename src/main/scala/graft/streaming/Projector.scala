@@ -399,7 +399,7 @@ object Projector {
     // while this batch waited must drop its old files in this same batch
     // (same ids, possibly scrubbed bodies — the replaced set taken at entry
     // would miss it). The exclusion itself is shared with the batch
-    // readers' committedView (manifest.replacedBasenames) so the two can
+    // readers' committedView (manifest.replacedRelnames) so the two can
     // never drift. The LIST here is unconditional, one per micro-batch: a
     // cached chain — even seconds old — reopens a cross-batch window where
     // a just-flipped rewrite's OLD copy is delivered alone in this batch
@@ -407,8 +407,8 @@ object Projector {
     // in a later batch only to be watermark-filtered; the newest-existing-
     // file dedup in live() can only backstop copies that share one batch.
     log.manifest.claims(): Unit
-    val replacedBase = log.manifest.replacedBasenames()
+    val replacedRel = log.manifest.replacedRelnames()
     dropped.toSet ++ files.filter(f =>
-      replacedBase.contains(f.substring(f.lastIndexOf('/') + 1)))
+      replacedRel.contains(graft.log.ManifestCommitLog.relname(f)))
   }
 }

@@ -118,4 +118,40 @@ class CompactionSpec extends AnyFunSuite {
       assert(r.getAs[String]("subject") == s"events.$expectedPart")
     }
   }
+
+  test("manifest compact after one multi-bucket write: basename collision is not data loss") {
+    // One partitioned write emits the SAME part-file basename into every
+    // bucket directory. A rewrite claim keyed by bare basename would hide
+    // (and later GC) the sibling buckets' files — the committed view must
+    // key replaced files by bucket-qualified relative name instead.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftmcompact").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(91L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val batch = (1 to 400).map(i => (s"s$i", "User", "Evt", s"""{"i":$i}""", 1L))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    log.bulkImport(batch, seqCol = "seq")
+    assert(log.activeEvents.count() === 400L)
+    // the collision precondition: every bucket holds a file with the SAME name
+    val names = (0 until 4).map { b =>
+      new java.io.File(s"$dir/events/bucket=$b").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    assert(names.reduce(_ intersect _).nonEmpty,
+      "fixture must reproduce the shared-basename layout")
+    // compact ONE bucket: the other three buckets' rows must stay visible
+    log.compact(buckets = Some(Seq(0)))
+    assert(log.activeEvents.count() === 400L,
+      "bucket-0 rewrite must not hide sibling buckets' files")
+    // external DSv2 reader shares the exclusion rule
+    assert(spark.read.format("graft-events").load(dir).count() === 400L)
+    // GC deletes ONLY the replaced bucket-0 file; a full read still sees all
+    assert(log.gcReplaced(retentionMs = 0L) === 1)
+    assert(log.activeEvents.count() === 400L)
+    // and compacting the rest converges with content intact
+    log.compact()
+    assert(log.activeEvents.count() === 400L)
+    assert(log.activeEvents.select("aggregate_id").distinct().count() === 400L)
+  }
 }
