@@ -587,6 +587,24 @@ object SparkEntry {
         graft.functions.ulid_millis(col("id")).as("t_ms"))
     }),
 
+    // ── M9: manifest-mode re-bucketing via copy + cutover (the zero-
+    //    downtime 100 TB recipe): sidecar import → compact ONE bucket (so
+    //    replaced files are still on disk — the copy must read committed,
+    //    not raw) → rebucketCopy to a different bucket count → the NEW log
+    //    must be indistinguishable from the source.
+    "m9_rebucket_copy" -> ((s, dir) => withInlineMax(8) {
+      val tmp = tempLogDir("graftm9")
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8,
+        ulidSeed = Some(89L), commitMode = graft.log.CommitMode.Manifest)
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      log.compact(buckets = Some(Seq(0)))
+      log.rebucketCopy(s"$tmp-copy", 5).activeEvents.select(
+        col("aggregate_id"),
+        col("aggregate_version").cast("long").as("aggregate_version"),
+        col("kind"),
+        graft.functions.ulid_millis(col("id")).as("t_ms"))
+    }),
+
     // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
     // (the temporal query an event log exists for; id bound pushes down)
     "a8_asof_state" -> ((s, dir) => {
@@ -1633,6 +1651,13 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "w7_bulk_roundtrip" ->
+      """SELECT 'u' || user_id AS aggregate_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
+        |       event_type AS kind,
+        |       epoch_ms(ts) AS t_ms
+        |FROM events""".stripMargin,
+
+    "m9_rebucket_copy" ->
       """SELECT 'u' || user_id AS aggregate_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
         |       event_type AS kind,

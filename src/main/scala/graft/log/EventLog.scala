@@ -1545,6 +1545,46 @@ class EventLog(
       commitMode, discriminatorPolicy)
   }
 
+  /** The manifest-mode (and 100 TB zero-downtime) re-bucketing recipe the
+    * in-place form above points at: parallel COPY of the committed view into
+    * a FRESH log path under the new bucket count, then reader cutover. The
+    * source log stays fully readable and writable throughout; the copy
+    * reads read-committed (pending claims and replaced files excluded), so
+    * the new log is a consistent snapshot as of the copy's start. Writers
+    * must be quiesced (or their tail re-driven) before cutting over —
+    * that's the cutover protocol's job, not this method's; the method
+    * returns a log whose content equals the source's committed view at
+    * entry, bit-for-bit except the bucket assignment.
+    *
+    * One distributed rewrite per table, no driver materialization; the new
+    * chain starts empty (plain data files are visible to manifest readers —
+    * claims only gate files written THROUGH the chain).
+    */
+  def rebucketCopy(newPath: String, newNumBuckets: Int): EventLog = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    require(commitMode == CommitMode.Manifest,
+      "rebucketCopy is the manifest-mode recipe; lock-mode logs rebucket in place")
+    require(newPath != path, "rebucketCopy needs a fresh destination path")
+    def copyTable(tablePath: String, destPath: String,
+        schema: org.apache.spark.sql.types.StructType): Unit =
+      if (exists(tablePath)) {
+        committedView(spark.read.schema(addBucket(schema)).parquet(tablePath))
+          .drop("bucket")
+          .withColumn("bucket",
+            pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(newNumBuckets)))
+          .repartition(newNumBuckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .option("compression", EventLog.Compression)
+          .parquet(destPath)
+        graft.sources.GraftMeta.write(spark, destPath, newNumBuckets)
+      }
+    copyTable(eventsPath, s"$newPath/events", EventSchema.events)
+    copyTable(snapshotsPath, s"$newPath/snapshots", EventSchema.snapshots)
+    new EventLog(spark, newPath, newNumBuckets, discriminatorKeys, ulidSeed,
+      commitMode, discriminatorPolicy)
+  }
+
   /** Snapshot compaction: drop superseded snapshots, keeping the latest per
     * stream (the only one `latestSnapshot` ever serves).
     */

@@ -125,6 +125,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // m6/m7 return the post-migration / post-fence active scan; the
       // import, migrate and fence side effects run eagerly before it
       "m6_migrate_sidecar" -> 0, "m7_fence_pass" -> 0, "m8_compact_roundtrip" -> 0,
+      "m9_rebucket_copy" -> 0,
       // x1: sketch agg (1) + two split exact-distinct twins (2 each: the
       // distinct and its per-type recount) — split on purpose, a fused
       // multi-distinct Expand tripled the scan and measured 6× slower

@@ -59,4 +59,47 @@ class RebucketSpec extends AnyFunSuite {
     assert(new EventStore(log2, AccountType).retrieve(f"01HXREBUCKET${7}%014d")
       .state == Account("OPEN", 80, "o7"))
   }
+
+  test("rebucketCopy: manifest-mode copy + cutover, committed view only") {
+    val dir = Files.createTempDirectory("graftrebucketcp").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(52L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val store = new EventStore(log, AccountType, snapshotThreshold = 2)
+    (1 to 40).foreach { i =>
+      store.create(f"01HXREBUCKCOPY${i}%012d", Seq(
+        AccountType.created(10L * i, s"o$i"), AccountType.deposited(i)))
+    }
+    // leave a replaced (not yet GCed) file behind: the copy must read the
+    // committed view, or the stale pre-compaction rows come along
+    log.compact(buckets = Some(Seq(0)))
+    val before = log.activeEvents.orderBy("id")
+      .select("id", "aggregate_id", "aggregate_version", "kind", "body")
+      .collect().map(_.toString).toSeq
+    val snapsBefore = log.snapshots.count()
+
+    val moved = log.rebucketCopy(s"$dir-v2", 7)
+    assert(moved.activeEvents.orderBy("id")
+      .select("id", "aggregate_id", "aggregate_version", "kind", "body")
+      .collect().map(_.toString).toSeq === before)
+    assert(moved.snapshots.count() === snapsBefore)
+    val dirs = new java.io.File(s"$dir-v2/events").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs.forall(d => d.stripPrefix("bucket=").toInt < 7))
+    // the new log is live: reads fold and writes append under ITS chain
+    val movedStore = new EventStore(moved, AccountType)
+    assert(movedStore.retrieve(f"01HXREBUCKCOPY${7}%012d")
+      .state == Account("OPEN", 77, "o7"))
+    movedStore.update(f"01HXREBUCKCOPY${7}%012d")(st => Seq(AccountType.deposited(3)))
+    assert(movedStore.retrieve(f"01HXREBUCKCOPY${7}%012d")
+      .state == Account("OPEN", 80, "o7"))
+    // the SOURCE log is untouched (cutover is the caller's protocol)
+    assert(log.activeEvents.orderBy("id")
+      .select("id", "aggregate_id", "aggregate_version", "kind", "body")
+      .collect().map(_.toString).toSeq === before)
+    // lock-mode logs must refuse (they rebucket in place)
+    val lockLog = new EventLog(spark,
+      Files.createTempDirectory("graftrebucketlk").toFile.getAbsolutePath,
+      numBuckets = 2, ulidSeed = Some(53L))
+    intercept[IllegalArgumentException] { lockLog.rebucketCopy(s"$dir-v3", 3) }
+  }
 }
