@@ -1751,20 +1751,35 @@ class EventLog(
     if (!hfs.exists(bdir)) return
     // rewrite only LIVE files: skip files a previous (not-yet-GCed) rewrite
     // already replaced — copying them back in would resurrect stale rows —
-    // and skip pending claims' files, which are not yet committed
-    val claims = manifest.claims()
-    val staleNames = manifest.replacedRelnames()
-    val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
-    val inputs = hfs.listStatus(bdir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .filterNot(f => staleNames.contains(s"bucket=$bucket/" + f.getPath.getName) ||
-        pendingTokens.exists(f.getPath.getName.startsWith))
-      .map(_.getPath.toString).toSeq.sorted
-    if (inputs.isEmpty) return
+    // and skip pending claims' files, which are not yet committed. The
+    // input list is recomputed on EVERY claim attempt against the freshly
+    // refreshed chain, and files a PENDING rewrite lists as replaced are
+    // off-limits too: a rival compactor mid-flight (possible after a stale
+    // lock break) must not have its inputs re-read — if it completes, they
+    // are hidden; if it is condemned, a later pass picks them up. Without
+    // both rules a lost race re-reads files the winner just replaced and
+    // commits their rows a second time.
     var claimed: Option[CommitClaim] = None
     var attempts = 0
+    var inputs: Seq[String] = Seq.empty
     while (claimed.isEmpty && attempts < 100) {
       val tip = manifest.refresh()
+      val chain = manifest.cachedClaims()
+      val staleNames = manifest.replacedRelnames()
+      val pendingRewrites = chain.filterNot(_.done)
+      val pendingTokens = pendingRewrites.map(c => s"c${c.n}-")
+      val pendingReplaced = pendingRewrites
+        .filter(_.kind == CommitClaim.KindRewrite)
+        .flatMap(_.replaced).map(ManifestCommitLog.relname).toSet
+      inputs = hfs.listStatus(bdir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filterNot { f =>
+          val rel = s"bucket=$bucket/" + f.getPath.getName
+          staleNames.contains(rel) || pendingReplaced.contains(rel) ||
+            pendingTokens.exists(f.getPath.getName.startsWith)
+        }
+        .map(_.getPath.toString).toSeq.sorted
+      if (inputs.isEmpty) return
       val c = CommitClaim(tip + 1, Map.empty, Seq.empty, writerId,
         System.currentTimeMillis(), done = false, CommitClaim.KindRewrite, inputs)
       if (manifest.tryClaim(c)) claimed = Some(c) else attempts += 1

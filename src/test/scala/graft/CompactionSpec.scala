@@ -154,4 +154,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(log.activeEvents.count() === 400L)
     assert(log.activeEvents.select("aggregate_id").distinct().count() === 400L)
   }
+
+  test("compact skips files a pending rival rewrite claimed (stale-lock-break race)") {
+    // After a stale lock break two compactors can overlap. The loser must
+    // NOT re-read files the rival's in-flight claim lists as replaced: if
+    // the rival completes they are hidden, and a second rewrite that read
+    // them would commit their rows twice.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrival").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(92L),
+      commitMode = graft.log.CommitMode.Manifest)
+    val batch = (1 to 100).map(i => (s"s$i", "User", "Evt", s"""{"i":$i}""", 1L))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+    log.bulkImport(batch, seqCol = "seq")
+    val before = log.activeEvents.count()
+    val b0 = new java.io.File(s"$dir/events/bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(b0.nonEmpty)
+    // rival compactor mid-flight: PENDING rewrite claim over bucket 0's files
+    val tip = log.manifest.refresh()
+    val rival = graft.log.CommitClaim(tip + 1, Map.empty, Seq.empty, "rival",
+      System.currentTimeMillis(), done = false,
+      graft.log.CommitClaim.KindRewrite, b0.map("file:" + _))
+    assert(log.manifest.tryClaim(rival))
+    log.compact(buckets = Some(Seq(0))) // must be a no-op for bucket 0
+    assert(log.activeEvents.count() === before, "pending rival hides nothing")
+    assert(log.manifest.claims().count(_.kind == graft.log.CommitClaim.KindRewrite) === 1,
+      "the loser must not stack a second rewrite over the rival's inputs")
+    // rival dies; prune condemns it; a fresh compactor proceeds exactly once
+    log.manifest.prune(Map.empty, staleMs = 0L): Unit
+    val log2 = new EventLog(spark, dir, numBuckets = 2, ulidSeed = Some(93L),
+      commitMode = graft.log.CommitMode.Manifest)
+    log2.compact(buckets = Some(Seq(0)))
+    assert(log2.activeEvents.count() === before)
+    assert(log2.activeEvents.select("aggregate_id").distinct().count() === before)
+  }
 }
