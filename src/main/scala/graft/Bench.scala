@@ -52,11 +52,39 @@ object Bench {
     }
     val results = runs.collect { case (n, Right(t)) => (n, t) }
     val errors = runs.collect { case (n, Left(m)) => (n, m) }
+
+    // Provenance + calibration (VERDICT r8 #4): commit hash and boot id pin
+    // WHAT ran WHERE; the calibration micro-query — a fixed CPU-bound plan
+    // independent of the corpus and of SparkEntry — measures THIS boot's
+    // machine speed so cross-round deltas can be normalized mechanically
+    // instead of re-litigating boot-to-boot CPU variance.
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val bootId = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")), "UTF-8").trim
+    } catch { case _: Throwable => "unknown" }
+    val calibration = {
+      import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // mask to 16 bits before summing: 4e8 × 65535 stays far under Long
+        // range, so the probe is ANSI-overflow-safe
+        spark.range(400000000L)
+          .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFL)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); Seq(once(), once()).min // warm once, report steady-state min
+    }
+
     def jq(s: String): String = JsonEscape.quote(s)
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jq(k) + ":" + jq(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir","commit":${jq(commit)},"boot_id":${jq(bootId)},"calibration_sec":$calibration,"cpus":${jq(cpus)},"repeats":$repeats}"""
     println(line)
     // The driver captures only a truncated stdout tail (loses ~15 of 78 queries
     // every round) — also persist the full JSON so the artifact survives.

@@ -1133,8 +1133,10 @@ object SparkEntry {
         when(nLatin >= nHan && nLatin >= nCyr, lit("latin"))
           .when(nHan >= nCyr, lit("han")).otherwise(lit("cyrillic"))
           .as("main_script"),
-        // mixed = any second script holds >10% of the letter mass
-        ((nHan + nCyr) * 10 > (nLatin + nHan + nCyr)).as("mixed"))
+        // mixed = the NON-dominant letter mass holds >10% of the total
+        // (a pure-Han or pure-Cyrillic doc is not mixed)
+        ((nLatin + nHan + nCyr - greatest(nLatin, nHan, nCyr)) * 10 >
+          (nLatin + nHan + nCyr)).as("mixed"))
     }),
 
     // ── text: Gopher composite quality rules (integer-exact counts) ───────
@@ -2216,7 +2218,8 @@ object SparkEntry {
         |SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit,
         |  CASE WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin'
         |       WHEN n_han >= n_cyrillic THEN 'han' ELSE 'cyrillic' END AS main_script,
-        |  ((n_han + n_cyrillic) * 10 > (n_latin + n_han + n_cyrillic)) AS mixed
+        |  ((n_latin + n_han + n_cyrillic - greatest(n_latin, n_han, n_cyrillic)) * 10
+        |     > (n_latin + n_han + n_cyrillic)) AS mixed
         |FROM c""".stripMargin,
 
     "t15_encoding_qc" ->

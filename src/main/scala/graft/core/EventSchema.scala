@@ -38,6 +38,24 @@ case class SnapshotRow(
 )
 
 object EventSchema {
+  /** Name of the materialized top-level column for a declared discriminator
+    * key — the Spark restatement of the reference's physical `disc_<key>`
+    * columns (prefix constant store/store.go:15; ALTER TABLE + index,
+    * store/postgresql/store.go:712-726).
+    */
+  def discColName(key: String): String = s"disc_$key"
+
+  /** Extend an envelope schema with one nullable string column per declared
+    * discriminator key. Written alongside the map on every write so scans
+    * scoped to a declared key filter on a plain column parquet row-group
+    * stats can skip on, instead of decoding the MAP for every row. Files
+    * written before a key was declared simply lack the column and read as
+    * null — filter sites keep the map predicate as the source of truth and
+    * use the column only as a pushable pruning twin.
+    */
+  def withDiscColumns(base: StructType, keys: Seq[String]): StructType =
+    StructType(base.fields ++ keys.map(k => StructField(discColName(k), StringType, nullable = true)))
+
   val events: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("aggregate_id", StringType, nullable = false),

@@ -138,6 +138,37 @@ class EventLog(
   private val snapshotsPath = s"$path/snapshots"
   private val gen = new Ulid.Generator(seed = ulidSeed)
 
+  /** Declared discriminator keys (ctor allow-list ∪ policy allow-list).
+    * Each is materialized as a top-level `disc_<key>` string column on every
+    * event/snapshot write — the Spark restatement of the reference's
+    * physical per-key columns + indexes (store/postgresql/store.go:712-726)
+    * — so tenant-scoped scans filter on a plain pushable column instead of
+    * decoding the `MAP` for every row of a 100 TB log. Files written before
+    * a key was declared lack the column and read as null; every filter site
+    * keeps the map predicate as the source of truth and uses the column
+    * only as the parquet-pushable pruning twin, so old data stays correct
+    * (just unpruned until the next compaction rewrites it).
+    */
+  val declaredDiscKeys: Seq[String] =
+    (discriminatorKeys ++ discriminatorPolicy.fold(Set.empty[String])(_.allowedKeys))
+      .toSeq.sorted
+  declaredDiscKeys.foreach(k => require(k.matches("[A-Za-z][A-Za-z0-9_]*"),
+    s"declared discriminator key '$k' must be identifier-safe ([A-Za-z][A-Za-z0-9_]*) " +
+      "to materialize as a disc_ column"))
+
+  private val evSchema = EventSchema.withDiscColumns(EventSchema.events, declaredDiscKeys)
+  private val snSchema = EventSchema.withDiscColumns(EventSchema.snapshots, declaredDiscKeys)
+
+  /** Write-side half of the materialization: derive any missing `disc_<key>`
+    * column from the map. Idempotent — rewrite paths whose input already
+    * carries the columns pass through unchanged.
+    */
+  private def ensureDiscCols(df: DataFrame): DataFrame =
+    declaredDiscKeys.foldLeft(df) { (d, k) =>
+      if (d.columns.contains(EventSchema.discColName(k))) d
+      else d.withColumn(EventSchema.discColName(k), element_at(col("discriminator"), lit(k)))
+    }
+
   /** Dev-only phase timing for the maintenance paths (`-Dgraft.phaseTiming`):
     * prints per-phase wall time so slow-query triage attributes seconds to
     * jobs, not guesses. Free when the property is unset.
@@ -158,7 +189,7 @@ class EventLog(
   /** Full envelope incl. the physical bucket partition column. */
   def eventsWithBucket: DataFrame =
     if (!exists(eventsPath)) emptyEvents(withBucket = true)
-    else spark.read.schema(addBucket(EventSchema.events)).parquet(eventsPath)
+    else spark.read.schema(addBucket(evSchema)).parquet(eventsPath)
 
   /** The logical event table (no physical layout columns). */
   def events: DataFrame = eventsWithBucket.drop("bucket")
@@ -204,9 +235,10 @@ class EventLog(
       out = out.where(!regexp_extract(input_file_name(), "/(c\\d+)-[^/]*$", 1)
         .isin(pending: _*))
     if (replaced.nonEmpty)
-      // bucket-qualified (last two segments): one partitioned write reuses a
-      // part-file basename across bucket dirs, so basenames are ambiguous
-      out = out.where(!regexp_extract(input_file_name(), "/(bucket=[^/]+/[^/]+)$", 1)
+      // table+bucket-qualified (last three segments): one partitioned write
+      // reuses a part-file basename across bucket dirs, and events/snapshots
+      // share one chain, so shorter keys are ambiguous
+      out = out.where(!regexp_extract(input_file_name(), "/([^/]+/bucket=[^/]+/[^/]+)$", 1)
         .isin(replaced: _*))
     out
   }
@@ -239,7 +271,7 @@ class EventLog(
   def snapshots: DataFrame =
     if (!exists(snapshotsPath)) emptySnapshots
     else committedView(
-      spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath))
+      spark.read.schema(addBucket(snSchema)).parquet(snapshotsPath))
       .drop("bucket")
 
   /** S1: one stream's active events after a version, in version order
@@ -261,7 +293,7 @@ class EventLog(
   def latestSnapshot(aggregateId: String): Option[SnapshotRow] = {
     import spark.implicits._
     if (!exists(snapshotsPath)) return None
-    committedView(spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath))
+    committedView(spark.read.schema(addBucket(snSchema)).parquet(snapshotsPath))
       .filter(col("bucket") === bucketOf(aggregateId) &&
         col("aggregate_id") === aggregateId)
       .drop("bucket")
@@ -317,17 +349,26 @@ class EventLog(
     * path + per-call context, applied as a query filter the way its
     * listener/poller options do — `WithDiscriminatorKV`,
     * sink/poller/poller.go): rows must carry EVERY merged (key, value).
-    * Identity when no policy is configured. Map-key equality evaluates
-    * post-scan (Parquet pushes only top-level primitive predicates); a
-    * tenant hot enough to justify scan pruning belongs in the physical
-    * layout instead — a partition column or its own log path.
+    * Identity when no policy is configured. For DECLARED keys the filter
+    * pairs the map predicate (source of truth) with its materialized
+    * `disc_<key>` twin — `disc_k = v OR disc_k IS NULL` — which parquet
+    * pushes down and skips row groups on (the reference indexes disc_*
+    * columns for exactly this, store/postgresql/store.go:712-726). The
+    * IS NULL leg keeps files written before the key was declared correct:
+    * their column reads null and the map predicate alone decides.
     */
   def withDiscriminator(df: DataFrame, callDisc: Map[String, String] = Map.empty): DataFrame =
     discriminatorPolicy match {
       case None => df
       case Some(p) =>
+        val cols = df.columns.toSet
         p.merge(callDisc, DiscriminatorPolicy.OnRetrieve).foldLeft(df) {
-          case (d, (k, v)) => d.filter(element_at(col("discriminator"), k) === v)
+          case (d, (k, v)) =>
+            val mapEq = element_at(col("discriminator"), k) === v
+            val dc = EventSchema.discColName(k)
+            if (cols.contains(dc))
+              d.filter(mapEq && (col(dc) === v || col(dc).isNull))
+            else d.filter(mapEq)
         }
     }
 
@@ -733,11 +774,17 @@ class EventLog(
           commitLedger()
           n
         case CommitMode.Manifest =>
-          // the touched stream set is batch-sized (a micro-batch of ingest),
-          // so merging parquet heads with chain reservations driver-side is
-          // bounded by the batch, never the log
-          val touched = withDisc.select(col("aggregate_id")).distinct()
-            .as[String].collect().toSeq
+          // Up to the inline threshold the touched set (a micro-batch of
+          // ingest) folds driver-side and reservations ride the claim TSV.
+          // Past it — a backfill-scale redelivery — heads resolve
+          // DISTRIBUTED and reservations go to a parquet sidecar, so the
+          // claim file and driver memory stay flat no matter the batch
+          // (the same mechanism bulkImport/migrate/fences use).
+          val touchedDF = withDisc.select(col("aggregate_id")).distinct()
+          val touchedProbe = touchedDF
+            .limit(ManifestCommitLog.inlineClaimMaxStreams + 1).as[String].collect().toSeq
+          val useSidecar = touchedProbe.length > ManifestCommitLog.inlineClaimMaxStreams
+          val touched = if (useSidecar) Seq.empty else touchedProbe
           var attempts = 0
           var result = -1L
           var rivalDeadline = -1L
@@ -786,34 +833,74 @@ class EventLog(
                     "pending — undecided in-flight commit (crashed writer?); " +
                     "retry after it completes or manifest.prune condemns it")
               Thread.sleep(100)
+            } else if (!useSidecar) {
+              val parquetHeads = maxVersions(touched, refreshed = true)
+              val resvHeads = manifest.reservedHeads(touched)
+              val merged = touched.map(s => s ->
+                math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0)))
+              val appended = buildRows(merged.toDF("aggregate_id", "__head"))
+              val n = appended.count()
+              if (n == 0) { commitLedger(); result = 0 }
+              else {
+                val newHeads = appended.groupBy(col("aggregate_id"))
+                  .agg(max(col("aggregate_version")).as("h"))
+                  .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+                val base = merged.toMap
+                val claim = CommitClaim(tip + 1,
+                  newHeads.map { case (s, h) => s -> (base.getOrElse(s, 0), h) },
+                  Seq.empty, writerId, System.currentTimeMillis(), done = false,
+                  ledgerId = ledgerId.filter(_ => batchId >= 0), ledgerBatch = batchId)
+                if (manifest.tryClaim(claim)) {
+                  writeEventsDFIsolated(appended, s"c${claim.n}")
+                  manifest.markDone(claim.n)
+                  commitLedger()
+                  result = n
+                } else attempts += 1 // heads may have moved: rebuild from fresh
+                // chain; the abandoned attempt's localCheckpoint blocks are
+                // reclaimed asynchronously by Spark's ContextCleaner once the
+                // frame goes unreachable (races are rare — contention is claims,
+                // not storage)
+              }
             } else {
-            val parquetHeads = maxVersions(touched, refreshed = true)
-            val resvHeads = manifest.reservedHeads(touched)
-            val merged = touched.map(s => s ->
-              math.max(parquetHeads.getOrElse(s, 0), resvHeads.getOrElse(s, 0)))
-            val appended = buildRows(merged.toDF("aggregate_id", "__head"))
-            val n = appended.count()
-            if (n == 0) { commitLedger(); result = 0 }
-            else {
-              val newHeads = appended.groupBy(col("aggregate_id"))
-                .agg(max(col("aggregate_version")).as("h"))
-                .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-              val base = merged.toMap
-              val claim = CommitClaim(tip + 1,
-                newHeads.map { case (s, h) => s -> (base.getOrElse(s, 0), h) },
-                Seq.empty, writerId, System.currentTimeMillis(), done = false,
-                ledgerId = ledgerId.filter(_ => batchId >= 0), ledgerBatch = batchId)
-              if (manifest.tryClaim(claim)) {
-                writeEventsDFIsolated(appended, s"c${claim.n}")
-                manifest.markDone(claim.n)
-                commitLedger()
-                result = n
-              } else attempts += 1 // heads may have moved: rebuild from fresh
-              // chain; the abandoned attempt's localCheckpoint blocks are
-              // reclaimed asynchronously by Spark's ContextCleaner once the
-              // frame goes unreachable (races are rare — contention is claims,
-              // not storage)
-            }
+              // sidecar-scale delivery: heads = parquet ⊔ chain reservations,
+              // merged with ONE distributed union+agg — the stream set never
+              // touches the driver
+              val parquetHeadsDF =
+                if (!exists(eventsPath))
+                  spark.emptyDataset[(String, Int)].toDF("aggregate_id", "__h")
+                else committedView(events, refreshed = true)
+                  .join(touchedDF, Seq("aggregate_id"), "left_semi")
+                  .groupBy(col("aggregate_id"))
+                  .agg(max(col("aggregate_version")).as("__h"))
+              val resvHeadsDF = manifest.reservationsDF()
+                .map(_.select(col("aggregate_id"), col("head").as("__h")))
+              val headsDF = resvHeadsDF.fold(parquetHeadsDF)(parquetHeadsDF.unionByName)
+                .groupBy(col("aggregate_id")).agg(max(col("__h")).as("__head"))
+              val merged = touchedDF.join(headsDF, Seq("aggregate_id"), "left")
+                .select(col("aggregate_id"),
+                  coalesce(col("__head"), lit(0)).as("__head"))
+              val appended = buildRows(merged)
+              val n = appended.count()
+              if (n == 0) { commitLedger(); result = 0 }
+              else {
+                // reservations derive from the CHECKPOINTED rows themselves
+                // (base = min version - 1), so the sidecar can never drift
+                // from what was actually minted
+                val sidecarRows = appended.groupBy(col("aggregate_id"))
+                  .agg((min(col("aggregate_version")) - 1).cast("int").as("base"),
+                    max(col("aggregate_version")).as("head"))
+                val sc = manifest.writeSidecar(sidecarRows)
+                val claim = CommitClaim(tip + 1, Map.empty, Seq.empty, writerId,
+                  System.currentTimeMillis(), done = false,
+                  ledgerId = ledgerId.filter(_ => batchId >= 0), ledgerBatch = batchId,
+                  streamsRef = Some(sc._1), refCount = sc._2, refMaxHead = sc._3)
+                if (manifest.tryClaim(claim)) {
+                  writeEventsDFIsolated(appended, s"c${claim.n}")
+                  manifest.markDone(claim.n)
+                  commitLedger()
+                  result = n
+                } else { manifest.dropSidecar(sc._1); attempts += 1 }
+              }
             }
           }
           if (result < 0) throw new IllegalStateException(
@@ -840,7 +927,7 @@ class EventLog(
     * one bucketed write for any number of streams' snapshots).
     */
   def saveSnapshots(snaps: DataFrame): Unit = {
-    snaps
+    ensureDiscCols(snaps)
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(snapshotsPath)
     graft.sources.GraftMeta.write(spark, snapshotsPath, numBuckets)
@@ -857,14 +944,14 @@ class EventLog(
     withLogLock(path) {
       val b = bucketOf(aggregateId)
       val scrubE = udf(scrubEvent)
-      rewriteBucket(eventsPath, EventSchema.events, b) { df =>
+      rewriteBucket(eventsPath, evSchema, b) { df =>
         df.withColumn("body",
           when(col("aggregate_id") === aggregateId && col("kind").isin(eventKinds.toSeq: _*),
             scrubE(col("body"))).otherwise(col("body")))
       }
       if (exists(snapshotsPath)) {
         val scrubS = udf(scrubSnapshot)
-        rewriteBucket(snapshotsPath, EventSchema.snapshots, b) { df =>
+        rewriteBucket(snapshotsPath, snSchema, b) { df =>
           df.withColumn("body",
             when(col("aggregate_id") === aggregateId, scrubS(col("body")))
               .otherwise(col("body")))
@@ -1056,9 +1143,9 @@ class EventLog(
           }
           val done =
             if (commitMode == CommitMode.Lock) {
-              rewriteBucketsOverwrite(eventsPath, EventSchema.events, buckets.toSeq)(invalidate)
+              rewriteBucketsOverwrite(eventsPath, evSchema, buckets.toSeq)(invalidate)
               if (exists(snapshotsPath))
-                rewriteBucketsOverwrite(snapshotsPath, EventSchema.snapshots, buckets.toSeq)(dropSnapshots)
+                rewriteBucketsOverwrite(snapshotsPath, snSchema, buckets.toSeq)(dropSnapshots)
               // ONE append of every fence + migrated copy
               writeEventsDF(plan.select(explode(col("rows")).as("r")).select("r.*"))
               true
@@ -1130,6 +1217,7 @@ class EventLog(
     // live bucket files (committed, not replaced, not pending) — the same
     // input rules as rewriteBucketManifest, across the affected bucket set
     def liveFiles(tablePath: String): Seq[String] = {
+      val tableName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
       val claims = manifest.cachedClaims()
       val staleNames = manifest.replacedRelnames()
       val pendingTokens = claims.filterNot(_.done).map(c => s"c${c.n}-")
@@ -1139,7 +1227,7 @@ class EventLog(
         if (!hfs.exists(bdir)) Seq.empty[String]
         else hfs.listStatus(bdir)
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .filterNot(f => staleNames.contains(s"bucket=$b/" + f.getPath.getName) ||
+          .filterNot(f => staleNames.contains(s"$tableName/bucket=$b/" + f.getPath.getName) ||
             pendingTokens.exists(f.getPath.getName.startsWith))
           .map(_.getPath.toString).toSeq
       }
@@ -1207,10 +1295,10 @@ class EventLog(
     val token = s"c${claim.n}"
     if (eventInputs.nonEmpty)
       phase("migrate: stage events rewrite")(
-        stageRewrite(eventsPath, EventSchema.events, eventInputs, token)(invalidate))
+        stageRewrite(eventsPath, evSchema, eventInputs, token)(invalidate))
     if (snapInputs.nonEmpty)
       phase("migrate: stage snapshot rewrite")(
-        stageRewrite(snapshotsPath, EventSchema.snapshots, snapInputs, token)(dropSnapshots))
+        stageRewrite(snapshotsPath, snSchema, snapInputs, token)(dropSnapshots))
     phase("migrate: fence+copy append")(
       writeEventsDFIsolated(plan.select(explode(col("rows")).as("r")).select("r.*"), token))
     phase("migrate: markDone")(
@@ -1382,7 +1470,7 @@ class EventLog(
       // bucket (identity transform + id sort), exactly the maintenance-
       // window-free cadence a 100 TB log needs
       buckets.getOrElse((0 until numBuckets).toSeq)
-        .foreach(b => rewriteBucketManifest(eventsPath, EventSchema.events, b)(df => df))
+        .foreach(b => rewriteBucketManifest(eventsPath, evSchema, b)(df => df))
       return
     }
     val scoped = buckets match {
@@ -1453,10 +1541,10 @@ class EventLog(
       if (dropped > 0) {
         val affected = droppedByBucket.keys.toSeq.sorted
         if (commitMode == CommitMode.Lock)
-          rewriteBucketsOverwrite(eventsPath, EventSchema.events, affected)(keep)
+          rewriteBucketsOverwrite(eventsPath, evSchema, affected)(keep)
         else
           affected.foreach(b =>
-            rewriteBucket(eventsPath, EventSchema.events, b)(keep))
+            rewriteBucket(eventsPath, evSchema, b)(keep))
       }
       dropped
     }
@@ -1539,8 +1627,8 @@ class EventLog(
         graft.sources.GraftMeta.invalidate(tablePath)
         graft.sources.GraftMeta.write(spark, tablePath, newNumBuckets)
       }
-    rewrite(eventsPath, EventSchema.events)
-    rewrite(snapshotsPath, EventSchema.snapshots)
+    rewrite(eventsPath, evSchema)
+    rewrite(snapshotsPath, snSchema)
     new EventLog(spark, path, newNumBuckets, discriminatorKeys, ulidSeed,
       commitMode, discriminatorPolicy)
   }
@@ -1564,7 +1652,19 @@ class EventLog(
     require(newNumBuckets > 0, "newNumBuckets must be positive")
     require(commitMode == CommitMode.Manifest,
       "rebucketCopy is the manifest-mode recipe; lock-mode logs rebucket in place")
-    require(newPath != path, "rebucketCopy needs a fresh destination path")
+    // An ALIASED destination (trailing slash, relative vs absolute, symlink)
+    // must not pass a raw string compare: SaveMode.Overwrite would delete the
+    // source events directory while the copy job is still lazily reading it.
+    // Compare filesystem-qualified paths instead.
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      def qualified(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).makeQualified(hp)
+      }
+      require(qualified(newPath) != qualified(path),
+        s"rebucketCopy needs a fresh destination path (got an alias of the source: $newPath)")
+    }
     def copyTable(tablePath: String, destPath: String,
         schema: org.apache.spark.sql.types.StructType): Unit =
       if (exists(tablePath)) {
@@ -1579,8 +1679,8 @@ class EventLog(
           .parquet(destPath)
         graft.sources.GraftMeta.write(spark, destPath, newNumBuckets)
       }
-    copyTable(eventsPath, s"$newPath/events", EventSchema.events)
-    copyTable(snapshotsPath, s"$newPath/snapshots", EventSchema.snapshots)
+    copyTable(eventsPath, s"$newPath/events", evSchema)
+    copyTable(snapshotsPath, s"$newPath/snapshots", snSchema)
     new EventLog(spark, newPath, newNumBuckets, discriminatorKeys, ulidSeed,
       commitMode, discriminatorPolicy)
   }
@@ -1596,13 +1696,13 @@ class EventLog(
       // bucket-local latest-per-key IS global latest-per-key (aggregate_id
       // determines the bucket) — per-bucket rewrite claims, append-race-safe
       (0 until numBuckets).foreach { b =>
-        rewriteBucketManifest(snapshotsPath, EventSchema.snapshots, b) { df =>
+        rewriteBucketManifest(snapshotsPath, snSchema, b) { df =>
           df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
         }
       }
       return
     }
-    val latest = spark.read.schema(addBucket(EventSchema.snapshots)).parquet(snapshotsPath)
+    val latest = spark.read.schema(addBucket(snSchema)).parquet(snapshotsPath)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint()
@@ -1653,7 +1753,8 @@ class EventLog(
     * shuffle this costs carries the BATCH being committed, never the log.
     */
   private def bucketed(df: DataFrame): DataFrame =
-    df.withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+    ensureDiscCols(df)
+      .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
 
@@ -1774,7 +1875,7 @@ class EventLog(
       inputs = hfs.listStatus(bdir)
         .filter(_.getPath.getName.endsWith(".parquet"))
         .filterNot { f =>
-          val rel = s"bucket=$bucket/" + f.getPath.getName
+          val rel = ManifestCommitLog.relname(f.getPath.toString)
           staleNames.contains(rel) || pendingReplaced.contains(rel) ||
             pendingTokens.exists(f.getPath.getName.startsWith)
         }
@@ -1877,12 +1978,12 @@ class EventLog(
     s.add("bucket", org.apache.spark.sql.types.IntegerType, nullable = true)
 
   private def emptyEvents(withBucket: Boolean): DataFrame = {
-    val schema = if (withBucket) addBucket(EventSchema.events) else EventSchema.events
+    val schema = if (withBucket) addBucket(evSchema) else evSchema
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
   private def emptySnapshots: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], EventSchema.snapshots)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snSchema)
 }
 
 object EventLog {

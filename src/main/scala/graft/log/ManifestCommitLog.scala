@@ -610,15 +610,17 @@ class ManifestCommitLog(spark: SparkSession, logPath: String) {
 object ManifestCommitLog {
   val CommitDir = "_graft_commit"
 
-  /** Last two path segments of a file path (`bucket=N/<basename>`) — the
-    * unit every replaced-file comparison uses; see [[ManifestCommitLog
-    * .replacedRelnames]] for why a bare basename is not unique.
+  /** Last THREE path segments of a file path
+    * (`<table>/bucket=N/<basename>`, e.g. `events/bucket=3/part-….parquet`)
+    * — the unit every replaced-file comparison uses. Bucket-qualified
+    * because one partitioned write reuses part-file basenames across bucket
+    * dirs ([[replacedRelnames]]); TABLE-qualified because events and
+    * snapshots share one commit chain and one exclusion set, so a
+    * `bucket=N/<basename>` collision across the two tables would silently
+    * hide a live file in the other table.
     */
-  def relname(p: String): String = {
-    val i = p.lastIndexOf('/')
-    val j = if (i > 0) p.lastIndexOf('/', i - 1) else -1
-    p.substring(j + 1)
-  }
+  def relname(p: String): String =
+    p.split('/').takeRight(3).mkString("/")
 
   /** Streams per bulk claim above which reservations move to a parquet
     * sidecar (tunable via `-Dgraft.bulkClaim.inlineMax=`; tests shrink it).

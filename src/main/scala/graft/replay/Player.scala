@@ -23,12 +23,27 @@ case class EventFilter(
     splitIds: Seq[Int] = Nil,
     custom: Option[Column] = None) {
 
-  def toColumn: Column = {
+  def toColumn: Column = toColumnFor(Set.empty)
+
+  /** `declaredKeys` = the log's materialized discriminator keys
+    * ([[graft.log.EventLog.declaredDiscKeys]]). For those, the map predicate
+    * (source of truth) gets a parquet-pushable twin on the top-level
+    * `disc_<key>` column — `disc_k IN vs OR disc_k IS NULL` — so row-group
+    * stats skip non-matching data without decoding the map; the IS NULL leg
+    * keeps pre-declaration files (column reads null) correct.
+    */
+  def toColumnFor(declaredKeys: Set[String]): Column = {
     val kindsC =
       if (aggregateKinds.isEmpty) lit(true)
       else col("aggregate_kind").isin(aggregateKinds: _*)
     val discC = discriminator.foldLeft(lit(true)) { case (acc, (k, vs)) =>
-      acc && col("discriminator").getItem(k).isin(vs: _*)
+      val mapIn = col("discriminator").getItem(k).isin(vs: _*)
+      val kc =
+        if (declaredKeys.contains(k)) {
+          val dc = col(graft.core.EventSchema.discColName(k))
+          mapIn && (dc.isin(vs: _*) || dc.isNull)
+        } else mapIn
+      acc && kc
     }
     val splitC =
       if (splits <= 1 || splitIds.isEmpty) lit(true)
@@ -45,10 +60,13 @@ case class EventFilter(
   */
 class Player(log: EventLog) {
 
-  /** All active events in `(afterId, untilId]` matching the filter. */
+  /** All active events in `(afterId, untilId]` matching the filter. Declared
+    * discriminator keys route through their materialized `disc_<key>`
+    * columns so the predicate reaches the parquet scan.
+    */
   def replay(afterId: String, untilId: String,
       filter: EventFilter = EventFilter()): DataFrame =
-    log.range(afterId, untilId).filter(filter.toColumn)
+    log.range(afterId, untilId).filter(filter.toColumnFor(log.declaredDiscKeys.toSet))
 
   /** Replay folded forward to the caller in global id order — only for
     * consumers that genuinely need the total order (the reference's player

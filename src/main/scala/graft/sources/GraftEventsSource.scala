@@ -113,8 +113,9 @@ class GraftEventsTable(
         .filter(c => c.done && c.kind == graft.log.CommitClaim.KindRewrite)
         .flatMap(_.replaced).map(graft.log.ManifestCommitLog.relname).toSet
       if (pending.isEmpty && replaced.isEmpty) None
-      // rel = bucket-qualified "bucket=N/<basename>" (basenames recur across
-      // bucket dirs within one partitioned write); pending prefixes apply to
+      // rel = table+bucket-qualified "<table>/bucket=N/<basename>"
+      // (basenames recur across bucket dirs within one partitioned write,
+      // and events/snapshots share one chain); pending prefixes apply to
       // the basename half
       else Some(rel => replaced.contains(rel) ||
         pending.exists(rel.substring(rel.lastIndexOf('/') + 1).startsWith))

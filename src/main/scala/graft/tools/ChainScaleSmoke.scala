@@ -87,7 +87,31 @@ object ChainScaleSmoke {
 
     val warm = time("warm refresh() (no new claims)")(cold.refresh())
     require(warm == tip)
-    println(s"""{"chain_claims":${nClaims + 1},"sidecar_streams":$nSidecar,"ok":true}""")
+
+    // ── a REAL appendBulk past the inline threshold: the whole path — heads
+    //    resolved distributed, reservations to a sidecar, claim TSV lineless
+    //    (same contract ManifestCommitSpec proves at threshold 3; here at the
+    //    production threshold with a backfill-sized batch) ─────────────────
+    val nBulk = sys.env.getOrElse("CHAIN_APPENDBULK_STREAMS", "50000").toInt
+    val logDir = Files.createTempDirectory("graftchainlog").toFile.getAbsolutePath
+    val log = new EventLog(spark, logDir, numBuckets = 32,
+      ulidSeed = Some(7L), commitMode = graft.log.CommitMode.Manifest)
+    time(f"appendBulk $nBulk%,d streams (sidecar claim, stream set never on driver)") {
+      val rows = spark.range(nBulk.toLong)
+        .select(concat(lit("ab-"), col("id")).as("aggregate_id"),
+          lit("Account").as("aggregate_kind"), lit("Created").as("kind"),
+          lit("{}").as("body"), lit(1).as("seq"))
+      require(log.appendBulk(rows) == nBulk.toLong, "appendBulk row count")
+    }
+    val abClaim = log.manifest.claims().last
+    require(abClaim.streams.isEmpty && abClaim.streamsRef.isDefined,
+      "appendBulk claim above the threshold must be lineless (sidecar ref)")
+    require(abClaim.refCount == nBulk.toLong && abClaim.refMaxHead == 1)
+    val abHeads = time("reservedHeads probe against the appendBulk sidecar")(
+      log.manifest.reservedHeads(Seq("ab-0", s"ab-${nBulk - 1}")))
+    require(abHeads == Map("ab-0" -> 1, s"ab-${nBulk - 1}" -> 1), s"$abHeads")
+
+    println(s"""{"chain_claims":${nClaims + 1},"sidecar_streams":$nSidecar,"appendbulk_streams":$nBulk,"ok":true}""")
     spark.stop()
   }
 }

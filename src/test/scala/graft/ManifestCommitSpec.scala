@@ -744,6 +744,40 @@ class ManifestCommitSpec extends AnyFunSuite {
     } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
   }
 
+  test("appendBulk reservations beyond the inline threshold ride a parquet sidecar") {
+    sys.props("graft.bulkClaim.inlineMax") = "3"
+    try {
+      val log = newLog()
+      val s = spark
+      import s.implicits._
+      // two streams already exist (heads 2 and 1) — the sidecar path must
+      // CONTINUE their versions, unlike bulkImport's all-new base-0 claims
+      log.append(Seq(rec("ab-1", 0, 2)))
+      log.append(Seq(rec("ab-2", 0, 1)))
+      val batch = (1 to 8).map(i => (s"ab-$i", "Account", "Deposited", "{}", 1))
+        .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+      assert(log.appendBulk(batch) === 8L)
+      val bulk = log.manifest.claims().last
+      assert(bulk.streams.isEmpty && bulk.streamsRef.isDefined,
+        "above the threshold the appendBulk claim must carry a sidecar ref, not stream lines")
+      assert(bulk.refCount === 8L)
+      assert(bulk.refMaxHead === 3, "ab-1's head 2 continues to 3 in the sidecar summary")
+      assert(log.streamEvents("ab-1").collect().map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+      assert(log.streamEvents("ab-2").collect().map(_.getInt(3)).toSeq === Seq(1, 2))
+      assert(log.streamEvents("ab-7").collect().map(_.getInt(3)).toSeq === Seq(1))
+
+      // cold cache (restarted driver): reservations resolve from the sidecar
+      val log2 = new EventLog(spark, log.path, numBuckets = 4,
+        ulidSeed = Some(45L), commitMode = CommitMode.Manifest)
+      log2.manifest.refresh()
+      assert(log2.manifest.reservedHeads(Seq("ab-1", "ab-nope")) === Map("ab-1" -> 3))
+      // optimistic check honors the sidecar-reserved head
+      intercept[ConcurrentModificationException] { log2.append(Seq(rec("ab-1", 2))) }
+      log2.append(Seq(rec("ab-1", 3)))
+      assert(log2.streamEvents("ab-1").count() === 4L)
+    } finally { sys.props.remove("graft.bulkClaim.inlineMax"); () }
+  }
+
   test("migration reservations beyond the inline threshold ride a parquet sidecar") {
     sys.props("graft.bulkClaim.inlineMax") = "3"
     try {

@@ -257,4 +257,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("<= 03QCPC7P00ZZZZZZZZZZZZZZZZ"), "ULID upper bound must be in the plan")
     assert(p.contains("EqualTo(migration,0)"))
   }
+
+  test("declared discriminator keys push to parquet as disc_<key> columns") {
+    // the reference indexes physical disc_* columns for tenant-scoped scans
+    // (store/postgresql/store.go:712-726); our materialized twin must reach
+    // PushedFilters so row-group stats can skip forever-cold tenants at 100 TB
+    val tmp = Files.createTempDirectory("graftdiscpush").toFile.getAbsolutePath
+    val log = new EventLog(spark, tmp, numBuckets = 2, ulidSeed = Some(7L),
+      discriminatorPolicy = Some(graft.log.DiscriminatorPolicy(allowedKeys = Set("tenant"))))
+    val store = new EventStore(log, AccountType)
+    store.create("01HXDISCPUSH0000000000001", Seq(AccountType.created(5, "A")),
+      callDiscriminator = Map("tenant" -> "abc"))
+    store.create("01HXDISCPUSH0000000000002", Seq(AccountType.created(7, "B")),
+      callDiscriminator = Map("tenant" -> "xyz"))
+
+    // retrieve-scope path (withDiscriminator)
+    val scoped = log.withDiscriminator(log.activeEvents, Map("tenant" -> "xyz"))
+    val p1 = scoped.queryExecution.executedPlan.toString
+    assert(p1.contains("PushedFilters") && p1.contains("disc_tenant"),
+      s"disc predicate must reach the parquet scan:\n${p1.take(3000)}")
+    assert(scoped.count() == 1)
+
+    // replay path (EventFilter with a declared key)
+    val rep = new graft.replay.Player(log).replay("", "ZZZZZZZZZZZZZZZZZZZZZZZZZZ",
+      graft.replay.EventFilter(discriminator = Map("tenant" -> Seq("abc"))))
+    val p2 = rep.queryExecution.executedPlan.toString
+    assert(p2.contains("disc_tenant"),
+      s"EventFilter's declared-key predicate must use the materialized column:\n${p2.take(3000)}")
+    assert(rep.count() == 1)
+
+    // legacy files (written before the key was declared) read null in the
+    // twin column; the map predicate alone must keep them visible
+    val legacy = new EventLog(spark, tmp + "-legacy", numBuckets = 2, ulidSeed = Some(8L))
+    new EventStore(legacy, AccountType).create("01HXDISCPUSH0000000000003",
+      Seq(AccountType.created(9, "C")))
+    // re-open WITH the key declared: old files lack disc_tenant entirely
+    val reopened = new EventLog(spark, tmp + "-legacy", numBuckets = 2, ulidSeed = Some(8L),
+      discriminatorPolicy = Some(graft.log.DiscriminatorPolicy(allowedKeys = Set("tenant"))))
+    assert(reopened.activeEvents.count() == 1, "legacy rows stay visible")
+  }
 }
