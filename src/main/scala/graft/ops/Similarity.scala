@@ -298,6 +298,51 @@ object Similarity {
       assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
   }
 
+  /** Rebuild a persisted IVF index's centroids from the CURRENT cell table
+    * and reassign every vector — the maintenance pass that restores recall
+    * after appended batches drift away from the build-time distribution.
+    * [[appendToIvfIndex]] deliberately freezes centroids so assignments
+    * agree with the build; a drifted append (vectors far from every
+    * centroid, e.g. straddling a cell boundary) then scatters true
+    * neighbours across cells the query never probes and recall@k decays.
+    * Reclustering trains fresh Lloyd-refined centroids on a hash-sample of
+    * the current corpus (deterministic end to end) and rewrites the cell
+    * table — the compaction pattern: the new index is STAGED in sibling
+    * `*_rebuild` dirs and swapped in with renames, so a crash mid-recluster
+    * leaves the live index intact (at worst plus leftover `_rebuild`/`_old`
+    * dirs, which the next recluster overwrites). Like compaction and
+    * manifest prune, run in a maintenance window: a reader loading
+    * centroids before the swap and cells after it would probe stale cell
+    * ids.
+    *
+    * Scale shape: training reads the `sampleRate` sliver; reassignment is
+    * one broadcast-join scan of the cell table writing `nlist` partitions —
+    * no corpus-sized shuffle or driver materialization.
+    */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nlist: Int = 8, iters: Int = 2, sampleRate: Double = 1.0): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = spark.read.parquet(s"$path/cells").select(col("vec_id"), col("ce"))
+    val sample =
+      if (sampleRate >= 1.0) live
+      else Sampling.hashSample(live, "vec_id", sampleRate, salt = "ivf-recluster")
+    // kmeansCentroids localCheckpoints its result: the centroid frame is
+    // materialized and the staged writes below never re-read live dirs lazily
+    val cents = kmeansCentroids(sample, "vec_id", "ce", nlist, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids_rebuild")
+    assignCells(live, "vec_id", "ce", cents, "vec_id", "ce", 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_rebuild")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("centroids", "cells").foreach { t =>
+      val (liveP, rebuild, old) =
+        (new Path(s"$path/$t"), new Path(s"$path/${t}_rebuild"), new Path(s"$path/${t}_old"))
+      fs.delete(old, true)
+      if (!fs.rename(liveP, old) || !fs.rename(rebuild, liveP))
+        throw new java.io.IOException(s"recluster swap failed for $liveP")
+      fs.delete(old, true): Unit
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings and pairing only INSIDE each cluster cell —
     * never corpus×corpus. Duplicate groups are the connected components of

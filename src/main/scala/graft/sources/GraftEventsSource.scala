@@ -42,7 +42,9 @@ import scala.collection.concurrent.TrieMap
   */
 class GraftEventsDataSource extends FileDataSourceV2 {
   // DataFrameWriter routes FileDataSourceV2 saves through the V1 fallback
-  // format, not newWriteBuilder — so the fallback must refuse writes too.
+  // provider, not newWriteBuilder (SPARK-28396) — the fallback implements
+  // CreatableRelationProvider and routes the batch through the log's commit
+  // protocol (see [[GraftWriteSupport]]); raw parquet writers stay refused.
   override def fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
     classOf[ReadOnlyGraftParquetFormat]
 
@@ -69,11 +71,12 @@ class GraftEventsDataSource extends FileDataSourceV2 {
   }
 }
 
-/** A [[ParquetTable]] whose scans derive bucket partition filters. Writes are
-  * refused: appends must go through `EventLog.append`, whose commit section
-  * enforces the per-stream optimistic version check — a raw parquet append
-  * would bypass it (reference: the UNIQUE(aggregate_id, aggregate_version)
-  * index, store/postgresql/store.go:702).
+/** A [[ParquetTable]] whose scans derive bucket partition filters. Writes
+  * never touch parquet directly: they delegate to the log's commit protocol
+  * ([[GraftWriteSupport]]), so an external Spark job appending through the
+  * facade gets the same claim fencing and version minting as `EventLog`
+  * callers (reference: the UNIQUE(aggregate_id, aggregate_version) index,
+  * store/postgresql/store.go:702).
   */
 class GraftEventsTable(
     tableName: String,
@@ -122,10 +125,31 @@ class GraftEventsTable(
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(
-      "graft-events is read-only: append through EventLog.append so the " +
-        "commit section can enforce per-stream optimistic versions")
+  /** DSv2 writes (catalog `INSERT INTO` / `DataFrameWriterV2.append`) wrap
+    * the same commit-protocol delegate as the V1 fallback: the incoming
+    * batch is ingest-shaped rows, versions and ids are minted by the log.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = {
+      import scala.jdk.CollectionConverters._
+      info.options.asCaseSensitiveMap().asScala.toMap
+        .map { case (k, v) => k.toLowerCase -> v }
+    }
+    val root = GraftWriteSupport.logRootOf(paths0.head)
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "graft-events: overwriting an event log is destructive — use " +
+                  "EventLog maintenance APIs (compaction/migration) instead")
+              GraftWriteSupport.write(data.sparkSession, data, root,
+                org.apache.spark.sql.SaveMode.Append, opts)
+            }
+        }
+    }
+  }
 }
 
 /** A delegating file index that hides files by basename — the facade's
@@ -161,18 +185,119 @@ class CommittedFileIndex(
   override def refresh(): Unit = underlying.refresh()
 }
 
-/** Parquet in every read respect, but refuses to produce writers: raw
-  * appends to the log would bypass the per-stream optimistic version check.
+/** Parquet in every read respect; writes route through the commit protocol.
+  *
+  * `DataFrameWriter.save` falls back to this V1 provider for file-source-V2
+  * formats (SPARK-28396), and [[org.apache.spark.sql.sources.CreatableRelationProvider]]
+  * is matched BEFORE `FileFormat` in `DataSource.planForWriting` — so
+  * `df.write.format("graft-events")` lands in [[createRelation]] with the
+  * whole batch DataFrame and never opens a raw parquet writer.
+  * [[prepareWrite]] still refuses: reaching it means something bypassed the
+  * provider and tried to write files directly, which would skip the
+  * per-stream optimistic version check.
   */
-class ReadOnlyGraftParquetFormat extends ParquetFileFormat {
+class ReadOnlyGraftParquetFormat extends ParquetFileFormat
+  with org.apache.spark.sql.sources.CreatableRelationProvider {
+
   override def prepareWrite(
       sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job,
       options: Map[String, String],
       dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw new UnsupportedOperationException(
-      "graft-events is read-only: append through EventLog.append so the " +
-        "commit section can enforce per-stream optimistic versions")
+      "graft-events is read-only at the file level: append through " +
+        "EventLog.append / df.write.format(\"graft-events\") so the commit " +
+        "section can enforce per-stream optimistic versions")
+
+  override def createRelation(
+      ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graft-events write requires a path (df.write.format(\"graft-events\").save(logRoot))"))
+    GraftWriteSupport.write(data.sparkSession, data,
+      GraftWriteSupport.logRootOf(path), mode, opts)
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
+}
+
+/** The facade's write delegate: ingest-shaped rows (`aggregate_id,
+  * aggregate_kind, kind, body[, discriminator]` plus a per-stream order
+  * column, default `seq`) routed through [[graft.log.EventLog]]'s commit
+  * protocol — ids/versions are MINTED by the log, never taken from the
+  * input, and claims fence concurrent writers exactly as for native
+  * callers. `SaveMode.Append` routes [[graft.log.EventLog.appendBulk]]
+  * (streams may exist; versions continue; options `ledgerId`/`batchId`
+  * opt into idempotent redelivery), `SaveMode.ErrorIfExists` routes
+  * [[graft.log.EventLog.bulkImport]] (all-new streams; option `timeCol`
+  * carries per-row epoch-millis). Overwrite/Ignore are refused — an event
+  * log is append-only.
+  *
+  * Log parameters are DISCOVERED, not trusted from the caller: `numBuckets`
+  * comes from the table's `_graft_meta.json` (option `numBuckets` only
+  * seeds a brand-new log), commit mode from the presence of the claim
+  * chain (option `commitMode` overrides), and declared `disc_<key>`
+  * columns from the existing parquet schema so facade appends keep
+  * materializing the same pushdown columns as native writers.
+  */
+object GraftWriteSupport {
+  private val RequiredCols = Seq("aggregate_id", "aggregate_kind", "kind", "body")
+
+  def logRootOf(path: String): String =
+    path.stripSuffix("/").stripSuffix("/events").stripSuffix("/snapshots")
+
+  private def logFor(spark: SparkSession, root: String,
+      opts: Map[String, String]): graft.log.EventLog = {
+    val eventsDir = s"$root/events"
+    val numBuckets = GraftMeta.numBuckets(spark, eventsDir)
+      .orElse(opts.get("numbuckets").map(_.toInt)).getOrElse(32)
+    val mode = opts.get("commitmode").map(_.toLowerCase) match {
+      case Some("manifest") => graft.log.CommitMode.Manifest
+      case Some("lock") => graft.log.CommitMode.Lock
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-events: unknown commitMode '$other' (expected lock|manifest)")
+      case None =>
+        val chainDir = new Path(root, graft.log.ManifestCommitLog.CommitDir)
+        val hasChain = chainDir.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(chainDir)
+        if (hasChain) graft.log.CommitMode.Manifest else graft.log.CommitMode.Lock
+    }
+    val discKeys =
+      try spark.read.parquet(eventsDir).schema.fieldNames.iterator
+        .filter(_.startsWith("disc_")).map(_.stripPrefix("disc_")).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+    new graft.log.EventLog(spark, root, numBuckets,
+      discriminatorKeys = discKeys, commitMode = mode)
+  }
+
+  def write(spark: SparkSession, df: org.apache.spark.sql.DataFrame, root: String,
+      mode: org.apache.spark.sql.SaveMode, opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val lower = df.columns.map(_.toLowerCase).toSet
+    val missing = RequiredCols.filterNot(lower.contains)
+    require(missing.isEmpty, s"graft-events write needs ingest-shaped rows " +
+      s"(${RequiredCols.mkString(", ")}); missing: ${missing.mkString(", ")}")
+    val seqCol = opts.getOrElse("seqcol", "seq")
+    require(lower.contains(seqCol.toLowerCase), "graft-events write needs a " +
+      s"per-stream order column '$seqCol' (override with option seqCol)")
+    val log = logFor(spark, root, opts)
+    mode match {
+      case SaveMode.Append =>
+        log.appendBulk(df, seqCol = seqCol, ledgerId = opts.get("ledgerid"),
+          batchId = opts.get("batchid").map(_.toLong).getOrElse(-1L)): Unit
+      case SaveMode.ErrorIfExists =>
+        log.bulkImport(df, seqCol = seqCol, timeCol = opts.get("timecol")): Unit
+      case other => throw new UnsupportedOperationException(
+        s"graft-events: SaveMode.$other is not supported — Append continues " +
+          "existing streams (appendBulk), ErrorIfExists imports all-new " +
+          "streams (bulkImport); overwriting an event log is destructive")
+    }
+  }
 }
 
 /** Intercepts catalyst filter pushdown to add derived bucket predicates

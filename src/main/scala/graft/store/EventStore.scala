@@ -178,8 +178,15 @@ class EventStore[T](
     * under the NEW aggregate type (eventstore.go:434-454). Snapshot folds
     * run on executors and land in ONE bucketed write — a driver loop of
     * per-stream saveSnapshot jobs would undo the distributed rewrite at
-    * 10⁶+ migrated streams. The returned Seq is the driver-side summary;
-    * callers at that scale use `log.migrateDistributed` directly.
+    * 10⁶+ migrated streams.
+    *
+    * SMALL-STREAM-COUNT COMPAT API: the return value is a driver-side Seq
+    * (the reference's per-stream outcome list), so it is guarded by
+    * `graft.migrate.collectMax` (default 100000 streams) — crossing the cap
+    * aborts the COLLECT, not the migration (the rewrite and snapshots above
+    * are already committed), with an error naming the scale path. Backfill
+    * migrations call `log.migrateDistributed` directly and keep the outcome
+    * frame distributed.
     */
   def migrate[S](revision: Int, targetKinds: Set[String], newAgg: AggregateType[S],
       newCodec: Codec = new Codec)(handler: Seq[EventRow] => Option[Seq[EventDetail]],
@@ -203,7 +210,14 @@ class EventStore[T](
         }
       log.saveSnapshots(snaps.toDF())
     }
-    migrated.collect().toSeq.sortBy(_.aggregateId)
+    val cap = log.spark.conf.get("graft.migrate.collectMax", "100000").toInt
+    val out = migrated.limit(cap + 1).collect()
+    if (out.length > cap) throw new IllegalStateException(
+      s"EventStore.migrate touched more than graft.migrate.collectMax=$cap " +
+        "streams — this compat API collects every per-stream outcome to the " +
+        "driver; the migration itself committed, but for backfill-scale runs " +
+        "use log.migrateDistributed and keep the outcome frame distributed")
+    out.toSeq.sortBy(_.aggregateId)
   }
 
   /** M4 consistent-projection rebuild: optionally fence every stream with a

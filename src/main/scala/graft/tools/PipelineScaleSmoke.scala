@@ -105,6 +105,26 @@ object PipelineScaleSmoke {
         s"false-positive volume suspicious: $total pairs for $expected planted")
     }
 
+    // ── d12 at corpus scale: the incremental batch↔corpus screen in the
+    // PRESIGNED production shape (corpus signatures computed once — the
+    // frame you persist at 100 TB — candidate corpus sets rebuilt via
+    // semi-join, nothing corpus-sized materialized per batch). Every batch
+    // doc (ids ≡ 1 mod 10) is an EXACT copy of its corpus base, so the
+    // planted recall is a measured number with a hard floor, not a guess.
+    time(s"incremental screen presigned (${nSim / 10} batch vs ${nSim - (nSim + 8) / 10} corpus)") {
+      val batch = simDocs.filter(col("doc_id") % 10 === 1)
+      val corpus = simDocs.filter(col("doc_id") % 10 =!= 1)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", bands = 4)
+      val out = Dedup.incrementalDedupPresigned(corpus, sigs, batch,
+        "doc_id", "text", threshold = 0.5).localCheckpoint()
+      val nBatch = out.count()
+      val flagged = out.filter(!col("is_new")).count()
+      val recall = flagged.toDouble / nBatch
+      println(f"PSCALE   d12 planted recall = $recall%.4f ($flagged of $nBatch)")
+      require(recall >= 0.999,
+        f"incremental screen must flag planted exact dups: recall $recall%.4f")
+    }
+
     // ── span-level exact-substring dedup: planted pairs share every 10-token
     // span except the one containing the swapped token 7
     time("span dedup (10-token windows)") {

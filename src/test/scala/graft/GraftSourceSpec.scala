@@ -83,13 +83,69 @@ class GraftSourceSpec extends AnyFunSuite {
       s"scan listed beyond $bs:\n${files.mkString("\n")}")
   }
 
-  test("facade refuses writes (appends must go through the commit section)") {
+  test("facade append routes through the commit protocol: claim in the chain, versions minted") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftsrcwrite").toFile.getAbsolutePath
+    val mlog = new EventLog(s, dir, numBuckets = 4, ulidSeed = Some(43L),
+      commitMode = graft.log.CommitMode.Manifest)
+    mlog.append(Seq(AppendRecord("wx-a", "Account", 0, Map.empty,
+      Seq(EventDetail("Created", """{"owner":"a"}""")))))
+    // an EXTERNAL Spark job appends ingest-shaped rows through the facade:
+    // wx-a continues from version 1, wx-b is new — versions/ids are minted
+    Seq(("wx-a", "Account", "Deposited", """{"amount":5}""", 1L),
+        ("wx-b", "Account", "Created", """{"owner":"b"}""", 1L),
+        ("wx-b", "Account", "Deposited", """{"amount":7}""", 2L))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+      .write.format("graft-events").mode("append").save(dir)
+    val versions = mlog.events.groupBy(col("aggregate_id"))
+      .agg(max(col("aggregate_version")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(versions === Map("wx-a" -> 2, "wx-b" -> 2))
+    // the write left a DONE claim on the chain (commit-fenced, not raw parquet)
+    val claims = new graft.log.ManifestCommitLog(s, dir).claims()
+    assert(claims.size === 2 && claims.forall(_.done),
+      s"facade append must claim-fence: $claims")
+    // and the facade read-committed view sees exactly the committed rows
+    assert(spark.read.format("graft-events").load(dir).count() === 4L)
+  }
+
+  test("facade ErrorIfExists bootstraps a new log via bulkImport") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftsrcimport").toFile.getAbsolutePath
+    Seq(("im-1", "Account", "Created", "{}", 1L),
+        ("im-1", "Account", "Deposited", "{}", 2L))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+      .write.format("graft-events").option("numBuckets", "4").save(dir)
+    val got = new EventLog(s, dir, numBuckets = 4).streamEvents("im-1")
+      .select("aggregate_version", "kind").orderBy("aggregate_version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "Created"), (2, "Deposited")))
+    // re-importing the same streams violates all-new and fails
+    intercept[graft.log.ConcurrentModificationException] {
+      Seq(("im-1", "Account", "Created", "{}", 1L))
+        .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+        .write.format("graft-events").mode("error").save(dir)
+    }
+  }
+
+  test("facade refuses destructive or raw writes") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("ow-1", "Account", "Created", "{}", 1L))
+      .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
     val e = intercept[Exception] {
-      facade.limit(1).write.format("graft-events").mode("append").save(root)
+      rows.write.format("graft-events").mode("overwrite").save(root)
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("EventLog.append")), e.toString)
+    assert(messages(e).exists(_.contains("destructive")), e.toString)
+    // non-ingest-shaped input is rejected before anything touches the log
+    val e2 = intercept[Exception] {
+      facade.limit(1).write.format("graft-events").mode("append").save(root)
+    }
+    assert(messages(e2).exists(_.contains("order column")), e2.toString)
   }
 
   test("snapshots table is addressable via option") {

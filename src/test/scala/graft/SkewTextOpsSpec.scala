@@ -723,6 +723,54 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "the probe must prune cell partitions dynamically:\n" + plan.take(2000))
   }
 
+  test("IVF recluster restores recall after drifted appends") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val dims = 16
+    def unitVec(axis: Int, axis2: Int, jitter: Double): Array[Float] = {
+      val v = Array.fill(dims)(rnd.nextGaussian() * jitter)
+      v(axis) += 1.0
+      if (axis2 >= 0) v(axis2) += 1.0
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // base corpus: 4 tight clusters on axes e0..e3 — the build-time world
+    val base = (0L until 240L).map(i =>
+      (i, unitVec((i % 4).toInt, -1, 0.05))).toDF("vec_id", "embedding")
+    // drifted append: a 5th cluster at (e0+e1)/√2, exactly between frozen
+    // cells 0 and 1 — per-vector jitter scatters its members across the two
+    val drift = (1000L until 1100L).map(i =>
+      (i, unitVec(0, 1, 0.05))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graftivfrec")
+      .toFile.getAbsolutePath
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idx, nlist = 4,
+      centroids = Some(Similarity.kmeansCentroids(base, "vec_id", "embedding", 4)))
+    Similarity.appendToIvfIndex(s, idx, drift, "vec_id", "embedding")
+    val queries = drift.filter(col("vec_id") < 1016)
+    val exact = Similarity.cosineTopK(base.unionByName(drift), queries,
+      "vec_id", "embedding", 5).localCheckpoint()
+    def meanRecall(): Double = Similarity.recallAtK(exact,
+        Similarity.ivfTopKIndexed(s, idx, queries, "vec_id", "embedding",
+          k = 5, nprobe = 1), 5)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    // frozen centroids: each drift query probes cell 0 OR cell 1 while its
+    // true neighbours (other drift vectors) split across both → recall decays
+    val before = meanRecall()
+    assert(before < 0.9, f"drifted appends should hurt nprobe=1 recall, got $before%.3f")
+    Similarity.reclusterIvfIndex(s, idx, nlist = 5)
+    val after = meanRecall()
+    assert(after >= 0.95 && after > before,
+      f"recluster must restore recall: before=$before%.3f after=$after%.3f")
+    // the swap preserved every vector and retrained nlist centroids
+    assert(s.read.parquet(s"$idx/cells").count() === 340L)
+    assert(s.read.parquet(s"$idx/centroids").count() === 5L)
+    // incremental appends keep working against the retrained centroids
+    val more = Seq((2000L, unitVec(2, -1, 0.05))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(s, idx, more, "vec_id", "embedding")
+    assert(s.read.parquet(s"$idx/cells").count() === 341L)
+  }
+
   test("bigram LM: hand-computed add-k likelihoods on a two-doc corpus") {
     val s = spark
     import s.implicits._
