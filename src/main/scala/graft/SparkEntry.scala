@@ -605,6 +605,33 @@ object SparkEntry {
         graft.functions.ulid_millis(col("id")).as("t_ms"))
     }),
 
+    // ── M10: the EXTERNAL-WRITER path, oracle-checked: ingest-shaped rows
+    //    written through df.write.format("graft-events") — ErrorIfExists
+    //    bootstraps the log via bulkImport, a second Append batch CONTINUES
+    //    the same streams via appendBulk, both claim-fenced in manifest
+    //    mode — and the read-back must reproduce the oracle's per-stream
+    //    versions exactly (appendBulk stamps wall-clock ULID times, so the
+    //    time component is w7's check, not this one's).
+    "m10_facade_write" -> ((s, dir) => {
+      val tmp = tempLogDir("graftm10")
+      val batch = eventsImportBatch(s, dir)
+      // any seq threshold keeps batch 1 a per-stream PREFIX (versions are
+      // minted in seq order); streams living entirely in batch 2 are new
+      val thr = batch.agg(max(col("seq"))).head().getLong(0) / 2
+      batch.filter(col("seq") <= thr).write.format("graft-events")
+        .option("numBuckets", "8").option("commitMode", "manifest")
+        .option("timeCol", "tms").save(tmp)
+      batch.filter(col("seq") > thr).write.format("graft-events")
+        .mode("append").save(tmp)
+      new graft.log.EventLog(s, tmp, numBuckets = 8,
+          commitMode = graft.log.CommitMode.Manifest)
+        .activeEvents.select(
+          col("aggregate_id"),
+          col("aggregate_version").cast("long").as("aggregate_version"),
+          col("kind"),
+          col("body"))
+    }),
+
     // ── A8: as-of (time-travel) state — the fold bounded at an instant ────
     // (the temporal query an event log exists for; id bound pushes down)
     "a8_asof_state" -> ((s, dir) => {
@@ -933,6 +960,25 @@ object SparkEntry {
       ops.Similarity.ivfTopKIndexed(s, idx,
         emb.filter(col("vec_id").between(100, 109)),
         "vec_id", "embedding", k = 3, nprobe = 2)
+    }),
+
+    // ── similarity: IVF RECLUSTER invariant — after drifted appends and a
+    //    retrain (staged rewrite + swap), a FULL probe (nprobe = nlist)
+    //    must equal the exact scan no matter where k-means put the cells:
+    //    every vector lives in exactly one cell and every cell is probed,
+    //    so the oracle is the plain exact top-k. This pins the rewrite
+    //    (no vector lost/duplicated by the swap) through the hash gate;
+    //    the recall-restoration curve itself is SkewTextOpsSpec's check.
+    "e9_recluster_fullprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte9")
+      ops.Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8)
+      ops.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.reclusterIvfIndex(s, idx, nlist = 8)
+      ops.Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nprobe = 8)
     }),
 
     // ── similarity: SemDeDup — cluster-then-dedup on embeddings ───────────
@@ -1673,6 +1719,13 @@ object SparkEntry {
         |       epoch_ms(ts) AS t_ms
         |FROM events""".stripMargin,
 
+    "m10_facade_write" ->
+      """SELECT 'u' || user_id AS aggregate_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
+        |       event_type AS kind,
+        |       props AS body
+        |FROM events""".stripMargin,
+
     "w8_sidecar_roundtrip" ->
       """SELECT 'u' || user_id AS aggregate_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version,
@@ -1914,6 +1967,16 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin
     },
+
+    // e9 = exact top-k: a full probe (nprobe = nlist) over the reclustered
+    // index covers every cell, so clustering cannot change the answer
+    "e9_recluster_fullprobe" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT qid, e.vec_id,
+        |             round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5""".stripMargin,
 
     "e3_ivf_ann" -> ivfOracleSql,
     // e6 = the same declarative IVF semantics: the persisted-index roundtrip

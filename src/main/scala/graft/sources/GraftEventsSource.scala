@@ -270,7 +270,7 @@ object GraftWriteSupport {
     val discKeys =
       try spark.read.parquet(eventsDir).schema.fieldNames.iterator
         .filter(_.startsWith("disc_")).map(_.stripPrefix("disc_")).toSet
-      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+      catch { case scala.util.control.NonFatal(_) => Set.empty[String] } // no events dir yet
     new graft.log.EventLog(spark, root, numBuckets,
       discriminatorKeys = discKeys, commitMode = mode)
   }

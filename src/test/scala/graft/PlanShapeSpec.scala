@@ -166,6 +166,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
       // a projection and the probe broadcasts — the corpus never reshuffles
       "e8_sq_ann" -> 3,
+      // e9: the returned full-probe plan — query-side cell-assign window,
+      // per-query top-k window, and the (tiny) query frame's own exchange;
+      // build/append/recluster side effects run eagerly before it
+      "e9_recluster_fullprobe" -> 3,
+      // m10 returns the post-facade-write active scan; the import and
+      // append side effects (claim-fenced) run eagerly before it
+      "m10_facade_write" -> 0,
       // q18: per-order qty agg + the orders⋈sliver join exchanges (AQE
       // broadcasts the sliver at runtime); top-k is TakeOrdered, no range
       // exchange
