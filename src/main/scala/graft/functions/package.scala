@@ -35,6 +35,13 @@ package object functions {
   def srp_buckets(vec: Column, signs: Array[Array[Array[Int]]]): Column =
     ExpressionUtils.column(SrpBuckets(ExpressionUtils.expression(vec), signs))
 
+  /** Codegen'd nearest-centroid assignment of an array<double> vector over
+    * a fixed (cent_id-sorted) centroid matrix: `struct<idx:int, csim:double>`
+    * — the IVF corpus-assignment kernel as a pure scan projection.
+    */
+  def nearest_centroid(vec: Column, cents: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), cents))
+
   /** Codegen'd packed `width`-bit SimHash of an array<string> token column
     * (pure projection — no explode, no shuffle).
     */

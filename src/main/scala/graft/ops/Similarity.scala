@@ -222,19 +222,55 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent"))
 
-  /** Assign each vector to its `nCells` nearest centroid cells (broadcast
-    * centroid table, per-row top-cells window).
+  /** Collect the (nlist-row, bounded by contract) centroid frame to the
+    * driver, cent_id-sorted: the id array as a literal Column plus the
+    * dense matrix the codegen'd [[graft.functions.NearestCentroid]] kernel
+    * references. The sort makes "lowest index wins ties" identical to the
+    * window form's `(csim DESC, cent_id ASC)` order.
+    */
+  private def collectCentroids(cents: DataFrame): (Column, Array[Array[Double]]) = {
+    val idType = cents.schema("cent_id").dataType
+    val rows = cents.select(col("cent_id"), asDouble(col("cent")).as("cent"))
+      .orderBy(col("cent_id")).collect()
+    require(rows.nonEmpty, "empty centroid frame")
+    val mat = rows.map(_.getSeq[Double](1).toArray)
+    val ids = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        rows.map(_.get(0)).toSeq,
+        org.apache.spark.sql.types.ArrayType(idType)))
+    (ids, mat)
+  }
+
+  /** Assign each vector to its `nCells` nearest centroid cells.
+    *
+    * `nCells == 1` (the CORPUS side: ivfTopK, buildIvfIndex,
+    * appendToIvfIndex, recluster) is a ZERO-SHUFFLE codegen projection:
+    * the centroids collect driver-side (nlist rows) and the nearest cell
+    * is one [[graft.functions.nearest_centroid]] expression per row — the
+    * corpus is scanned, never joined, exchanged, or sorted (the window
+    * form shuffled and sorted corpus × nlist rows; an interpreted HOF fold
+    * measured 1.4× slower than even that — tools/ProbeIvfAssign).
+    * `nCells > 1` (the query probe side, tiny by contract) keeps the
+    * top-cells window.
     */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
-    val w = Window.partitionBy(col(outId))
-      .orderBy(col("csim").desc, col("cent_id"))
-    df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
-      .join(broadcast(cents), lit(true))
-      .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= nCells)
-      .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    if (nCells == 1) {
+      val (ids, mat) = collectCentroids(cents)
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+        .select(col(outId), col(outVec),
+          element_at(ids, graft.functions.nearest_centroid(col(outVec), mat)
+            .getField("idx") + 1).as("cell"))
+    } else {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("csim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nCells)
+        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    }
   }
 
   /** Probe assigned corpus cells with assigned query cells: equi-join on the
@@ -415,12 +451,16 @@ object Similarity {
       .select(col(idCol).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cent"))
       .localCheckpoint()
     (2 to nlist).foreach { _ =>
+      // per-row max-similarity via the codegen'd kernel (the winner's
+      // rounded csim IS the max over chosen centroids — same per-pair
+      // round(·,6) then max as the groupBy form): each round is one
+      // shuffle-free scan ending in TakeOrdered(1) — the groupBy form
+      // exchanged corpus-sized frames once per centroid
+      val (_, mat) = collectCentroids(cents)
       val next = corpus
         .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
-        .join(broadcast(cents), lit(true))
-        .groupBy(col("cid"))
-        .agg(max(round(cosine(col("v"), col("cent")), 6)).as("maxsim"),
-          first(col("v")).as("v"))
+        .withColumn("maxsim",
+          graft.functions.nearest_centroid(col("v"), mat).getField("csim"))
         .orderBy(col("maxsim").asc, col("cid").asc).limit(1)
         .select(col("cid").as("cent_id"), col("v").as("cent"))
       cents = cents.union(next).localCheckpoint()
@@ -490,13 +530,14 @@ object Similarity {
       nlist: Int = 8, iters: Int = 2): DataFrame = {
     var cents = farthestFirstCentroids(corpus, idCol, vecCol, nlist)
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy(col("rid")).orderBy(col("csim").desc, col("cent_id"))
+      // nearest-centroid assignment as the codegen'd kernel (same winner
+      // and tie-break as the window form): each Lloyd round scans the
+      // corpus once; only the nlist×dims mean aggregation below exchanges
+      val (ids, mat) = collectCentroids(cents)
       val assigned = corpus
         .select(col(idCol).as("rid"), asDouble(col(vecCol)).as("v"))
-        .join(broadcast(cents), lit(true))
-        .withColumn("csim", round(cosine(col("v"), col("cent")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .withColumn("cent_id", element_at(ids,
+          graft.functions.nearest_centroid(col("v"), mat).getField("idx") + 1))
       cents = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim")).agg(avg(col("x")).as("m"))

@@ -88,7 +88,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "d7_embedding_survivors" -> 14, "d8_quality_survivors" -> 3,
       "t6_blocklist_scrub" -> 0,
       "t7_bigram_topk" -> 1, "w4_salted_agg" -> 2,
-      "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 3,
+      // e3: the corpus-side cell assignment is now a zero-shuffle packed
+      // argmax fold — what remains is the probe side's window exchanges
+      "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 2,
       // e6: the persisted-index probe — query-assign window exchange + the
       // final top-k window; the cell scan itself is pruned, never shuffled
       "e6_indexed_ann" -> 3,

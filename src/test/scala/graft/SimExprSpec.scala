@@ -26,6 +26,31 @@ class SimExprSpec extends AnyFunSuite {
     assert(got(5).get == 1.0) // dot, |a|, |b| all over the common prefix
   }
 
+  test("nearest_centroid: winner, rounded ties to lowest index, null propagation") {
+    import graft.functions.nearest_centroid
+    // centroids: e0, e1, and a DUPLICATE of e0 at index 2 — a rounded-csim
+    // tie that must resolve to the lower index (the window form's
+    // (csim DESC, cent_id ASC) order with cent_id-sorted rows)
+    val mat = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = Seq(
+      (1, Some(Seq(0.9, 0.1))),  // → e0 (index 0, not its twin at 2)
+      (2, Some(Seq(0.1, 0.9))),  // → e1
+      (3, None))                 // null vector → null struct
+      .toDF("id", "v")
+    val got = df.select($"id",
+        nearest_centroid($"v", mat).getField("idx").as("i"),
+        nearest_centroid($"v", mat).getField("csim").as("s"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getDouble(2))))).toMap
+    assert(got(1).get._1 == 0, "tie with the duplicate centroid keeps index 0")
+    assert(got(2).get._1 == 1)
+    assert(got(3).isEmpty)
+    // csim matches round(cosine_sim, 6) exactly (same arithmetic + rounding)
+    val expect = df.filter($"id" === 1)
+      .select(round(cosine_sim($"v", lit(Array(1.0, 0.0))), 6)).head().getDouble(0)
+    assert(got(1).get._2 == expect)
+  }
+
   test("jaccard_sim: overlap, disjoint, empty") {
     val df = Seq(
       (1, Seq("a", "b", "c"), Seq("b", "c", "d")),  // 2/4
