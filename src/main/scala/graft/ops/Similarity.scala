@@ -391,7 +391,8 @@ object Similarity {
     * Returns one row per vector: (id, cell, csim, component, is_kept);
     * singletons keep themselves.
     *
-    * Scale shape: centroid assignment is a broadcast pass; pairing is an
+    * Scale shape: centroid assignment is a codegen'd scan projection
+    * ([[graft.functions.NearestCentroid]]); pairing is an
     * equi-join on the cell id, so candidate pairs shrink ~1/nlist versus
     * all-pairs (at 100 TB, raise `nlist` so cells stay task-sized — the
     * paper runs 50k clusters; an over-full cell only ever costs that cell's
@@ -404,14 +405,15 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       materializeCells: Boolean = true): DataFrame = {
     val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
-    val w = Window.partitionBy(col("sd_id")).orderBy(col("csim").desc, col("cent_id"))
+    // cell + centroid-csim via the codegen'd kernel — same winner and
+    // tie-break as the former per-id window, zero shuffle (see assignCells)
+    val (centIds, centMat) = collectCentroids(cents)
+    val nc = graft.functions.nearest_centroid(col("sv"), centMat)
     val cells0 = corpus
       .select(col(idCol).as("sd_id"), asDouble(col(vecCol)).as("sv"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("csim", round(cosine(col("sv"), col("cent")), 6))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("sd_id"), col("sv"), col("cent_id").as("cell"), col("csim"))
+      .select(col("sd_id"), col("sv"),
+        element_at(centIds, nc.getField("idx") + 1).as("cell"),
+        nc.getField("csim").as("csim"))
     // consumed 3× (both pair-join sides + final output). Materializing is
     // right up to cluster-memory corpora; at 100 TB pass false — the
     // assignment is one broadcast pass, cheaper to recompute per consumer

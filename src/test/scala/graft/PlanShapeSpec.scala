@@ -97,12 +97,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // recall metrics join the exact and approx top-k subplans; their SMJ is
       // the left join of two tiny rank outputs (AQE broadcasts at runtime)
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,
-      // e7: cell-assignment window + the label/meta/rep joins and the
-      // component min-struct agg (skew-proof — no per-label window, so a
-      // giant dup component never serializes); the label-propagation rounds
-      // run eagerly behind checkpoints and AQE broadcasts the tiny
-      // rep/label sides at runtime
-      "e7_semdedup" -> 8,
+      // e7: cell assignment is now the codegen'd kernel (zero shuffle) —
+      // what remains is the label/meta/rep joins and the component
+      // min-struct agg (skew-proof — no per-label window, so a giant dup
+      // component never serializes); the label-propagation rounds run
+      // eagerly behind checkpoints and AQE broadcasts the tiny rep/label
+      // sides at runtime
+      "e7_semdedup" -> 6,
       "f1_composite_filter" -> 0, "f6_prefix_match" -> 1, "f7_codec_decode" -> 0,
       "f8_message_shaping" -> 0, "j2_broadcast_join" -> 1, "j3_snapshot_stitch" -> 2,
       "j4_asof_join" -> 1, "j5_dim_rollup" -> 1, "q14_promo_effect" -> 0,
