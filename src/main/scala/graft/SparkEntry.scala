@@ -906,6 +906,29 @@ object SparkEntry {
       ops.Dedup.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2, rounds = 3)),
 
+    // ── dedup: EXACT components (large-star/small-star to convergence) ────
+    // Same verified pair graph as d6, but diameter-proof: a duplicate CHAIN
+    // collapses to ONE component regardless of length, where d6's fixed
+    // 3-round propagation is one-hop-per-round. The oracle is true reach-
+    // ability (recursive closure), so this gates CONVERGENCE, not a round
+    // count.
+    "d15_cc_clusters" -> ((s, dir) =>
+      ops.Dedup.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, exact = true)),
+
+    // ── sampling: leakage-safe train/val/test split — duplicate families
+    // move as a UNIT (hash of the exact component id, not the doc id), so
+    // near-identical docs can never straddle the train/test boundary ───────
+    "x9_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = ops.Dedup.dedupSurvivors(docs, "doc_id", "text",
+          threshold = 0.2, exact = true)
+        .select(col("doc_id"), col("component"))
+      ops.Sampling.assignSplitBy(docs.join(comp, "doc_id"),
+          col("component"), salt = "split")
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
+
     // ── dedup: survivors elected by QUALITY, not min id (pipeline shape) ──
     "d8_quality_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1440,12 +1463,13 @@ object SparkEntry {
       |          WHERE sim >= $threshold GROUP BY id_a, id_b)""".stripMargin
   }
 
-  /** The MinHash-LSH → Jaccard-verify → 3-round label-propagation CTE chain
-    * (through `l3(node, label)`), shared by the d6 and d8 oracles — one SQL
-    * restatement of the component machinery, two survivor policies on top.
+  /** The MinHash-LSH → Jaccard-verify pair derivation (through
+    * `pairs(doc_a, doc_b)`), shared by the d6/d8 label-propagation oracles
+    * and d15's exact-components oracle — ONE SQL restatement of the
+    * candidate machinery, three component policies on top.
     */
-  private val dedupComponentsCte: String =
-    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+  private val dedupPairsCte: String =
+    """tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
       |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
       |       FROM tok WHERE len(ws) >= 3),
@@ -1471,7 +1495,13 @@ object SparkEntry {
       |pairs AS (SELECT doc_a, doc_b FROM cand
       |          JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
       |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-      |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2),
+      |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2)""".stripMargin
+
+  /** The 3-round label-propagation chain over [[dedupPairsCte]] (through
+    * `l3(node, label)`) — the d6/d8 component machinery.
+    */
+  private val dedupComponentsCte: String =
+    s"""WITH $dedupPairsCte,
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
@@ -1938,6 +1968,43 @@ object SparkEntry {
     "d6_dedup_survivors" ->
       s"""$dedupComponentsCte
         |SELECT node AS doc_id, label AS component, node = label AS is_survivor FROM l3""".stripMargin,
+
+    // d15 = TRUE components: recursive transitive closure over the same
+    // verified pair graph, label = min reachable id. The closure is
+    // quadratic in component size — fine for an oracle at sf0.01, which is
+    // exactly why the engine side uses large-star/small-star instead.
+    "d15_cc_clusters" ->
+      s"""WITH RECURSIVE $dedupPairsCte,
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+        |       coalesce(l.component, d.doc_id) = d.doc_id AS is_survivor
+        |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
+
+    // x9 = d15's true components + x4's hash-split formula, keyed on the
+    // component id: the leakage-unit contract stated as one SQL query.
+    "x9_leakage_safe_split" ->
+      s"""WITH RECURSIVE $dedupPairsCte,
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |comp AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+        |         FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+        |b AS (SELECT doc_id, component,
+        |        (((md5_number('split' || component::VARCHAR) % 4294967296) + 4294967296)
+        |           % 4294967296) % 10000 AS bucket
+        |      FROM comp)
+        |SELECT doc_id, component,
+        |       CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "d8_quality_survivors" ->
       s"""$dedupComponentsCte,

@@ -254,10 +254,18 @@ object Dedup {
     *   corpus in candidate pairs). At 100 TB this is the only shape that
     *   survives.
     */
+  /** `exact = true` swaps the fixed-round label propagation for
+    * [[connectedComponents]] (large-star/small-star to convergence):
+    * diameter-proof component labels at the cost of a data-dependent round
+    * count (`rounds` is then ignored). Use it when duplicate families can
+    * CHAIN (templated/boilerplate corpora); the default stays fixed-round
+    * for the shallow-cluster common case and SQL mirrorability.
+    */
   def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, rounds: Int = 3, shingleSize: Int = 3,
       maxBucketSize: Option[Int] = None,
-      materializeSets: Boolean = true): DataFrame = {
+      materializeSets: Boolean = true,
+      exact: Boolean = false): DataFrame = {
     val pairs = (if (materializeSets) {
       val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
       jaccardVerifyFromSets(sets,
@@ -273,7 +281,11 @@ object Dedup {
           shingleSize),
         cand, threshold)
     }).select(col("doc_a"), col("doc_b"))
-    labelPropagation(df.select(col(idCol).as("node")), pairs, rounds)
+    val ns = df.select(col(idCol).as("node"))
+    val labeled =
+      if (exact) connectedComponents(ns, pairs)
+      else labelPropagation(ns, pairs, rounds)
+    labeled
       .select(col("node").as(idCol), col("label").as("component"),
         (col("node") === col("label")).as("is_survivor"))
   }
@@ -334,6 +346,101 @@ object Dedup {
     // so the singleton back-join sees exact sizes and broadcasts instead of
     // sort-merge-shuffling the full corpus id set.
     nodes.join(labels.localCheckpoint(), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
+  /** EXACT connected components of an undirected pair graph via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Same (nodes, pairs) →
+    * (node, label) contract as [[labelPropagation]], but converges to the
+    * TRUE components: each label is the minimum id of its component, for
+    * any graph shape.
+    *
+    * Why this exists next to [[labelPropagation]]: fixed-round min-label
+    * propagation advances one hop per round, so a duplicate CHAIN of
+    * diameter D (doc₁≈doc₂≈…≈doc_D — common in boilerplate families and
+    * templated pages) needs D rounds to collapse; at 3 rounds it silently
+    * splits one component into many, electing several "survivors" from one
+    * duplicate family. Large-star/small-star instead contracts the graph
+    * itself each round — every node links toward its neighborhood minimum —
+    * and converges in O(log²) rounds of the component size, independent of
+    * diameter. Each round's shuffles run over the CURRENT edge set, which
+    * only shrinks; like `labelPropagation`, cost is proportional to the
+    * near-dup graph, never the corpus.
+    *
+    * Convergence is detected from the edge set itself (count + order-
+    * insensitive hash sum): small-star emits every edge child→parent with
+    * parent < child, a canonical orientation, so an unchanged signature
+    * means an unchanged set — and a fixed point of both stars is a star
+    * forest whose centers are component minima. `maxRounds` is a runaway
+    * guard, not a tuning knob: at O(log²) convergence, 30 rounds covers any
+    * physically storable graph; hitting it throws rather than returning
+    * partially-merged components.
+    *
+    * Same PRECONDITION as [[labelPropagation]]: pair endpoints must be
+    * members of `nodes` (all in-engine pair sources satisfy this by
+    * construction).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    // Large-star: every node links its LARGER neighbors to its neighborhood
+    // minimum — long chains fold toward their minima in parallel.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+      val mins = nbr.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      nbr.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Small-star: every node links itself and its SMALLER neighbors to the
+    // minimum, canonicalizing each edge to child(>)→parent(<).
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+      o.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // (count, Σ xxhash64(u,v)) — an order-insensitive set signature; valid
+    // because the edge orientation is canonical after small-star. The sum
+    // runs in decimal(38,0): long sums of 64-bit hashes overflow under ANSI.
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var sig = signature(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // localCheckpoint each round: the convergence probe is an action
+      // anyway, and the next round must not re-derive a growing lineage.
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"(edges=${sig._1}) — the O(log²) bound makes this unreachable for " +
+        "real graphs; refusing to return partially merged components")
+    // Star forest → labels: children carry their root, roots carry
+    // themselves; the untouched majority joins back as singletons.
+    val labels = e.select(col("u").as("node"), col("v").as("label"))
+      .union(e.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+      .localCheckpoint()
+    nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 

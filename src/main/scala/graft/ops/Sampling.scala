@@ -56,10 +56,22 @@ object Sampling {
     */
   def assignSplit(df: DataFrame, idCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "", granularity: Int = 10000): DataFrame =
+    assignSplitBy(df, col(idCol), weights, salt, granularity)
+
+  /** [[assignSplit]] over an arbitrary key expression. The key is the
+    * leakage unit: whatever shares a key value lands in one split. Hashing
+    * the near-dup COMPONENT id instead of the row id is how a pipeline keeps
+    * duplicate families from straddling the train/test boundary (near-
+    * identical docs on both sides = memorization measured as generalization)
+    * — see the `x9_leakage_safe_split` query for the composed form.
+    */
+  def assignSplitBy(df: DataFrame, key: Column,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       salt: String = "", granularity: Int = 10000): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val bucket = hashBucket(col(idCol), salt, granularity)
+    val bucket = hashBucket(key, salt, granularity)
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.round(c * granularity).toInt)
     val expr = weights.map(_._1).zip(cuts).reverse

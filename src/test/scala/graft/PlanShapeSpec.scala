@@ -82,6 +82,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // threshold filter), not the corpus; the band join itself stays an
       // equi-join on (t,bucket)
       "d4_ngram_jaccard" -> 2, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 2,
+      // d15/x9: the large-star/small-star contraction runs EAGERLY (per-round
+      // convergence probes + checkpoints); the returned plan is the singleton
+      // back-join over the checkpointed star-forest labels (d6's shape), plus
+      // x9's broadcast of the component frame onto the corpus
+      "d15_cc_clusters" -> 2, "x9_leakage_safe_split" -> 2,
       // d10: the checkpointed signature frame broadcasts one side of the
       // band self-join, so only the pair-dedup distinct shuffles
       "d10_simhash_pairs" -> 1,
@@ -199,6 +204,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // joins read post-aggregate frames whose size statistics only exist at
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
+      // d15/x9: same singleton back-join as d6 — the checkpointed label
+      // frame's size exists only at runtime; AQE broadcasts it at execution
+      "d15_cc_clusters", "x9_leakage_safe_split",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
