@@ -1286,6 +1286,14 @@ object SparkEntry {
       ops.TextAnalysis.packSequences(t(s, dir, "documents"),
         "doc_id", "text", "source", budgetTokens = 256)),
 
+    // ── layout: Morton (Z-order) clustering key — the multi-dimensional
+    // file/row-group skipping lever; pure shift/mask/add bit math, fully
+    // inside whole-stage codegen and recomputed bit-for-bit by the oracle ──
+    "z1_zorder_key" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        ops.Layout.zorderKey(Seq(pmod(col("user_id"), lit(1024)),
+          pmod(col("event_id"), lit(1024))), bitsPerDim = 10).as("zkey"))),
+
     // ── sampling: stratified deterministic mixture (per-source rates) ─────
     "x3_hash_sample" -> ((s, dir) =>
       ops.Sampling.hashSampleBy(t(s, dir, "documents"), "doc_id", "source",
@@ -2446,6 +2454,16 @@ object SparkEntry {
         |      FROM n)
         |SELECT doc_id, source, n_tokens, ((cum - n_tokens) // 256)::BIGINT AS bin
         |FROM c""".stripMargin,
+
+    // z1: the same interleave in SQL — bit b of user_id%1024 at position
+    // 2b, of event_id%1024 at 2b+1 (ids are non-negative, so % == pmod)
+    "z1_zorder_key" -> {
+      val terms = (0 until 10).flatMap { b =>
+        Seq(s"(((user_id % 1024) // ${1L << b}) % 2) * ${1L << (2 * b)}",
+          s"(((event_id % 1024) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+      }.mkString(" + ")
+      s"SELECT event_id, ($terms)::BIGINT AS zkey FROM events"
+    },
 
     "t9_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -171,6 +171,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "x7_approx_quantiles" -> 1,
       // t14/t15: pure integer-count projections, shuffle-free by construction
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
+      // z1: the Morton key is shift/mask/add arithmetic — a pure projection
+      "z1_zorder_key" -> 0,
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
       // a projection and the probe broadcasts — the corpus never reshuffles
       "e8_sq_ann" -> 3,
