@@ -140,5 +140,21 @@ package object functions {
     macro1("distinct_ratio", TextAnalysis.distinctRatio)
     macro1("doc_fingerprint", TextAnalysis.fingerprint)
     macro1("token_hash32", TextAnalysis.tokenHash32)
+    // zorder_key(dim1, dim2, …): Morton interleave of all arguments at the
+    // widest per-dim width that fits a signed long (16 bits up to 3 dims,
+    // 63/n beyond) — same codegen'd shift/mask/add tree as the Scala API.
+    reg.createOrReplaceTempFunction("zorder_key",
+      es => {
+        if (es.isEmpty)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "zorder_key",
+              "expectedNum" -> ">=1", "actualNum" -> "0",
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val bits = math.min(16, 63 / es.length)
+        ExpressionUtils.resolvedExpression(spark,
+          graft.ops.Layout.zorderKey(es.map(ExpressionUtils.column), bits))
+      },
+      "internal")
   }
 }

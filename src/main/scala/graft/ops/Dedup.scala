@@ -418,7 +418,10 @@ object Dedup {
     }
     var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var sig = signature(e)
+    // The input edges are not canonically oriented, so a signature of the
+    // initial set can never legitimately match round 1's output — start
+    // from a sentinel and save the extra aggregation job.
+    var sig = (-1L, "")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

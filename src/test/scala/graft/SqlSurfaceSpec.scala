@@ -66,4 +66,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(!plan.contains("UDF"), plan)
   }
+
+  test("zorder_key SQL macro interleaves like the Scala API") {
+    graft.functions.registerAll(spark)
+    // 2 dims → 16 bits each; bit b of dim 0 lands at position 2b, of dim 1
+    // at 2b+1: (x=0b101, y=0b011) → positions 0,4 from x and 1,3 from y
+    // = 0b011011 = 27
+    val r = spark.sql("SELECT zorder_key(5, 3) AS z2, zorder_key(7) AS z1").head()
+    assert(r.getLong(0) == 27L, "interleave(101, 011) = 011011")
+    assert(r.getLong(1) == 7L, "one dim = identity on its low bits")
+    val scalaZ = spark.range(1)
+      .select(graft.ops.Layout.zorderKey(
+        Seq(org.apache.spark.sql.functions.lit(5),
+          org.apache.spark.sql.functions.lit(3)), 16).as("z"))
+      .head().getLong(0)
+    assert(r.getLong(0) == scalaZ, "one expression tree, two surfaces")
+    val plan = spark.sql("SELECT zorder_key(1, 2) AS z").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
 }
