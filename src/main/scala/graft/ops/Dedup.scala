@@ -388,6 +388,8 @@ object Dedup {
     def largeStar(e: DataFrame): DataFrame = {
       val nbr = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
       val mins = nbr.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // only larger neighbors are emitted — filter BEFORE the join so half
+      // the neighbor rows never shuffle into it
       nbr.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
