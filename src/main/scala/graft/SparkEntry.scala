@@ -1011,6 +1011,13 @@ object SparkEntry {
       ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlist = 8)),
 
+    // ── similarity: embedding QC — centroid-distance outlier screen (a
+    // zero-shuffle codegen projection: vectors no cluster claims are the
+    // corrupt/off-distribution embeddings screened before training) ───────
+    "e10_embedding_outliers" -> ((s, dir) =>
+      ops.Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", simFloor = 0.1, nlist = 8)),
+
     // ── similarity: SQ8 compressed-domain ANN (integer dot products) ──────
     "e8_sq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2094,6 +2101,21 @@ object SparkEntry {
         |SELECT node AS vec_id, cell, csim, label AS component,
         |       rn = 1 AS is_kept
         |FROM rep""".stripMargin,
+
+    // e10: e7's deterministic-seed assignment CTE with the floor flag on
+    // top — same centroids, same rounded cosine, same tie-break
+    "e10_embedding_outliers" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cassign AS (SELECT vec_id, cent_id AS cell, csim,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, cent_id,
+        |                         round(list_cosine_similarity(ev, cent), 6) AS csim
+        |                  FROM e CROSS JOIN cents))
+        |SELECT vec_id, cell, csim, csim < 0.1 AS is_outlier
+        |FROM cassign WHERE crn = 1""".stripMargin,
 
     // e8: the oracle re-derives the SQ8 code (global symmetric scale from
     // per-dim bounds), requants both sides with the identical left-to-right

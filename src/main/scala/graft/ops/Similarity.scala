@@ -438,6 +438,28 @@ object Similarity {
         col("label").as("component"), (col("node") === col("__rep")).as("is_kept"))
   }
 
+  /** Embedding QC: centroid-distance outlier screen. Assigns every vector
+    * to its nearest centroid (the codegen'd [[graft.functions.NearestCentroid]]
+    * kernel — a zero-shuffle scan projection) and flags the ones whose best
+    * centroid cosine falls below `simFloor`: vectors no cluster claims are
+    * the corrupt/degenerate/off-distribution embeddings a training pipeline
+    * screens out before they pollute ANN structures and nearest-neighbor
+    * mixes. Returns (id, cell, csim, is_outlier); pass Lloyd-refined or IVF
+    * centroids for production use, the deterministic first-`nlist` seed
+    * keeps the operator oracle-mirrorable.
+    */
+  def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      simFloor: Double, nlist: Int = 8,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    val (centIds, centMat) = collectCentroids(cents)
+    val nc = graft.functions.nearest_centroid(asDouble(col(vecCol)), centMat)
+    corpus.select(col(idCol),
+        element_at(centIds, nc.getField("idx") + 1).as("cell"),
+        nc.getField("csim").as("csim"))
+      .withColumn("is_outlier", col("csim") < simFloor)
+  }
+
   /** Deterministic farthest-first seeding (the k-means++ idea without
     * randomness): start from the minimum-id vector, then repeatedly take the
     * vector LEAST similar to every chosen centroid (ties by id). One small

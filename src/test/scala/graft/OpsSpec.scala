@@ -72,6 +72,23 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("sim") > 0.99)
   }
 
+  test("centroid outlier screen flags only vectors no cluster claims") {
+    // centroids = first 2 by id (nlist = 2): the x-axis and y-axis vectors;
+    // 10/11 sit near them, 12 is near-orthogonal to both
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(0.95f, 0.05f, 0.0f)), (11L, Array(0.1f, 0.9f, 0.0f)),
+      (12L, Array(0.05f, 0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+        simFloor = 0.5, nlist = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(0L) == (0L, false) && out(1L) == (1L, false), "centroids claim themselves")
+    assert(out(10L) == (0L, false), "near-x assigns to the x centroid, inlier")
+    assert(out(11L) == (1L, false), "near-y assigns to the y centroid, inlier")
+    assert(out(12L)._2, "the off-axis vector is below the floor everywhere")
+  }
+
   test("sign-LSH ANN recalls same-bucket neighbours") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", 3)

@@ -173,6 +173,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // z1: the Morton key is shift/mask/add arithmetic — a pure projection
       "z1_zorder_key" -> 0,
+      // e10: centroid assignment is the codegen'd kernel over a collected
+      // 8-row centroid matrix — a pure scan projection
+      "e10_embedding_outliers" -> 0,
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
       // a projection and the probe broadcasts — the corpus never reshuffles
       "e8_sq_ann" -> 3,
