@@ -400,10 +400,15 @@ object Similarity {
     * than the deterministic seed). Label propagation shuffles edge-sized
     * frames; survivor election is one component-keyed min-struct agg.
     */
+  /** `exact = true` swaps the fixed-round propagation for
+    * [[graft.ops.Dedup.connectedComponents]] (diameter-proof, `rounds`
+    * ignored) — same trade as `dedupSurvivors(exact = true)`.
+    */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 8, rounds: Int = 3,
       centroids: Option[DataFrame] = None,
-      materializeCells: Boolean = true): DataFrame = {
+      materializeCells: Boolean = true,
+      exact: Boolean = false): DataFrame = {
     val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
     // cell + centroid-csim via the codegen'd kernel — same winner and
     // tie-break as the former per-id window, zero shuffle (see assignCells)
@@ -426,8 +431,10 @@ object Similarity {
       .filter(col("doc_a") < col("doc_b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val labeled = graft.ops.Dedup.labelPropagation(
-      cells.select(col("sd_id").as("node")), pairs, rounds)
+    val ns = cells.select(col("sd_id").as("node"))
+    val labeled =
+      if (exact) graft.ops.Dedup.connectedComponents(ns, pairs)
+      else graft.ops.Dedup.labelPropagation(ns, pairs, rounds)
     val meta = cells.select(col("sd_id").as("node"), col("cell"), col("csim"))
     val rep = labeled.join(meta, Seq("node"))
       .groupBy(col("label"))
