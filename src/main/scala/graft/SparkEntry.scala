@@ -916,6 +916,33 @@ object SparkEntry {
       ops.Dedup.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2, exact = true)),
 
+    // ── dedup: INCREMENTAL component maintenance — ids ≡ 1 (mod 10) arrive
+    // as a batch against the rest as accepted corpus; only components the
+    // batch touches recompute, and the result must hash-match the oracle's
+    // FULL recursive-closure recompute over the whole pair graph ───────────
+    "d16_incremental_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").localCheckpoint()
+      val pairs = ops.Dedup.jaccardVerifyFromSets(sets,
+          ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      def isBatch(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 1
+      val corpusPairs = pairs.filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
+      val newPairs = pairs.filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      val corpusNodes = docs.filter(!isBatch(col("doc_id")))
+        .select(col("doc_id").as("node"))
+      val batchNodes = docs.filter(isBatch(col("doc_id")))
+        .select(col("doc_id").as("node"))
+      // production reads `existing` from a persisted assignment table;
+      // checkpointing is the in-query stand-in (it is consumed 3× inside
+      // incrementalComponents: touched semi, affected semi, anti pass)
+      val existing = ops.Dedup.connectedComponents(corpusNodes, corpusPairs)
+        .localCheckpoint()
+      ops.Dedup.incrementalComponents(existing, batchNodes, newPairs)
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_survivor"))
+    }),
+
     // ── sampling: leakage-safe train/val/test split — duplicate families
     // move as a UNIT (hash of the exact component id, not the doc id), so
     // near-identical docs can never straddle the train/test boundary ───────
@@ -1989,6 +2016,20 @@ object SparkEntry {
     // quadratic in component size — fine for an oracle at sf0.01, which is
     // exactly why the engine side uses large-star/small-star instead.
     "d15_cc_clusters" ->
+      s"""WITH RECURSIVE $dedupPairsCte,
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+        |       coalesce(l.component, d.doc_id) = d.doc_id AS is_survivor
+        |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
+
+    // d16 = the SAME truth as d15: incremental maintenance must be
+    // indistinguishable from the full recursive-closure recompute
+    "d16_incremental_components" ->
       s"""WITH RECURSIVE $dedupPairsCte,
         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
         |        UNION SELECT doc_b, doc_a FROM pairs),

@@ -449,6 +449,47 @@ object Dedup {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** Incremental component maintenance: fold a NEW batch's pairs into an
+    * existing `(node, label)` assignment (as produced by
+    * [[connectedComponents]] — labels are component minima) without
+    * re-walking the accumulated graph. The continuous-ingest twin of
+    * [[connectedComponents]], same role `incrementalDedup` plays for the
+    * pair screen.
+    *
+    * Only AFFECTED components recompute: components touched by a new-pair
+    * endpoint are pulled (two label-keyed semi/anti passes over `existing` —
+    * linear, no iteration), their membership re-enters the contraction as
+    * already-contracted star edges (`node → label`), and the star alternation
+    * runs over that sliver plus the new pairs. Untouched rows pass through
+    * unchanged. The result is EXACTLY the assignment a full recompute over
+    * (old ∪ new) pairs would produce: star edges preserve membership, so the
+    * connectivity partition is identical, and each relabeled component's
+    * minimum is its true overall minimum.
+    *
+    * PRECONDITIONS: `batchNodes` is disjoint from `existing`'s nodes (the
+    * batch/corpus split of continuous ingest), and every `newPairs` endpoint
+    * is in `batchNodes` or `existing` — same closed-world contract as
+    * [[labelPropagation]].
+    */
+  def incrementalComponents(existing: DataFrame, batchNodes: DataFrame,
+      newPairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val touched = newPairs.select(col("doc_a").as("node"))
+      .union(newPairs.select(col("doc_b")))
+      .distinct()
+    val touchedLabels = existing.join(touched, Seq("node"), "semi")
+      .select(col("label")).distinct()
+      .localCheckpoint() // consumed twice (semi + anti); sliver-sized
+    val affected = existing.join(touchedLabels, Seq("label"), "semi")
+    val starEdges = affected.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_a"), col("label").as("doc_b"))
+    val ccNodes = affected.select(col("node")).union(batchNodes)
+    val relabeled = connectedComponents(ccNodes,
+      starEdges.union(newPairs), maxRounds)
+    existing.join(touchedLabels, Seq("label"), "anti")
+      .select(col("node"), col("label"))
+      .union(relabeled)
+  }
+
   /** SimHash near-dup pairs: pigeonhole banding on the four 16-bit words of
     * the 64-bit fingerprint — two fingerprints within Hamming distance 3
     * differ in at most 3 bits, so at most 3 of the 4 words are touched and

@@ -102,6 +102,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(exact.count(_._3) == 3, "three components → three survivors")
   }
 
+  test("incremental components equal a full recompute, touching only affected components") {
+    // corpus: components {0,1,2} (chain), {10,11}, {20} singleton, {30,31}
+    val corpusNodes = Seq(0L, 1L, 2L, 10L, 11L, 20L, 30L, 31L)
+    val corpusPairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (30L, 31L))
+    val existing = Dedup.connectedComponents(nodesDf(corpusNodes), pairsDf(corpusPairs))
+      .localCheckpoint()
+    // batch: 5 bridges {0..2} and {10,11} into one component; 40 is a new
+    // singleton; 15 attaches to the {30,31} component and undercuts its min
+    val batchNodes = Seq(5L, 40L, 15L)
+    val newPairs = Seq((5L, 2L), (5L, 10L), (15L, 31L))
+    val inc = labelsOf(Dedup.incrementalComponents(existing,
+      nodesDf(batchNodes), pairsDf(newPairs)))
+    val full = unionFind(corpusNodes ++ batchNodes, corpusPairs ++ newPairs)
+    assert(inc == full, "incremental must be indistinguishable from full recompute")
+    assert(inc(5L) == 0L && inc(11L) == 0L, "bridged components take the overall min")
+    assert(inc(30L) == 15L && inc(31L) == 15L, "a smaller batch id becomes the new root")
+    assert(inc(20L) == 20L && inc(40L) == 40L, "untouched corpus + isolated batch stay singletons")
+  }
+
   test("leakage-safe split: every near-dup component lands in exactly one split") {
     val s = spark
     import s.implicits._

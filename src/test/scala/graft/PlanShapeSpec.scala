@@ -87,6 +87,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // back-join over the checkpointed star-forest labels (d6's shape), plus
       // x9's broadcast of the component frame onto the corpus
       "d15_cc_clusters" -> 2, "x9_leakage_safe_split" -> 2,
+      // d16: the star contractions run eagerly; the returned plan is the
+      // touched-distinct + semi/anti label passes over the (checkpointed)
+      // assignment, the new-pair filters, and the relabeled back-join union
+      "d16_incremental_components" -> 6,
       // d10: the checkpointed signature frame broadcasts one side of the
       // band self-join, so only the pair-dedup distinct shuffles
       "d10_simhash_pairs" -> 1,
@@ -212,6 +216,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // d15/x9: same singleton back-join as d6 — the checkpointed label
       // frame's size exists only at runtime; AQE broadcasts it at execution
       "d15_cc_clusters", "x9_leakage_safe_split",
+      // d16: semi/anti + back-join over runtime-sized checkpointed frames
+      "d16_incremental_components",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
