@@ -771,6 +771,49 @@ object Dedup {
     incrementalCore(corpus, corpusSigs, None, batch, idCol, textCol,
       threshold, bands, shingleSize)
 
+  /** ALL verified near-dup pairs for an incoming batch against a presigned
+    * accepted corpus — batch↔corpus plus batch-internal — the pair source
+    * for component maintenance at ingest ([[incrementalComponents]];
+    * streaming twin `StreamAggs.componentsAtIngest`). Unlike
+    * [[incrementalDedupPresigned]] (which keeps only each batch doc's best
+    * match), every qualifying pair survives, because component structure
+    * needs the edges, not a verdict. Corpus shingle sets are rebuilt only
+    * for candidate docs (semi-join sliver) and the corpus never self-pairs —
+    * the d12 scale contract. Returns `(doc_a, doc_b)`: batch id first for
+    * batch↔corpus pairs, (min, max) for batch-internal ones.
+    */
+  def incrementalPairsPresigned(corpus: DataFrame, corpusSigs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
+    val bSigs = minhashSignaturesFromSets(bSets, bands).localCheckpoint()
+    val candBC = bSigs.withColumnRenamed("mh_id", "b_id")
+      .join(corpusSigs.withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
+      .select(col("b_id"), col("c_id")).distinct()
+      .localCheckpoint() // consumed twice: corpus-set prune + verify join
+    val candBB = bSigs.select(col("mh_id").as("x"), col("band"), col("sig"))
+      .join(bSigs.select(col("mh_id").as("y"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("x") < col("y")).select(col("x"), col("y")).distinct()
+    val cSets = shingleSets(
+      corpus.join(candBC.select(col("c_id").as(idCol)).distinct(), Seq(idCol),
+        "semi"),
+      idCol, textCol, shingleSize)
+    val bc = candBC
+      .join(bSets.select(col("set_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+      .join(cSets.select(col("set_id").as("c_id"), col("sh").as("sh_c")), Seq("c_id"))
+      .filter(round(graft.functions.jaccard_sim(col("sh_b"), col("sh_c")), 4)
+        >= threshold)
+      .select(col("b_id").as("doc_a"), col("c_id").as("doc_b"))
+    val bb = candBB
+      .join(bSets.select(col("set_id").as("x"), col("sh").as("sh_x")), Seq("x"))
+      .join(bSets.select(col("set_id").as("y"), col("sh").as("sh_y")), Seq("y"))
+      .filter(round(graft.functions.jaccard_sim(col("sh_x"), col("sh_y")), 4)
+        >= threshold)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
+    bc.union(bb)
+  }
+
   private def incrementalCore(corpus: DataFrame, cSigs: DataFrame,
       cSetsAll: Option[DataFrame], batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int,

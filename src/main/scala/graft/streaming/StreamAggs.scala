@@ -181,6 +181,48 @@ object StreamAggs {
     * `(idCol, is_new, match_id)` — batch rows whose `is_new` is false
     * near-duplicate an accepted corpus document.
     */
+  /** Component maintenance at ingest: every micro-batch's verified near-dup
+    * pairs (batch↔accepted-corpus ∪ batch-internal, via
+    * [[graft.ops.Dedup.incrementalPairsPresigned]]) fold into a RUNNING
+    * component assignment with
+    * [[graft.ops.Dedup.incrementalComponents]] — duplicate families grow
+    * across micro-batches without ever recomputing the accumulated graph.
+    * The continuous-ingest twin of `connectedComponents`, as
+    * [[screenNearDupAtIngest]] is of the d12 screen, and the streaming
+    * feeder for leakage-safe splits (x9): the assignment the sink persists
+    * IS the split key table.
+    *
+    * `initial` seeds the assignment (at 100 TB: the persisted table; on
+    * restart, reload what the sink last wrote). Defaults to the corpus's
+    * own exact components from the same signature family. Pairing follows
+    * d12's accepted-corpus contract: docs from different micro-batches join
+    * one component through a shared corpus anchor; direct cross-batch
+    * pairing begins once a signature refresh folds ingested docs into the
+    * corpus (the compaction cadence). `sink` receives the updated full
+    * assignment `(node, label)` plus the batchId after each fold.
+    */
+  def componentsAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3,
+      initial: Option[DataFrame] = None)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val cSigs = graft.ops.Dedup
+      .minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
+      .localCheckpoint() // signed once, reused by every micro-batch
+    var assignment = initial.getOrElse(
+      graft.ops.Dedup.dedupSurvivors(corpus, idCol, textCol, threshold,
+          shingleSize = shingleSize, exact = true)
+        .select(col(idCol).as("node"), col("component").as("label")))
+      .localCheckpoint()
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val b = batch.toDF()
+      val pairs = graft.ops.Dedup.incrementalPairsPresigned(corpus, cSigs,
+        b, idCol, textCol, threshold, bands, shingleSize)
+      assignment = graft.ops.Dedup.incrementalComponents(assignment,
+        b.select(col(idCol).as("node")), pairs).localCheckpoint()
+      sink(assignment, batchId)
+    }
+  }
+
   def screenNearDupAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

@@ -235,6 +235,67 @@ class StreamAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming component maintenance: families grow across micro-batches via corpus anchors") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cfold").toFile.getAbsolutePath
+
+    // per-family DISJOINT vocabularies: families must not near-dup each other
+    def fam(i: Long, tag: String) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i family$i $tag"
+    // accepted corpus: 10 distinct doc families
+    val corpus = (0L until 10L).map(i => (i, fam(i, "accepted corpus body")))
+      .toDF("doc_id", "text")
+
+    // micro-batch 1: 100/101 near-dup corpus doc 0; 102 novel; 103/104
+    // near-dup EACH OTHER only (batch-internal pair, no corpus anchor)
+    // one FLAT parquet file per micro-batch (the file stream does not
+    // recurse into nested write directories)
+    def writeBatch(rows: Seq[(Long, String)], name: String): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/stage/$name")
+      val part = new java.io.File(s"$dir/stage/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/in").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet")): Unit
+    }
+    writeBatch(Seq(
+      (100L, fam(0, "accepted corpus CHANGED")),
+      (101L, fam(0, "accepted corpus ALTERED")),
+      (102L, "entirely novel content one with completely distinct vocabulary here"),
+      (103L, "shared private duplicate pair text body not matching corpus xx"),
+      (104L, "shared private duplicate pair text body not matching corpus yy")), "b1")
+    // micro-batch 2: 200 near-dups corpus doc 0 too — it must land in the
+    // SAME component as batch 1's 100/101 through the corpus anchor; 201 novel
+    writeBatch(Seq(
+      (200L, fam(0, "accepted corpus REVISED")),
+      (201L, "another entirely unrelated novel document two distinct words zz")), "b2")
+
+    val finals = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val q = StreamAggs.componentsAtIngest(
+        spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        corpus, "doc_id", "text", threshold = 0.5) { (asg, _) =>
+        finals.synchronized {
+          finals += asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap; ()
+        }
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(finals.size == 2, s"expected 2 micro-batches, saw ${finals.size}")
+      val last = finals.last
+      assert(last.size == 10 + 5 + 2, "assignment covers corpus + every ingested doc")
+      // the doc-0 family spans both batches through the corpus anchor
+      assert(Seq(100L, 101L, 200L).forall(last(_) == 0L),
+        s"cross-batch family must share component 0: $last")
+      // batch-internal pair without an anchor forms its own component
+      assert(last(103L) == 103L && last(104L) == 103L)
+      // novels and untouched corpus docs stay singletons
+      assert(Seq(102L, 201L, 5L).forall(i => last(i) == i))
+    } finally q.stop()
+  }
+
   test("streaming LM screen: batch scores equal the batch lmScore; off-corpus text scores worse") {
     val s = spark
     import s.implicits._
