@@ -1539,6 +1539,29 @@ object SparkEntry {
       |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
       |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2)""".stripMargin
 
+  /** True-reachability closure over [[dedupPairsCte]]'s verified pair graph
+    * (through `lab(node, component)`) — ONE statement of exact-component
+    * truth, shared by the d15/d16 oracles (d16's incremental truth IS
+    * d15's full recompute) and extended by x9's split formula.
+    */
+  private val dedupClosureCte: String =
+    s"""WITH RECURSIVE $dedupPairsCte,
+      |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |        UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(u, v) AS (SELECT u, v FROM sym
+      |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      |                       WHERE s.v <> r.u),
+      |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)""".stripMargin
+
+  /** [[dedupClosureCte]] + the per-document back-join: the full exact-
+    * components oracle, used verbatim for d15 and d16.
+    */
+  private val dedupClosureComponentsSql: String =
+    s"""$dedupClosureCte
+      |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+      |       coalesce(l.component, d.doc_id) = d.doc_id AS is_survivor
+      |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin
+
   /** The 3-round label-propagation chain over [[dedupPairsCte]] (through
     * `l3(node, label)`) — the d6/d8 component machinery.
     */
@@ -2015,42 +2038,16 @@ object SparkEntry {
     // verified pair graph, label = min reachable id. The closure is
     // quadratic in component size — fine for an oracle at sf0.01, which is
     // exactly why the engine side uses large-star/small-star instead.
-    "d15_cc_clusters" ->
-      s"""WITH RECURSIVE $dedupPairsCte,
-        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |        UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(u, v) AS (SELECT u, v FROM sym
-        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |                       WHERE s.v <> r.u),
-        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
-        |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
-        |       coalesce(l.component, d.doc_id) = d.doc_id AS is_survivor
-        |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
+    "d15_cc_clusters" -> dedupClosureComponentsSql,
 
     // d16 = the SAME truth as d15: incremental maintenance must be
     // indistinguishable from the full recursive-closure recompute
-    "d16_incremental_components" ->
-      s"""WITH RECURSIVE $dedupPairsCte,
-        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |        UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(u, v) AS (SELECT u, v FROM sym
-        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |                       WHERE s.v <> r.u),
-        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
-        |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
-        |       coalesce(l.component, d.doc_id) = d.doc_id AS is_survivor
-        |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
+    "d16_incremental_components" -> dedupClosureComponentsSql,
 
     // x9 = d15's true components + x4's hash-split formula, keyed on the
     // component id: the leakage-unit contract stated as one SQL query.
     "x9_leakage_safe_split" ->
-      s"""WITH RECURSIVE $dedupPairsCte,
-        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |        UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(u, v) AS (SELECT u, v FROM sym
-        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |                       WHERE s.v <> r.u),
-        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+      s"""$dedupClosureCte,
         |comp AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
         |         FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
         |b AS (SELECT doc_id, component,

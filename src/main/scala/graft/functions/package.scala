@@ -145,11 +145,11 @@ package object functions {
     // 63/n beyond) — same codegen'd shift/mask/add tree as the Scala API.
     reg.createOrReplaceTempFunction("zorder_key",
       es => {
-        if (es.isEmpty)
+        if (es.isEmpty || es.length > 63)
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
             messageParameters = Map("functionName" -> "zorder_key",
-              "expectedNum" -> ">=1", "actualNum" -> "0",
+              "expectedNum" -> "1 to 63", "actualNum" -> es.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         val bits = math.min(16, 63 / es.length)
         ExpressionUtils.resolvedExpression(spark,

@@ -35,6 +35,8 @@ object Layout {
     */
   def zorderKey(cols: Seq[Column], bitsPerDim: Int = 16): Column = {
     require(cols.nonEmpty, "zorderKey needs at least one dimension")
+    require(bitsPerDim >= 1, "zorderKey needs at least one bit per dimension" +
+      s" (got $bitsPerDim — more than 63 dimensions cannot interleave into a long)")
     require(cols.size * bitsPerDim <= 63,
       s"${cols.size} dims x $bitsPerDim bits exceeds a signed long")
     val n = cols.size
@@ -54,8 +56,12 @@ object Layout {
   def scaleTo(c: Column, minV: Double, maxV: Double, bits: Int): Column = {
     require(maxV > minV, "scaleTo needs a non-degenerate range")
     val span = (1L << bits) - 1
-    least(lit(span), greatest(lit(0L),
-      ((c.cast("double") - minV) / (maxV - minV) * (1L << bits)).cast("long")))
+    // clamp in DOUBLE space before the long cast: under ANSI mode a cast of
+    // a far-out-of-range or NaN double throws instead of clamping, killing
+    // the layout job on one corrupt row (least/greatest order NaN above
+    // every double, so NaN lands on the top bucket rather than erroring)
+    val scaled = (c.cast("double") - minV) / (maxV - minV) * (1L << bits)
+    least(lit(span.toDouble), greatest(lit(0.0), scaled)).cast("long")
   }
 
   /** Cluster `df` for writing: range-partition into `numFiles` output

@@ -194,31 +194,47 @@ object StreamAggs {
     *
     * `initial` seeds the assignment (at 100 TB: the persisted table; on
     * restart, reload what the sink last wrote). Defaults to the corpus's
-    * own exact components from the same signature family. Pairing follows
-    * d12's accepted-corpus contract: docs from different micro-batches join
-    * one component through a shared corpus anchor; direct cross-batch
-    * pairing begins once a signature refresh folds ingested docs into the
-    * corpus (the compaction cadence). `sink` receives the updated full
-    * assignment `(node, label)` plus the batchId after each fold.
+    * own exact components from the SAME signature family (`bands`,
+    * `shingleSize`, `threshold` — one shingle pass feeds the seed pairs and
+    * every batch's corpus signatures). Pairing follows d12's
+    * accepted-corpus contract: docs from different micro-batches join one
+    * component through a shared corpus anchor; direct cross-batch pairing
+    * begins once a signature refresh folds ingested docs into the corpus
+    * (the compaction cadence). `sink` receives the updated full assignment
+    * `(node, label)` plus the batchId after each fold.
+    *
+    * Replay-safe: foreachBatch re-delivers the last batch after a
+    * crash-restart, and on restart `initial` is whatever the sink last
+    * persisted — possibly already containing that batch. Nodes already in
+    * the assignment are anti-joined out of the batch before the fold, so
+    * re-folding a delivered batch is a no-op (its pairs only re-merge
+    * already-merged components) instead of a duplicate-row corruption of
+    * the split-key table.
     */
   def componentsAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3,
       initial: Option[DataFrame] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val cSigs = graft.ops.Dedup
-      .minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
+    val cSets = graft.ops.Dedup.shingleSets(corpus, idCol, textCol, shingleSize)
+      .localCheckpoint() // one corpus shingle pass: seed pairs + signatures
+    val cSigs = graft.ops.Dedup.minhashSignaturesFromSets(cSets, bands)
       .localCheckpoint() // signed once, reused by every micro-batch
-    var assignment = initial.getOrElse(
-      graft.ops.Dedup.dedupSurvivors(corpus, idCol, textCol, threshold,
-          shingleSize = shingleSize, exact = true)
-        .select(col(idCol).as("node"), col("component").as("label")))
-      .localCheckpoint()
+    var assignment = initial.getOrElse {
+      val pairs = graft.ops.Dedup.jaccardVerifyFromSets(cSets,
+          graft.ops.Dedup.lshCandidatePairsFromSets(cSets, bands), threshold)
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Dedup.connectedComponents(
+        corpus.select(col(idCol).as("node")), pairs)
+    }.localCheckpoint()
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.toDF()
       val pairs = graft.ops.Dedup.incrementalPairsPresigned(corpus, cSigs,
         b, idCol, textCol, threshold, bands, shingleSize)
+      // replay guard: drop batch nodes the assignment already holds
+      val freshNodes = b.select(col(idCol).as("node"))
+        .join(assignment, Seq("node"), "anti")
       assignment = graft.ops.Dedup.incrementalComponents(assignment,
-        b.select(col(idCol).as("node")), pairs).localCheckpoint()
+        freshNodes, pairs).localCheckpoint()
       sink(assignment, batchId)
     }
   }

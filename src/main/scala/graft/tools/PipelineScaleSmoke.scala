@@ -181,23 +181,9 @@ object PipelineScaleSmoke {
     // components, every label the component minimum.
     time(s"connected components (chain diameter ${nDocs / 10} + ${nDocs / 10} triangles)") {
       val chainN = nDocs.toLong / 10
-      val chain = spark.range(chainN - 1)
-        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-      // triangles over ids [chainN, chainN + 3·k): (b, b+1), (b+1, b+2), (b, b+2)
-      val tri = spark.range(chainN).flatMap { k =>
-        val b = chainN + 3 * k
-        Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
-      }.toDF("doc_a", "doc_b")
-      val nodes = spark.range(chainN + 3 * chainN).select(col("id").as("node"))
-      val labels = Dedup.connectedComponents(nodes, chain.union(tri)).localCheckpoint()
-      val nComponents = labels.select("label").distinct().count()
-      require(nComponents == 1 + chainN,
-        s"expected ${1 + chainN} components, got $nComponents")
-      val chainBad = labels.filter(col("node") < chainN && col("label") =!= 0).count()
-      require(chainBad == 0, s"chain must collapse to label 0 ($chainBad stragglers)")
-      val triBad = labels.filter(col("node") >= chainN &&
-        col("label") =!= (col("node") - chainN) - pmod(col("node") - chainN, lit(3)) + chainN).count()
-      require(triBad == 0, s"triangle labels must be their base ($triBad wrong)")
+      val (nodes, pairs) = GraphFixtures.chainAndTriangles(spark, chainN, chainN)
+      val labels = Dedup.connectedComponents(nodes, pairs).localCheckpoint()
+      GraphFixtures.assertExactLabels(labels, chainN, chainN)
     }
 
     // ── per-domain cap: 20 sources, cap far below rows/source

@@ -189,6 +189,12 @@ class SkewTextOpsSpec extends AnyFunSuite {
         threshold = 0.9, centroids = Some(cents), materializeCells = false)
       .orderBy("vec_id").collect()
     assert(lazyOut.map(_.toSeq) === out.map(_.toSeq))
+    // the exact (connected-components) path wires the same cells/pairs and
+    // must agree with fixed-round propagation on these shallow clusters
+    val exactOut = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = Some(cents), exact = true)
+      .orderBy("vec_id").collect()
+    assert(exactOut.map(_.toSeq) === out.map(_.toSeq))
   }
 
   test("label propagation finds min-label components on a hand graph") {

@@ -35,11 +35,15 @@ class ZorderLayoutSpec extends AnyFunSuite {
   test("scaleTo clamps and spreads a numeric range over [0, 2^bits)") {
     val s = spark
     import s.implicits._
-    val vals = Seq(-5.0, 0.0, 25.0, 50.0, 99.9, 100.0, 140.0).toDF("v")
+    // includes the ANSI landmines: a far-out-of-range sentinel and NaN must
+    // CLAMP (doc contract), not throw on the long cast
+    val vals = Seq(-5.0, 0.0, 25.0, 50.0, 99.9, 100.0, 140.0, 1e300, Double.NaN)
+      .toDF("v")
       .select(Layout.scaleTo(col("v"), 0.0, 100.0, 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
-    assert(vals.head == 0L && vals.last == 255L, "out-of-range clamps to the ends")
+    assert(vals.head == 0L && vals(6) == 255L, "out-of-range clamps to the ends")
     assert(vals(2) == 64L && vals(3) == 128L, "in-range maps linearly")
+    assert(vals(7) == 255L && vals(8) == 255L, "1e300 and NaN clamp to the top bucket")
     assert(vals.forall(b => b >= 0 && b <= 255))
   }
 
