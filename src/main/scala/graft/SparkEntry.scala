@@ -1342,6 +1342,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("source")).as("n_sources"))),
 
+    // ── sampling: weighted draws without replacement (Efraimidis-Spirakis
+    // hash keys) — quality-weighted per-source selection, deterministic ────
+    "x10_weighted_sample" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        ops.TextAnalysis.distinctRatio(col("text")).as("quality"))
+      ops.Sampling.weightedSample(scored, "doc_id", col("quality"), k = 5,
+        groupCols = Seq("source"), salt = "es")
+    }),
+
     // ── skew: salted two-phase aggregation (== plain aggregate) ───────────
     "w4_salted_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2716,6 +2725,23 @@ object SparkEntry {
         |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
         |       count(*)::BIGINT AS n, count(DISTINCT source)::BIGINT AS n_sources
         |FROM b GROUP BY 1""".stripMargin,
+
+    // x10: same u (md5 % 2^32 == tokenHash32), same clamped ln(u)/w key
+    // rounded to 6 decimals, same id tie-break
+    "x10_weighted_sample" ->
+      """WITH q AS (SELECT doc_id, source,
+        |        round(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+        |              / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 4) AS quality
+        |      FROM documents),
+        |k AS (SELECT doc_id, source, quality,
+        |        round(ln((((md5_number('es' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |                   % 4294967296 + 0.5) / 4294967296)
+        |              / greatest(quality, 0.000000001), 6) AS es_key
+        |      FROM q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                 ORDER BY es_key DESC, doc_id) AS es_rank FROM k)
+        |SELECT doc_id, source, quality, es_key, es_rank::BIGINT AS es_rank
+        |FROM r WHERE es_rank <= 5""".stripMargin,
 
     "w4_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,

@@ -81,6 +81,44 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): every row draws a hash-uniform u ∈ (0,1) from
+    * (salt, id) and ranks by `ln(u)/w` — the log-monotone form of the
+    * paper's u^(1/w) key — so the per-group top-k by key is distributed
+    * exactly as k weighted draws without replacement. The quality-weighted
+    * selection step of mixture pipelines ("keep the best-ish k per source,
+    * but stochastically, so the tail still contributes"), with the same
+    * contract as everything here: (salt, id) decides, so re-runs, retries
+    * and engines agree.
+    *
+    * The key is rounded to 6 decimals with an id tie-break, so libm ulp
+    * differences between engines cannot reorder the sample (the d8/e1
+    * float-parity discipline). Weights are clamped to ≥ 1e-9: a zero-weight
+    * row gets a vanishingly negative key (never sampled while any positive-
+    * weight row remains) instead of dividing by zero.
+    *
+    * Scale shape: the key is a pure projection; ranking is one window
+    * shuffle on `groupCols`. With NO groups the window is a single ordered
+    * task — fine for driver-sized k, but partition at scale (per-source /
+    * per-shard draws compose: a weighted sample of weighted samples with
+    * the same keys is the global weighted sample, so union the per-group
+    * top-k and re-rank when one global draw is needed).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      groupCols: Seq[String] = Nil, salt: String = ""): DataFrame = {
+    require(k >= 1, "weightedSample needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val u = (TextAnalysis.tokenHash32(concat(lit(salt), col(idCol).cast("string")))
+      + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(u) / greatest(weight, lit(1e-9)), 6)
+    val w0 = if (groupCols.isEmpty) Window.orderBy(col("es_key").desc, col(idCol))
+      else Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", key)
+      .withColumn("es_rank", row_number().over(w0).cast("long"))
+      .filter(col("es_rank") <= k)
+  }
+
   /** Cap rows per key (the per-domain contribution cap of web-crawl
     * pipelines: no single site may dominate the mixture). Keeps the `cap`
     * rows whose salted id-hash ranks lowest within the key — a deterministic

@@ -121,6 +121,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(inc(20L) == 20L && inc(40L) == 40L, "untouched corpus + isolated batch stay singletons")
   }
 
+  test("weighted sampling prefers heavy rows and composes across partitions") {
+    val s = spark
+    import s.implicits._
+    // 2000 rows, half weight 9, half weight 1: a 500-draw without
+    // replacement should be dominated by the heavy half (E[heavy] ≈ 450+)
+    val rows = (0L until 2000L).map(i => (i, if (i < 1000) 9.0 else 1.0))
+      .toDF("doc_id", "w")
+    val sample = ops.Sampling.weightedSample(rows, "doc_id", col("w"), k = 500,
+      salt = "t").localCheckpoint()
+    assert(sample.count() == 500)
+    val heavy = sample.filter(col("doc_id") < 1000).count()
+    assert(heavy > 400, s"weight-9 rows must dominate the draw (got $heavy/500)")
+
+    // composition: the global top-k is the re-ranked union of per-group
+    // top-k (same keys) — the scale path for one global draw
+    val global = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    val perGroup = ops.Sampling.weightedSample(
+      rows.withColumn("g", pmod(col("doc_id"), lit(4))), "doc_id", col("w"),
+      k = 500, groupCols = Seq("g"), salt = "t")
+    val recombined = perGroup.orderBy(col("es_key").desc, col("doc_id"))
+      .limit(500).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recombined == global, "per-partition draws must compose to the global draw")
+  }
+
   test("leakage-safe split: every near-dup component lands in exactly one split") {
     val s = spark
     import s.implicits._

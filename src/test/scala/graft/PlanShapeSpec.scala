@@ -142,6 +142,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // distinct and its per-type recount) — split on purpose, a fused
       // multi-distinct Expand tripled the scan and measured 6× slower
       "x1_approx_distinct" -> 5, "x2_quantiles" -> 1,
+      // x10: the ES key is a projection; ranking is the per-source window
+      "x10_weighted_sample" -> 1,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       // d14: same verify shape as d9 (pair agg + probe_n join) with the
