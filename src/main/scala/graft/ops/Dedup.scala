@@ -439,6 +439,10 @@ object Dedup {
       s"connectedComponents did not converge in $maxRounds rounds " +
         s"(edges=${sig._1}) — the O(log²) bound makes this unreachable for " +
         "real graphs; refusing to return partially merged components")
+    // observability at scale: round count is the operator's health metric
+    // (shallow near-dup graphs converge in 2-3; growth means chaining)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"connectedComponents converged in $round rounds (final edges=${sig._1})")
     // Star forest → labels: children carry their root, roots carry
     // themselves; the untouched majority joins back as singletons.
     val labels = e.select(col("u").as("node"), col("v").as("label"))
