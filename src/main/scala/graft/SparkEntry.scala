@@ -801,6 +801,29 @@ object SparkEntry {
             <= 0.05).as("events_within_bound"))
     }),
 
+    // ── sketches: MERGEABILITY — the property that makes sketches usable
+    // at 100 TB (per-partition/per-day sketches union into the global one
+    // without rescanning). Per-type DataSketches HLL sketches are unioned
+    // and must (a) equal the single-pass sketch exactly — same registers,
+    // order-insensitive max-merge — and (b) land within the configured
+    // error of the exact twin. The sketch values never reach the output;
+    // the booleans gate them (the x1 discipline).
+    "x11_sketch_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val merged = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__m"))
+      val direct = ev
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("__d"))
+      val exact = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_users"))
+      exact.crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+        .select(col("exact_users"),
+          (col("__m") === col("__d")).as("merge_lossless"),
+          (abs(col("__m") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("merged_within_bound"))
+    }),
+
     // ═══ LLM-pipeline operators (graft.ops) over documents/embeddings ═════
 
     // ── text analysis: token counting ─────────────────────────────────────
@@ -2352,6 +2375,15 @@ object SparkEntry {
         |       true AS users_within_bound,
         |       true AS events_within_bound
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // x11: the oracle recomputes the exact side; the mergeability and
+    // error-bound claims arrive as literal-true booleans the engine must
+    // reproduce (x1's sketch-gating discipline)
+    "x11_sketch_merge" ->
+      """SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
+        |       true AS merge_lossless,
+        |       true AS merged_within_bound
+        |FROM events""".stripMargin,
     "x7_approx_quantiles" ->
       """SELECT event_type, count(*) AS n,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

@@ -144,6 +144,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "x1_approx_distinct" -> 5, "x2_quantiles" -> 1,
       // x10: the ES key is a projection; ranking is the per-source window
       "x10_weighted_sample" -> 1,
+      // x11: per-type sketch groupBy + the exact-distinct twin; the
+      // single-row merged/direct frames broadcast into the cross joins
+      "x11_sketch_merge" -> 2,
       "x3_hash_sample" -> 0, "x4_split_assign" -> 2,
       "t9_tfidf" -> 4, "d9_contamination" -> 3,
       // d14: same verify shape as d9 (pair agg + probe_n join) with the
