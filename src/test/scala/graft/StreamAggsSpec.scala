@@ -293,6 +293,29 @@ class StreamAggsSpec extends AnyFunSuite {
       assert(last(103L) == 103L && last(104L) == 103L)
       // novels and untouched corpus docs stay singletons
       assert(Seq(102L, 201L, 5L).forall(i => last(i) == i))
+
+      // crash-replay idempotence: re-ingesting the SAME batches seeded
+      // with the final assignment (what the sink persisted) must be a
+      // no-op — the replay guard anti-joins known nodes out of the fold
+      val lastDf = finals.synchronized {
+        last.toSeq.toDF("node", "label")
+      }
+      val replayed = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+      val q2 = StreamAggs.componentsAtIngest(
+          spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          corpus, "doc_id", "text", threshold = 0.5,
+          initial = Some(lastDf)) { (asg, _) =>
+          replayed.synchronized {
+            replayed += asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap; ()
+          }
+        }
+        .option("checkpointLocation", s"$dir/chk2").start()
+      try {
+        q2.processAllAvailable()
+        assert(replayed.forall(_ == last),
+          "re-folding delivered batches must leave the assignment unchanged")
+      } finally q2.stop()
     } finally q.stop()
   }
 
