@@ -1075,6 +1075,25 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ── similarity: persisted IVF-SQ8 index (build evens → append odds →
+    //    quantized probe with exact rescoring). The probe scores candidates
+    //    by the signed int8 dot product over the persisted code column (the
+    //    4× bandwidth win at 100 TB), then exact-rescored the top rerank·k.
+    //    Scale AND centroids freeze at build time, so the oracle re-derives
+    //    the scale from the even half only — the append contract under test.
+    "e11_ivfsq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte11")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfSqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents))
+      ops.Similarity.appendToIvfSqIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfSqTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

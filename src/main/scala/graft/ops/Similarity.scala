@@ -83,17 +83,38 @@ object Similarity {
     * persist/cache: 4× smaller than float32, integer dot products.
     */
   def sqQuantize(df: DataFrame, idCol: String, vecCol: String,
-      bounds: DataFrame): DataFrame = {
-    val packed = bounds.agg(
-      max(greatest(abs(col("mn")), abs(col("mx")))).as("__s"))
-    df.crossJoin(broadcast(packed))
+      bounds: DataFrame): DataFrame =
+    sqQuantizeScaled(df, idCol, vecCol, sqScale(bounds))
+
+  /** Collapse per-dim bounds to the ONE-ROW global scale frame `(__s)` —
+    * the scalar an SQ index persists next to its codes so later batches and
+    * probes quantize identically to the build.
+    */
+  def sqScale(bounds: DataFrame): DataFrame =
+    bounds.agg(max(greatest(abs(col("mn")), abs(col("mx")))).as("__s"))
+
+  /** Quantize against an EXPLICIT scale frame (the persisted-index path:
+    * appended batches and probe queries must quantize against the
+    * build-time scale, the same freeze contract as IVF centroids —
+    * re-deriving the scale per batch would make codes incomparable across
+    * the table). The scale rides along as one broadcast row; quantization
+    * stays a pure projection.
+    */
+  def sqQuantizeScaled(df: DataFrame, idCol: String, vecCol: String,
+      scale: DataFrame): DataFrame =
+    df.crossJoin(broadcast(scale))
       .select(col(idCol),
-        transform(asDouble(col(vecCol)), x =>
-          when(col("__s") === 0d, lit(0L))
-            .otherwise(least(greatest(
-              floor(x * lit(127) / col("__s") + lit(0.5)), lit(-127L)), lit(127L)))
-        ).as("qv"))
-  }
+        sqLevels(asDouble(col(vecCol)), col("__s")).as("qv"))
+
+  /** The SQ8 level expression itself: `least(greatest(floor(x·127/s + 0.5),
+    * −127), 127)` per element, 0 for an all-zero corpus — one fixed
+    * left-to-right IEEE expression the DuckDB oracle mirrors bit-for-bit.
+    */
+  def sqLevels(vec: Column, s: Column): Column =
+    transform(vec, x =>
+      when(s === 0d, lit(0L))
+        .otherwise(least(greatest(
+          floor(x * lit(127) / s + lit(0.5)), lit(-127L)), lit(127L))))
 
   /** Top-k neighbours scored in the compressed domain: symmetric SQ8
     * (corpus AND queries quantized against the corpus scale), ranked by the
@@ -332,6 +353,109 @@ object Similarity {
       .select(col("vec_id"), col("ce"), col("cell"))
     ivfTopKJoin(cells,
       assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
+  }
+
+  /** Assign + quantize in ONE zero-shuffle projection: the cell id is the
+    * codegen'd nearest-centroid kernel, the SQ8 code is the level transform,
+    * both over the same scanned row (the scale is one broadcast row). This
+    * is the IVF-SQ build/append scan — corpus touched once, never joined.
+    */
+  private def assignCellsSq(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, scale: DataFrame): DataFrame = {
+    val (ids, mat) = collectCentroids(cents)
+    df.crossJoin(broadcast(scale))
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ce"), col("__s"))
+      .select(col("vec_id"), col("ce"),
+        transform(sqLevels(col("ce"), col("__s")), x => x.cast("tinyint")).as("cq"),
+        element_at(ids, graft.functions.nearest_centroid(col("ce"), mat)
+          .getField("idx") + 1).as("cell"))
+  }
+
+  /** Build and persist an IVF-SQ8 index (the FAISS IVF-SQ design, public
+    * technique): like [[buildIvfIndex]] plus a signed-symmetric SQ8 code
+    * column `cq` (int8) in the cell table and the global scale at
+    * `path/sq_scale`. At 100 TB this is the serving shape that fixes
+    * [[ivfTopKIndexed]]'s remaining cost: the probe's in-cell scan reads the
+    * int8 code column (4× fewer bytes than float32) and ranks by integer
+    * dot product; the float column is touched only to exact-rescore the
+    * top `rerank·k` candidates. Scale and centroids both FREEZE at build
+    * time so appended codes/assignments stay comparable with the build.
+    */
+  def buildIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 8,
+      centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    sqScale(sqBounds(corpus, vecCol)).write.mode("overwrite")
+      .parquet(s"$path/sq_scale")
+    // read the scale back: the persisted row is the single source of truth
+    // the append/probe paths will read, so the build assigns from it too
+    val scale = spark.read.parquet(s"$path/sq_scale")
+    assignCellsSq(corpus, idCol, vecCol, cents, scale)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Incrementally index a batch into an IVF-SQ index: assignments against
+    * the persisted centroids AND codes against the persisted scale (both
+    * frozen at build — the agreement contract [[appendToIvfIndex]] keeps
+    * for cells extends to the quantized domain). Values outside the build
+    * range clamp to ±127, exactly what the probe-side quantizer does.
+    */
+  def appendToIvfSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scale = spark.read.parquet(s"$path/sq_scale")
+    assignCellsSq(batch, idCol, vecCol, cents, scale)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a persisted IVF-SQ8 index: queries assign to their
+    * `nprobe` cells and quantize against the persisted scale; probed cells
+    * are scanned in the COMPRESSED domain (int8 codes only — the narrow
+    * read is the 4× bandwidth win), ranked by the signed integer dot
+    * product; the top `rerank·k` candidates per query are exact-rescored
+    * with the float column (read pruned to probed cells via the same
+    * dynamic partition pruning as the code scan, then cut to the candidate
+    * sliver by the broadcast join before any cosine is computed). Output
+    * `(qid, vec_id, sim, rn)` — exact cosines, same shape as
+    * [[ivfTopKIndexed]]; with `rerank·k ≥` the probed cells' population the
+    * result is IDENTICAL to the float probe (every candidate is rescored),
+    * the property the spec pins.
+    */
+  def ivfSqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank must be >= 1")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scale = spark.read.parquet(s"$path/sq_scale")
+    // probe side (tiny by contract): nprobe cells + quantized query codes
+    val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
+      .crossJoin(broadcast(scale))
+      .select(col("qid"), col("qe"), col("cell"),
+        sqLevels(col("qe"), col("__s")).as("qq"))
+    // compressed-domain scoring scan: codes + id + cell only
+    val codes = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), transform(col("cq"), x => x.cast("long")).as("cq"),
+        col("cell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("vec_id"))
+    val cand = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qscore",
+        aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= k.toLong * rerank)
+      .select(col("qid"), col("qe"), col("vec_id"), col("cell"))
+    // exact rescoring of the candidate sliver
+    val floats = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("ce"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    floats.join(broadcast(cand), Seq("cell", "vec_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
   }
 
   /** Rebuild a persisted IVF index's centroids from the CURRENT cell table
