@@ -2229,6 +2229,52 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS rn FROM p)
         |SELECT qid, vec_id, qscore, rn::BIGINT AS rn FROM r WHERE rn <= 5""".stripMargin,
 
+    // e11: e8's bit-exact SQ8 levels composed with e6's declarative IVF
+    // assignment — with the scale derived from the EVEN half only (the
+    // build side), exactly the freeze contract the persisted index keeps:
+    // appended odd vectors quantize (and clamp) against the build-time
+    // scale. Candidates are the int-dot top rerank·k (= 12) per query over
+    // the 2 probed cells; the final top-3 is the exact rounded cosine.
+    "e11_ivfsq_ann" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |bidx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e
+        |         WHERE vec_id % 2 = 0),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM bidx GROUP BY i),
+        |b AS (SELECT max(greatest(abs(mn), abs(mx))) AS s FROM dims),
+        |q8 AS (SELECT vec_id, v,
+        |         list_transform(generate_series(1, len(v)), i ->
+        |           CASE WHEN s = 0 THEN 0
+        |                ELSE least(greatest(floor(v[i] * 127 / s + 0.5)::BIGINT, -127), 127)
+        |           END) AS qv
+        |       FROM e CROSS JOIN b),
+        |cassign AS (SELECT vec_id, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, cent_id,
+        |                         round(list_cosine_similarity(v, cent), 6) AS csim
+        |                  FROM e CROSS JOIN cents)),
+        |ccells AS (SELECT c.vec_id, c.v AS ce, c.qv AS cq, a.cell
+        |           FROM q8 c JOIN cassign a ON a.vec_id = c.vec_id AND a.crn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qe, qv AS qq FROM q8
+        |      WHERE vec_id BETWEEN 100 AND 109),
+        |qassign AS (SELECT qid, qe, qq, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT qid, qe, qq, cent_id,
+        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+        |                  FROM q CROSS JOIN cents)),
+        |qcells AS (SELECT qid, qe, qq, cell FROM qassign WHERE crn <= 2),
+        |scored AS (SELECT qid, qe, c.vec_id, c.ce,
+        |             list_sum(list_transform(generate_series(1, len(qq)),
+        |               i -> qq[i] * c.cq[i]))::BIGINT AS qscore
+        |           FROM qcells JOIN ccells c USING (cell) WHERE c.vec_id != qid),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS crn
+        |         FROM scored),
+        |res AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
+        |        FROM cand WHERE crn <= 12),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
+        |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
+
     "t6_blocklist_scrub" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -95,6 +95,31 @@ case class LogStats(
   def maxFilesPerBucket: Int = (0 +: events.map(_.files)).max
 }
 
+/** Output-file clustering for [[EventLog.compact]] — how a rewritten
+  * bucket's rows arrange into files, which decides what later scans can
+  * SKIP via parquet min/max stats.
+  */
+sealed trait CompactionLayout
+object CompactionLayout {
+  /** Default: files sorted by event id (ULID) — optimal for id-range scans
+    * (time is the ULID prefix), the log's dominant access path.
+    */
+  case object IdSort extends CompactionLayout
+
+  /** Z-order clustering: files cover compact Morton intervals of `dims`, so
+    * a box predicate over ALL the interleaved dimensions prunes at once —
+    * the layout for workloads that mix time-range scans WITH per-stream or
+    * attribute slices (Delta/Iceberg `OPTIMIZE ZORDER BY`, re-expressed
+    * over [[graft.ops.Layout.zorderRepartition]]). `dims` must already be
+    * integers in `[0, 2^bitsPerDim)` — scale with [[graft.ops.Layout.scaleTo]]
+    * / `pmod` (e.g. `ulid_millis(col("id"))` scaled to the log's time range,
+    * `pmod(fnv1a32(col("aggregate_id")), 1 << bits)`). `filesPerBucket`
+    * bounds the z-granularity of each bucket rewrite.
+    */
+  final case class ZOrder(dims: Seq[org.apache.spark.sql.Column],
+      bitsPerDim: Int = 16, filesPerBucket: Int = 8) extends CompactionLayout
+}
+
 /** Result of migrating one stream: its new head after the rewrite. */
 case class MigratedStream(
     aggregateId: String,
@@ -173,11 +198,13 @@ class EventLog(
     * prints per-phase wall time so slow-query triage attributes seconds to
     * jobs, not guesses. Free when the property is unset.
     */
-  @inline private def phase[A](label: String)(f: => A): A =
+  @inline private def phase[A](label: String)(f: => A): A = {
+    EventLog.crashHook.foreach(_(label))
     if (EventLog.phaseTiming) {
       val t0 = System.nanoTime(); val r = f
       println(f"PHASE $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     } else f
+  }
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -983,8 +1010,19 @@ class EventLog(
       nowMs: => Long = System.currentTimeMillis(),
       dense: Boolean = false): Seq[MigratedStream] = {
     import spark.implicits._
-    migrateDistributed(revision, targetKinds, handler, nowMs, dense)
-      .collect().toSeq.sortBy(_.aggregateId)
+    val migrated = migrateDistributed(revision, targetKinds, handler, nowMs, dense)
+    // compat guard, same contract as EventStore.migrate: this API returns a
+    // driver-side Seq, so the COLLECT (never the committed migration) aborts
+    // past graft.migrate.collectMax — a 10⁷-stream kind must use
+    // migrateDistributed and keep the outcome frame distributed
+    val cap = spark.conf.get("graft.migrate.collectMax", "100000").toInt
+    val out = migrated.limit(cap + 1).collect()
+    if (out.length > cap) throw new IllegalStateException(
+      s"EventLog.migrate touched more than graft.migrate.collectMax=$cap " +
+        "streams — this compat API collects every per-stream outcome to the " +
+        "driver; the migration itself committed, but for backfill-scale runs " +
+        "use migrateDistributed and keep the outcome frame distributed")
+    out.toSeq.sortBy(_.aggregateId)
   }
 
   /** Distributed M2: as [[migrate]] but returns the per-stream outcome as a
@@ -1461,16 +1499,26 @@ class EventLog(
     * makes parquet min/max skipping effective on time-range scans. On a real
     * deployment this runs incrementally, a bucket subset per maintenance
     * window — which is why `buckets` is a parameter.
+    *
+    * `layout` picks the output clustering: [[CompactionLayout.IdSort]]
+    * (default, id-range-scan-optimal) or [[CompactionLayout.ZOrder]] for
+    * mixed time×attribute workloads — each rewritten bucket's files then
+    * cover compact Morton intervals, so both dimensions prune at once. In
+    * Manifest mode the layout runs UNDER the same per-bucket rewrite claims
+    * as plain compaction: appends racing the re-layout commit safely either
+    * side of it (CompactionSpec pins committed-view equality through a
+    * claim-fenced z-order compact).
     */
   def compact(buckets: Option[Seq[Int]] = None,
-      maxRecordsPerFile: Long = 0L): Unit = withLogLock(path) {
+      maxRecordsPerFile: Long = 0L,
+      layout: CompactionLayout = CompactionLayout.IdSort): Unit = withLogLock(path) {
     if (!exists(eventsPath)) return
     if (commitMode == CommitMode.Manifest) {
       // incremental, append-safe form: one file-level rewrite claim per
-      // bucket (identity transform + id sort), exactly the maintenance-
-      // window-free cadence a 100 TB log needs
+      // bucket (identity transform + layout arrangement), exactly the
+      // maintenance-window-free cadence a 100 TB log needs
       buckets.getOrElse((0 until numBuckets).toSeq)
-        .foreach(b => rewriteBucketManifest(eventsPath, evSchema, b)(df => df))
+        .foreach(b => rewriteBucketManifest(eventsPath, evSchema, b, layout)(df => df))
       return
     }
     val scoped = buckets match {
@@ -1478,8 +1526,19 @@ class EventLog(
       case None => eventsWithBucket
     }
     val all = scoped.localCheckpoint() // materialize before overwriting source files
-    all.repartition(numBuckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("id"))
+    val arranged = layout match {
+      case CompactionLayout.IdSort =>
+        all.repartition(numBuckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("id"))
+      case CompactionLayout.ZOrder(dims, bits, files) =>
+        // range-partition on (bucket, zkey): the write's partitionBy splits
+        // by bucket anyway, so each bucket lands as z-interval files
+        all.withColumn("__zkey", graft.ops.Layout.zorderKey(dims, bits))
+          .repartitionByRange(numBuckets * files, col("bucket"), col("__zkey"))
+          .sortWithinPartitions(col("bucket"), col("__zkey"))
+          .drop("__zkey")
+    }
+    arranged
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .option("compression", EventLog.Compression)
       // bound file sizes so a hot bucket still compacts into scannable units
@@ -1844,7 +1903,8 @@ class EventLog(
     * A crash at any point leaves exactly one version visible.
     */
   private def rewriteBucketManifest(tablePath: String,
-      schema: org.apache.spark.sql.types.StructType, bucket: Int)
+      schema: org.apache.spark.sql.types.StructType, bucket: Int,
+      layout: CompactionLayout = CompactionLayout.IdSort)
       (f: DataFrame => DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$bucket")
@@ -1891,7 +1951,12 @@ class EventLog(
     val out = f(cur).localCheckpoint() // materialize before any deletes
     if (!out.isEmpty) {
       val tmpDir = s"$tablePath/.commit-tmp/c${claim.n}"
-      out.sortWithinPartitions("id")
+      val arranged = layout match {
+        case CompactionLayout.IdSort => out.sortWithinPartitions("id")
+        case CompactionLayout.ZOrder(dims, bits, files) =>
+          graft.ops.Layout.zorderRepartition(out, dims, files, bits)
+      }
+      arranged
         .write.mode(SaveMode.Overwrite)
         .option("compression", EventLog.Compression).parquet(tmpDir)
       val tmp = new org.apache.hadoop.fs.Path(tmpDir)
@@ -1994,6 +2059,15 @@ object EventLog {
 
   /** See [[EventLog.phase]] — read once so the hot path costs one static. */
   private[log] val phaseTiming: Boolean = sys.props.contains("graft.phaseTiming")
+
+  /** TEST-ONLY crash injection: when set, called with each maintenance
+    * phase label BEFORE the phase runs — a hook that throws simulates a
+    * writer dying at that exact protocol step (the randomized
+    * CrashInjectionSpec kills writers at every step of
+    * claim→stage→sidecar→done and asserts recovery invariants). One
+    * volatile read per phase when unset; never set in production.
+    */
+  @volatile var crashHook: Option[String => Unit] = None
 
   /** Commit lock acquisition timeout / staleness horizon. */
   val LockAcquireTimeoutMs = 60000L

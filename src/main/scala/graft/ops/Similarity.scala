@@ -420,8 +420,10 @@ object Similarity {
     * sliver by the broadcast join before any cosine is computed). Output
     * `(qid, vec_id, sim, rn)` — exact cosines, same shape as
     * [[ivfTopKIndexed]]; with `rerank·k ≥` the probed cells' population the
-    * result is IDENTICAL to the float probe (every candidate is rescored),
-    * the property the spec pins.
+    * result is IDENTICAL to the float probe (every candidate is rescored) —
+    * pinned by SkewTextOpsSpec ("IVF-SQ8 index: exhaustive rerank equals the
+    * float probe"), with the even-half scale-freeze contract verified
+    * end-to-end by the e11_ivfsq_ann DuckDB oracle.
     */
   def ivfSqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -439,6 +441,9 @@ object Similarity {
       .select(col("vec_id"), transform(col("cq"), x => x.cast("long")).as("cq"),
         col("cell"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("vec_id"))
+    // the candidate sliver carries KEYS ONLY (qid, vec_id, cell) — the
+    // query vector would otherwise ride the broadcast rerank·k times per
+    // query; it rejoins below from the one-row-per-query frame instead
     val cand = codes.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qscore",
@@ -446,12 +451,15 @@ object Similarity {
           lit(0L), (acc, x) => acc + x))
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= k.toLong * rerank)
-      .select(col("qid"), col("qe"), col("vec_id"), col("cell"))
+      .select(col("qid"), col("vec_id"), col("cell"))
+    val qvecs = queries.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qe"))
     // exact rescoring of the candidate sliver
     val floats = spark.read.parquet(s"$path/cells")
       .select(col("vec_id"), col("ce"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     floats.join(broadcast(cand), Seq("cell", "vec_id"))
+      .join(broadcast(qvecs), Seq("qid"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

@@ -192,40 +192,73 @@ object StreamAggs {
     * feeder for leakage-safe splits (x9): the assignment the sink persists
     * IS the split key table.
     *
-    * `initial` seeds the assignment (at 100 TB: the persisted table; on
-    * restart, reload what the sink last wrote). Defaults to the corpus's
-    * own exact components from the SAME signature family (`bands`,
-    * `shingleSize`, `threshold` — one shingle pass feeds the seed pairs and
-    * every batch's corpus signatures). Pairing follows d12's
-    * accepted-corpus contract: docs from different micro-batches join one
-    * component through a shared corpus anchor; direct cross-batch pairing
-    * begins once a signature refresh folds ingested docs into the corpus
-    * (the compaction cadence). `sink` receives the updated full assignment
-    * `(node, label)` plus the batchId after each fold.
+    * State shape: with `stateDir` set (the production call at 100 TB) the
+    * running assignment lives ON DISK as a versioned parquet table —
+    * `stateDir/v=<batchId>` — not in executor memory: each fold reads the
+    * previous version, writes the next, prunes superseded versions, and
+    * re-roots the running frame at the just-written files. Executor
+    * block-manager storage stays FLAT over any number of micro-batches
+    * (only per-fold slivers inside `incrementalComponents` are ever
+    * cached), and a restart COLD-STARTS from the latest persisted version
+    * with no caller plumbing. Without `stateDir` the assignment is held as
+    * a localCheckpoint chain, and each fold unpersists the superseded
+    * checkpoint's blocks — same flat-storage property, memory-resident.
+    *
+    * `initial` seeds the assignment when no persisted version exists.
+    * Defaults to the corpus's own exact components from the SAME signature
+    * family (`bands`, `shingleSize`, `threshold` — one shingle pass feeds
+    * the seed pairs and every batch's corpus signatures). Pairing follows
+    * d12's accepted-corpus contract: docs from different micro-batches join
+    * one component through a shared corpus anchor; direct cross-batch
+    * pairing begins once a signature refresh folds ingested docs into the
+    * corpus (the compaction cadence). `sink` receives the updated full
+    * assignment `(node, label)` plus the batchId after each fold.
     *
     * Replay-safe: foreachBatch re-delivers the last batch after a
-    * crash-restart, and on restart `initial` is whatever the sink last
-    * persisted — possibly already containing that batch. Nodes already in
-    * the assignment are anti-joined out of the batch before the fold, so
+    * crash-restart, and on restart the seed is whatever was last persisted
+    * — possibly already containing that batch. Nodes already in the
+    * assignment are anti-joined out of the batch before the fold, so
     * re-folding a delivered batch is a no-op (its pairs only re-merge
     * already-merged components) instead of a duplicate-row corruption of
-    * the split-key table.
+    * the split-key table; the version write is an idempotent overwrite of
+    * the same `v=<batchId>` directory.
     */
   def componentsAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3,
-      initial: Option[DataFrame] = None)
+      initial: Option[DataFrame] = None, stateDir: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val spark = corpus.sparkSession
     val cSets = graft.ops.Dedup.shingleSets(corpus, idCol, textCol, shingleSize)
       .localCheckpoint() // one corpus shingle pass: seed pairs + signatures
     val cSigs = graft.ops.Dedup.minhashSignaturesFromSets(cSets, bands)
       .localCheckpoint() // signed once, reused by every micro-batch
-    var assignment = initial.getOrElse {
+
+    def versions(dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v=")) n.drop(2).toLongOption.map(_ -> st.getPath)
+          else None
+        }
+    }
+    // cold-start precedence: latest persisted version > caller seed > the
+    // corpus's own components (all three are "what the sink last wrote" in
+    // the three lifecycle states: restart, bootstrap-with-seed, first boot)
+    val persisted = stateDir.flatMap(d => versions(d).sortBy(_._1).lastOption)
+      .map { case (_, p) => spark.read.parquet(p.toString) }
+    var assignment = persisted.orElse(initial).getOrElse {
       val pairs = graft.ops.Dedup.jaccardVerifyFromSets(cSets,
           graft.ops.Dedup.lshCandidatePairsFromSets(cSets, bands), threshold)
         .select(col("doc_a"), col("doc_b"))
       graft.ops.Dedup.connectedComponents(
-        corpus.select(col(idCol).as("node")), pairs)
-    }.localCheckpoint()
+        corpus.select(col(idCol).as("node")), pairs).localCheckpoint()
+    }
+    // only checkpoints THIS call created may be unpersisted — a caller's
+    // `initial` frame (and its cache) belongs to the caller
+    var owned = persisted.isEmpty && initial.isEmpty
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.toDF()
       val pairs = graft.ops.Dedup.incrementalPairsPresigned(corpus, cSigs,
@@ -233,8 +266,27 @@ object StreamAggs {
       // replay guard: drop batch nodes the assignment already holds
       val freshNodes = b.select(col(idCol).as("node"))
         .join(assignment, Seq("node"), "anti")
-      assignment = graft.ops.Dedup.incrementalComponents(assignment,
-        freshNodes, pairs).localCheckpoint()
+      val prev = assignment
+      val folded = graft.ops.Dedup.incrementalComponents(assignment,
+        freshNodes, pairs)
+      assignment = stateDir match {
+        case Some(dir) =>
+          // persist the new version, re-root the running frame at the
+          // written files (nothing corpus-sized stays cached), then prune
+          // superseded versions — the write is the durable state handoff
+          folded.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+          val current = spark.read.parquet(s"$dir/v=$batchId")
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          versions(dir).filter(_._1 != batchId)
+            .foreach { case (_, p) => fs.delete(p, true) }
+          current
+        case None => folded.localCheckpoint()
+      }
+      // the superseded checkpoint's blocks are dead: the new state is
+      // materialized (written or eagerly checkpointed) above
+      if (owned) org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prev)
+      owned = true
       sink(assignment, batchId)
     }
   }

@@ -354,6 +354,50 @@ object PipelineScaleSmoke {
       require(planted == 2L, s"planted twins must top SQ8 ranking: got $planted of 2")
     }
 
+    // ── IVF-SQ8 persisted index at 1M vectors: build on evens, append odds
+    // (the scale/centroid freeze contract at scale), then probe in the
+    // compressed domain. Recall@5 is measured against the FLOAT probe over
+    // the same index and nprobe — isolating pure pre-rank eviction loss,
+    // since the rescore is exact by construction — and the planted twins
+    // (cosine ≈ 0.99999) are a hard floor: 8-bit pre-ranking must never
+    // evict a near-identical vector from the rerank·k sliver.
+    {
+      val idx = java.nio.file.Files.createTempDirectory("graftivfsq1m")
+        .toFile.getAbsolutePath
+      val cents = Similarity.farthestFirstCentroidsLocal(
+        Sampling.hashSample(emb1m, "vec_id", 0.02, salt = "c"),
+        "vec_id", "embedding", nlist = 64)
+      time(s"IVF-SQ8 build evens ($nVecs vectors, 64 cells)") {
+        Similarity.buildIvfSqIndex(emb1m.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 64, centroids = Some(cents))
+      }
+      time("IVF-SQ8 append odds (frozen scale + centroids)") {
+        Similarity.appendToIvfSqIndex(spark, idx,
+          emb1m.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val q16 = emb1m.filter(col("vec_id") < 16)
+      val float = time("IVF float probe top-5 (16 queries, nprobe=8)") {
+        Similarity.ivfTopKIndexed(spark, idx, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8).localCheckpoint()
+      }
+      val sqp = time("IVF-SQ8 probe top-5 (16 queries, nprobe=8, rerank=4)") {
+        Similarity.ivfSqTopKIndexed(spark, idx, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 4).localCheckpoint()
+      }
+      val rec = Similarity.recallAtK(float, sqp, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PSCALE   ivf-sq8 recall@5 vs float probe = $rec%.3f")
+      // measured 0.888 at 1M deterministic vectors (worst case: random
+      // dense vectors put every neighbour in the same thin cosine shell,
+      // where 8-bit pre-ranking reorders hardest); the corpus is
+      // hash-derived, so this is a reproducible fence, not a guess
+      require(rec >= 0.8, s"IVF-SQ8 pre-rank recall collapsed: $rec")
+      val planted = sqp.filter(col("qid") % 10 === 1 && col("rn") === 1 &&
+        col("vec_id") === col("qid") - 1).count()
+      require(planted == 2L,
+        s"planted twins must top IVF-SQ8 ranking: got $planted of 2")
+    }
+
     spark.stop()
   }
 }

@@ -14,7 +14,11 @@ object PlanStats {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.01"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional 2nd arg: comma-separated query names to measure (default all)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         def count(tok: String) = tok.r.findAllIn(p).size

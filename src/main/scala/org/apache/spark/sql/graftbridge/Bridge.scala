@@ -36,4 +36,18 @@ object Bridge {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
           .queryExecution.analyzed))
+
+  /** Drop the executor-cached blocks behind a `localCheckpoint()`ed frame.
+    * A localCheckpoint materializes its RDD into block-manager storage with
+    * no public handle to release it; long-running iterative state (one new
+    * checkpoint per micro-batch) would otherwise accumulate superseded
+    * block sets without bound. No-op for frames that aren't checkpoints.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 }

@@ -155,6 +155,72 @@ class CompactionSpec extends AnyFunSuite {
     assert(log.activeEvents.select("aggregate_id").distinct().count() === 400L)
   }
 
+  test("z-order compact: committed view unchanged, both dimensions prune files") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftzcompact").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 1, ulidSeed = Some(94L),
+      commitMode = graft.log.CommitMode.Manifest)
+    // a (time × stream) grid: 16 streams × 16 appends, each append at its
+    // own timestamp — the workload where a single-column sort can only
+    // serve ONE of the two predicates
+    val base = 1700000000000L
+    val step = 3600000L
+    val store = new EventStore(log, AccountType)
+    (0 until 16).foreach { i =>
+      store.create(f"01HXZORD${i}%018d", Seq(AccountType.created(1, s"o$i")),
+        nowMs = base)
+      (1 until 16).foreach { j =>
+        store.update(f"01HXZORD${i}%018d")(_ =>
+          Seq(AccountType.deposited(1)), nowMs = base + j * step)
+      }
+    }
+    val dataBefore = log.committedEvents.orderBy("id").collect().toSeq
+    assert(dataBefore.size === 256)
+    val claimsBefore = log.stats().doneClaims
+
+    // z-order over (ULID time, stream hash), 4 bits each, 8 files/bucket —
+    // under the SAME rewrite claims as a plain compact
+    val tDim = graft.ops.Layout.scaleTo(
+      graft.functions.ulid_millis(col("id")),
+      base.toDouble, (base + 16 * step).toDouble, 4)
+    val hDim = pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(16))
+    log.compact(layout = graft.log.CompactionLayout.ZOrder(
+      Seq(tDim, hDim), bitsPerDim = 4, filesPerBucket = 8))
+
+    // committed-view equality through the claim-fenced re-layout (the
+    // raw file view keeps the replaced originals until GC — by design)
+    assert(log.committedEvents.orderBy("id").collect().toSeq === dataBefore)
+    assert(log.stats().doneClaims > claimsBefore,
+      "the re-layout must commit through a rewrite claim")
+    assert(log.stats().replacedAwaitingGc > 0,
+      "replaced pre-layout files await GC, not deletion")
+
+    // measured skipping: a box predicate (2/16 of the time range × one
+    // stream hash) must overlap few file envelopes on BOTH dims at once —
+    // the property neither pure-time nor pure-stream sorting delivers
+    assert(log.gcReplaced(retentionMs = 0L) > 0) // sweep pre-layout files
+    // no checkpoint here: fileEnvelopes groups by input_file_name(), which
+    // only exists while rows still come from the parquet scan
+    val withDims = log.committedEvents
+      .withColumn("t", tDim).withColumn("h", hDim)
+    val env = graft.ops.Layout.fileEnvelopes(withDims, Seq("t", "h")).collect()
+    val nFiles = env.length
+    assert(nFiles >= 4, s"z-layout should emit several files, got $nFiles")
+    val hits = env.count { r =>
+      val (tMin, tMax) = (r.getAs[Long]("min_t"), r.getAs[Long]("max_t"))
+      val (hMin, hMax) = (r.getAs[Int]("min_h"), r.getAs[Int]("max_h"))
+      tMin <= 3 && tMax >= 2 && hMin <= 5 && hMax >= 5
+    }
+    assert(hits * 2 <= nFiles,
+      s"box query must skip at least half the files: hit $hits of $nFiles")
+
+    // appends keep working against the re-laid-out log
+    store.update(f"01HXZORD${0}%018d")(_ =>
+      Seq(AccountType.deposited(5)), nowMs = base + 17 * step)
+    assert(store.retrieve(f"01HXZORD${0}%018d").state.balance === 21)
+  }
+
   test("compact skips files a pending rival rewrite claimed (stale-lock-break race)") {
     // After a stale lock break two compactors can overlap. The loser must
     // NOT re-read files the rival's in-flight claim lists as replaced: if

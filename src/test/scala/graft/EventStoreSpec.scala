@@ -333,6 +333,28 @@ class EventStoreSpec extends AnyFunSuite {
     } finally store.log.spark.conf.unset("graft.migrate.collectMax")
   }
 
+  test("EventLog.migrate's compat collect is capped too; the migration still lands") {
+    val log = freshLog()
+    val store = new EventStore(log, AccountType)
+    val ids = (1 to 3).map(i => f"01HXAMPLELOGCAP0000000000$i%01d")
+    ids.foreach(id => store.create(id, Seq(AccountType.created(10, "o")),
+      nowMs = 1700000000000L))
+    log.spark.conf.set("graft.migrate.collectMax", "2")
+    try {
+      val e = intercept[IllegalStateException] {
+        log.migrate(1, Set("AccountCreated"), evs =>
+          Some(evs.map(r => EventDetail(r.kind, r.body))),
+          nowMs = 1700000002000L)
+      }
+      assert(e.getMessage.contains("migrateDistributed"),
+        "the error must name the scale path")
+      // the cap aborts the driver COLLECT, not the migration — rewrites landed
+      import org.apache.spark.sql.functions.col
+      assert(log.events
+        .filter(col("aggregate_id").isin(ids: _*) && col("migrated")).count() === 3L)
+    } finally log.spark.conf.unset("graft.migrate.collectMax")
+  }
+
   test("M3: upcast-at-read lifts V1 payloads through the chain") {
     val store = new EventStore(freshLog(), AccountV2Type, codec = AccountV2Type.upcasters)
     val id = "01HXAMPLEACCT00000000000E5"

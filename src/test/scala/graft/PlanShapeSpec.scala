@@ -188,6 +188,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
       // a projection and the probe broadcasts — the corpus never reshuffles
       "e8_sq_ann" -> 3,
+      // e11: every exchange is probe-sliver-sized — the query-assign window
+      // (10 rows) repeats textually inside both scans' DPP subqueries and
+      // the candidate broadcast (runtime reuses the exchange), plus the
+      // int-dot candidate window (≤ rerank·k·nq rows) and the final top-k
+      // window; BOTH cell-table scans are dynamicpruning-pruned and the
+      // corpus side is never shuffled (asserted in SkewTextOpsSpec)
+      "e11_ivfsq_ann" -> 7,
       // e9: the returned full-probe plan — query-side cell-assign window,
       // per-query top-k window, and the (tiny) query frame's own exchange;
       // build/append/recluster side effects run eagerly before it

@@ -729,6 +729,58 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "the probe must prune cell partitions dynamically:\n" + plan.take(2000))
   }
 
+  test("IVF-SQ8 index: exhaustive rerank equals the float probe; scans stay pruned") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graftivfsq")
+      .toFile.getAbsolutePath
+    val cents = graft.ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 6)
+    // build on evens, append odds: scale AND centroids freeze at build, so
+    // odd vectors quantize (and clamp) against the even-half scale
+    graft.ops.Similarity.buildIvfSqIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 6, centroids = Some(cents))
+    graft.ops.Similarity.appendToIvfSqIndex(s, idx,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    // rerank·k ≥ the full corpus ⇒ every in-cell candidate is exact-rescored
+    // and the compressed-domain pre-rank cannot evict anything: the output
+    // must be IDENTICAL to the float probe over the same index
+    val sq = graft.ops.Similarity.ivfSqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, rerank = 100)
+    val float = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    val a = sq.orderBy("qid", "rn").collect().toSeq
+    val b = float.orderBy("qid", "rn").collect().toSeq
+    assert(a === b)
+    assert(a.size === 5 * 4)
+    // at a REALISTIC rerank the output is still exact cosines of surviving
+    // candidates: every row must appear in the float probe's full ranking
+    // with the same similarity (the pre-rank selects, never rescores)
+    val tight = graft.ops.Similarity.ivfSqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, rerank = 3)
+    val fullRank = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 1000, nprobe = 2)
+      .select("qid", "vec_id", "sim")
+    assert(tight.count() === 5 * 4)
+    assert(tight.join(fullRank, Seq("qid", "vec_id", "sim"), "left_anti")
+      .count() === 0L, "every rescored sim must be the exact cosine")
+    // plan shape: BOTH reads of the cell table (int8 codes for the pre-rank,
+    // floats for the rescore) carry a dynamic-pruning subquery on the cell
+    // partition column — probe cost scales with nprobe/nlist of the corpus
+    val plan = sq.queryExecution.executedPlan.toString
+    val pruned = "dynamicpruning".r.findAllIn(plan).size
+    assert(pruned >= 2, s"both cell scans must DPP-prune, found $pruned:\n" +
+      plan.take(2000))
+    // the corpus-side scans are never exchanged: every shuffle in the plan
+    // partitions by qid (query- or candidate-sliver-sized frames only)
+    val badExchange = "Exchange hashpartitioning\\((?!qid)".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      "no corpus-sized exchange allowed in the probe plan")
+  }
+
   test("IVF recluster restores recall after drifted appends") {
     val s = spark
     import s.implicits._
