@@ -125,6 +125,17 @@ class GraftEventsTable(
     }
   }
 
+  /** The write leg is V1-fallback-only (the whole batch routes through the
+    * log's DRIVER-side commit protocol — a per-task V2 BatchWrite cannot
+    * claim-fence); without the V1_BATCH_WRITE capability the SQL planner
+    * would call `toBatch` on the write and fail.
+    */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability](super.capabilities())
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+
   /** DSv2 writes (catalog `INSERT INTO` / `DataFrameWriterV2.append`) wrap
     * the same commit-protocol delegate as the V1 fallback: the incoming
     * batch is ingest-shaped rows, versions and ids are minted by the log.
@@ -275,14 +286,34 @@ object GraftWriteSupport {
       discriminatorKeys = discKeys, commitMode = mode)
   }
 
-  def write(spark: SparkSession, df: org.apache.spark.sql.DataFrame, root: String,
-      mode: org.apache.spark.sql.SaveMode, opts: Map[String, String]): Unit = {
+  def write(spark: SparkSession, df0: org.apache.spark.sql.DataFrame, root: String,
+      mode: org.apache.spark.sql.SaveMode, opts0: Map[String, String]): Unit = {
     import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val seqCol = opts0.getOrElse("seqcol", "seq")
+    // ENVELOPE-shaped input (the SQL `INSERT INTO` / CTAS path routes the
+    // table's visible schema here): per-stream order is the existing
+    // version column, event time rides created_at, and the minted columns
+    // (id, hash, flags — placeholders or copies) are dropped; the log
+    // re-mints them, exactly as for ingest-shaped callers.
+    val envelope = !df0.columns.exists(_.equalsIgnoreCase(seqCol)) &&
+      df0.columns.exists(_.equalsIgnoreCase("aggregate_version"))
+    val (df, opts) =
+      if (!envelope) (df0, opts0)
+      else {
+        var d = df0.withColumn(seqCol, col("aggregate_version").cast("long"))
+          .drop("id", "aggregate_id_hash", "aggregate_version",
+            "migration", "migrated", "bucket")
+        val hasTs = df0.columns.exists(_.equalsIgnoreCase("created_at"))
+        if (hasTs && mode == SaveMode.ErrorIfExists && !opts0.contains("timecol")) {
+          d = d.withColumn("__evt_ms", unix_millis(col("created_at"))).drop("created_at")
+          (d, opts0 + ("timecol" -> "__evt_ms"))
+        } else (d.drop("created_at"), opts0)
+      }
     val lower = df.columns.map(_.toLowerCase).toSet
     val missing = RequiredCols.filterNot(lower.contains)
     require(missing.isEmpty, s"graft-events write needs ingest-shaped rows " +
       s"(${RequiredCols.mkString(", ")}); missing: ${missing.mkString(", ")}")
-    val seqCol = opts.getOrElse("seqcol", "seq")
     require(lower.contains(seqCol.toLowerCase), "graft-events write needs a " +
       s"per-stream order column '$seqCol' (override with option seqCol)")
     val log = logFor(spark, root, opts)
@@ -315,10 +346,15 @@ class GraftScanBuilder(
   extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // a brand-new (empty) log has a meta marker but no bucket=N directories
+    // yet: nothing to prune, and a synthesized reference to the absent
+    // partition column would fail the scan's attribute resolution
+    val hasBucketPartition =
+      fileIndex.partitionSchema.fieldNames.exists(_.equalsIgnoreCase("bucket"))
     val derived = numBuckets match {
-      case Some(n) => GraftBucketDerivation.derive(filters,
+      case Some(n) if hasBucketPartition => GraftBucketDerivation.derive(filters,
         () => AttributeReference("bucket", IntegerType)(), n)
-      case None => Nil
+      case _ => Nil
     }
     super.pushFilters(filters ++ derived)
   }

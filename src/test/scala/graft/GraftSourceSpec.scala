@@ -141,9 +141,12 @@ class GraftSourceSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("destructive")), e.toString)
-    // non-ingest-shaped input is rejected before anything touches the log
+    // input with neither a seq column nor the envelope's version column is
+    // rejected before anything touches the log (envelope-shaped frames are
+    // LEGAL since the SQL surface landed: aggregate_version orders them)
     val e2 = intercept[Exception] {
-      facade.limit(1).write.format("graft-events").mode("append").save(root)
+      facade.limit(1).drop("aggregate_version")
+        .write.format("graft-events").mode("append").save(root)
     }
     assert(messages(e2).exists(_.contains("order column")), e2.toString)
   }
@@ -198,6 +201,74 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(committed.count() === 1L, "pending claim files must be hidden")
     val raw = spark.read.format("graft-events").option("committed", "false").load(dir)
     assert(raw.count() === 2L, "raw view on request")
+  }
+
+  test("SQL DDL surface: CREATE/INSERT/CTAS/DROP through the graft catalog, claim-fenced") {
+    val s = spark
+    val wh = Files.createTempDirectory("graftwh").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE graftsql.ns")
+      s.sql("CREATE TABLE graftsql.ns.orders USING `graft-events` OPTIONS (numBuckets 4)")
+      assert(s.sql("SELECT count(*) FROM graftsql.ns.orders").collect()(0).getLong(0) === 0L)
+
+      // ingest via column list: minted columns stay NULL placeholders,
+      // aggregate_version doubles as the per-stream order column
+      s.sql(
+        """INSERT INTO graftsql.ns.orders
+          |  (aggregate_id, aggregate_kind, kind, body, aggregate_version)
+          |SELECT concat('s', id), 'User', 'Evt',
+          |       to_json(named_struct('i', id)), 1
+          |FROM range(20)""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM graftsql.ns.orders").collect()(0).getLong(0) === 20L)
+      // ids/versions were MINTED by the log, not taken from the insert
+      val minted = s.sql(
+        "SELECT id, aggregate_version FROM graftsql.ns.orders WHERE aggregate_id = 's3'").collect()
+      assert(minted.length === 1 && minted(0).getString(0).length === 26 &&
+        minted(0).getInt(1) === 1)
+
+      // the write went through the commit protocol: a claim in the chain
+      val chain = new graft.log.ManifestCommitLog(s, s"$wh/ns/orders")
+      assert(chain.claims().exists(_.done), "SQL insert must commit through a claim")
+
+      // a second insert CONTINUES the stream's versions (minted, not copied)
+      s.sql(
+        """INSERT INTO graftsql.ns.orders
+          |  (aggregate_id, aggregate_kind, kind, body, aggregate_version)
+          |SELECT 's3', 'User', 'Evt', '{}', 2""".stripMargin)
+      assert(s.sql(
+        "SELECT max(aggregate_version) FROM graftsql.ns.orders WHERE aggregate_id = 's3'")
+        .collect()(0).getInt(0) === 2)
+
+      // point queries prune to the stream's bucket directory through SQL
+      val plan = s.sql("SELECT kind FROM graftsql.ns.orders WHERE aggregate_id = 's3'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bucket"), "derived bucket predicate must reach the scan:\n" +
+        plan.take(1500))
+
+      // CTAS: a log-to-log copy in one statement
+      s.sql(
+        """CREATE TABLE graftsql.ns.copy USING `graft-events` OPTIONS (numBuckets 2) AS
+          |SELECT * FROM graftsql.ns.orders""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM graftsql.ns.copy").collect()(0).getLong(0) === 21L)
+      assert(s.sql("SHOW TABLES IN graftsql.ns").collect().map(_.getString(1)).toSet ===
+        Set("orders", "copy"))
+
+      // the SQL-written log IS a native log: EventLog reads it directly
+      val native = new EventLog(s, s"$wh/ns/orders", numBuckets = 4,
+        commitMode = graft.log.CommitMode.Manifest)
+      assert(native.committedEvents.count() === 21L)
+      assert(native.streamEvents("s3").count() === 2L)
+
+      s.sql("DROP TABLE graftsql.ns.copy")
+      assert(s.sql("SHOW TABLES IN graftsql.ns").collect().map(_.getString(1)).toSet ===
+        Set("orders"))
+      intercept[Exception](s.sql("SELECT * FROM graftsql.ns.copy").collect())
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftsql")
+      s.conf.unset("spark.sql.catalog.graftsql.warehouse")
+    }
   }
 
   test("Graft.enable is idempotent") {
