@@ -1094,6 +1094,36 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
     }),
 
+    // ── similarity: persisted IVF-PQ index (build evens → append odds →
+    //    code-only probe with ADC pre-rank and exact rescoring). Coarse
+    //    centroids AND codebooks freeze at build; the oracle re-derives
+    //    the books from the even half only — the same append contract as
+    //    e11, in the 32×-compressed domain.
+    "e13_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte13")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, m = 8, kc = 16,
+        centroids = Some(cents))
+      ops.Similarity.appendToIvfPqIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfPqTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
+    }),
+
+    // ── similarity: product quantization (PQ/ADC) — each 64-dim vector
+    //    becomes 8 one-byte codes (32× compression); queries rank the
+    //    corpus by SUMS OF TABLE LOOKUPS, no float math against the corpus.
+    //    Codebooks are the deterministic first-16 subvector seed, so the
+    //    oracle re-derives codes, tables and ranks declaratively.
+    "e12_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, m = 8, kc = 16)
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2274,6 +2304,87 @@ object SparkEntry {
         |        FROM cand WHERE crn <= 12),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
         |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // e13: e11's IVF structure with e12's PQ arithmetic — codebooks seeded
+    // from the EVEN half only (the build side; the freeze contract under
+    // test), coarse cells from the shared first-8 centroids, candidates the
+    // ADC top rerank·k (= 12) per query over the 2 probed cells, final
+    // top-3 by exact rounded cosine.
+    "e13_ivfpq_ann" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |pcent AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, v
+        |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0
+        |                ORDER BY vec_id LIMIT 16)),
+        |pdists AS (SELECT e.vec_id, s.s, pcent.c,
+        |             round(list_sum(list_transform(generate_series(1, 8), i ->
+        |               (e.v[(s.s-1)*8 + i] - pcent.v[(s.s-1)*8 + i]) *
+        |               (e.v[(s.s-1)*8 + i] - pcent.v[(s.s-1)*8 + i]))), 6) AS d
+        |           FROM e CROSS JOIN generate_series(1, 8) AS s(s) CROSS JOIN pcent),
+        |codes AS (SELECT vec_id, s, c AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        |            FROM pdists)
+        |          WHERE rn = 1),
+        |cassign AS (SELECT vec_id, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, cent_id,
+        |                         round(list_cosine_similarity(v, cent), 6) AS csim
+        |                  FROM e CROSS JOIN cents)),
+        |ccells AS (SELECT e.vec_id, e.v AS ce, a.cell
+        |           FROM e JOIN cassign a ON a.vec_id = e.vec_id AND a.crn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id BETWEEN 100 AND 109),
+        |qassign AS (SELECT qid, qe, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT qid, qe, cent_id,
+        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+        |                  FROM q CROSS JOIN cents)),
+        |qcells AS (SELECT qid, cell FROM qassign WHERE crn <= 2),
+        |qd AS (SELECT vec_id AS qid, s, c, d FROM pdists
+        |       WHERE vec_id BETWEEN 100 AND 109),
+        |pairs AS (SELECT qc.qid, cc.vec_id FROM ccells cc JOIN qcells qc USING (cell)
+        |          WHERE cc.vec_id != qc.qid),
+        |adc AS (SELECT p.qid, p.vec_id, round(sum(qd.d), 6) AS qdist
+        |        FROM pairs p
+        |        JOIN codes co ON co.vec_id = p.vec_id
+        |        JOIN qd ON qd.qid = p.qid AND qd.s = co.s AND qd.c = co.code
+        |        GROUP BY p.qid, p.vec_id),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qdist, vec_id) AS crn
+        |         FROM adc),
+        |res AS (SELECT c.qid, c.vec_id,
+        |          round(list_cosine_similarity(qv.v, cc.ce), 6) AS sim
+        |        FROM cand c
+        |        JOIN ccells cc ON cc.vec_id = c.vec_id
+        |        JOIN e qv ON qv.vec_id = c.qid
+        |        WHERE c.crn <= 12),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
+        |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // e12: the oracle re-derives the PQ codebooks (first-16 subvector seed,
+    // centroid order = vec_id order), the per-(doc, subspace) argmin codes
+    // (rounded squared-L2, ties to the lowest centroid), each query's
+    // distance table, and the ADC rank — sums of table lookups, exactly the
+    // engine's arithmetic with the same round(6) compare convention.
+    "e12_pq_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |dists AS (SELECT e.vec_id, s.s, cent.c,
+        |            round(list_sum(list_transform(generate_series(1, 8), i ->
+        |              (e.v[(s.s-1)*8 + i] - cent.v[(s.s-1)*8 + i]) *
+        |              (e.v[(s.s-1)*8 + i] - cent.v[(s.s-1)*8 + i]))), 6) AS d
+        |          FROM e CROSS JOIN generate_series(1, 8) AS s(s) CROSS JOIN cent),
+        |codes AS (SELECT vec_id, s, c AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        |            FROM dists)
+        |          WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, s, c, d FROM dists WHERE vec_id < 8),
+        |p AS (SELECT qd.qid, codes.vec_id, round(sum(qd.d), 6) AS qdist
+        |      FROM codes JOIN qd ON qd.s = codes.s AND qd.c = codes.code
+        |      WHERE codes.vec_id != qd.qid
+        |      GROUP BY qd.qid, codes.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qdist, vec_id) AS rn FROM p)
+        |SELECT qid, vec_id, qdist, rn::BIGINT AS rn FROM r WHERE rn <= 5""".stripMargin,
 
     "t6_blocklist_scrub" ->
       """SELECT doc_id,

@@ -371,6 +371,18 @@ object Similarity {
           .getField("idx") + 1).as("cell"))
   }
 
+  /** Replace `vecCol` with its L2-normalized copy (zero vectors stay zero).
+    * The norm is computed ONCE into a sibling column, so the per-element
+    * divide stays O(d), not O(d²) of a nested re-aggregation.
+    */
+  private def withNormalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(aggregate(
+        transform(asDouble(col(vecCol)), x => x * x),
+        lit(0d), (a, x) => a + x)))
+      .withColumn(vecCol, transform(asDouble(col(vecCol)),
+        x => when(col("__nrm") === 0d, lit(0d)).otherwise(x / col("__nrm"))))
+      .drop("__nrm")
+
   /** Build and persist an IVF-SQ8 index (the FAISS IVF-SQ design, public
     * technique): like [[buildIvfIndex]] plus a signed-symmetric SQ8 code
     * column `cq` (int8) in the cell table and the global scale at
@@ -380,21 +392,43 @@ object Similarity {
     * dot product; the float column is touched only to exact-rescore the
     * top `rerank·k` candidates. Scale and centroids both FREEZE at build
     * time so appended codes/assignments stay comparable with the build.
+    *
+    * `normalize = true` L2-normalizes vectors BEFORE the scale/codes: the
+    * raw int8 dot product then approximates COSINE, not the inner product,
+    * so on corpora with varying vector norms the pre-rank can no longer be
+    * crowded by large-norm vectors with mediocre angles (the final metric
+    * is cosine either way — the flag only changes what the compressed
+    * pre-rank preserves). The flag persists at `path/sq_meta`; append and
+    * probe read it back, so callers set it ONCE at build.
     */
   def buildIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 8,
-      centroids: Option[DataFrame] = None): Unit = {
+      centroids: Option[DataFrame] = None,
+      normalize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    val c = if (normalize) withNormalized(corpus, vecCol) else corpus
+    val cents = centroids.getOrElse(defaultCentroids(c, idCol, vecCol, nlist))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    sqScale(sqBounds(corpus, vecCol)).write.mode("overwrite")
+    sqScale(sqBounds(c, vecCol)).write.mode("overwrite")
       .parquet(s"$path/sq_scale")
+    import spark.implicits._
+    Seq(normalize).toDF("normalized").write.mode("overwrite")
+      .parquet(s"$path/sq_meta")
     // read the scale back: the persisted row is the single source of truth
     // the append/probe paths will read, so the build assigns from it too
     val scale = spark.read.parquet(s"$path/sq_scale")
-    assignCellsSq(corpus, idCol, vecCol, cents, scale)
+    assignCellsSq(c, idCol, vecCol, cents, scale)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
+
+  /** The build-time normalize flag of a persisted IVF-SQ index; indexes
+    * written before the flag existed read as un-normalized.
+    */
+  private def sqNormalized(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    try spark.read.parquet(s"$path/sq_meta")
+      .collect().headOption.exists(_.getBoolean(0))
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Incrementally index a batch into an IVF-SQ index: assignments against
     * the persisted centroids AND codes against the persisted scale (both
@@ -406,8 +440,81 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
     val scale = spark.read.parquet(s"$path/sq_scale")
-    assignCellsSq(batch, idCol, vecCol, cents, scale)
+    val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
+    assignCellsSq(b, idCol, vecCol, cents, scale)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** IDEMPOTENT per-batch append for continuous ingest (the
+    * `foreachBatch` leg of [[graft.streaming.StreamAggs.indexAtIngest]]):
+    * the batch lands in a side area `path/ingest` PARTITIONED BY
+    * `(b=batchId, cell)` with DYNAMIC partition overwrite — a crash-replay
+    * of the same micro-batch rewrites exactly its own `b=` partitions
+    * (foreachBatch redelivers identical content for a batchId), so
+    * re-delivery can never duplicate a vector, including across a crash
+    * that left a partial first attempt visible. Probes read
+    * `cells ∪ ingest` (each side pruned independently);
+    * [[compactIvfSqIngest]] folds the side area back into the main table
+    * as pure file moves.
+    */
+  def appendBatchToIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val scale = spark.read.parquet(s"$path/sq_scale")
+    val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
+    assignCellsSq(b, idCol, vecCol, cents, scale)
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b", "cell").parquet(s"$path/ingest")
+  }
+
+  /** Fold the streaming-ingest side area into the main cell table as PURE
+    * FILE MOVES — no data rewrite: every parquet file under
+    * `ingest/b=N/cell=X/` renames into `cells/cell=X/` (batch-prefixed so
+    * names stay unique), then the side area is deleted. Each move is a
+    * same-filesystem rename, so a crash mid-compact loses nothing and a
+    * re-run resumes where it stopped — every file is always in exactly one
+    * of the two locations and probes read the union. O(files) metadata
+    * ops, zero bytes rewritten; at 100 TB this runs on the maintenance
+    * cadence (like [[reclusterIvfIndex]], under the caller's claim fence)
+    * to restore the single-table probe plan.
+    */
+  def compactIvfSqIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val ingest = new Path(s"$path/ingest")
+    if (!fs.exists(ingest)) return
+    fs.listStatus(ingest).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("b=")).foreach { bdir =>
+      val bTag = bdir.getPath.getName.stripPrefix("b=")
+      fs.listStatus(bdir.getPath).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("cell=")).foreach { cdir =>
+        val dest = new Path(s"$path/cells/${cdir.getPath.getName}")
+        fs.mkdirs(dest)
+        fs.listStatus(cdir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath,
+                new Path(dest, s"ing-b$bTag-${f.getPath.getName}")))
+              throw new java.io.IOException(s"compact move failed: ${f.getPath}")
+          }
+      }
+    }
+    fs.delete(ingest, true): Unit
+  }
+
+  /** The ingest side area's cell frame, if any — same columns as the main
+    * cell table; probes union it in with its own broadcast join so BOTH
+    * scans keep per-side partition pruning on the cell key.
+    */
+  private def ingestCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/ingest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).drop("b")) else None
   }
 
   /** ANN top-k against a persisted IVF-SQ8 index: queries assign to their
@@ -431,34 +538,53 @@ object Similarity {
     require(rerank >= 1, "rerank must be >= 1")
     val cents = spark.read.parquet(s"$path/centroids")
     val scale = spark.read.parquet(s"$path/sq_scale")
+    // a normalized index quantizes normalized queries (the persisted flag,
+    // set once at build); cosine rescoring below is norm-invariant, so the
+    // flag only affects the compressed-domain pre-rank
+    val qin = if (sqNormalized(spark, path)) withNormalized(queries, vecCol)
+      else queries
     // probe side (tiny by contract): nprobe cells + quantized query codes
-    val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
+    val q = assignCells(qin, idCol, vecCol, cents, "qid", "qe", nprobe)
       .crossJoin(broadcast(scale))
       .select(col("qid"), col("qe"), col("cell"),
         sqLevels(col("qe"), col("__s")).as("qq"))
+    // the streaming-ingest side area (if any) joins as a SEPARATE scan
+    // and unions AFTER the per-side broadcast join, so both scans keep
+    // their own partition pruning on the cell key (a join does not push
+    // through a Union, so pruning a pre-union scan would be lost)
+    val ing = ingestCells(spark, path)
     // compressed-domain scoring scan: codes + id + cell only
-    val codes = spark.read.parquet(s"$path/cells")
+    def codesOf(df: DataFrame) = df
       .select(col("vec_id"), transform(col("cq"), x => x.cast("long")).as("cq"),
         col("cell"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("qscore").desc, col("vec_id"))
     // the candidate sliver carries KEYS ONLY (qid, vec_id, cell) — the
     // query vector would otherwise ride the broadcast rerank·k times per
     // query; it rejoins below from the one-row-per-query frame instead
-    val cand = codes.join(broadcast(q), Seq("cell"))
+    def scoredOf(df: DataFrame) = codesOf(df).join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qscore",
         aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x))
+      .select(col("qid"), col("vec_id"), col("cell"), col("qscore"))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(s"$path/cells"))
+        .unionByName(scoredOf(i)))
+      .getOrElse(scoredOf(spark.read.parquet(s"$path/cells")))
+    val cand = scored
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= k.toLong * rerank)
       .select(col("qid"), col("vec_id"), col("cell"))
     val qvecs = queries.select(col(idCol).as("qid"),
       asDouble(col(vecCol)).as("qe"))
     // exact rescoring of the candidate sliver
-    val floats = spark.read.parquet(s"$path/cells")
+    def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
+      .join(broadcast(cand), Seq("cell", "vec_id"))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(s"$path/cells"))
+        .unionByName(rescoredOf(i)))
+      .getOrElse(rescoredOf(spark.read.parquet(s"$path/cells")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    floats.join(broadcast(cand), Seq("cell", "vec_id"))
+    rescored
       .join(broadcast(qvecs), Seq("qid"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -831,5 +957,220 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("sim")).as("sim"))
+  }
+
+  // ── product quantization (PQ / ADC — the FAISS design, public technique) ──
+
+  /** Driver-side PQ codebooks: `m` subspaces × `kc` centroids each, seeded
+    * from the first `kc` corpus vectors' subvectors (the deterministic
+    * first-k pattern every oracle-checked index here uses — swap in
+    * per-subspace k-means output for production recall without changing
+    * any plan shape). Returns `books(s)(c)` = centroid `c` of subspace `s`.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kc: Int): Array[Array[Array[Double]]] = {
+    val seed = corpus.orderBy(col(idCol)).limit(kc)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seed.length == kc, s"corpus smaller than kc=$kc")
+    val d = seed.head.length
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val sub = d / m
+    Array.tabulate(m)(s => seed.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** Rounded squared-L2 distance of a `sub`-dim slice to a literal centroid
+    * — one fixed left-to-right fold both engines reproduce; the round(6)
+    * makes the downstream argmin compare engine-stable (the same convention
+    * every cosine compare here uses).
+    */
+  private def pqDist(slice0: Column, cent: Array[Double]): Column =
+    round(aggregate(zip_with(slice0, typedLit(cent.toSeq),
+      (a, b) => (a - b) * (a - b)), lit(0d), (acc, x) => acc + x), 6)
+
+  /** PQ-encode: each vector becomes `m` one-byte codes — the 1-based index
+    * of its nearest (squared-L2, first-wins ties) centroid per subspace. A
+    * PURE zero-shuffle projection: at `m=8`, a 64-dim float32 corpus
+    * compresses 32× (256 B → 8 B per vector), the memory-bandwidth shape
+    * that serves ANN over corpora even SQ8 cannot hold.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val v = asDouble(col(vecCol))
+    val code = array((0 until m).map { s =>
+      val sl = slice(v, s * sub + 1, sub)
+      val dists = array(books(s).map(cent => pqDist(sl, cent)): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+    df.select(col(idCol).as("vec_id"), code.as("code"))
+  }
+
+  /** ADC top-k over PQ codes: each query precomputes its `m × kc` distance
+    * table (subspace → centroid → rounded squared-L2); a corpus vector's
+    * approximate distance is the SUM OF `m` TABLE LOOKUPS selected by its
+    * code — no float arithmetic against the corpus at all. Plan: codes are
+    * a zero-shuffle projection (or the persisted table), query tables
+    * broadcast, one per-query top-k window — ranking ascending by the
+    * rounded ADC distance, ties by vec_id. Output `(qid, vec_id, qdist,
+    * rn)`, the e8 shape with distance semantics.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, kc: Int = 16): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kc)
+    pqTopKEncoded(pqEncode(corpus, idCol, vecCol, books),
+      queries, idCol, vecCol, k, books)
+  }
+
+  /** The probe half over pre-encoded codes — the production call: encode +
+    * persist the corpus ONCE (8 B/vector at the defaults), serve every
+    * query batch from pure table lookups.
+    */
+  def pqTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Double]]]): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), pqQueryTable(col(vecCol), books).as("qt"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qdist", pqAdcDist(col("code"), col("qt")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "qdist", "rn")
+  }
+
+  /** A query's `m × kc` ADC distance table as one nested-array column. */
+  private def pqQueryTable(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    val qv = asDouble(vec)
+    array(books.indices.map { s =>
+      val sl = slice(qv, s * sub + 1, sub)
+      array(books(s).map(cent => pqDist(sl, cent)): _*)
+    }: _*)
+  }
+
+  /** The ADC distance: sum of per-subspace table lookups selected by the
+    * code, rounded like every compare in this module.
+    */
+  private def pqAdcDist(code: Column, qt: Column): Column =
+    round(aggregate(zip_with(code, qt,
+      (c, tbl) => element_at(tbl, c)), lit(0d), (acc, x) => acc + x), 6)
+
+  /** Persist PQ codebooks as `(s, c, cent)` rows (the frame shape survives
+    * any engine; order restored on load).
+    */
+  private def writeBooks(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    books.indices.flatMap(s => books(s).indices.map(c =>
+      (s, c, books(s)(c).toSeq))).toDF("s", "c", "cent")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val kc = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Double]](m, kc)
+    rows.foreach { case (s, c, v) => out(s)(c) = v }
+    out
+  }
+
+  /** Build and persist an IVF-PQ index (the full FAISS IVF-PQ serving
+    * shape, public design): `path/centroids` (coarse cells), `path/books`
+    * (PQ codebooks, seeded from the build corpus), and `path/cells` — one
+    * row per vector `(vec_id, ce, code, cell)` PARTITIONED BY cell. The
+    * probe scans only its probed cells' `code` column (8 B/vector at the
+    * defaults — 32× less than float32, the shape that serves ANN over a
+    * corpus even the SQ8 index cannot hold in cache), pre-ranks by ADC
+    * table lookups, and exact-rescored the top `rerank·k` with the float
+    * column. Coarse centroids AND codebooks freeze at build time — the
+    * same agreement contract as [[buildIvfSqIndex]].
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 8, m: Int = 8, kc: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kc)
+    writeBooks(spark, books, s"$path/books")
+    assignCellsPq(corpus, idCol, vecCol, cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Assign + PQ-encode in ONE zero-shuffle projection (the IVF-SQ build
+    * scan's PQ twin): cell id from the codegen nearest-centroid kernel,
+    * code from the literal-codebook argmins, both over the same row.
+    */
+  private def assignCellsPq(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val (ids, mat) = collectCentroids(cents)
+    val sub = books(0)(0).length
+    val v = asDouble(col(vecCol))
+    val code = array(books.indices.map { s =>
+      val sl = slice(v, s * sub + 1, sub)
+      val dists = array(books(s).map(cent => pqDist(sl, cent)): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+    df.select(col(idCol).as("vec_id"), v.as("ce"), code.as("code"),
+      element_at(ids, graft.functions.nearest_centroid(v, mat)
+        .getField("idx") + 1).as("cell"))
+  }
+
+  /** Incrementally index a batch: assignments against the persisted coarse
+    * centroids, codes against the persisted codebooks — both frozen at
+    * build, so appended rows stay comparable with the build.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = readBooks(spark, s"$path/books")
+    assignCellsPq(batch, idCol, vecCol, cents, books)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a persisted IVF-PQ index: queries assign to `nprobe`
+    * cells and precompute their ADC tables against the persisted codebooks;
+    * probed cells are scanned CODE-ONLY (dynamic partition pruning on the
+    * cell key, 8 B/vector), pre-ranked by table-lookup sums, and the top
+    * `rerank·k` candidates are exact-rescored with the float column (same
+    * candidate-sliver broadcast shape as [[ivfSqTopKIndexed]]). Output
+    * `(qid, vec_id, sim, rn)` — exact cosines; with `rerank·k ≥` the probed
+    * cells' population the result is IDENTICAL to the float probe — pinned
+    * by SkewTextOpsSpec ("IVF-PQ index: exhaustive rerank equals the float
+    * probe").
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank must be >= 1")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = readBooks(spark, s"$path/books")
+    // probe side (tiny by contract): nprobe cells + the ADC tables
+    val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
+      .select(col("qid"), col("cell"),
+        pqQueryTable(col("qe"), books).as("qt"))
+    val codes = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("code"), col("cell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
+    val cand = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qdist", pqAdcDist(col("code"), col("qt")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= k.toLong * rerank)
+      .select(col("qid"), col("vec_id"), col("cell"))
+    val qvecs = queries.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qe"))
+    val floats = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("ce"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    floats.join(broadcast(cand), Seq("cell", "vec_id"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "sim", "rn")
   }
 }

@@ -291,6 +291,28 @@ object StreamAggs {
     }
   }
 
+  /** ANN index maintenance at ingest: every micro-batch of embedding rows
+    * appends into a persisted IVF-SQ8 index built beforehand with
+    * [[graft.ops.Similarity.buildIvfSqIndex]] — the continuous-ingest leg
+    * of the index lifecycle (build → ingest → probe → compact →
+    * recluster). Each batch lands via
+    * [[graft.ops.Similarity.appendBatchToIvfSqIndex]]: assignment against
+    * the frozen build-time centroids, codes against the frozen scale, the
+    * write an IDEMPOTENT dynamic overwrite of the batch's own
+    * `b=batchId` partitions — a crash-replayed micro-batch rewrites
+    * exactly itself, so the index never double-counts a vector. Probes
+    * ([[graft.ops.Similarity.ivfSqTopKIndexed]]) see ingested vectors
+    * immediately (main ∪ ingest, both sides pruned);
+    * [[graft.ops.Similarity.compactIvfSqIngest]] folds the side area back
+    * on the maintenance cadence.
+    */
+  def indexAtIngest(stream: DataFrame, idxPath: String, idCol: String,
+      vecCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.ops.Similarity.appendBatchToIvfSqIndex(batch.sparkSession,
+        idxPath, batch.toDF(), idCol, vecCol, batchId)
+    }
+
   def screenNearDupAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

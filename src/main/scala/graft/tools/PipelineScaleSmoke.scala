@@ -398,6 +398,54 @@ object PipelineScaleSmoke {
         s"planted twins must top IVF-SQ8 ranking: got $planted of 2")
     }
 
+    // ── IVF-PQ persisted index at 1M vectors: the 32×-compressed serving
+    // shape (8 one-byte codes per 64-dim vector vs SQ8's 64 bytes). Same
+    // freeze contract (build evens, append odds against persisted
+    // centroids + codebooks), probe ranks by ADC table lookups only.
+    // Recall vs the float probe is measured with rerank slack sized to the
+    // compression: PQ collapses the thin random-vector cosine shell far
+    // harder than SQ8 (4 bits/subspace vs 8 bits/dim), so the pre-rank
+    // needs a wider exact-rescore sliver (rerank=64 → 320 candidates/query
+    // ≈ 2.6% of a probed partition — still a 40× cut of the exact-rescore
+    // work) — exactly the production tuning story the index exists to
+    // support: compression buys bandwidth, rerank buys recall back.
+    {
+      val idx = java.nio.file.Files.createTempDirectory("graftivfpq1m")
+        .toFile.getAbsolutePath
+      val cents = Similarity.farthestFirstCentroidsLocal(
+        Sampling.hashSample(emb1m, "vec_id", 0.02, salt = "c"),
+        "vec_id", "embedding", nlist = 64)
+      time(s"IVF-PQ build evens ($nVecs vectors, 64 cells, m=8 kc=16)") {
+        Similarity.buildIvfPqIndex(emb1m.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, nlist = 64, m = 8, kc = 16,
+          centroids = Some(cents))
+      }
+      time("IVF-PQ append odds (frozen centroids + codebooks)") {
+        Similarity.appendToIvfPqIndex(spark, idx,
+          emb1m.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val q16 = emb1m.filter(col("vec_id") < 16)
+      val float = time("IVF float probe top-5 (16 queries, nprobe=8)") {
+        Similarity.ivfTopKIndexed(spark, idx, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8).localCheckpoint()
+      }
+      val pqp = time("IVF-PQ probe top-5 (16 queries, nprobe=8, rerank=64)") {
+        Similarity.ivfPqTopKIndexed(spark, idx, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 64).localCheckpoint()
+      }
+      val rec = Similarity.recallAtK(float, pqp, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PSCALE   ivf-pq recall@5 vs float probe = $rec%.3f")
+      require(rec >= 0.4, s"IVF-PQ pre-rank recall collapsed: $rec")
+      // a planted near-twin's code equals the query's own argmin code in
+      // (almost) every subspace, so its ADC distance sits at the global
+      // floor — 1-byte-per-subspace ranking must never evict it
+      val planted = pqp.filter(col("qid") % 10 === 1 && col("rn") === 1 &&
+        col("vec_id") === col("qid") - 1).count()
+      require(planted == 2L,
+        s"planted twins must top IVF-PQ ranking: got $planted of 2")
+    }
+
     spark.stop()
   }
 }

@@ -188,6 +188,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // e8: per-dim bounds agg + the scale's single-row agg; quantization is
       // a projection and the probe broadcasts — the corpus never reshuffles
       "e8_sq_ann" -> 3,
+      // e12: PQ codes are a zero-shuffle projection and the query distance
+      // tables broadcast — the only exchange is the per-query top-k window
+      "e12_pq_ann" -> 1,
       // e11: every exchange is probe-sliver-sized — the query-assign window
       // (10 rows) repeats textually inside both scans' DPP subqueries and
       // the candidate broadcast (runtime reuses the exchange), plus the
@@ -195,6 +198,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // window; BOTH cell-table scans are dynamicpruning-pruned and the
       // corpus side is never shuffled (asserted in SkewTextOpsSpec)
       "e11_ivfsq_ann" -> 7,
+      // e13: e11's probe shape with ADC arithmetic — the same probe-sliver
+      // exchanges (query-assign window reused by both DPP subqueries and
+      // the candidate broadcast, ADC candidate window, final top-k window);
+      // the corpus side never shuffles and both cell scans DPP-prune
+      // (asserted in SkewTextOpsSpec)
+      "e13_ivfpq_ann" -> 7,
       // e9: the returned full-probe plan — query-side cell-assign window,
       // per-query top-k window, and the (tiny) query frame's own exchange;
       // build/append/recluster side effects run eagerly before it

@@ -781,6 +781,144 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "no corpus-sized exchange allowed in the probe plan")
   }
 
+  test("IVF-PQ index: exhaustive rerank equals the float probe; scans stay pruned") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graftivfpq")
+      .toFile.getAbsolutePath
+    val cents = graft.ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 6)
+    graft.ops.Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 6, m = 4, kc = 8,
+      centroids = Some(cents))
+    graft.ops.Similarity.appendToIvfPqIndex(s, idx,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    // rerank·k ≥ the corpus ⇒ every in-cell candidate is exact-rescored:
+    // the ADC pre-rank cannot evict anything, output == the float probe
+    val pq = graft.ops.Similarity.ivfPqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, rerank = 100)
+    val float = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    assert(pq.orderBy("qid", "rn").collect().toSeq ===
+      float.orderBy("qid", "rn").collect().toSeq)
+    // realistic rerank: exact cosines of surviving candidates only
+    val tight = graft.ops.Similarity.ivfPqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, rerank = 3)
+    assert(tight.count() === 5 * 4)
+    assert(tight.join(
+        graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+          "vec_id", "embedding", k = 1000, nprobe = 2)
+          .select("qid", "vec_id", "sim"),
+        Seq("qid", "vec_id", "sim"), "left_anti").count() === 0L,
+      "every rescored sim must be the exact cosine")
+    // both cell-table reads (codes for the pre-rank, floats for the
+    // rescore) carry dynamic partition pruning on the cell key
+    val plan = pq.queryExecution.executedPlan.toString
+    assert("dynamicpruning".r.findAllIn(plan).size >= 2,
+      "both cell scans must DPP-prune:\n" + plan.take(2000))
+    val badExchange = "Exchange hashpartitioning\\((?!qid)".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      "no corpus-sized exchange allowed in the probe plan")
+  }
+
+  test("normalized IVF-SQ8 pre-rank survives norm skew that evicts the raw int-dot") {
+    val s = spark
+    import s.implicits._
+    val dims = 16
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val v = Array.fill(dims)(0.0f)
+      parts.foreach { case (i, x) => v(i) = x.toFloat }
+      v
+    }
+    // the ADVICE failure mode, constructed: the true cosine neighbour of
+    // q = e0 is t (same direction, SMALL norm); decoys have 20× the norm at
+    // cosine 0.8, so their RAW int8 dot with q dwarfs t's and the
+    // compressed pre-rank evicts t before rescoring ever sees it
+    val rows = Seq(
+      (0L, vec(0 -> 1.0)),                       // the query
+      (1L, vec(0 -> 0.5)),                       // true neighbour, cosine 1.0
+      (2L, vec(0 -> 16.0, 1 -> 12.0)),           // decoys: norm 20, cosine 0.8
+      (3L, vec(0 -> 16.0, 2 -> 12.0)),
+      (4L, vec(0 -> 16.0, 3 -> 12.0)),
+      (5L, vec(0 -> 16.0, 4 -> 12.0))).toDF("vec_id", "embedding")
+    val q = rows.filter(col("vec_id") === 0)
+
+    def top1(normalize: Boolean): Long = {
+      val idx = java.nio.file.Files.createTempDirectory("graftsqnorm")
+        .toFile.getAbsolutePath
+      graft.ops.Similarity.buildIvfSqIndex(rows, "vec_id", "embedding", idx,
+        nlist = 1, normalize = normalize)
+      graft.ops.Similarity.ivfSqTopKIndexed(s, idx, q, "vec_id", "embedding",
+        k = 1, nprobe = 1, rerank = 2).collect()(0).getLong(1)
+    }
+    // raw inner-product pre-rank: rerank·k = 2 slots fill with decoys
+    assert(top1(normalize = false) != 1L,
+      "fixture must reproduce the norm-crowding failure the flag fixes")
+    // normalized codes approximate cosine: the true neighbour tops the rank
+    assert(top1(normalize = true) === 1L)
+
+    // the flag persists: appends and probes against a normalized index
+    // normalize THEIR side too (an appended twin of t must rank first for
+    // a LARGE-norm query in the same direction)
+    val idx2 = java.nio.file.Files.createTempDirectory("graftsqnorm2")
+      .toFile.getAbsolutePath
+    graft.ops.Similarity.buildIvfSqIndex(rows, "vec_id", "embedding", idx2,
+      nlist = 1, normalize = true)
+    graft.ops.Similarity.appendToIvfSqIndex(s, idx2,
+      Seq((10L, vec(5 -> 0.25))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val bigQ = Seq((20L, vec(5 -> 40.0))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.ivfSqTopKIndexed(s, idx2, bigQ,
+      "vec_id", "embedding", k = 1, nprobe = 1, rerank = 2).collect()
+    assert(got.length === 1 && got(0).getLong(1) === 10L,
+      s"appended normalized vector must top its direction: ${got.mkString}")
+  }
+
+  test("PQ/ADC: seed vectors encode to themselves; an exact twin tops the rank") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 64L).map(i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    // vec 100 is an EXACT copy of vec 3: identical subvectors → identical
+    // codes → identical ADC distance profile from any query
+    val emb = (base :+ (100L, base(3)._2)).toDF("vec_id", "embedding")
+    val books = graft.ops.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, kc = 8)
+    assert(books.length === 4 && books(0).length === 8 && books(0)(0).length === 8)
+    val codes = graft.ops.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // the whole argmin machinery, exactly: seed vector i's own subvector is
+    // at squared-L2 distance 0 in every subspace → code = [i+1, i+1, ...]
+    (0 until 8).foreach { i =>
+      assert(codes(i.toLong) === Seq.fill(4)(i + 1),
+        s"seed $i must encode to itself: ${codes(i.toLong)}")
+    }
+    // 32×-compression invariant: m codes per vector, values in [1, kc]
+    assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 1 && x <= 8)))
+    assert(codes(100L) === codes(3L), "an exact copy must share its twin's code")
+    // ADC ranking: querying vec 3 puts its exact twin first (same code ⇒
+    // same table-lookup sum ⇒ minimal distance, ties by vec_id put 100
+    // behind any other code-equal vector — here there is none)
+    val top = graft.ops.Similarity.pqTopK(emb, emb.filter(col("vec_id") === 3),
+        "vec_id", "embedding", k = 1, m = 4, kc = 8)
+      .collect()(0)
+    assert(top.getLong(1) === 100L, s"twin must top the ADC rank: $top")
+    // and the twin's ADC distance equals vec 3's distance to its own
+    // centroids — the symmetric-approximation floor, not zero
+    val floor = books.indices.map { sIdx =>
+      val sub = base(3)._2.slice(sIdx * 8, sIdx * 8 + 8).map(_.toDouble)
+      val cent = books(sIdx)(codes(3L)(sIdx) - 1)
+      BigDecimal(sub.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    }.sum
+    assert(math.abs(top.getDouble(2) - floor) < 1e-5,
+      s"ADC distance ${top.getDouble(2)} != symmetric floor $floor")
+  }
+
   test("IVF recluster restores recall after drifted appends") {
     val s = spark
     import s.implicits._

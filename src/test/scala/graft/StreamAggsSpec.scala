@@ -447,4 +447,89 @@ class StreamAggsSpec extends AnyFunSuite {
         s"in-distribution max $inMax must beat out-of-distribution min $outMin")
     } finally q.stop()
   }
+
+  test("ANN index at ingest: streamed appends == batch twin, replay is a no-op, compact preserves probes") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftidxing").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = all.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    val b1 = all.filter(_._1 % 3 == 1)
+    val b2 = all.filter(_._1 % 3 == 2)
+    val queries = all.take(5).toDF("vec_id", "embedding")
+
+    // twin index: same build, the two batches appended the batch way
+    graft.ops.Similarity.buildIvfSqIndex(base, "vec_id", "embedding",
+      s"$dir/twin", nlist = 5)
+    graft.ops.Similarity.appendToIvfSqIndex(s, s"$dir/twin",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    graft.ops.Similarity.appendToIvfSqIndex(s, s"$dir/twin",
+      b2.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val want = graft.ops.Similarity.ivfSqTopKIndexed(s, s"$dir/twin",
+      queries, "vec_id", "embedding", k = 4, nprobe = 2, rerank = 3)
+      .orderBy("qid", "rn").collect().toSeq
+
+    // streamed index: identical build, batches arrive as micro-batches
+    graft.ops.Similarity.buildIvfSqIndex(base, "vec_id", "embedding",
+      s"$dir/idx", nlist = 5)
+    b1.toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    val q = StreamAggs.indexAtIngest(
+        s.readStream.schema("vec_id long, embedding array<float>")
+          .parquet(s"$dir/in"),
+        s"$dir/idx", "vec_id", "embedding")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    def probe() = graft.ops.Similarity.ivfSqTopKIndexed(s, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 4, nprobe = 2, rerank = 3)
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want,
+      "probe over main ∪ ingest must equal the batch-append twin")
+    def indexRows() = s.read.parquet(s"$dir/idx/ingest").count() +
+      s.read.parquet(s"$dir/idx/cells").count()
+    val before = indexRows()
+    assert(before === 300L, s"every vector exactly once, got $before")
+    // crash-replay: foreachBatch redelivers a batch under its old batchId —
+    // the dynamic overwrite of b=<id> must leave the index unchanged
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, s"$dir/idx",
+      b2.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 1L)
+    assert(indexRows() === before, "replayed batch must not duplicate rows")
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+    // crashed compact: a previous run died after moving ONE file — replay
+    // the exact move compact performs, then run compact; it must resume
+    // (every file lives in exactly one location throughout) and converge
+    locally {
+      val conf = s.sessionState.newHadoopConf()
+      val ingRoot = new org.apache.hadoop.fs.Path(s"$dir/idx/ingest")
+      val fs = ingRoot.getFileSystem(conf)
+      val bdir = fs.listStatus(ingRoot)
+        .filter(_.getPath.getName.startsWith("b=")).head.getPath
+      val cdir = fs.listStatus(bdir)
+        .filter(_.getPath.getName.startsWith("cell=")).head.getPath
+      val f = fs.listStatus(cdir)
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val bTag = bdir.getName.stripPrefix("b=")
+      val dest = new org.apache.hadoop.fs.Path(
+        s"$dir/idx/cells/${cdir.getName}/ing-b$bTag-${f.getName}")
+      fs.mkdirs(dest.getParent)
+      assert(fs.rename(f, dest), "simulated partial move must succeed")
+    }
+    // compaction: pure file moves fold ingest into cells; probes identical
+    // and the plan is the single-table DPP shape again
+    graft.ops.Similarity.compactIvfSqIngest(s, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/ingest").exists(),
+      "compact must remove the ingest side area")
+    assert(s.read.parquet(s"$dir/idx/cells").count() === 300L)
+    val after = probe()
+    assert(after.orderBy("qid", "rn").collect().toSeq === want,
+      "compaction must not change any probe result")
+    val plan = after.queryExecution.executedPlan.toString
+    assert("dynamicpruning".r.findAllIn(plan).size >= 2,
+      "post-compact probe must DPP-prune both cell scans:\n" + plan.take(2000))
+  }
 }
