@@ -1124,6 +1124,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, m = 8, kc = 16)
     }),
 
+    // ── similarity: per-cell index health — the maintenance scheduler's
+    //    input for the recluster decision. Build evens, append odds against
+    //    the frozen centroids (e11's contract), then report occupancy and
+    //    cosine-to-own-centroid stats per cell; the oracle re-derives every
+    //    assignment and the same rounded stats from the raw table.
+    "e14_index_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte14")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents))
+      ops.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfIndexHealth(s, idx)
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2304,6 +2320,25 @@ object SparkEntry {
         |        FROM cand WHERE crn <= 12),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
         |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // e14: the oracle re-derives every vector's cell (argmax rounded cosine
+    // to the shared first-8 centroids, ties to the lowest cent_id — the
+    // frozen-centroid contract means build AND append rows assign the same
+    // way) and the per-cell occupancy + rounded csim stats.
+    "e14_index_health" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |assign AS (SELECT vec_id, cent_id AS cell, csim,
+        |                  row_number() OVER (PARTITION BY vec_id
+        |                    ORDER BY csim DESC, cent_id) AS crn
+        |           FROM (SELECT e.vec_id, c.cent_id,
+        |                        round(list_cosine_similarity(e.v, c.cent), 6) AS csim
+        |                 FROM e CROSS JOIN cents c))
+        |SELECT cell, count(*)::BIGINT AS n,
+        |       round(avg(csim), 6) AS mean_csim,
+        |       round(min(csim), 6) AS min_csim
+        |FROM assign WHERE crn = 1 GROUP BY cell""".stripMargin,
 
     // e13: e11's IVF structure with e12's PQ arithmetic — codebooks seeded
     // from the EVEN half only (the build side; the freeze contract under

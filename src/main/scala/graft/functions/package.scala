@@ -42,6 +42,13 @@ package object functions {
   def nearest_centroid(vec: Column, cents: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(vec), cents))
 
+  /** Codegen'd product-quantization encoder: array<double> → m 1-based
+    * codes against fixed codebooks — the PQ corpus-encode kernel as a pure
+    * scan projection.
+    */
+  def pq_codes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), books))
+
   /** Codegen'd packed `width`-bit SimHash of an array<string> token column
     * (pure projection — no explode, no shuffle).
     */

@@ -349,10 +349,26 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
+    val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
+    val base = spark.read.parquet(s"$path/cells")
       .select(col("vec_id"), col("ce"), col("cell"))
-    ivfTopKJoin(cells,
-      assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
+    // ingested-but-uncompacted vectors are probe-visible here too (per-side
+    // join under the final window, matching ivfSqTopKIndexed's shape)
+    ingestCells(spark, path) match {
+      case None => ivfTopKJoin(base, q, k)
+      case Some(i) =>
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        def scoredOf(df: DataFrame) = df.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        scoredOf(base)
+          .unionByName(scoredOf(i.select(col("vec_id"), col("ce"), col("cell"))))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= k)
+          .select("qid", "vec_id", "sim", "rn")
+    }
   }
 
   /** Assign + quantize in ONE zero-shuffle projection: the cell id is the
@@ -454,7 +470,7 @@ object Similarity {
     * re-delivery can never duplicate a vector, including across a crash
     * that left a partial first attempt visible. Probes read
     * `cells ∪ ingest` (each side pruned independently);
-    * [[compactIvfSqIngest]] folds the side area back into the main table
+    * [[compactIvfIngest]] folds the side area back into the main table
     * as pure file moves.
     */
   def appendBatchToIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -480,7 +496,7 @@ object Similarity {
     * cadence (like [[reclusterIvfIndex]], under the caller's claim fence)
     * to restore the single-table probe plan.
     */
-  def compactIvfSqIngest(spark: org.apache.spark.sql.SparkSession,
+  def compactIvfIngest(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -616,7 +632,14 @@ object Similarity {
   def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       nlist: Int = 8, iters: Int = 2, sampleRate: Double = 1.0): Unit = {
     import org.apache.hadoop.fs.Path
-    val live = spark.read.parquet(s"$path/cells").select(col("vec_id"), col("ce"))
+    // fold any streaming-ingest side area in FIRST: the rewrite below
+    // retrains centroids and reassigns from `cells` only — an unfolded
+    // ingest area would keep unioning into probes with cell ids from the
+    // RETIRED geometry (wrong cells probed, vectors invisible at the right
+    // ones). Compaction is pure file moves, so this costs metadata only.
+    compactIvfIngest(spark, path)
+    val full = spark.read.parquet(s"$path/cells")
+    val live = full.select(col("vec_id"), col("ce"))
     val sample =
       if (sampleRate >= 1.0) live
       else Sampling.hashSample(live, "vec_id", sampleRate, salt = "ivf-recluster")
@@ -624,7 +647,15 @@ object Similarity {
     // materialized and the staged writes below never re-read live dirs lazily
     val cents = kmeansCentroids(sample, "vec_id", "ce", nlist, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids_rebuild")
-    assignCells(live, "vec_id", "ce", cents, "vec_id", "ce", 1)
+    // preserve the compressed columns of an SQ8/PQ index through the
+    // rewrite: codes depend only on the FROZEN scale/codebooks, never on
+    // the coarse centroids, so reassigning cells cannot change them — one
+    // zero-shuffle projection re-derives the cell over ALL existing
+    // columns (the same codegen kernel assignCells uses)
+    val (ids, mat) = collectCentroids(cents)
+    full.drop("cell")
+      .withColumn("cell", element_at(ids,
+        graft.functions.nearest_centroid(col("ce"), mat).getField("idx") + 1))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_rebuild")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     Seq("centroids", "cells").foreach { t =>
@@ -635,6 +666,51 @@ object Similarity {
         throw new java.io.IOException(s"recluster swap failed for $liveP")
       fs.delete(old, true): Unit
     }
+  }
+
+  /** Per-cell health of a persisted IVF-family index (plain, SQ8, or PQ —
+    * all cell tables share `(vec_id, ce, cell)`): occupancy and
+    * cosine-to-own-centroid stats per cell, the numbers a maintenance
+    * scheduler watches to decide WHEN [[reclusterIvfIndex]] is due. Drift
+    * shows up here before recall decays: appended vectors far from every
+    * frozen centroid drag their cell's `mean_csim`/`min_csim` down, and a
+    * hot cell's `n` ballooning past its peers means probe work skews. One
+    * scan + one nlist-sized aggregate (the centroid join broadcasts);
+    * includes the streaming-ingest side area when present. Output
+    * `(cell, n, mean_csim, min_csim)`.
+    */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val base = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("ce"), col("cell"))
+    val cells = ingestCells(spark, path)
+      .map(i => base.unionByName(i.select(col("vec_id"), col("ce"), col("cell"))))
+      .getOrElse(base)
+    cells.join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("csim", round(cosine(col("ce"), col("cent")), 6))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("csim")), 6).as("mean_csim"),
+        round(min(col("csim")), 6).as("min_csim"))
+  }
+
+  /** The recluster trigger: true when the index has drifted past the
+    * caller's fences — a cell holds more than `maxSkew`× the mean
+    * occupancy (probe work skews to hot cells), or any cell's mean
+    * cosine-to-centroid fell below `minMeanCsim` (appends no longer
+    * resemble the build distribution, the recall-decay precursor
+    * [[reclusterIvfIndex]] repairs). Collects only the nlist-row health
+    * frame — bounded by contract, never corpus-sized.
+    */
+  def shouldRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSkew: Double = 4.0, minMeanCsim: Double = -1.0): Boolean = {
+    val h = ivfIndexHealth(spark, path).collect()
+    if (h.isEmpty) return false
+    val ns = h.map(_.getAs[Long]("n"))
+    val meanN = ns.sum.toDouble / ns.length
+    ns.max > maxSkew * meanN ||
+      h.map(_.getAs[Double]("mean_csim")).min < minMeanCsim
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
@@ -995,17 +1071,9 @@ object Similarity {
     * that serves ANN over corpora even SQ8 cannot hold.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
-    val sub = books(0)(0).length
-    val v = asDouble(col(vecCol))
-    val code = array((0 until m).map { s =>
-      val sl = slice(v, s * sub + 1, sub)
-      val dists = array(books(s).map(cent => pqDist(sl, cent)): _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }: _*)
-    df.select(col(idCol).as("vec_id"), code.as("code"))
-  }
+      books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      graft.functions.pq_codes(asDouble(col(vecCol)), books).as("code"))
 
   /** ADC top-k over PQ codes: each query precomputes its `m × kc` distance
     * table (subspace → centroid → rounded squared-L2); a corpus vector's
@@ -1107,14 +1175,9 @@ object Similarity {
   private def assignCellsPq(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
     val (ids, mat) = collectCentroids(cents)
-    val sub = books(0)(0).length
     val v = asDouble(col(vecCol))
-    val code = array(books.indices.map { s =>
-      val sl = slice(v, s * sub + 1, sub)
-      val dists = array(books(s).map(cent => pqDist(sl, cent)): _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }: _*)
-    df.select(col(idCol).as("vec_id"), v.as("ce"), code.as("code"),
+    df.select(col(idCol).as("vec_id"), v.as("ce"),
+      graft.functions.pq_codes(v, books).as("code"),
       element_at(ids, graft.functions.nearest_centroid(v, mat)
         .getField("idx") + 1).as("cell"))
   }
@@ -1129,6 +1192,23 @@ object Similarity {
     val books = readBooks(spark, s"$path/books")
     assignCellsPq(batch, idCol, vecCol, cents, books)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** The IVF-PQ twin of [[appendBatchToIvfSqIndex]]: an IDEMPOTENT
+    * per-micro-batch append into `path/ingest` partitioned by
+    * `(b=batchId, cell)` with dynamic overwrite — crash-replay rewrites
+    * exactly its own partitions. Same layout, so the same
+    * [[compactIvfIngest]] folds it back as pure file moves.
+    */
+  def appendBatchToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = readBooks(spark, s"$path/books")
+    assignCellsPq(batch, idCol, vecCol, cents, books)
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b", "cell").parquet(s"$path/ingest")
   }
 
   /** ANN top-k against a persisted IVF-PQ index: queries assign to `nprobe`
@@ -1152,21 +1232,33 @@ object Similarity {
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
       .select(col("qid"), col("cell"),
         pqQueryTable(col("qe"), books).as("qt"))
-    val codes = spark.read.parquet(s"$path/cells")
+    // streaming-ingest side area joins as its own scan (per-side DPP, as
+    // in ivfSqTopKIndexed — a join does not push through a Union)
+    val ing = ingestCells(spark, path)
+    def scoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("code"), col("cell"))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
-    val cand = codes.join(broadcast(q), Seq("cell"))
+      .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qdist", pqAdcDist(col("code"), col("qt")))
+      .select(col("qid"), col("vec_id"), col("cell"), col("qdist"))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(s"$path/cells"))
+        .unionByName(scoredOf(i)))
+      .getOrElse(scoredOf(spark.read.parquet(s"$path/cells")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
+    val cand = scored
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= k.toLong * rerank)
       .select(col("qid"), col("vec_id"), col("cell"))
     val qvecs = queries.select(col(idCol).as("qid"),
       asDouble(col(vecCol)).as("qe"))
-    val floats = spark.read.parquet(s"$path/cells")
+    def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
+      .join(broadcast(cand), Seq("cell", "vec_id"))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(s"$path/cells"))
+        .unionByName(rescoredOf(i)))
+      .getOrElse(rescoredOf(spark.read.parquet(s"$path/cells")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    floats.join(broadcast(cand), Seq("cell", "vec_id"))
+    rescored
       .join(broadcast(qvecs), Seq("qid"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))

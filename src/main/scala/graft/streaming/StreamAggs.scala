@@ -303,13 +303,20 @@ object StreamAggs {
     * exactly itself, so the index never double-counts a vector. Probes
     * ([[graft.ops.Similarity.ivfSqTopKIndexed]]) see ingested vectors
     * immediately (main ∪ ingest, both sides pruned);
-    * [[graft.ops.Similarity.compactIvfSqIngest]] folds the side area back
+    * [[graft.ops.Similarity.compactIvfIngest]] folds the side area back
     * on the maintenance cadence.
     */
   def indexAtIngest(stream: DataFrame, idxPath: String, idCol: String,
       vecCol: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      graft.ops.Similarity.appendBatchToIvfSqIndex(batch.sparkSession,
+      val s = batch.sparkSession
+      // route on the persisted layout: a PQ index carries codebooks at
+      // `books`, an SQ8 index its scale at `sq_scale` — set once at build
+      val p = new org.apache.hadoop.fs.Path(s"$idxPath/books")
+      val isPq = p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+      if (isPq) graft.ops.Similarity.appendBatchToIvfPqIndex(s,
+        idxPath, batch.toDF(), idCol, vecCol, batchId)
+      else graft.ops.Similarity.appendBatchToIvfSqIndex(s,
         idxPath, batch.toDF(), idCol, vecCol, batchId)
     }
 

@@ -191,6 +191,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // e12: PQ codes are a zero-shuffle projection and the query distance
       // tables broadcast — the only exchange is the per-query top-k window
       "e12_pq_ann" -> 1,
+      // e14: one cell-table scan, centroids broadcast, one nlist-keyed
+      // aggregate (partial before the exchange)
+      "e14_index_health" -> 1,
       // e11: every exchange is probe-sliver-sized — the query-assign window
       // (10 rows) repeats textually inside both scans' DPP subqueries and
       // the candidate broadcast (runtime reuses the exchange), plus the

@@ -92,6 +92,44 @@ class SimExprSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_codes == the declarative aggregate/zip_with argmin, ties to lowest, null-safe") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val m = 4
+    val sub = 4
+    val books = Array.tabulate(m)(_ =>
+      Array.tabulate(6)(_ => Array.fill(sub)(rnd.nextGaussian())))
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(m * sub)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "v")
+    // the declarative twin — EXACTLY the arithmetic the e12/e13 oracles
+    // mirror: rounded left-to-right squared-L2 fold per centroid,
+    // array_position of array_min (first-wins ties)
+    val decl = array(books.indices.map { sIdx =>
+      val sl = slice(col("v"), sIdx * sub + 1, sub)
+      val dists = array(books(sIdx).map { cent =>
+        round(aggregate(zip_with(sl, typedLit(cent.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0d), (acc, x) => acc + x), 6)
+      }: _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }: _*)
+    val both = df.select(col("vec_id"),
+        graft.functions.pq_codes(col("v"), books).as("kernel"),
+        decl.as("decl"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+      s"codes diverge for vec ${r.getLong(0)}"))
+    // tie to the LOWEST code: duplicate centroid 0 as centroid 3 — a vector
+    // equidistant to both must encode to 1, never 4
+    val tieBooks = books.map(bs => bs.updated(3, bs(0).clone()))
+    val tied = Seq((0L, books.flatMap(_(0)).toSeq)).toDF("vec_id", "v")
+      .select(graft.functions.pq_codes(col("v"), tieBooks)).head().getSeq[Int](0)
+    assert(tied === Seq.fill(m)(1), s"ties must keep the lowest code: $tied")
+    // null vector → null codes
+    assert(Seq((0L, Option.empty[Seq[Double]])).toDF("vec_id", "v")
+      .select(graft.functions.pq_codes(col("v"), books)).head().isNullAt(0))
+  }
+
   test("expressions evaluate identically with codegen disabled (interpreted path)") {
     val s = spark
     import s.implicits._
@@ -101,13 +139,15 @@ class SimExprSpec extends AnyFunSuite {
       .toDF("a", "b", "sa", "sb", "ws")
     val mhA = Seq(1299721L, 50331653L)
     val mhC = Seq(104729L, 15485863L)
+    val pqBooks = Array(Array(Array(0.0, 0.0, 0.0), Array(0.3, -0.7, 2.0)))
     def run(): Seq[Any] = {
       val r = df.select(cosine_sim($"a", $"b"), jaccard_sim($"sa", $"sb"),
         graft.functions.simhash_packed($"ws", 64),
         graft.functions.minhash_sigs($"sa", mhA, mhC, 2147483647L),
-        graft.functions.minhash_shingle_sigs($"ws", 3, mhA, mhC, 2147483647L)).head()
+        graft.functions.minhash_shingle_sigs($"ws", 3, mhA, mhC, 2147483647L),
+        graft.functions.pq_codes($"a", pqBooks)).head()
       Seq(r.getDouble(0), r.getDouble(1), r.getLong(2),
-        r.getSeq[Long](3), r.getSeq[Long](4))
+        r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Int](5))
     }
     val withCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -954,7 +954,20 @@ class SkewTextOpsSpec extends AnyFunSuite {
     // true neighbours (other drift vectors) split across both → recall decays
     val before = meanRecall()
     assert(before < 0.9, f"drifted appends should hurt nprobe=1 recall, got $before%.3f")
+    // the health view sees the drift BEFORE recall is measured in anger:
+    // cells that swallowed the between-centroids cluster show a depressed
+    // mean cosine-to-centroid, and the trigger fires on the caller's fence
+    val health = Similarity.ivfIndexHealth(s, idx).collect()
+    assert(health.length === 4)
+    assert(health.map(_.getAs[Long]("n")).sum === 340L,
+      "health must count every vector exactly once")
+    assert(health.map(_.getAs[Double]("mean_csim")).min < 0.95,
+      "drifted cells must show a depressed mean cosine-to-centroid")
+    assert(Similarity.shouldRecluster(s, idx, minMeanCsim = 0.95),
+      "the trigger must fire on the drifted index")
     Similarity.reclusterIvfIndex(s, idx, nlist = 5)
+    assert(!Similarity.shouldRecluster(s, idx, minMeanCsim = 0.95),
+      "after recluster every cell is tight again — the trigger must clear")
     val after = meanRecall()
     assert(after >= 0.95 && after > before,
       f"recluster must restore recall: before=$before%.3f after=$after%.3f")

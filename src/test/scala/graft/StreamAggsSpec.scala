@@ -521,7 +521,7 @@ class StreamAggsSpec extends AnyFunSuite {
     }
     // compaction: pure file moves fold ingest into cells; probes identical
     // and the plan is the single-table DPP shape again
-    graft.ops.Similarity.compactIvfSqIngest(s, s"$dir/idx")
+    graft.ops.Similarity.compactIvfIngest(s, s"$dir/idx")
     assert(!new java.io.File(s"$dir/idx/ingest").exists(),
       "compact must remove the ingest side area")
     assert(s.read.parquet(s"$dir/idx/cells").count() === 300L)
@@ -531,5 +531,74 @@ class StreamAggsSpec extends AnyFunSuite {
     val plan = after.queryExecution.executedPlan.toString
     assert("dynamicpruning".r.findAllIn(plan).size >= 2,
       "post-compact probe must DPP-prune both cell scans:\n" + plan.take(2000))
+  }
+
+  test("PQ index at ingest: indexAtIngest routes on the layout, streamed == batch twin") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftpqing").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(29)
+    val all = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val b1 = all.filter(_._1 % 2 == 1)
+    val queries = all.take(4).toDF("vec_id", "embedding")
+
+    graft.ops.Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+      s"$dir/twin", nlist = 5, m = 4, kc = 8)
+    graft.ops.Similarity.appendToIvfPqIndex(s, s"$dir/twin",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val want = graft.ops.Similarity.ivfPqTopKIndexed(s, s"$dir/twin",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
+      .orderBy("qid", "rn").collect().toSeq
+
+    graft.ops.Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+      s"$dir/idx", nlist = 5, m = 4, kc = 8)
+    b1.toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    // the SAME indexAtIngest entry as the SQ8 test: it must detect the PQ
+    // layout (books present) and encode with the persisted codebooks
+    val q = StreamAggs.indexAtIngest(
+        s.readStream.schema("vec_id long, embedding array<float>")
+          .parquet(s"$dir/in"),
+        s"$dir/idx", "vec_id", "embedding")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try q.processAllAvailable() finally q.stop()
+    def probe() = graft.ops.Similarity.ivfPqTopKIndexed(s, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want,
+      "PQ probe over main ∪ ingest must equal the batch-append twin")
+    // replay no-op, then compact (same generic file-move fold as SQ8)
+    graft.ops.Similarity.appendBatchToIvfPqIndex(s, s"$dir/idx",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 0L)
+    assert(s.read.parquet(s"$dir/idx/ingest").count() === 100L)
+    graft.ops.Similarity.compactIvfIngest(s, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/ingest").exists())
+    assert(s.read.parquet(s"$dir/idx/cells").count() === 200L)
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+
+    // recluster with a PENDING ingest area: it must fold the side area
+    // FIRST (an unfolded area would keep unioning into probes with cell
+    // ids from the retired geometry) and PRESERVE the code column through
+    // the rewrite (codes depend on the frozen books, not the centroids)
+    val extra = (300L until 320L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    graft.ops.Similarity.appendBatchToIvfPqIndex(s, s"$dir/idx",
+      extra.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 1L)
+    graft.ops.Similarity.reclusterIvfIndex(s, s"$dir/idx", nlist = 5)
+    assert(!new java.io.File(s"$dir/idx/ingest").exists(),
+      "recluster must fold the ingest side area before the rewrite")
+    assert(s.read.parquet(s"$dir/idx/cells").count() === 220L,
+      "no vector may be lost through fold + recluster")
+    // the compressed probe still serves: a full probe (every cell,
+    // exhaustive rerank) must equal the exact cosine scan — any dropped
+    // code column or stale assignment breaks this identity
+    val fullProbe = graft.ops.Similarity.ivfPqTopKIndexed(s, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 5, rerank = 100)
+    val exact = graft.ops.Similarity.cosineTopK(
+      (all ++ extra).toDF("vec_id", "embedding"), queries,
+      "vec_id", "embedding", 3)
+    assert(fullProbe.orderBy("qid", "rn").collect().toSeq ===
+      exact.orderBy("qid", "rn").collect().toSeq)
   }
 }
