@@ -375,6 +375,36 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // ── TPC-H Q19 shape: disjunctive multi-column predicate over a
+    //    broadcast fact⋈dim join — the OR-of-ANDs mixes join-side and
+    //    fact-side columns, so it can only apply POST-join; the partial
+    //    per-brand conjuncts (p_brand ∈ …, quantity ranges) still prune.
+    //    Exact decimal sum (q6's convention) keeps the compare order-free.
+    "q19_disjunctive_pred" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ── TPC-H Q4 shape: EXISTS → left-semi join, then grouped rollup —
+    //    the semi-join never duplicates an order however many matching
+    //    lineitems exist (a plain join + distinct would pay a dedup).
+    "q4_priority_exists" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     // ── A1: per-stream ORDERED fold (the event-sourcing core) ─────────────
     // (eventstore.go:249-300) — typed sorted-group fold, no collect_list
     // materialization: balance resets on 'error', accumulates purchases.
@@ -2512,6 +2542,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q19_disjunctive_pred" ->
+      """SELECT (sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)))::DOUBLE AS revenue,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
     "e4_ann_recall" -> {
       val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, 1, 8, 64)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -530,7 +530,16 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$path/ingest")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).drop("b")) else None
+    // a compact that crashed AFTER its last file move but BEFORE deleting
+    // the side area leaves an empty directory tree: every vector already
+    // lives in `cells`, so probes must treat it as absent (a bare read
+    // would fail schema inference and take every probe down with it)
+    def hasData(d: Path): Boolean = fs.listStatus(d).exists(s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && hasData(s.getPath)))
+    if (fs.exists(p) && hasData(p))
+      Some(spark.read.parquet(p.toString).drop("b"))
+    else None
   }
 
   /** ANN top-k against a persisted IVF-SQ8 index: queries assign to their

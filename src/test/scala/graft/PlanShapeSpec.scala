@@ -218,6 +218,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // broadcasts the sliver at runtime); top-k is TakeOrdered, no range
       // exchange
       "q18_big_orders" -> 1,
+      // q19: part broadcasts, the OR-of-ANDs is a post-join filter, the
+      // global agg is partial + SinglePartition (not a hash exchange)
+      "q19_disjunctive_pred" -> 0,
+      // q4: the R-filtered key sliver broadcasts into the semi join; the
+      // only hash exchange is the per-priority rollup
+      "q4_priority_exists" -> 1,
       // w9: one documents scan; fingerprint-survivor window + per-source
       // rollup are the only data shuffles (split filter is a projection)
       "w9_pipeline_e2e" -> 2)

@@ -531,6 +531,16 @@ class StreamAggsSpec extends AnyFunSuite {
     val plan = after.queryExecution.executedPlan.toString
     assert("dynamicpruning".r.findAllIn(plan).size >= 2,
       "post-compact probe must DPP-prune both cell scans:\n" + plan.take(2000))
+    // compact crashed after its LAST move but before deleting the side
+    // area: the empty directory tree must read as "no ingest" (not a
+    // schema-inference failure taking every probe down), and a compact
+    // re-run cleans it up
+    assert(new java.io.File(s"$dir/idx/ingest/b=9/cell=3").mkdirs())
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want,
+      "an empty ingest tree must be probe-invisible")
+    graft.ops.Similarity.compactIvfIngest(s, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/ingest").exists(),
+      "compact re-run must clear the leftover empty tree")
   }
 
   test("PQ index at ingest: indexAtIngest routes on the layout, streamed == batch twin") {
