@@ -1124,6 +1124,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
     }),
 
+    // ── similarity: NORMALIZED IVF-SQ8 index — e11's lifecycle with
+    //    normalize = true, so the int8 pre-rank approximates COSINE. The
+    //    oracle re-derives the normalization, the even-half scale over the
+    //    NORMALIZED evens, and both code sets from normalized vectors;
+    //    final sims are exact cosines of the RAW query against the stored
+    //    (normalized) corpus vector — cosine is norm-invariant, so the
+    //    values equal the raw-against-raw ranking.
+    "e15_ivfsq_norm" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte15")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfSqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents),
+        normalize = true)
+      ops.Similarity.appendToIvfSqIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfSqTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 2, rerank = 4)
+    }),
+
     // ── similarity: persisted IVF-PQ index (build evens → append odds →
     //    code-only probe with ADC pre-rank and exact rescoring). Coarse
     //    centroids AND codebooks freeze at build; the oracle re-derives
@@ -2348,6 +2369,61 @@ object SparkEntry {
         |         FROM scored),
         |res AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
         |        FROM cand WHERE crn <= 12),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
+        |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // e15: e11's oracle over NORMALIZED vectors — norm via the same
+    // left-to-right sum of squares, zero vectors pass through; the scale
+    // comes from the normalized EVEN half, codes (corpus and query) from
+    // normalized vectors, cell assignment from the normalized operands
+    // (cosine is norm-invariant, but the rounding must see the engine's
+    // exact inputs), and the final rescore pairs the RAW query with the
+    // stored normalized corpus vector.
+    "e15_ivfsq_norm" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |en AS (SELECT vec_id,
+        |         CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+        |              ELSE list_transform(v, x -> x / nrm) END AS v
+        |       FROM (SELECT vec_id, v,
+        |               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |             FROM e)),
+        |bidx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM en
+        |         WHERE vec_id % 2 = 0),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM bidx GROUP BY i),
+        |b AS (SELECT max(greatest(abs(mn), abs(mx))) AS s FROM dims),
+        |q8 AS (SELECT vec_id, v,
+        |         list_transform(generate_series(1, len(v)), i ->
+        |           CASE WHEN s = 0 THEN 0
+        |                ELSE least(greatest(floor(v[i] * 127 / s + 0.5)::BIGINT, -127), 127)
+        |           END) AS qv
+        |       FROM en CROSS JOIN b),
+        |cassign AS (SELECT vec_id, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, cent_id,
+        |                         round(list_cosine_similarity(v, cent), 6) AS csim
+        |                  FROM en CROSS JOIN cents)),
+        |ccells AS (SELECT c.vec_id, c.v AS ce, c.qv AS cq, a.cell
+        |           FROM q8 c JOIN cassign a ON a.vec_id = c.vec_id AND a.crn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qe, qv AS qq FROM q8
+        |      WHERE vec_id BETWEEN 100 AND 109),
+        |qassign AS (SELECT qid, qe, qq, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT qid, qe, qq, cent_id,
+        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+        |                  FROM q CROSS JOIN cents)),
+        |qcells AS (SELECT qid, qq, cell FROM qassign WHERE crn <= 2),
+        |scored AS (SELECT qid, c.vec_id, c.ce,
+        |             list_sum(list_transform(generate_series(1, len(qq)),
+        |               i -> qq[i] * c.cq[i]))::BIGINT AS qscore
+        |           FROM qcells JOIN ccells c USING (cell) WHERE c.vec_id != qid),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, vec_id) AS crn
+        |         FROM scored),
+        |res AS (SELECT cand.qid, cand.vec_id,
+        |          round(list_cosine_similarity(raw.v, cand.ce), 6) AS sim
+        |        FROM cand JOIN e raw ON raw.vec_id = cand.qid
+        |        WHERE cand.crn <= 12),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM res)
         |SELECT qid, vec_id, sim, rn::BIGINT AS rn FROM r WHERE rn <= 3""".stripMargin,
 

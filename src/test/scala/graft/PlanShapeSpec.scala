@@ -201,6 +201,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // window; BOTH cell-table scans are dynamicpruning-pruned and the
       // corpus side is never shuffled (asserted in SkewTextOpsSpec)
       "e11_ivfsq_ann" -> 7,
+      // e15: e11's probe with the normalize flag on — normalization is a
+      // pure projection, so the exchange inventory is identical
+      "e15_ivfsq_norm" -> 7,
       // e13: e11's probe shape with ADC arithmetic — the same probe-sliver
       // exchanges (query-assign window reused by both DPP subqueries and
       // the candidate broadcast, ADC candidate window, final top-k window);
