@@ -396,6 +396,31 @@ object PipelineScaleSmoke {
         col("vec_id") === col("qid") - 1).count()
       require(planted == 2L,
         s"planted twins must top IVF-SQ8 ranking: got $planted of 2")
+
+      // the normalize flag at 1M: the float probe ranks by COSINE, the raw
+      // int8 pre-rank by INNER PRODUCT — even this corpus's mild norm
+      // spread rounds enough agreement away that raw recall sits at ~0.888;
+      // cosine-preserving codes close the metric mismatch entirely
+      // (measured 1.000 at rerank=4). The adversarial norm-skew case is
+      // spec'd in SkewTextOpsSpec; this pins the at-scale gain.
+      val idxN = java.nio.file.Files.createTempDirectory("graftivfsqn1m")
+        .toFile.getAbsolutePath
+      time(s"IVF-SQ8 build NORMALIZED evens + append odds") {
+        Similarity.buildIvfSqIndex(emb1m.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idxN, nlist = 64, centroids = Some(cents),
+          normalize = true)
+        Similarity.appendToIvfSqIndex(spark, idxN,
+          emb1m.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val sqn = time("IVF-SQ8 normalized probe top-5 (16 queries, nprobe=8, rerank=4)") {
+        Similarity.ivfSqTopKIndexed(spark, idxN, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 4).localCheckpoint()
+      }
+      val recN = Similarity.recallAtK(float, sqn, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PSCALE   ivf-sq8 NORMALIZED recall@5 vs float probe = $recN%.3f")
+      require(recN >= rec,
+        f"normalized pre-rank must match or beat the raw int-dot: $recN%.3f vs $rec%.3f")
     }
 
     // ── IVF-PQ persisted index at 1M vectors: the 32×-compressed serving
