@@ -237,6 +237,43 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // ── O1: ops observability — per-partition projection lag over a REAL
+    //    catchup (projection/projection.go:295-317 resume tokens, graded
+    //    like a data query). Import the events table into a throwaway log
+    //    (historical ULID times from ts), run Projector.catchup with the
+    //    clock FROZEN at Jan 15, and report per dedup partition: events
+    //    covered, the LAG (committed events past the saved watermark a live
+    //    stream would still deliver), the newest event time, and the
+    //    checkpointed watermark time read back from the token table. The
+    //    oracle re-derives partitions from the FNV hash (p1's formula) and
+    //    the lag from the time cutoff — ULID order == time order, so
+    //    `id > timeMax(cutoff)` ⟺ `epoch_ms(ts) > cutoff`. This gates the
+    //    ops surface (bulkImport → catchup → CheckpointStore round trip)
+    //    with the same hash-match rigor as the data queries.
+    "o1_lag_stats" -> ((s, dir) => {
+      val tmp = tempLogDir("grafto1")
+      val log = new graft.log.EventLog(s, tmp, numBuckets = 8, ulidSeed = Some(91L))
+      log.bulkImport(eventsImportBatch(s, dir), seqCol = "seq", timeCol = Some("tms"))
+      val proj = new graft.streaming.Projector(log, "o1", s"$tmp/proj",
+        partitions = 4, untilOffsetMs = 0L)
+      val cutoffMs = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli
+      proj.catchup(_ => (), nowMs = cutoffMs)
+      import s.implicits._
+      val tokens = proj.checkpoints.load("o1").toSeq
+        .collect { case (p, c) if p > 0 => (p.toLong, c.event_id) }
+        .toDF("partition", "chk_id")
+      log.activeEvents
+        .select(col("id"), col("aggregate_id_hash"))
+        .withColumn("partition",
+          graft.functions.calc_partition(col("aggregate_id_hash"), 4).cast("long"))
+        .join(broadcast(tokens), Seq("partition"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("id") > col("chk_id"), 1L).otherwise(0L)).as("lag"),
+          max(graft.functions.ulid_millis(col("id"))).as("max_t_ms"),
+          max(graft.functions.ulid_millis(col("chk_id"))).as("chk_t_ms"))
+    }),
+
     // ── W2: per-stream version assignment (ordered sequence) ──────────────
     // (store/postgresql/store.go:436)
     "w2_version_assign" -> ((s, dir) => {

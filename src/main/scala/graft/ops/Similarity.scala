@@ -308,6 +308,85 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  // ── index mutation fence ──────────────────────────────────────────────
+  // The persisted-index tables (centroids / cells / ingest / scale / books)
+  // live OUTSIDE the event log's claim chain, so its rewrite claims don't
+  // protect them: two concurrent mutators — a recluster's staged swap, a
+  // compact's file moves, an append's partitioned write — can interleave
+  // into lost vectors (e.g. an append landing in `cells` after recluster
+  // snapshotted its read but before the swap is simply dropped by the
+  // rewrite). Every mutating entry point takes this single exclusive fence;
+  // probes never do. The fence is the chain's own consensus primitive
+  // (atomic create-if-absent: POSIX link(2), HDFS rename, conditional PUT),
+  // held for the duration of the mutation. A crashed holder leaves the
+  // marker behind — deliberately: silently expiring a lease under a live
+  // slow recluster would be worse; the operator (or a maintenance cron
+  // that knows the scheduler is the only launcher) clears it with
+  // [[breakIndexMutation]]. Contract mirror: reference
+  // store/postgresql/store.go:262-293 serializes writers with a unique
+  // index; here the filesystem is the arbiter.
+
+  private def mutationMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_mutating")
+
+  /** Run `body` holding the index's exclusive mutation fence. Throws
+    * `ConcurrentModificationException` (fail-fast, retryable) when another
+    * mutator holds it — the loser retries after the winner finishes; it
+    * must NOT fall back to mutating unfenced.
+    */
+  def withIndexMutation[T](spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val marker = mutationMarker(path)
+    val content = s"$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
+    val won = {
+      if (fs.exists(marker)) false
+      else {
+        val tmp = new Path(root, s"._mutating.tmp.${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        try {
+          if (fs.getScheme == "file") {
+            // link(2) fails EEXIST atomically; rename(2) would overwrite
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(marker.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } else {
+            try fs.rename(tmp, marker)
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+          }
+        } finally fs.delete(tmp, false): Unit
+      }
+    }
+    if (!won) {
+      val holder =
+        try {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+      throw new java.util.ConcurrentModificationException(
+        s"index at $path is being mutated [$holder]; retry after it finishes, " +
+          "or clear a crashed holder's fence with Similarity.breakIndexMutation")
+    }
+    try body finally fs.delete(marker, false)
+  }
+
+  /** Operator escape hatch: clear a fence left by a CRASHED mutator. Never
+    * call while the holder might still be alive — two live mutators is
+    * exactly the lost-vector scenario the fence exists to prevent.
+    */
+  def breakIndexMutation(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val m = mutationMarker(path)
+    m.getFileSystem(spark.sessionState.newHadoopConf()).delete(m, false)
+  }
+
   /** Build and PERSIST an IVF index: `path/centroids` (nlist rows) and
     * `path/cells` (one row per corpus vector, parquet PARTITIONED BY the
     * cell id). This is the production similarity shape at 100 TB — the
@@ -320,12 +399,13 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 8,
-      centroids: Option[DataFrame] = None): Unit = {
-    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-  }
+      centroids: Option[DataFrame] = None): Unit =
+    withIndexMutation(corpus.sparkSession, path, "buildIvfIndex") {
+      val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** Incrementally index a new vector batch: assign against the PERSISTED
     * centroids (so assignments agree with the build) and append to the cell
@@ -333,11 +413,12 @@ object Similarity {
     * is one broadcast join + one partitioned append per batch.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-  }
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    withIndexMutation(spark, path, "appendToIvfIndex") {
+      val cents = spark.read.parquet(s"$path/centroids")
+      assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** ANN top-k against a persisted index: queries assign to their `nprobe`
     * cells against the loaded centroids, then probe the cell table — the
@@ -370,6 +451,28 @@ object Similarity {
           .select("qid", "vec_id", "sim", "rn")
     }
   }
+
+  /** The uncompressed-index twin of [[appendBatchToIvfSqIndex]]: an
+    * IDEMPOTENT per-micro-batch append into `path/ingest` partitioned by
+    * `(b=batchId, cell)` with dynamic overwrite, against the FROZEN
+    * build-time centroids. Same layout, same [[compactIvfIngest]] fold,
+    * same folded-batch replay guard — a user who starts on the plain float
+    * index ([[buildIvfIndex]]) and later migrates to SQ8/PQ never changes
+    * ingestion topology, only the build call.
+    */
+  def appendBatchToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Unit =
+    withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId") {
+      if (batchFolded(spark, path, batchId)) ()
+      else {
+        val cents = spark.read.parquet(s"$path/centroids")
+        assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
+          .withColumn("b", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cell").parquet(s"$path/ingest")
+      }
+    }
 
   /** Assign + quantize in ONE zero-shuffle projection: the cell id is the
     * codegen'd nearest-centroid kernel, the SQ8 code is the level transform,
@@ -420,31 +523,39 @@ object Similarity {
   def buildIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 8,
       centroids: Option[DataFrame] = None,
-      normalize: Boolean = false): Unit = {
-    val spark = corpus.sparkSession
-    val c = if (normalize) withNormalized(corpus, vecCol) else corpus
-    val cents = centroids.getOrElse(defaultCentroids(c, idCol, vecCol, nlist))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    sqScale(sqBounds(c, vecCol)).write.mode("overwrite")
-      .parquet(s"$path/sq_scale")
-    import spark.implicits._
-    Seq(normalize).toDF("normalized").write.mode("overwrite")
-      .parquet(s"$path/sq_meta")
-    // read the scale back: the persisted row is the single source of truth
-    // the append/probe paths will read, so the build assigns from it too
-    val scale = spark.read.parquet(s"$path/sq_scale")
-    assignCellsSq(c, idCol, vecCol, cents, scale)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-  }
+      normalize: Boolean = false): Unit =
+    withIndexMutation(corpus.sparkSession, path, "buildIvfSqIndex") {
+      val spark = corpus.sparkSession
+      val c = if (normalize) withNormalized(corpus, vecCol) else corpus
+      val cents = centroids.getOrElse(defaultCentroids(c, idCol, vecCol, nlist))
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      sqScale(sqBounds(c, vecCol)).write.mode("overwrite")
+        .parquet(s"$path/sq_scale")
+      import spark.implicits._
+      Seq(normalize).toDF("normalized").write.mode("overwrite")
+        .parquet(s"$path/sq_meta")
+      // read the scale back: the persisted row is the single source of truth
+      // the append/probe paths will read, so the build assigns from it too
+      val scale = spark.read.parquet(s"$path/sq_scale")
+      assignCellsSq(c, idCol, vecCol, cents, scale)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** The build-time normalize flag of a persisted IVF-SQ index; indexes
-    * written before the flag existed read as un-normalized.
+    * written before the flag existed read as un-normalized. ONLY absence of
+    * the meta file maps to false — any other failure (transient filesystem
+    * error, corrupt file) propagates, because silently treating a
+    * normalized index as raw would write un-normalized vectors and codes
+    * into it: a permanent, unsignalled recall degradation instead of a
+    * retryable error.
     */
   private def sqNormalized(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean =
-    try spark.read.parquet(s"$path/sq_meta")
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/sq_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && spark.read.parquet(p.toString)
       .collect().headOption.exists(_.getBoolean(0))
-    catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   /** Incrementally index a batch into an IVF-SQ index: assignments against
     * the persisted centroids AND codes against the persisted scale (both
@@ -453,13 +564,14 @@ object Similarity {
     * range clamp to ±127, exactly what the probe-side quantizer does.
     */
   def appendToIvfSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val scale = spark.read.parquet(s"$path/sq_scale")
-    val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
-    assignCellsSq(b, idCol, vecCol, cents, scale)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-  }
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    withIndexMutation(spark, path, "appendToIvfSqIndex") {
+      val cents = spark.read.parquet(s"$path/centroids")
+      val scale = spark.read.parquet(s"$path/sq_scale")
+      val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
+      assignCellsSq(b, idCol, vecCol, cents, scale)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** IDEMPOTENT per-batch append for continuous ingest (the
     * `foreachBatch` leg of [[graft.streaming.StreamAggs.indexAtIngest]]):
@@ -475,14 +587,39 @@ object Similarity {
     */
   def appendBatchToIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
-      batchId: Long): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val scale = spark.read.parquet(s"$path/sq_scale")
-    val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
-    assignCellsSq(b, idCol, vecCol, cents, scale)
-      .withColumn("b", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("b", "cell").parquet(s"$path/ingest")
+      batchId: Long): Unit =
+    withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId") {
+      if (batchFolded(spark, path, batchId)) ()
+      else {
+        val cents = spark.read.parquet(s"$path/centroids")
+        val scale = spark.read.parquet(s"$path/sq_scale")
+        val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
+        assignCellsSq(b, idCol, vecCol, cents, scale)
+          .withColumn("b", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cell").parquet(s"$path/ingest")
+      }
+    }
+
+  /** Has [[compactIvfIngest]] already folded this batchId into the main
+    * cell table? The replay guard: a stream can crash with batch N written
+    * to `ingest/b=N` but its streaming checkpoint uncommitted; if a compact
+    * runs before the restart, the files have MOVED into `cells/` — the
+    * replayed micro-batch's dynamic overwrite of the (now absent) `b=N`
+    * partitions would remove nothing, and the next compact would fold the
+    * same vectors a second time. Compaction records each folded batch id as
+    * a marker under `path/ingest_folded/` BEFORE moving its files, so the
+    * replay skips instead. (Markers are created before the moves: if the
+    * compact crashes in between, the batch's files are all still in
+    * `ingest/`, the skipped replay loses nothing, and the next compact
+    * resumes the moves. The write itself is atomically visible — Spark
+    * stages dynamic overwrites and commits at job end — so a marker can
+    * never cover a half-written batch.)
+    */
+  private def batchFolded(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/ingest_folded/b=$batchId")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Fold the streaming-ingest side area into the main cell table as PURE
@@ -497,28 +634,61 @@ object Similarity {
     * to restore the single-table probe plan.
     */
   def compactIvfIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    withIndexMutation(spark, path, "compactIvfIngest") {
+      compactIvfIngestFenced(spark, path)
+    }
+
+  /** The compact body, callers already inside the mutation fence
+    * ([[compactIvfIngest]] and [[reclusterIvfIndex]], which folds pending
+    * ingest under its own fence before retraining).
+    */
+  private def compactIvfIngestFenced(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val ingest = new Path(s"$path/ingest")
     if (!fs.exists(ingest)) return
+    val folded = new Path(s"$path/ingest_folded")
+    fs.mkdirs(folded)
     fs.listStatus(ingest).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("b=")).foreach { bdir =>
       val bTag = bdir.getPath.getName.stripPrefix("b=")
-      fs.listStatus(bdir.getPath).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("cell=")).foreach { cdir =>
-        val dest = new Path(s"$path/cells/${cdir.getPath.getName}")
+      val moves = for {
+        cdir <- fs.listStatus(bdir.getPath).toSeq
+        if cdir.isDirectory && cdir.getPath.getName.startsWith("cell=")
+        f <- fs.listStatus(cdir.getPath).toSeq
+        if f.isFile && f.getPath.getName.endsWith(".parquet")
+      } yield (cdir.getPath.getName, f.getPath)
+      // record the fold BEFORE moving: a crash-replay of this batch (its
+      // streaming checkpoint may still be uncommitted) must skip rewriting
+      // `b=` partitions whose files now live in `cells/` — see batchFolded.
+      // Only when there IS something to move: an empty b= tree (a previous
+      // compact's crash leftover) must not mint a marker that could block a
+      // future real batch of the same id.
+      if (moves.nonEmpty) {
+        val marker = new Path(folded, s"b=$bTag")
+        if (!fs.exists(marker)) fs.create(marker, false).close()
+      }
+      moves.foreach { case (cellDir, f) =>
+        val dest = new Path(s"$path/cells/$cellDir")
         fs.mkdirs(dest)
-        fs.listStatus(cdir.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            if (!fs.rename(f.getPath,
-                new Path(dest, s"ing-b$bTag-${f.getPath.getName}")))
-              throw new java.io.IOException(s"compact move failed: ${f.getPath}")
-          }
+        if (!fs.rename(f, new Path(dest, s"ing-b$bTag-${f.getName}")))
+          throw new java.io.IOException(s"compact move failed: $f")
       }
     }
     fs.delete(ingest, true): Unit
+    // prune markers below the max: batch ids are monotone per streaming
+    // query and only the LATEST uncommitted batch can ever be replayed, so
+    // once a higher batch folded, the lower markers are dead — steady-state
+    // marker count is O(1), not O(batches)
+    val tags = fs.listStatus(folded)
+      .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption)
+    if (tags.nonEmpty) {
+      val mx = tags.max
+      tags.filter(_ < mx).foreach(t =>
+        fs.delete(new Path(folded, s"b=$t"), false): Unit)
+    }
   }
 
   /** The ingest side area's cell frame, if any — same columns as the main
@@ -639,14 +809,20 @@ object Similarity {
     * no corpus-sized shuffle or driver materialization.
     */
   def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      nlist: Int = 8, iters: Int = 2, sampleRate: Double = 1.0): Unit = {
+      nlist: Int = 8, iters: Int = 2, sampleRate: Double = 1.0): Unit =
+    withIndexMutation(spark, path, "reclusterIvfIndex") {
+      reclusterIvfIndexFenced(spark, path, nlist, iters, sampleRate)
+    }
+
+  private def reclusterIvfIndexFenced(spark: org.apache.spark.sql.SparkSession,
+      path: String, nlist: Int, iters: Int, sampleRate: Double): Unit = {
     import org.apache.hadoop.fs.Path
     // fold any streaming-ingest side area in FIRST: the rewrite below
     // retrains centroids and reassigns from `cells` only — an unfolded
     // ingest area would keep unioning into probes with cell ids from the
     // RETIRED geometry (wrong cells probed, vectors invisible at the right
     // ones). Compaction is pure file moves, so this costs metadata only.
-    compactIvfIngest(spark, path)
+    compactIvfIngestFenced(spark, path)
     val full = spark.read.parquet(s"$path/cells")
     val live = full.select(col("vec_id"), col("ce"))
     val sample =
@@ -1064,6 +1240,95 @@ object Similarity {
     Array.tabulate(m)(s => seed.map(v => v.slice(s * sub, (s + 1) * sub)))
   }
 
+  /** Per-subspace Lloyd-refined PQ codebooks trained on a caller-bounded
+    * sample — the production drop-in for [[pqCodebooks]]'s deterministic
+    * first-kc seed. An arbitrary first-kc seed pays real quantization error
+    * on clustered corpora (the 1M-vector smoke needed rerank=64 to reach
+    * its recall floor); Lloyd means minimize within-cell variance, which is
+    * exactly the ADC approximation error, so trained books buy the same
+    * recall at a fraction of the exact-rescore slack — measured in
+    * PipelineScaleSmoke (k-means at rerank=16 ≥ seeded at rerank=64). Keep
+    * the seeded path for the DuckDB-oracle queries (e12/e13 pin it); this
+    * one is graded by recall floors.
+    *
+    * Driver-local on purpose: the codebooks are m·kc·(d/m) doubles (4 KiB
+    * at the defaults) and training needs many sequential passes over a
+    * small sample — the same locality trade as
+    * [[farthestFirstCentroidsLocal]]. The caller bounds the sample (e.g.
+    * `Sampling.hashSample(emb, id, 0.02)`); training cost is
+    * O(|sample|·kc·d·iters) driver flops. Deterministic end to end:
+    * sample sorted by id, farthest-first seeding (max min-squared-L2, ties
+    * by lowest index), first-wins assignment, empty cells keep their
+    * centroid.
+    */
+  def pqCodebooksKmeans(sample: DataFrame, idCol: String, vecCol: String,
+      m: Int, kc: Int, iters: Int = 8): Array[Array[Array[Double]]] = {
+    val pts = sample.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    require(pts.length >= kc, s"sample smaller than kc=$kc")
+    val d = pts.head.length
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val sub = d / m
+    Array.tabulate(m) { s =>
+      kmeansLocal(pts.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        kc, iters)
+    }
+  }
+
+  /** Deterministic driver-local Lloyd over squared-L2: farthest-first seed,
+    * fixed rounds, first-wins ties, empty cells keep their centroid.
+    */
+  private def kmeansLocal(xs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = xs(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var s = 0.0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val cents = Array.ofDim[Array[Double]](k)
+    cents(0) = xs(0).clone()
+    val minD = xs.map(x => d2(x, cents(0)))
+    var c = 1
+    while (c < k) {
+      var bi = 0; var i = 1
+      while (i < xs.length) { if (minD(i) > minD(bi)) bi = i; i += 1 }
+      cents(c) = xs(bi).clone()
+      i = 0
+      while (i < xs.length) {
+        val s = d2(xs(i), cents(c)); if (s < minD(i)) minD(i) = s; i += 1
+      }
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bd = d2(x, cents(0)); var ci = 1
+        while (ci < k) {
+          val dd = d2(x, cents(ci)); if (dd < bd) { bd = dd; best = ci }; ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+      }
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          val m2 = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m2(j) = sums(ci)(j) / counts(ci); j += 1 }
+          cents(ci) = m2
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Rounded squared-L2 distance of a `sub`-dim slice to a literal centroid
     * — one fixed left-to-right fold both engines reproduce; the round(6)
     * makes the downstream argmin compare engine-stable (the same convention
@@ -1167,15 +1432,17 @@ object Similarity {
     */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 8, m: Int = 8, kc: Int = 16,
-      centroids: Option[DataFrame] = None): Unit = {
-    val spark = corpus.sparkSession
-    val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kc)
-    writeBooks(spark, books, s"$path/books")
-    assignCellsPq(corpus, idCol, vecCol, cents, books)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-  }
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): Unit =
+    withIndexMutation(corpus.sparkSession, path, "buildIvfPqIndex") {
+      val spark = corpus.sparkSession
+      val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      val books = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, kc))
+      writeBooks(spark, books, s"$path/books")
+      assignCellsPq(corpus, idCol, vecCol, cents, books)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** Assign + PQ-encode in ONE zero-shuffle projection (the IVF-SQ build
     * scan's PQ twin): cell id from the codegen nearest-centroid kernel,
@@ -1196,12 +1463,13 @@ object Similarity {
     * build, so appended rows stay comparable with the build.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val books = readBooks(spark, s"$path/books")
-    assignCellsPq(batch, idCol, vecCol, cents, books)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-  }
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    withIndexMutation(spark, path, "appendToIvfPqIndex") {
+      val cents = spark.read.parquet(s"$path/centroids")
+      val books = readBooks(spark, s"$path/books")
+      assignCellsPq(batch, idCol, vecCol, cents, books)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    }
 
   /** The IVF-PQ twin of [[appendBatchToIvfSqIndex]]: an IDEMPOTENT
     * per-micro-batch append into `path/ingest` partitioned by
@@ -1211,14 +1479,18 @@ object Similarity {
     */
   def appendBatchToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
-      batchId: Long): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val books = readBooks(spark, s"$path/books")
-    assignCellsPq(batch, idCol, vecCol, cents, books)
-      .withColumn("b", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("b", "cell").parquet(s"$path/ingest")
-  }
+      batchId: Long): Unit =
+    withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId") {
+      if (batchFolded(spark, path, batchId)) ()
+      else {
+        val cents = spark.read.parquet(s"$path/centroids")
+        val books = readBooks(spark, s"$path/books")
+        assignCellsPq(batch, idCol, vecCol, cents, books)
+          .withColumn("b", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cell").parquet(s"$path/ingest")
+      }
+    }
 
   /** ANN top-k against a persisted IVF-PQ index: queries assign to `nprobe`
     * cells and precompute their ADC tables against the persisted codebooks;

@@ -164,8 +164,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"${core.mkString("(", ", ", ")")} plus a per-stream order column " +
           s"(seq or aggregate_version); got ${sch.fieldNames.mkString(", ")}")
     }
+    // OPTIONS(...) surface as both bare and "option."-prefixed properties
+    // depending on the DDL path — accept either
+    def prop(k: String): Option[String] =
+      props.get(k).orElse(props.get(s"option.$k"))
     val root = props.get(TableCatalog.PROP_LOCATION) match {
       case Some(loc) =>
+        // LOCATION may point at an EXISTING log — that's the "register an
+        // external log into the catalog" move, and the log's on-disk meta,
+        // not the DDL, owns the physical layout: an unconditional
+        // GraftMeta.write would keep the disk marker but force-cache the
+        // DDL's numBuckets (default 32) for the whole session, and a wrong
+        // modulus prunes point scans to the wrong bucket directory —
+        // queries silently miss rows. Validate instead of clobbering.
+        GraftMeta.numBuckets(spark, s"$loc/events").foreach { actual =>
+          prop("numbuckets").map(_.toInt).filter(_ != actual).foreach { declared =>
+            throw new IllegalArgumentException(
+              s"graft-events: the log at $loc is bucketed with numBuckets=$actual; " +
+                s"the DDL declared numBuckets=$declared. Re-issue without the " +
+                "numBuckets option to adopt the existing layout (rebucketing is " +
+                "EventLog.rebucket, not DDL)")
+          }
+        }
         val ptr = pointerPath(ident)
         val fs = ptr.getFileSystem(conf)
         val out = fs.create(ptr, false)
@@ -173,20 +193,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         loc
       case None => warehouseDir(ident)
     }
-    // OPTIONS(...) surface as both bare and "option."-prefixed properties
-    // depending on the DDL path — accept either
-    def prop(k: String): Option[String] =
-      props.get(k).orElse(props.get(s"option.$k"))
-    val numBuckets = prop("numbuckets").getOrElse("32").toInt
+    val existing = GraftMeta.numBuckets(spark, s"$root/events")
+    val numBuckets = existing.getOrElse(prop("numbuckets").getOrElse("32").toInt)
     val mode = prop("commitmode").map(_.toLowerCase) match {
       case Some("lock") => graft.log.CommitMode.Lock
       case _ => graft.log.CommitMode.Manifest // multi-writer-safe default
     }
     // initialize the empty log: the meta marker IS table existence, and the
-    // EventLog constructor path is what native writers will discover
+    // EventLog constructor path is what native writers will discover. For an
+    // adopted existing log this is a no-op on disk and caches the DISK value
+    // (numBuckets above resolved from the meta, never the DDL default).
     GraftMeta.write(spark, s"$root/events", numBuckets)
-    if (mode == graft.log.CommitMode.Manifest) {
+    if (existing.isEmpty && mode == graft.log.CommitMode.Manifest) {
       // materialize the chain dir so GraftWriteSupport auto-detects the mode
+      // (only for a FRESH log — an adopted one already chose its mode)
       val chain = new Path(root, graft.log.ManifestCommitLog.CommitDir)
       chain.getFileSystem(conf).mkdirs(chain): Unit
     }

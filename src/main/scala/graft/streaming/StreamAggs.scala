@@ -233,22 +233,36 @@ object StreamAggs {
     val cSigs = graft.ops.Dedup.minhashSignaturesFromSets(cSets, bands)
       .localCheckpoint() // signed once, reused by every micro-batch
 
-    def versions(dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    // (batchId, path, complete) — complete = the job-level `_SUCCESS`
+    // marker exists. A crash DURING `folded.write` leaves a v= directory
+    // with task-committed part files but no marker; admitting it as the
+    // authoritative assignment would silently drop component rows that
+    // belong to older batches (not re-derivable from the replayed batch),
+    // corrupting the leakage-safe split-key table downstream.
+    def versions(dir: String): Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
         .flatMap { st =>
           val n = st.getPath.getName
-          if (n.startsWith("v=")) n.drop(2).toLongOption.map(_ -> st.getPath)
+          if (n.startsWith("v=")) n.drop(2).toLongOption.map(v => (v, st.getPath,
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))))
           else None
         }
     }
-    // cold-start precedence: latest persisted version > caller seed > the
-    // corpus's own components (all three are "what the sink last wrote" in
-    // the three lifecycle states: restart, bootstrap-with-seed, first boot)
-    val persisted = stateDir.flatMap(d => versions(d).sortBy(_._1).lastOption)
-      .map { case (_, p) => spark.read.parquet(p.toString) }
+    // cold-start precedence: latest COMPLETE persisted version > caller
+    // seed > the corpus's own components (all three are "what the sink last
+    // wrote" in the three lifecycle states: restart, bootstrap-with-seed,
+    // first boot). Incomplete crash leftovers are deleted here — the replay
+    // will rewrite that version from the complete predecessor.
+    val persisted = stateDir.flatMap { d =>
+      val vs = versions(d)
+      vs.filterNot(_._3).foreach { case (_, p, _) =>
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+      vs.filter(_._3).sortBy(_._1).lastOption
+    }.map { case (_, p, _) => spark.read.parquet(p.toString) }
     var assignment = persisted.orElse(initial).getOrElse {
       val pairs = graft.ops.Dedup.jaccardVerifyFromSets(cSets,
           graft.ops.Dedup.lshCandidatePairsFromSets(cSets, bands), threshold)
@@ -273,13 +287,26 @@ object StreamAggs {
         case Some(dir) =>
           // persist the new version, re-root the running frame at the
           // written files (nothing corpus-sized stays cached), then prune
-          // superseded versions — the write is the durable state handoff
-          folded.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+          // superseded versions — the write is the durable state handoff.
+          // REPLAY HAZARD: when v=<batchId> is the version the running
+          // assignment is ROOTED AT (a crash-replay of the already-
+          // persisted batch, or a fresh checkpoint re-running the same
+          // ids), a lazy overwrite would read the very files it deletes —
+          // the write fails mid-flight AND destroys the only complete
+          // version (its predecessor was pruned when it committed). Stage
+          // the fold away from those files first; the transient checkpoint
+          // is unpersisted as soon as the write lands, so steady-state
+          // executor storage stays flat.
+          val conflicts = versions(dir).exists(_._1 == batchId)
+          val staged = if (conflicts) folded.localCheckpoint() else folded
+          staged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+          if (conflicts)
+            org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(staged)
           val current = spark.read.parquet(s"$dir/v=$batchId")
           val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           versions(dir).filter(_._1 != batchId)
-            .foreach { case (_, p) => fs.delete(p, true) }
+            .foreach { case (_, p, _) => fs.delete(p, true) }
           current
         case None => folded.localCheckpoint()
       }
@@ -311,12 +338,19 @@ object StreamAggs {
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
       // route on the persisted layout: a PQ index carries codebooks at
-      // `books`, an SQ8 index its scale at `sq_scale` — set once at build
-      val p = new org.apache.hadoop.fs.Path(s"$idxPath/books")
-      val isPq = p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
-      if (isPq) graft.ops.Similarity.appendBatchToIvfPqIndex(s,
+      // `books`, an SQ8 index its scale at `sq_scale`, the plain float
+      // index neither — set once at build, so migrating an index to a
+      // compressed layout never changes the ingestion topology
+      val conf = s.sessionState.newHadoopConf()
+      def has(sub: String) = {
+        val p = new org.apache.hadoop.fs.Path(s"$idxPath/$sub")
+        p.getFileSystem(conf).exists(p)
+      }
+      if (has("books")) graft.ops.Similarity.appendBatchToIvfPqIndex(s,
         idxPath, batch.toDF(), idCol, vecCol, batchId)
-      else graft.ops.Similarity.appendBatchToIvfSqIndex(s,
+      else if (has("sq_scale")) graft.ops.Similarity.appendBatchToIvfSqIndex(s,
+        idxPath, batch.toDF(), idCol, vecCol, batchId)
+      else graft.ops.Similarity.appendBatchToIvfIndex(s,
         idxPath, batch.toDF(), idCol, vecCol, batchId)
     }
 

@@ -469,6 +469,40 @@ object PipelineScaleSmoke {
         col("vec_id") === col("qid") - 1).count()
       require(planted == 2L,
         s"planted twins must top IVF-PQ ranking: got $planted of 2")
+
+      // ── k-means PQ codebooks: the production recall story. Lloyd means
+      // minimize within-cell variance — exactly the ADC approximation
+      // error — so trained books must buy the seeded books' recall at a
+      // QUARTER of the exact-rescore slack (rerank 16 vs 64). The floor is
+      // relative, not absolute: whatever the seeded number is on this
+      // corpus, the trained books at 1/4 the rerank must match or beat it.
+      val books = time("PQ k-means codebooks (2% sample, m=8 kc=16, 8 iters)") {
+        Similarity.pqCodebooksKmeans(
+          Sampling.hashSample(emb1m, "vec_id", 0.02, salt = "pqk"),
+          "vec_id", "embedding", m = 8, kc = 16)
+      }
+      val idxK = java.nio.file.Files.createTempDirectory("graftivfpqk")
+        .toFile.getAbsolutePath
+      time("IVF-PQ build evens with k-means books") {
+        Similarity.buildIvfPqIndex(emb1m.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idxK, nlist = 64, m = 8, kc = 16,
+          centroids = Some(cents), codebooks = Some(books))
+      }
+      time("IVF-PQ append odds (frozen k-means books)") {
+        Similarity.appendToIvfPqIndex(spark, idxK,
+          emb1m.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val pqk = time("IVF-PQ k-means probe top-5 (nprobe=8, rerank=16)") {
+        Similarity.ivfPqTopKIndexed(spark, idxK, q16, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 16).localCheckpoint()
+      }
+      val recK = Similarity.recallAtK(float, pqk, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"PSCALE   ivf-pq K-MEANS recall@5 at rerank=16 = $recK%.3f " +
+        f"(seeded at rerank=64 = $rec%.3f)")
+      require(recK >= rec,
+        f"k-means books at rerank=16 must match seeded books at rerank=64: " +
+          f"$recK%.3f < $rec%.3f")
     }
 
     spark.stop()

@@ -271,6 +271,42 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE ... LOCATION adopts an existing log's layout, refuses a mismatch") {
+    val s = spark
+    val wh = Files.createTempDirectory("graftwhloc").toFile.getAbsolutePath
+    val ext = Files.createTempDirectory("graftextlog").toFile.getAbsolutePath
+    val extLog = new EventLog(s, ext, numBuckets = 8, ulidSeed = Some(17L))
+    (1 to 12).foreach { i =>
+      extLog.append(Seq(AppendRecord(s"ext-$i", "Account", 0, Map.empty,
+        Seq(EventDetail("Created", "{}")))))
+    }
+    s.conf.set("spark.sql.catalog.graftloc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftloc.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE graftloc.ns")
+      // a numBuckets that contradicts the on-disk layout must refuse: the
+      // old behavior force-cached the DDL's modulus, so bucket-pruned point
+      // scans silently read the WRONG directory for the whole session
+      val e = intercept[Exception] {
+        s.sql(s"CREATE TABLE graftloc.ns.ext USING `graft-events` " +
+          s"OPTIONS (numBuckets 4) LOCATION '$ext'")
+      }
+      assert(e.getMessage.contains("numBuckets=8"),
+        s"mismatch must name the real modulus, got: ${e.getMessage}")
+      // without the option the existing layout is adopted verbatim
+      s.sql(s"CREATE TABLE graftloc.ns.ext USING `graft-events` LOCATION '$ext'")
+      assert(s.sql("SELECT count(*) FROM graftloc.ns.ext").collect()(0).getLong(0) === 12L)
+      // the poisoning symptom was a point scan pruned with the wrong
+      // modulus returning zero rows — assert the adopted modulus serves it
+      assert(s.sql(
+        "SELECT count(*) FROM graftloc.ns.ext WHERE aggregate_id = 'ext-3'")
+        .collect()(0).getLong(0) === 1L)
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftloc")
+      s.conf.unset("spark.sql.catalog.graftloc.warehouse")
+    }
+  }
+
   test("Graft.enable is idempotent") {
     Graft.enable(spark); Graft.enable(spark)
     val n = spark.experimental.extraOptimizations

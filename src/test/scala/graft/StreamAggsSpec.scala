@@ -543,6 +543,244 @@ class StreamAggsSpec extends AnyFunSuite {
       "compact re-run must clear the leftover empty tree")
   }
 
+  test("ingest compact interleaved with crash-replay: folded batches are never re-folded") {
+    // the hazard: a stream crashes with batch N written to ingest/b=N but
+    // its streaming checkpoint UNCOMMITTED; an operator compacts (files
+    // move into cells/); the stream restarts and foreachBatch redelivers
+    // batch N. Without the folded-batch marker the replay's dynamic
+    // overwrite rewrites the now-absent b=N partitions (removing nothing)
+    // and the next compact folds the same vectors a second time.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftfold").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(7)
+    val all = (0L until 90L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val base = all.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    val b1 = all.filter(_._1 % 3 == 1).toDF("vec_id", "embedding")
+    val b2 = all.filter(_._1 % 3 == 2).toDF("vec_id", "embedding")
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfSqIndex(base, "vec_id", "embedding", idx, nlist = 4)
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, b1, "vec_id", "embedding", 0L)
+    // compact runs while the stream is down, batch 0's checkpoint uncommitted
+    graft.ops.Similarity.compactIvfIngest(s, idx)
+    assert(s.read.parquet(s"$idx/cells").count() === 60L)
+    // restart: foreachBatch redelivers batch 0 — the marker makes it a no-op
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, b1, "vec_id", "embedding", 0L)
+    assert(!new java.io.File(s"$idx/ingest").exists(),
+      "a folded batch's replay must not rewrite the ingest area")
+    graft.ops.Similarity.compactIvfIngest(s, idx)
+    val counts = s.read.parquet(s"$idx/cells").groupBy("vec_id").count()
+    assert(counts.filter(col("count") > 1).count() === 0L,
+      "no vector may appear twice after compact ∘ replay ∘ compact")
+    assert(s.read.parquet(s"$idx/cells").count() === 60L)
+    // the NEXT real batch appends normally, and folding it prunes the
+    // dead b=0 marker (only the latest batch can ever be replayed)
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, b2, "vec_id", "embedding", 1L)
+    assert(s.read.parquet(s"$idx/ingest").count() === 30L)
+    graft.ops.Similarity.compactIvfIngest(s, idx)
+    assert(s.read.parquet(s"$idx/cells").count() === 90L)
+    val markers = new java.io.File(s"$idx/ingest_folded").listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSeq
+    assert(markers === Seq("b=1"), s"stale markers must prune, got $markers")
+    // the PQ twin shares the guard
+    val pq = s"$dir/pq"
+    graft.ops.Similarity.buildIvfPqIndex(base, "vec_id", "embedding", pq,
+      nlist = 4, m = 4, kc = 8)
+    graft.ops.Similarity.appendBatchToIvfPqIndex(s, pq, b1, "vec_id", "embedding", 0L)
+    graft.ops.Similarity.compactIvfIngest(s, pq)
+    graft.ops.Similarity.appendBatchToIvfPqIndex(s, pq, b1, "vec_id", "embedding", 0L)
+    graft.ops.Similarity.compactIvfIngest(s, pq)
+    assert(s.read.parquet(s"$pq/cells").count() === 60L,
+      "PQ ingest replay after compact must not duplicate vectors")
+  }
+
+  test("index mutation fence: mutators exclude each other; a crashed holder is breakable") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftfence").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfSqIndex(emb, "vec_id", "embedding", idx, nlist = 4)
+    val before = s.read.parquet(s"$idx/cells").count()
+    // an in-flight (or crashed) mutator holds the fence: every mutating
+    // entry point must fail fast instead of interleaving into lost vectors
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/_mutating"),
+      "recluster pid=99999 at=test".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Similarity.compactIvfIngest(s, idx)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Similarity.reclusterIvfIndex(s, idx, nlist = 4)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Similarity.appendToIvfSqIndex(s, idx, emb.limit(1),
+        "vec_id", "embedding")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, emb.limit(1),
+        "vec_id", "embedding", 7L)
+    }
+    assert(s.read.parquet(s"$idx/cells").count() === before,
+      "a fenced-out mutator must leave the index untouched")
+    // the holder crashed: the operator breaks the fence, mutation resumes
+    assert(graft.ops.Similarity.breakIndexMutation(s, idx))
+    graft.ops.Similarity.appendToIvfSqIndex(s, idx,
+      Seq((100L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(s.read.parquet(s"$idx/cells").count() === before + 1)
+    // mutual exclusion under real contention: racers through the fence
+    // must never overlap (the atomic-create consensus, CrashInjection's
+    // single-winner property applied to the index)
+    val active = new java.util.concurrent.atomic.AtomicInteger
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val ths = (1 to 8).map(_ => new Thread(() =>
+      try graft.ops.Similarity.withIndexMutation(s, idx, "racer") {
+        if (active.incrementAndGet() > 1) overlap.set(true)
+        Thread.sleep(25)
+        active.decrementAndGet()
+        wins.incrementAndGet(): Unit
+      } catch { case _: java.util.ConcurrentModificationException => () }))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(!overlap.get, "two mutators held the fence simultaneously")
+    assert(wins.get >= 1, "at least one racer must win the fence")
+    // the fence is released after each winner: a follow-up mutation runs
+    graft.ops.Similarity.compactIvfIngest(s, idx)
+  }
+
+  test("component state cold-start skips an incomplete (no _SUCCESS) version") {
+    // a crash DURING the versioned state write leaves task-committed files
+    // without the job-level _SUCCESS marker; cold-start must fall back to
+    // the last fully-committed version instead of silently adopting the
+    // partial one (older components are not re-derivable from the replay)
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("cincomplete").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    def fam(i: Long, tag: String) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i family$i $tag"
+    val corpus = (0L until 50L).map(i => (i, fam(i, "accepted corpus body")))
+      .toDF("doc_id", "text").localCheckpoint()
+    new java.io.File(s"$dir/in").mkdirs()
+    Seq((100L, fam(3L, "accepted corpus CHANGED")))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q = StreamAggs.componentsAtIngest(
+        s.readStream.schema("doc_id long, text string").parquet(s"$dir/in"),
+        corpus, "doc_id", "text", threshold = 0.5,
+        stateDir = Some(state)) { (_, _) => () }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val complete = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSeq
+    assert(complete.size === 1, s"expected one committed version, got $complete")
+    val expected = s.read.parquet(s"$state/${complete.head}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fabricate a NEWER, numerically-latest version that lost its job
+    // commit: real part files, no _SUCCESS, content obviously partial
+    Seq((0L, 0L)).toDF("node", "label").write.parquet(s"$state/v=99")
+    assert(new java.io.File(s"$state/v=99/_SUCCESS").delete(),
+      "fixture: _SUCCESS must exist to be removed")
+    // cold start with a fresh checkpoint: the replay must seed from the
+    // complete version, no-op under the replay guard, and clear the debris
+    val seen = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val q2 = StreamAggs.componentsAtIngest(
+        s.readStream.schema("doc_id long, text string").parquet(s"$dir/in"),
+        corpus, "doc_id", "text", threshold = 0.5,
+        stateDir = Some(state)) { (asg, _) =>
+        seen.synchronized {
+          seen += asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap; ()
+        }
+      }
+      .option("checkpointLocation", s"$dir/chk2").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.nonEmpty && seen.forall(_ == expected),
+      "cold-start must seed from the last COMPLETE version")
+    assert(!new java.io.File(s"$state/v=99").exists(),
+      "the incomplete version must be deleted at cold-start")
+  }
+
+  test("a corrupt sq_meta fails appends loudly instead of silently writing raw codes") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftmeta").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfSqIndex(emb, "vec_id", "embedding", idx,
+      nlist = 4, normalize = true)
+    // corrupt the flag file: reads must PROPAGATE (a swallowed error would
+    // silently append raw vectors into a normalized index — permanent,
+    // unsignalled recall loss)
+    val meta = new java.io.File(s"$idx/sq_meta")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(meta)
+    java.nio.file.Files.write(meta.toPath, "not parquet".getBytes("UTF-8"))
+    intercept[Exception] {
+      graft.ops.Similarity.appendToIvfSqIndex(s, idx, emb.limit(2),
+        "vec_id", "embedding")
+    }
+    // ABSENCE stays benign: an index written before the flag existed is raw
+    assert(meta.delete())
+    graft.ops.Similarity.appendToIvfSqIndex(s, idx, emb.limit(2),
+      "vec_id", "embedding")
+  }
+
+  test("plain IVF index at ingest: indexAtIngest routes to the float append, streamed == batch twin") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftfloating").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(31)
+    val all = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val b1 = all.filter(_._1 % 2 == 1)
+    val queries = all.take(4).toDF("vec_id", "embedding")
+
+    graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"$dir/twin", nlist = 5)
+    graft.ops.Similarity.appendToIvfIndex(s, s"$dir/twin",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val want = graft.ops.Similarity.ivfTopKIndexed(s, s"$dir/twin",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("qid", "rn").collect().toSeq
+
+    graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"$dir/idx", nlist = 5)
+    b1.toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    // the SAME indexAtIngest entry as the SQ8/PQ tests: with neither books
+    // nor sq_scale on disk it must take the uncompressed append — starting
+    // uncompressed and migrating layouts later never changes the topology
+    val q = StreamAggs.indexAtIngest(
+        s.readStream.schema("vec_id long, embedding array<float>")
+          .parquet(s"$dir/in"),
+        s"$dir/idx", "vec_id", "embedding")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try q.processAllAvailable() finally q.stop()
+    def probe() = graft.ops.Similarity.ivfTopKIndexed(s, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want,
+      "float probe over main ∪ ingest must equal the batch-append twin")
+    // replay is a no-op; compact folds the side area; probes unchanged
+    graft.ops.Similarity.appendBatchToIvfIndex(s, s"$dir/idx",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 0L)
+    assert(s.read.parquet(s"$dir/idx/ingest").count() === 100L)
+    graft.ops.Similarity.compactIvfIngest(s, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/ingest").exists())
+    assert(s.read.parquet(s"$dir/idx/cells").count() === 200L)
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+    // and the folded-batch replay guard holds here too
+    graft.ops.Similarity.appendBatchToIvfIndex(s, s"$dir/idx",
+      b1.toDF("vec_id", "embedding"), "vec_id", "embedding", batchId = 0L)
+    assert(!new java.io.File(s"$dir/idx/ingest").exists(),
+      "a folded batch's replay must be a no-op on the plain index")
+  }
+
   test("PQ index at ingest: indexAtIngest routes on the layout, streamed == batch twin") {
     val s = spark
     import s.implicits._
