@@ -1123,6 +1123,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 8)
     }),
 
+    // ── similarity: IVF-PQ with K-MEANS codebooks — the trained-books path
+    //    oracle-gated by EQUIVALENCE (the e9 trick): probing every cell
+    //    with exhaustive rerank must equal the exact cosine scan WHATEVER
+    //    the books are, because every candidate is exact-rescored. The
+    //    engine side runs the full trained lifecycle (Lloyd books over the
+    //    corpus, build, code-only pre-rank, rescore); the oracle is the
+    //    exact top-k SQL. Recall QUALITY of trained books is the
+    //    PipelineScaleSmoke floor; their plumbing correctness is gated
+    //    here.
+    "e16_pqk_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte16")
+      val books = ops.Similarity.pqCodebooksKmeans(emb,
+        "vec_id", "embedding", m = 8, kc = 16, iters = 4)
+      ops.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nlist = 8, m = 8, kc = 16, codebooks = Some(books))
+      ops.Similarity.ivfPqTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 8, rerank = 1000000)
+    }),
+
     // ── similarity: SemDeDup — cluster-then-dedup on embeddings ───────────
     "e7_semdedup" -> ((s, dir) =>
       ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1815,6 +1836,22 @@ object SparkEntry {
         |       max(event_id) AS max_event_id, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "o1_lag_stats" ->
+      """WITH f AS (
+        |  SELECT ts,
+        |         ((list_reduce(
+        |            list_prepend(2166136261::BIGINT,
+        |              list_transform(range(length('u' || user_id)),
+        |                i -> ascii(substr('u' || user_id, (i+1)::INT, 1))::BIGINT)),
+        |            (h, c) -> (xor(h, c) * 16777619) % 4294967296) & 2147483647)
+        |          % 4 + 1)::BIGINT AS partition
+        |  FROM events)
+        |SELECT partition, count(*) AS n_total,
+        |       sum(CASE WHEN epoch_ms(ts) > 1705276800000 THEN 1 ELSE 0 END)::BIGINT AS lag,
+        |       max(epoch_ms(ts)) AS max_t_ms,
+        |       1705276800000::BIGINT AS chk_t_ms
+        |FROM f GROUP BY partition""".stripMargin,
+
     "w2_version_assign" ->
       """SELECT user_id, event_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS aggregate_version
@@ -2284,6 +2321,15 @@ object SparkEntry {
         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "e16_pqk_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        |           WHERE vec_id BETWEEN 100 AND 109),
+        |c AS (SELECT qid, e.vec_id,
+        |             round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
 
     "e3_ivf_ann" -> ivfOracleSql,
     // e6 = the same declarative IVF semantics: the persisted-index roundtrip

@@ -50,22 +50,85 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * V1_BATCH_WRITE capability routes them through the commit-protocol
   * delegate. All behavior delegates to the inner table.
   */
-private[sources] class GraftSqlTable(inner: GraftEventsTable)
+private[sources] class GraftSqlTable(inner: GraftEventsTable,
+    root: Option[String] = None,
+    sparkOpt: Option[SparkSession] = None)
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
     inner.columns()
   override def partitioning(): Array[Transform] = inner.partitioning()
-  override def properties(): util.Map[String, String] = inner.properties()
+
+  /** `DESCRIBE EXTENDED` surface: the log's operational stats ride the
+    * table properties — layout (numBuckets, commit mode, declared
+    * discriminator keys) plus [[graft.log.EventLog.stats]]'s file counts,
+    * bytes and claim-chain state, the numbers a maintenance scheduler
+    * watches. Computed LAZILY on first call (DESCRIBE / SHOW TBLPROPERTIES
+    * consult properties(); scans go through newScanBuilder and never pay
+    * the listing).
+    */
+  private lazy val opsProps: Map[String, String] =
+    (root, sparkOpt) match {
+      case (Some(r), Some(s)) =>
+        try {
+          val eventsDir = s"$r/events"
+          val nb = GraftMeta.numBuckets(s, eventsDir)
+          val chain = new Path(r, graft.log.ManifestCommitLog.CommitDir)
+          val manifest = chain.getFileSystem(s.sessionState.newHadoopConf()).exists(chain)
+          val mode = if (manifest) graft.log.CommitMode.Manifest else graft.log.CommitMode.Lock
+          val log = new graft.log.EventLog(s, r, nb.getOrElse(32), commitMode = mode)
+          val st = log.stats()
+          Map(
+            "graft.numBuckets" -> nb.fold("?")(_.toString),
+            "graft.commitMode" -> (if (manifest) "manifest" else "lock"),
+            "graft.discKeys" -> GraftMeta.discKeys(s, eventsDir).toSeq.sorted.mkString(","),
+            "graft.events.files" -> st.eventFiles.toString,
+            "graft.events.bytes" -> st.eventBytes.toString,
+            "graft.events.maxFilesPerBucket" -> st.maxFilesPerBucket.toString,
+            "graft.snapshots.files" -> st.snapshots.map(_.files).sum.toString,
+            "graft.claims.pending" -> st.pendingClaims.toString,
+            "graft.claims.done" -> st.doneClaims.toString,
+            "graft.gc.replacedAwaiting" -> st.replacedAwaitingGc.toString)
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      case _ => Map.empty
+    }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String](inner.properties())
+    opsProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     inner.capabilities()
   override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
     inner.newScanBuilder(options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     inner.newWriteBuilder(info)
+
+  // Row-level mutation verbs refuse BY NAME toward the sanctioned paths —
+  // the log is append-only with three controlled mutations (SURVEY §1.4),
+  // none of which is SQL DELETE/TRUNCATE.
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      "graft-events is an append-only event log: TRUNCATE would destroy " +
+        "history. DROP TABLE removes the log entirely; per-user redaction " +
+        "is EventLog.forget (GDPR body scrub in place); schema evolution " +
+        "is EventLog.migrate (copy-replace with revision fencing)")
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    true // reach deleteWhere so the refusal can name the sanctioned paths
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-events is an append-only event log: rows are never deleted. " +
+        "Use EventLog.forget for GDPR redaction (scrubs bodies in place, " +
+        "keeps the stream's shape) or EventLog.migrate to copy-replace " +
+        "events under a new revision; retention pruning is EventLog.prune")
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
@@ -124,12 +187,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     // CTAS resolves its AppendData against the schema createTable declared;
     // an empty (just-created) log has no parquet to infer from, so present
-    // the canonical envelope; with files on disk, infer (disc_* columns)
-    val schema = declared.orElse(
-      if (hasFiles) None
-      else Some(relaxedEnvelope))
+    // the canonical envelope. With files on disk, present envelope +
+    // disc_* columns EXPLICITLY (inferred from data ∪ declared in the meta
+    // marker): single-file footer inference could miss a disc column that
+    // newer files carry, and an ALTER-declared key must read as null from
+    // pre-ALTER files instead of being invisible until compaction.
+    val schema = declared.orElse {
+      if (!hasFiles) Some(relaxedEnvelope)
+      else {
+        val inferredDisc =
+          try spark.read.parquet(eventsDir).schema.fields.toSeq
+            .filter(_.name.toLowerCase.startsWith("disc_"))
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        val metaOnly = GraftMeta.discKeys(spark, eventsDir)
+          .map(k => s"disc_$k") -- inferredDisc.map(_.name.toLowerCase)
+        Some(StructType(relaxedEnvelope.fields ++ inferredDisc ++
+          metaOnly.toSeq.sorted.map(org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      }
+    }
     new GraftSqlTable(new GraftEventsTable(ident.toString, spark,
-      CaseInsensitiveStringMap.empty(), Seq(eventsDir), schema))
+      CaseInsensitiveStringMap.empty(), Seq(eventsDir), schema),
+      root = Some(root), sparkOpt = Some(spark))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -213,9 +292,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     eventsTable(ident, root, declared)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-events tables have a fixed envelope — ALTER TABLE is not supported")
+  /** The ONE legal ALTER: `ADD COLUMNS (disc_<key> STRING)` declares a
+    * discriminator key (the reference's `WithDiscriminatorKeys` +
+    * physical `ALTER TABLE ... ADD disc_<key>`,
+    * store/postgresql/store.go:74-80,712-726). The key persists in the
+    * meta marker, so subsequent INSERTs carrying `discriminator` map
+    * entries materialize the column even before any row exists. Every
+    * other change hits the fixed-envelope refusal.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isLog(root)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val legal = changes.nonEmpty && adds.size == changes.size && adds.forall { a =>
+      a.fieldNames.length == 1 &&
+        a.fieldNames()(0).toLowerCase.startsWith("disc_") &&
+        a.dataType == org.apache.spark.sql.types.StringType
+    }
+    if (!legal) throw new UnsupportedOperationException(
+      "graft-events tables have a fixed envelope — the only supported ALTER " +
+        "is ADD COLUMNS (disc_<key> STRING), which declares a discriminator " +
+        "key; body evolution is upcasters/EventLog.migrate, layout changes " +
+        "are EventLog.rebucket")
+    GraftMeta.addDiscKeys(spark, s"$root/events",
+      adds.map(_.fieldNames()(0).toLowerCase.stripPrefix("disc_")).toSet)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ptr = pointerPath(ident)

@@ -279,9 +279,10 @@ object GraftWriteSupport {
         if (hasChain) graft.log.CommitMode.Manifest else graft.log.CommitMode.Lock
     }
     val discKeys =
-      try spark.read.parquet(eventsDir).schema.fieldNames.iterator
+      (try spark.read.parquet(eventsDir).schema.fieldNames.iterator
         .filter(_.startsWith("disc_")).map(_.stripPrefix("disc_")).toSet
       catch { case scala.util.control.NonFatal(_) => Set.empty[String] } // no events dir yet
+      ) ++ GraftMeta.discKeys(spark, eventsDir) // ALTER-declared, possibly still data-less
     new graft.log.EventLog(spark, root, numBuckets,
       discriminatorKeys = discKeys, commitMode = mode)
   }
@@ -440,6 +441,51 @@ object GraftMeta {
         }
       } catch { case _: Exception => None }
     })
+
+  /** Discriminator keys DECLARED on the log (the reference's
+    * `WithDiscriminatorKeys`, store/postgresql/store.go:74-80) — persisted
+    * in the meta marker so a key declared via `ALTER TABLE ... ADD COLUMNS
+    * (disc_<key> STRING)` is allowed on writes BEFORE any row carries it
+    * (the write path otherwise only infers keys from existing disc_
+    * columns in the data files).
+    */
+  def discKeys(spark: SparkSession, tableDir: String): Set[String] = {
+    val p = metaPath(tableDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      parseDiscKeys(body)
+    }
+  }
+
+  private def parseDiscKeys(body: String): Set[String] =
+    "\"discKeys\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Declare additional discriminator keys: rewrite the marker preserving
+    * the layout fields. Single-writer scope (DDL is an operator action, like
+    * the reference's schema bootstrap); the numBuckets cache is untouched.
+    */
+  def addDiscKeys(spark: SparkSession, tableDir: String, keys: Set[String]): Unit = {
+    val p = metaPath(tableDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no graft meta marker at $tableDir")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val nb = "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"unreadable meta marker at $tableDir"))
+    val all = (parseDiscKeys(body) ++ keys.map(_.toLowerCase)).toSeq.sorted
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"layout":"graft-bucketed-v1","numBuckets":$nb,""" +
+        s""""discKeys":[${all.map(k => s"\"$k\"").mkString(",")}]}""").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Tests rewrite log dirs; let them reset the negative/positive cache. */
   def invalidate(tableDir: String): Unit = { cache.remove(cacheKey(tableDir)): Unit }

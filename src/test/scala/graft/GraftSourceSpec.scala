@@ -261,6 +261,40 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(native.committedEvents.count() === 21L)
       assert(native.streamEvents("s3").count() === 2L)
 
+      // ALTER declares a discriminator key (the one legal envelope change);
+      // the next INSERT's discriminator map materializes the column, and
+      // pre-ALTER rows read it as null
+      s.sql("ALTER TABLE graftsql.ns.orders ADD COLUMNS (disc_tenant STRING)")
+      s.sql(
+        """INSERT INTO graftsql.ns.orders
+          |  (aggregate_id, aggregate_kind, kind, body, aggregate_version, discriminator)
+          |SELECT 't1', 'User', 'Evt', '{}', 1, map('tenant', 'acme')""".stripMargin)
+      assert(s.sql(
+        "SELECT disc_tenant FROM graftsql.ns.orders WHERE aggregate_id = 't1'")
+        .collect()(0).getString(0) === "acme")
+      assert(s.sql(
+        "SELECT count(*) FROM graftsql.ns.orders WHERE disc_tenant IS NULL")
+        .collect()(0).getLong(0) === 21L,
+        "pre-ALTER rows must read the declared column as null")
+      // every other ALTER refuses with the fixed-envelope message
+      val ae = intercept[Exception](
+        s.sql("ALTER TABLE graftsql.ns.orders ADD COLUMNS (extra INT)"))
+      assert(ae.getMessage.contains("fixed envelope"), ae.getMessage)
+      // DESCRIBE EXTENDED surface: log stats ride the table properties
+      val props = s.sql("SHOW TBLPROPERTIES graftsql.ns.orders").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.numBuckets").contains("4"), props.toString)
+      assert(props.get("graft.commitMode").contains("manifest"))
+      assert(props("graft.events.files").toInt > 0)
+      assert(props("graft.claims.done").toInt >= 2)
+      assert(props.get("graft.discKeys").contains("tenant"))
+      // TRUNCATE / DELETE refuse by naming the sanctioned mutations
+      val te = intercept[Exception](s.sql("TRUNCATE TABLE graftsql.ns.orders"))
+      assert(te.getMessage.contains("EventLog.forget"), te.getMessage)
+      val de = intercept[Exception](
+        s.sql("DELETE FROM graftsql.ns.orders WHERE aggregate_id = 't1'"))
+      assert(de.getMessage.contains("EventLog.forget"), de.getMessage)
+
       s.sql("DROP TABLE graftsql.ns.copy")
       assert(s.sql("SHOW TABLES IN graftsql.ns").collect().map(_.getString(1)).toSet ===
         Set("orders"))

@@ -70,6 +70,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val budgets = Map(
       "a1_rehydrate_fold" -> 1, "a4_projection_state" -> 1, "a5_distinct_streams" -> 1,
       "a6_resume_bounds" -> 1, "a8_asof_state" -> 1, "c1_base64" -> 0,
+      // o1: the returned lag frame is one agg over the committed scan with
+      // the token frame broadcast — the import/catchup side effects run
+      // eagerly before it
+      "o1_lag_stats" -> 1,
       // d3: the codegen'd simhash_packed expression made fingerprinting a
       // pure projection — zero shuffles
       "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 2, "d3_simhash" -> 0,
@@ -210,6 +214,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // the corpus side never shuffles and both cell scans DPP-prune
       // (asserted in SkewTextOpsSpec)
       "e13_ivfpq_ann" -> 7,
+      // e16: the same probe plan over k-means books (books are a literal —
+      // the plan shape cannot depend on their values)
+      "e16_pqk_ann" -> 7,
       // e9: the returned full-probe plan — query-side cell-assign window,
       // per-query top-k window, and the (tiny) query frame's own exchange;
       // build/append/recluster side effects run eagerly before it
