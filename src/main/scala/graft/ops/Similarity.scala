@@ -387,6 +387,71 @@ object Similarity {
     m.getFileSystem(spark.sessionState.newHadoopConf()).delete(m, false)
   }
 
+  // ── versioned geometry (reader-side recluster consistency) ────────────
+  // A recluster retires the whole cell GEOMETRY (centroid set + cell
+  // assignment). The old in-place rename swap was crash-safe but not
+  // READER-safe: a query that resolved `centroids` before the swap and
+  // scanned `cells` after it probed stale cell ids, and a scan whose file
+  // list was taken before the swap read paths that no longer existed.
+  // Geometry now versions: recluster stages `centroids@N+1` / `cells@N+1`
+  // next to the live version, then publishes with ONE atomic marker create
+  // (`_geom.N+1` — the same create-if-absent primitive as the mutation
+  // fence), and RETAINS version N until the NEXT recluster. A reader that
+  // resolved version N keeps reading N's immutable files to completion —
+  // snapshot isolation with a one-recluster-cycle grace window, no
+  // maintenance-window coordination. Builds keep the legacy unversioned
+  // layout (`cells`/`centroids`, version 0); the first recluster migrates.
+
+  /** Current geometry version: max published `_geom.N` marker; None =
+    * legacy unversioned layout.
+    */
+  private def geomVersion(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_geom."))
+      .flatMap(_.stripPrefix("_geom.").toLongOption)
+      .maxOption
+  }
+
+  /** Resolve a geometry table (`cells` / `centroids`) to its CURRENT
+    * version's directory — the one call every reader, appender and
+    * maintenance pass routes through. Public so external tooling (and the
+    * specs) can address the live geometry the same way the library does.
+    */
+  def resolvedTablePath(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    geomVersion(p.getFileSystem(spark.sessionState.newHadoopConf()), path) match {
+      case Some(v) => s"$path/$table@$v"
+      case None => s"$path/$table"
+    }
+  }
+
+  /** A from-scratch build over a previously-reclustered path resets the
+    * geometry history: without this, the fresh legacy-layout write would be
+    * INVISIBLE behind the old version markers. Build-time only (inside the
+    * build's mutation fence).
+    */
+  private def clearGeometryVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_geom.") || n.startsWith("cells@") ||
+        n.startsWith("centroids@")) fs.delete(st.getPath, true): Unit
+    }
+  }
+
+  private def cellsPath(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = resolvedTablePath(spark, path, "cells")
+
+  private def centroidsPath(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = resolvedTablePath(spark, path, "centroids")
+
   /** Build and PERSIST an IVF index: `path/centroids` (nlist rows) and
     * `path/cells` (one row per corpus vector, parquet PARTITIONED BY the
     * cell id). This is the production similarity shape at 100 TB — the
@@ -401,6 +466,7 @@ object Similarity {
       path: String, nlist: Int = 8,
       centroids: Option[DataFrame] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfIndex") {
+      clearGeometryVersions(corpus.sparkSession, path)
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
@@ -415,9 +481,9 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfIndex") {
-      val cents = spark.read.parquet(s"$path/centroids")
+      val cents = spark.read.parquet(centroidsPath(spark, path))
       assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
     }
 
   /** ANN top-k against a persisted index: queries assign to their `nprobe`
@@ -429,9 +495,9 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(centroidsPath(spark, path))
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
-    val base = spark.read.parquet(s"$path/cells")
+    val base = spark.read.parquet(cellsPath(spark, path))
       .select(col("vec_id"), col("ce"), col("cell"))
     // ingested-but-uncompacted vectors are probe-visible here too (per-side
     // join under the final window, matching ivfSqTopKIndexed's shape)
@@ -466,7 +532,7 @@ object Similarity {
     withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId") {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(s"$path/centroids")
+        val cents = spark.read.parquet(centroidsPath(spark, path))
         assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
           .withColumn("b", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -525,6 +591,7 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       normalize: Boolean = false): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfSqIndex") {
+      clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val c = if (normalize) withNormalized(corpus, vecCol) else corpus
       val cents = centroids.getOrElse(defaultCentroids(c, idCol, vecCol, nlist))
@@ -566,11 +633,11 @@ object Similarity {
   def appendToIvfSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfSqIndex") {
-      val cents = spark.read.parquet(s"$path/centroids")
+      val cents = spark.read.parquet(centroidsPath(spark, path))
       val scale = spark.read.parquet(s"$path/sq_scale")
       val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
       assignCellsSq(b, idCol, vecCol, cents, scale)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
     }
 
   /** IDEMPOTENT per-batch append for continuous ingest (the
@@ -591,7 +658,7 @@ object Similarity {
     withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId") {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(s"$path/centroids")
+        val cents = spark.read.parquet(centroidsPath(spark, path))
         val scale = spark.read.parquet(s"$path/sq_scale")
         val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
         assignCellsSq(b, idCol, vecCol, cents, scale)
@@ -649,6 +716,7 @@ object Similarity {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val ingest = new Path(s"$path/ingest")
     if (!fs.exists(ingest)) return
+    val liveCells = cellsPath(spark, path)
     val folded = new Path(s"$path/ingest_folded")
     fs.mkdirs(folded)
     fs.listStatus(ingest).filter(s => s.isDirectory &&
@@ -671,7 +739,7 @@ object Similarity {
         if (!fs.exists(marker)) fs.create(marker, false).close()
       }
       moves.foreach { case (cellDir, f) =>
-        val dest = new Path(s"$path/cells/$cellDir")
+        val dest = new Path(s"$liveCells/$cellDir")
         fs.mkdirs(dest)
         if (!fs.rename(f, new Path(dest, s"ing-b$bTag-${f.getName}")))
           throw new java.io.IOException(s"compact move failed: $f")
@@ -731,7 +799,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(centroidsPath(spark, path))
     val scale = spark.read.parquet(s"$path/sq_scale")
     // a normalized index quantizes normalized queries (the persisted flag,
     // set once at build); cosine rescoring below is norm-invariant, so the
@@ -762,9 +830,9 @@ object Similarity {
         aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x))
       .select(col("qid"), col("vec_id"), col("cell"), col("qscore"))
-    val scored = ing.map(i => scoredOf(spark.read.parquet(s"$path/cells"))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(cellsPath(spark, path)))
         .unionByName(scoredOf(i)))
-      .getOrElse(scoredOf(spark.read.parquet(s"$path/cells")))
+      .getOrElse(scoredOf(spark.read.parquet(cellsPath(spark, path))))
     val cand = scored
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= k.toLong * rerank)
@@ -775,9 +843,9 @@ object Similarity {
     def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
       .join(broadcast(cand), Seq("cell", "vec_id"))
-    val rescored = ing.map(i => rescoredOf(spark.read.parquet(s"$path/cells"))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(cellsPath(spark, path)))
         .unionByName(rescoredOf(i)))
-      .getOrElse(rescoredOf(spark.read.parquet(s"$path/cells")))
+      .getOrElse(rescoredOf(spark.read.parquet(cellsPath(spark, path))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     rescored
       .join(broadcast(qvecs), Seq("qid"))
@@ -796,13 +864,14 @@ object Similarity {
     * neighbours across cells the query never probes and recall@k decays.
     * Reclustering trains fresh Lloyd-refined centroids on a hash-sample of
     * the current corpus (deterministic end to end) and rewrites the cell
-    * table — the compaction pattern: the new index is STAGED in sibling
-    * `*_rebuild` dirs and swapped in with renames, so a crash mid-recluster
-    * leaves the live index intact (at worst plus leftover `_rebuild`/`_old`
-    * dirs, which the next recluster overwrites). Like compaction and
-    * manifest prune, run in a maintenance window: a reader loading
-    * centroids before the swap and cells after it would probe stale cell
-    * ids.
+    * table into the NEXT GEOMETRY VERSION: `centroids@N+1` / `cells@N+1`
+    * staged next to the live version, published with one atomic
+    * `_geom.N+1` marker create, previous version RETAINED until the next
+    * recluster. Crash mid-stage leaves the live version untouched (stale
+    * staging dirs are overwritten by the next attempt); readers that
+    * resolved version N keep reading its immutable files to completion —
+    * snapshot isolation, no maintenance window (see the versioned-geometry
+    * note above [[resolvedTablePath]]).
     *
     * Scale shape: training reads the `sampleRate` sliver; reassignment is
     * one broadcast-join scan of the cell table writing `nlist` partitions —
@@ -823,7 +892,7 @@ object Similarity {
     // RETIRED geometry (wrong cells probed, vectors invisible at the right
     // ones). Compaction is pure file moves, so this costs metadata only.
     compactIvfIngestFenced(spark, path)
-    val full = spark.read.parquet(s"$path/cells")
+    val full = spark.read.parquet(cellsPath(spark, path))
     val live = full.select(col("vec_id"), col("ce"))
     val sample =
       if (sampleRate >= 1.0) live
@@ -831,7 +900,17 @@ object Similarity {
     // kmeansCentroids localCheckpoints its result: the centroid frame is
     // materialized and the staged writes below never re-read live dirs lazily
     val cents = kmeansCentroids(sample, "vec_id", "ce", nlist, iters)
-    cents.write.mode("overwrite").parquet(s"$path/centroids_rebuild")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = geomVersion(fs, path).getOrElse(0L) // legacy layout = version 0
+    val next = cur + 1
+    // clear crashed-stage leftovers of any version ABOVE the published one
+    // (a previous attempt that died before its marker), then stage
+    fs.listStatus(new Path(path)).filter { st =>
+      val n = st.getPath.getName
+      Seq("cells@", "centroids@").exists(pfx => n.startsWith(pfx) &&
+        n.dropWhile(_ != '@').drop(1).toLongOption.exists(_ > cur))
+    }.foreach(st => fs.delete(st.getPath, true): Unit)
+    cents.write.mode("overwrite").parquet(s"$path/centroids@$next")
     // preserve the compressed columns of an SQ8/PQ index through the
     // rewrite: codes depend only on the FROZEN scale/codebooks, never on
     // the coarse centroids, so reassigning cells cannot change them — one
@@ -841,16 +920,18 @@ object Similarity {
     full.drop("cell")
       .withColumn("cell", element_at(ids,
         graft.functions.nearest_centroid(col("ce"), mat).getField("idx") + 1))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_rebuild")
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("centroids", "cells").foreach { t =>
-      val (liveP, rebuild, old) =
-        (new Path(s"$path/$t"), new Path(s"$path/${t}_rebuild"), new Path(s"$path/${t}_old"))
-      fs.delete(old, true)
-      if (!fs.rename(liveP, old) || !fs.rename(rebuild, liveP))
-        throw new java.io.IOException(s"recluster swap failed for $liveP")
-      fs.delete(old, true): Unit
-    }
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells@$next")
+    // publish: one atomic marker create flips every subsequent resolution
+    fs.create(new Path(s"$path/_geom.$next"), false).close()
+    // retire versions older than the PREVIOUS one — the grace window a
+    // reader mid-query needs is bounded by one recluster cycle (in-flight
+    // scans hold version `cur`, which stays on disk until the NEXT
+    // recluster retires it)
+    val retire = cur - 1
+    if (retire >= 1) Seq(s"cells@$retire", s"centroids@$retire",
+      s"_geom.$retire").foreach(t => fs.delete(new Path(s"$path/$t"), true): Unit)
+    if (retire >= 0) Seq("cells", "centroids").foreach(t =>
+      fs.delete(new Path(s"$path/$t"), true): Unit) // legacy v0 dirs
   }
 
   /** Per-cell health of a persisted IVF-family index (plain, SQ8, or PQ —
@@ -866,8 +947,8 @@ object Similarity {
     */
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val base = spark.read.parquet(s"$path/cells")
+    val cents = spark.read.parquet(centroidsPath(spark, path))
+    val base = spark.read.parquet(cellsPath(spark, path))
       .select(col("vec_id"), col("ce"), col("cell"))
     val cells = ingestCells(spark, path)
       .map(i => base.unionByName(i.select(col("vec_id"), col("ce"), col("cell"))))
@@ -1435,6 +1516,7 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       codebooks: Option[Array[Array[Array[Double]]]] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfPqIndex") {
+      clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1465,10 +1547,10 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfPqIndex") {
-      val cents = spark.read.parquet(s"$path/centroids")
+      val cents = spark.read.parquet(centroidsPath(spark, path))
       val books = readBooks(spark, s"$path/books")
       assignCellsPq(batch, idCol, vecCol, cents, books)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
     }
 
   /** The IVF-PQ twin of [[appendBatchToIvfSqIndex]]: an IDEMPOTENT
@@ -1483,7 +1565,7 @@ object Similarity {
     withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId") {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(s"$path/centroids")
+        val cents = spark.read.parquet(centroidsPath(spark, path))
         val books = readBooks(spark, s"$path/books")
         assignCellsPq(batch, idCol, vecCol, cents, books)
           .withColumn("b", lit(batchId))
@@ -1507,7 +1589,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(centroidsPath(spark, path))
     val books = readBooks(spark, s"$path/books")
     // probe side (tiny by contract): nprobe cells + the ADC tables
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
@@ -1522,9 +1604,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qdist", pqAdcDist(col("code"), col("qt")))
       .select(col("qid"), col("vec_id"), col("cell"), col("qdist"))
-    val scored = ing.map(i => scoredOf(spark.read.parquet(s"$path/cells"))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(cellsPath(spark, path)))
         .unionByName(scoredOf(i)))
-      .getOrElse(scoredOf(spark.read.parquet(s"$path/cells")))
+      .getOrElse(scoredOf(spark.read.parquet(cellsPath(spark, path))))
     val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
     val cand = scored
       .withColumn("crn", row_number().over(wq))
@@ -1535,9 +1617,9 @@ object Similarity {
     def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
       .join(broadcast(cand), Seq("cell", "vec_id"))
-    val rescored = ing.map(i => rescoredOf(spark.read.parquet(s"$path/cells"))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(cellsPath(spark, path)))
         .unionByName(rescoredOf(i)))
-      .getOrElse(rescoredOf(spark.read.parquet(s"$path/cells")))
+      .getOrElse(rescoredOf(spark.read.parquet(cellsPath(spark, path))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     rescored
       .join(broadcast(qvecs), Seq("qid"))

@@ -971,13 +971,16 @@ class SkewTextOpsSpec extends AnyFunSuite {
     val after = meanRecall()
     assert(after >= 0.95 && after > before,
       f"recluster must restore recall: before=$before%.3f after=$after%.3f")
-    // the swap preserved every vector and retrained nlist centroids
-    assert(s.read.parquet(s"$idx/cells").count() === 340L)
-    assert(s.read.parquet(s"$idx/centroids").count() === 5L)
+    // the versioned publish preserved every vector and retrained nlist
+    // centroids (post-recluster reads resolve the CURRENT geometry)
+    def cells() = s.read.parquet(Similarity.resolvedTablePath(s, idx, "cells"))
+    assert(cells().count() === 340L)
+    assert(s.read.parquet(Similarity.resolvedTablePath(s, idx, "centroids"))
+      .count() === 5L)
     // incremental appends keep working against the retrained centroids
     val more = Seq((2000L, unitVec(2, -1, 0.05))).toDF("vec_id", "embedding")
     Similarity.appendToIvfIndex(s, idx, more, "vec_id", "embedding")
-    assert(s.read.parquet(s"$idx/cells").count() === 341L)
+    assert(cells().count() === 341L)
   }
 
   test("bigram LM: hand-computed add-k likelihoods on a two-doc corpus") {

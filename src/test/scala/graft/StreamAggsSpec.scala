@@ -594,6 +594,48 @@ class StreamAggsSpec extends AnyFunSuite {
       "PQ ingest replay after compact must not duplicate vectors")
   }
 
+  test("versioned geometry: readers planned before a recluster survive it; versions retire one cycle later") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftgeom").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 4)
+    val queries = emb.limit(3)
+    def probe() = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 4)
+    // plan (and resolve geometry paths for) a reader BEFORE the recluster
+    val preProbe = probe()
+    val want = preProbe.orderBy("qid", "rn").collect().toSeq
+    graft.ops.Similarity.reclusterIvfIndex(s, idx, nlist = 4)
+    // the old reader keeps reading its immutable version-0 snapshot — the
+    // in-place swap this replaces made these files VANISH mid-query
+    assert(preProbe.orderBy("qid", "rn").collect().toSeq === want,
+      "a reader planned before the recluster must keep its snapshot")
+    assert(new java.io.File(s"$idx/cells").exists(),
+      "previous geometry must be retained for one cycle")
+    assert(new java.io.File(s"$idx/cells@1").exists() &&
+      new java.io.File(s"$idx/_geom.1").exists(), "new geometry published")
+    // new readers resolve the retrained geometry; the full probe is the
+    // exact ranking under ANY clustering, so results must agree
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+    // the second recluster retires version 0, keeps version 1 as grace
+    graft.ops.Similarity.reclusterIvfIndex(s, idx, nlist = 4)
+    assert(!new java.io.File(s"$idx/cells").exists(),
+      "legacy geometry retires after one grace cycle")
+    assert(new java.io.File(s"$idx/cells@2").exists() &&
+      new java.io.File(s"$idx/cells@1").exists())
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+    // a from-scratch rebuild over the path resets the geometry history
+    graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 4)
+    assert(!new java.io.File(s"$idx/cells@2").exists() &&
+      new java.io.File(s"$idx/cells").exists(),
+      "a rebuild must clear old versions or it would be invisible")
+    assert(probe().orderBy("qid", "rn").collect().toSeq === want)
+  }
+
   test("index mutation fence: mutators exclude each other; a crashed holder is breakable") {
     val s = spark
     import s.implicits._
@@ -836,7 +878,9 @@ class StreamAggsSpec extends AnyFunSuite {
     graft.ops.Similarity.reclusterIvfIndex(s, s"$dir/idx", nlist = 5)
     assert(!new java.io.File(s"$dir/idx/ingest").exists(),
       "recluster must fold the ingest side area before the rewrite")
-    assert(s.read.parquet(s"$dir/idx/cells").count() === 220L,
+    assert(s.read.parquet(
+        graft.ops.Similarity.resolvedTablePath(s, s"$dir/idx", "cells"))
+      .count() === 220L,
       "no vector may be lost through fold + recluster")
     // the compressed probe still serves: a full probe (every cell,
     // exhaustive rerank) must equal the exact cosine scan — any dropped
