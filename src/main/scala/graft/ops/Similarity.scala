@@ -333,15 +333,32 @@ object Similarity {
     * `ConcurrentModificationException` (fail-fast, retryable) when another
     * mutator holds it — the loser retries after the winner finishes; it
     * must NOT fall back to mutating unfenced.
+    *
+    * `reclaimSameOp`: the streaming appendBatch path sets this — a crashed
+    * micro-batch leaves its fence behind, and the crash-REPLAY of that
+    * batch (same op string, same batchId, idempotent content) IS the dead
+    * holder's retry, so it may reclaim the fence instead of wedging the
+    * stream behind a manual break. Reclaim never crosses op identities: a
+    * fence left by a recluster/compact (or a different batchId) still
+    * refuses — those holders might be alive.
     */
   def withIndexMutation[T](spark: org.apache.spark.sql.SparkSession,
-      path: String, op: String)(body: => T): T = {
+      path: String, op: String, reclaimSameOp: Boolean = false)(body: => T): T = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) fs.mkdirs(root)
     val marker = mutationMarker(path)
     val content = s"$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
+    def holderOp: Option[String] =
+      try {
+        val in = fs.open(marker)
+        val body0 = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(body0.split(" pid=").head)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (reclaimSameOp && fs.exists(marker) && holderOp.contains(op))
+      fs.delete(marker, false): Unit
     val won = {
       if (fs.exists(marker)) false
       else {
@@ -529,7 +546,8 @@ object Similarity {
   def appendBatchToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
       batchId: Long): Unit =
-    withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId") {
+    withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId",
+        reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
         val cents = spark.read.parquet(centroidsPath(spark, path))
@@ -655,7 +673,8 @@ object Similarity {
   def appendBatchToIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
       batchId: Long): Unit =
-    withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId") {
+    withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId",
+        reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
         val cents = spark.read.parquet(centroidsPath(spark, path))
@@ -1562,7 +1581,8 @@ object Similarity {
   def appendBatchToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
       batchId: Long): Unit =
-    withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId") {
+    withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId",
+        reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
         val cents = spark.read.parquet(centroidsPath(spark, path))

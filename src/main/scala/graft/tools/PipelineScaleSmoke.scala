@@ -470,18 +470,16 @@ object PipelineScaleSmoke {
       require(planted == 2L,
         s"planted twins must top IVF-PQ ranking: got $planted of 2")
 
-      // ── k-means PQ codebooks: Lloyd means minimize within-cell variance
-      // — exactly the ADC approximation error — so trained books must rank
-      // at least as well as the seeded first-kc books AT EQUAL rerank
-      // (same plumbing, strictly better quantizer); that's the hard floor.
-      // The rerank=16 number is REPORTED for the tuning record: on this
-      // deliberately-worst-case corpus (uniform hash vectors — no cluster
-      // structure for the books to exploit, every cosine in a thin shell)
-      // a 4× rerank cut costs more than trained books recover (measured
-      // 0.413 trained@16 vs 0.675 seeded@64 at 100k); on clustered
-      // real-world corpora the trained-book gain is what closes that gap,
-      // which is why the API takes the books as an argument instead of
-      // hard-wiring the seed.
+      // ── k-means PQ codebooks vs the seeded first-kc books. METHOD NOTE:
+      // the seeded books ARE the first-kc corpus vectors, so evaluating on
+      // the first-16 queries hands the seeded books perfect resolution
+      // around exactly those points (half that query set IS a codeword in
+      // every subspace — its ADC self-distance term is 0). Measured, that
+      // bias inverts the comparison (+~0.25 recall to the seeded side), so
+      // the seeded-vs-trained floors run on DISJOINT queries far from the
+      // seed block. Lloyd means minimize within-cell variance — the ADC
+      // approximation error — so trained books must rank at least as well
+      // at EQUAL rerank; on this corpus the measured gap is ~2× recall.
       val books = time("PQ k-means codebooks (2% sample, m=8 kc=16, 8 iters)") {
         Similarity.pqCodebooksKmeans(
           Sampling.hashSample(emb1m, "vec_id", 0.02, salt = "pqk"),
@@ -498,23 +496,32 @@ object PipelineScaleSmoke {
         Similarity.appendToIvfPqIndex(spark, idxK,
           emb1m.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       }
-      def recallK(rerank: Int): Double = {
-        val pqk = time(s"IVF-PQ k-means probe top-5 (nprobe=8, rerank=$rerank)") {
-          Similarity.ivfPqTopKIndexed(spark, idxK, q16, "vec_id", "embedding",
+      // disjoint query block (includes two planted twins: 1001, 1011)
+      val qk = emb1m.filter(col("vec_id") >= 1000 && col("vec_id") < 1016)
+      val floatK = time("IVF float probe top-5 (disjoint queries)") {
+        Similarity.ivfTopKIndexed(spark, idx, qk, "vec_id", "embedding",
+          k = 5, nprobe = 8).localCheckpoint()
+      }
+      def recallOf(indexPath: String, which: String, rerank: Int): Double = {
+        val pq = time(s"IVF-PQ $which probe top-5 (disjoint, rerank=$rerank)") {
+          Similarity.ivfPqTopKIndexed(spark, indexPath, qk, "vec_id", "embedding",
             k = 5, nprobe = 8, rerank = rerank).localCheckpoint()
         }
-        Similarity.recallAtK(float, pqk, 5)
+        Similarity.recallAtK(floatK, pq, 5)
           .agg(avg(col("recall"))).collect()(0).getDouble(0)
       }
-      val recK16 = recallK(16)
-      val recK64 = recallK(64)
-      println(f"PSCALE   ivf-pq K-MEANS recall@5: rerank=16 $recK16%.3f, " +
-        f"rerank=64 $recK64%.3f (seeded rerank=64 = $rec%.3f)")
-      require(recK64 >= rec - 0.01,
-        f"k-means books must never rank WORSE than seeded books at equal " +
-          f"rerank: $recK64%.3f < $rec%.3f")
+      val recS16 = recallOf(idx, "seeded", 16)
+      val recS64 = recallOf(idx, "seeded", 64)
+      val recK16 = recallOf(idxK, "k-means", 16)
+      val recK64 = recallOf(idxK, "k-means", 64)
+      println(f"PSCALE   ivf-pq DISJOINT-query recall@5: seeded $recS16%.3f/@16 " +
+        f"$recS64%.3f/@64, K-MEANS $recK16%.3f/@16 $recK64%.3f/@64")
+      require(recK16 >= recS16 && recK64 >= recS64,
+        f"trained books must never rank worse than seeded books at equal " +
+          f"rerank on seed-disjoint queries: k-means $recK16%.3f/$recK64%.3f " +
+          f"vs seeded $recS16%.3f/$recS64%.3f")
       // the planted twins' floor holds under trained books too
-      val pqk16 = Similarity.ivfPqTopKIndexed(spark, idxK, q16,
+      val pqk16 = Similarity.ivfPqTopKIndexed(spark, idxK, qk,
         "vec_id", "embedding", k = 5, nprobe = 8, rerank = 16)
       val plantedK = pqk16.filter(col("qid") % 10 === 1 && col("rn") === 1 &&
         col("vec_id") === col("qid") - 1).count()

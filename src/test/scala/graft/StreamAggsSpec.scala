@@ -690,6 +690,20 @@ class StreamAggsSpec extends AnyFunSuite {
     assert(wins.get >= 1, "at least one racer must win the fence")
     // the fence is released after each winner: a follow-up mutation runs
     graft.ops.Similarity.compactIvfIngest(s, idx)
+    // streaming crash-replay self-heals: a fence left by a CRASHED
+    // appendBatch of the same batchId is reclaimed by its replay (the
+    // replay IS the dead holder's retry — idempotent content), but a fence
+    // from a DIFFERENT op identity still refuses
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/_mutating"),
+      "appendBatchToIvfSqIndex b=9 pid=99999 at=crashed".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, emb.limit(1),
+        "vec_id", "embedding", 10L) // different batch — might be alive
+    }
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx, emb.limit(1),
+      "vec_id", "embedding", 9L) // the replay of the crashed batch
+    assert(!new java.io.File(s"$idx/_mutating").exists(),
+      "the reclaimed fence must be released after the replay")
   }
 
   test("component state cold-start skips an incomplete (no _SUCCESS) version") {
