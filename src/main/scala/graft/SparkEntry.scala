@@ -1149,6 +1149,24 @@ object SparkEntry {
       ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlist = 8)),
 
+    // ── similarity: SEMANTIC DEDUP SCREEN against a persisted index — the
+    //    batch-vs-accepted-corpus decision (`semScreen`, the micro-batch
+    //    body of StreamAggs.semDedupAtIngest), oracle-gated by EQUIVALENCE
+    //    (the e9 trick): with every cell probed and exhaustive rerank the
+    //    top-1 neighbor is the exact cosine argmax, so the verdict equals
+    //    the oracle's threshold on the exact scan whatever the SQ8 layout
+    //    did to the pre-rank. Build on evens, screen 100 odd vectors.
+    "e17_semdedup_screen" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte17")
+      ops.Similarity.buildIvfSqIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8)
+      ops.Similarity.semScreen(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.3, nprobe = 8, rerank = 1000000)
+    }),
+
     // ── similarity: embedding QC — centroid-distance outlier screen (a
     // zero-shuffle codegen projection: vectors no cluster claims are the
     // corrupt/off-distribution embeddings screened before training) ───────
@@ -1367,6 +1385,40 @@ object SparkEntry {
       val bucket = ops.Sampling.hashBucket(col("doc_id"), "inc", 10000)
       ops.Dedup.incrementalDedup(
         docs.filter(bucket >= 2000), docs.filter(bucket < 2000),
+        "doc_id", "text", threshold = 0.2)
+    }),
+
+    // ── dedup: PERSISTED LSH index lifecycle (build → append → streaming
+    //    appendBatch → compact → appendBatch → screen). The corpus reaches
+    //    the signature table through four different write paths, one batch
+    //    is folded by compaction and one still lives in the ingest side
+    //    area when the screen runs — and the verdicts must equal d12's
+    //    independent DuckDB re-derivation exactly, because the persisted
+    //    index is semantically nothing but the corpus signatures. The
+    //    screen's candidate join carries the (band, sb) partition columns,
+    //    so the index scan prunes to the batch's buckets (the 100-TB
+    //    screen shape: the corpus is only touched by the verify sliver).
+    "d17_lsh_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = ops.Sampling.hashBucket(col("doc_id"), "inc", 10000)
+      val corpus = docs.filter(bucket >= 2000)
+      val idx = tempLogDir("graftd17")
+      // sigBuckets sizes the (band × bucket) partition grid; the dynamic-
+      // partitioned COMMIT costs ~12 ms/dir (ProbeLsh2), so the grid must
+      // scale with the corpus — 16 here (64 dirs) for the bench tiers, a
+      // few thousand at 100 TB where the commit amortizes over the write
+      ops.LshIndex.build(docs.filter(bucket >= 6000), "doc_id", "text", idx,
+        sigBuckets = 16)
+      ops.LshIndex.append(s, idx,
+        docs.filter(bucket >= 5000 && bucket < 6000), "doc_id", "text")
+      ops.LshIndex.appendBatch(s, idx,
+        docs.filter(bucket >= 3500 && bucket < 5000), "doc_id", "text",
+        batchId = 1)
+      ops.LshIndex.compactIngest(s, idx) // batch 1 folds into the main table
+      ops.LshIndex.appendBatch(s, idx,
+        docs.filter(bucket >= 2000 && bucket < 3500), "doc_id", "text",
+        batchId = 2) // batch 2 stays in ingest: the screen reads the union
+      ops.LshIndex.screen(s, idx, corpus, docs.filter(bucket < 2000),
         "doc_id", "text", threshold = 0.2)
     }),
 
@@ -2331,6 +2383,24 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
 
+    // e17: the exact-scan twin of the semantic screen — full probe +
+    // exhaustive rerank makes the index's top-1 the exact cosine argmax
+    "e17_semdedup_screen" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE vec_id % 2 = 0),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        |      WHERE vec_id % 2 = 1 AND vec_id < 200),
+        |s AS (SELECT qid, c.vec_id,
+        |             round(list_cosine_similarity(qe, c.emb), 6) AS sim
+        |      FROM q CROSS JOIN c WHERE c.vec_id != qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |      FROM s),
+        |t AS (SELECT qid, vec_id, sim FROM r WHERE rn = 1 AND sim >= 0.3)
+        |SELECT q.qid AS vec_id, t.vec_id IS NULL AS is_new,
+        |       t.vec_id AS match_id, t.sim
+        |FROM q LEFT JOIN t USING (qid)""".stripMargin,
+
     "e3_ivf_ann" -> ivfOracleSql,
     // e6 = the same declarative IVF semantics: the persisted-index roundtrip
     // (build on evens, append odds, load, probe) must be indistinguishable
@@ -3067,6 +3137,48 @@ object SparkEntry {
         |GROUP BY t.doc_id, len(t.ws)""".stripMargin,
 
     "d12_incremental" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  (((md5_number('inc' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 10000 AS bucket FROM documents),
+        |tok AS (SELECT doc_id, bucket < 2000 AS is_batch,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws FROM b),
+        |sh AS (SELECT doc_id, is_batch, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id, is_batch,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id, is_batch,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id, is_batch),
+        |mh AS (SELECT doc_id, is_batch, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 3, sig3 FROM mh0),
+        |cand AS (SELECT DISTINCT bm.doc_id AS b_id, cm.doc_id AS c_id
+        |         FROM mh bm JOIN mh cm ON bm.band = cm.band AND bm.sig = cm.sig
+        |         WHERE bm.is_batch AND NOT cm.is_batch),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |ver AS (SELECT b_id, min(c_id) AS match_id
+        |        FROM cand JOIN sets sb ON sb.doc_id = b_id
+        |                  JOIN sets sc ON sc.doc_id = c_id
+        |        WHERE round(len(list_intersect(sb.sh, sc.sh)) * 1.0
+        |              / len(list_distinct(sb.sh || sc.sh)), 4) >= 0.2
+        |        GROUP BY b_id)
+        |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
+        |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
+        |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    // identical to d12 BY DESIGN: the persisted index is semantically the
+    // corpus signature table, so the whole build/append/ingest/compact
+    // lifecycle must collapse to the same independent re-derivation
+    "d17_lsh_index" ->
       """WITH b AS (SELECT doc_id, text,
         |  (((md5_number('inc' || doc_id::VARCHAR) % 4294967296) + 4294967296)
         |     % 4294967296) % 10000 AS bucket FROM documents),

@@ -511,14 +511,14 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
     val cents = spark.read.parquet(centroidsPath(spark, path))
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
     val base = spark.read.parquet(cellsPath(spark, path))
       .select(col("vec_id"), col("ce"), col("cell"))
     // ingested-but-uncompacted vectors are probe-visible here too (per-side
     // join under the final window, matching ivfSqTopKIndexed's shape)
-    ingestCells(spark, path) match {
+    ingestCells(spark, path, excludeBatch) match {
       case None => ivfTopKJoin(base, q, k)
       case Some(i) =>
         val w = Window.partitionBy(col("qid"))
@@ -701,8 +701,14 @@ object Similarity {
     * resumes the moves. The write itself is atomically visible — Spark
     * stages dynamic overwrites and commits at job end — so a marker can
     * never cover a half-written batch.)
+    *
+    * Public because the streaming semantic-dedup composite
+    * ([[graft.streaming.StreamAggs.semDedupAtIngest]]) must skip a folded
+    * batch's WHOLE replay body, not just the write — post-fold the batch's
+    * own vectors are indistinguishable from the corpus, so a re-probe
+    * would match the batch against itself.
     */
-  private def batchFolded(spark: org.apache.spark.sql.SparkSession,
+  def batchFolded(spark: org.apache.spark.sql.SparkSession,
       path: String, batchId: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/ingest_folded/b=$batchId")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -780,10 +786,14 @@ object Similarity {
 
   /** The ingest side area's cell frame, if any — same columns as the main
     * cell table; probes union it in with its own broadcast join so BOTH
-    * scans keep per-side partition pruning on the cell key.
+    * scans keep per-side partition pruning on the cell key. `excludeBatch`
+    * drops one ingest batch's partitions: the streaming semantic-dedup
+    * composite excludes the CURRENT micro-batch so a crash-replay never
+    * screens a vector against a sibling's first-attempt ghost (partition
+    * pruning on `b`, so the exclusion costs nothing).
     */
   private def ingestCells(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
+      path: String, excludeBatch: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$path/ingest")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -794,9 +804,10 @@ object Similarity {
     def hasData(d: Path): Boolean = fs.listStatus(d).exists(s =>
       (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
         (s.isDirectory && hasData(s.getPath)))
-    if (fs.exists(p) && hasData(p))
-      Some(spark.read.parquet(p.toString).drop("b"))
-    else None
+    if (fs.exists(p) && hasData(p)) {
+      val raw = spark.read.parquet(p.toString)
+      Some(excludeBatch.fold(raw)(b => raw.filter(col("b") =!= b)).drop("b"))
+    } else None
   }
 
   /** ANN top-k against a persisted IVF-SQ8 index: queries assign to their
@@ -816,7 +827,8 @@ object Similarity {
     */
   def ivfSqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+      nprobe: Int = 2, rerank: Int = 4,
+      excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
     val cents = spark.read.parquet(centroidsPath(spark, path))
     val scale = spark.read.parquet(s"$path/sq_scale")
@@ -834,7 +846,7 @@ object Similarity {
     // and unions AFTER the per-side broadcast join, so both scans keep
     // their own partition pruning on the cell key (a join does not push
     // through a Union, so pruning a pre-union scan would be lost)
-    val ing = ingestCells(spark, path)
+    val ing = ingestCells(spark, path, excludeBatch)
     // compressed-domain scoring scan: codes + id + cell only
     def codesOf(df: DataFrame) = df
       .select(col("vec_id"), transform(col("cq"), x => x.cast("long")).as("cq"),
@@ -872,6 +884,55 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "sim", "rn")
+  }
+
+  /** The persisted layout of an IVF-family index: `"pq"` (codebooks at
+    * `books`), `"sq"` (scale at `sq_scale`) or `"float"` — set once at
+    * build; consumers route probes and ingest appends on it so an index
+    * migrated to a compressed layout never changes their topology.
+    */
+  def ivfIndexLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    def has(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    if (has("books")) "pq" else if (has("sq_scale")) "sq" else "float"
+  }
+
+  /** Semantic (embedding) near-duplicate screen of a batch against a
+    * persisted IVF-family index — the SemDeDup decision: each batch vector
+    * probes for its top-1 accepted neighbor (layout-routed; compressed
+    * layouts pre-rank compressed and exact-rescore, so the decision metric
+    * is exact cosine on every layout) and a neighbor at `sim ≥ threshold`
+    * marks it a near-duplicate. Output per batch row: `(id, is_new,
+    * match_id, sim)` — `match_id` the best-neighbor id, null when new.
+    * The batch-vs-corpus shape of [[graft.ops.Dedup.incrementalDedup]]
+    * lifted to embeddings; the per-micro-batch body of
+    * [[graft.streaming.StreamAggs.semDedupAtIngest]], which also appends
+    * the accepted vectors. With `nprobe = nlist` and exhaustive `rerank`
+    * the decision equals the exact cosine scan (every cell probed, every
+    * candidate rescored) — the e17 oracle's equivalence gate.
+    */
+  def semScreen(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nprobe: Int = 2, rerank: Int = 4,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val top1 = ivfIndexLayout(spark, path) match {
+      case "pq" => ivfPqTopKIndexed(spark, path, batch, idCol, vecCol,
+        k = 1, nprobe, rerank, excludeBatch)
+      case "sq" => ivfSqTopKIndexed(spark, path, batch, idCol, vecCol,
+        k = 1, nprobe, rerank, excludeBatch)
+      case _ => ivfTopKIndexed(spark, path, batch, idCol, vecCol,
+        k = 1, nprobe, excludeBatch)
+    }
+    batch.select(col(idCol))
+      .join(broadcast(top1.filter(col("sim") >= threshold)
+        .select(col("qid").as(idCol), col("vec_id").as("match_id"),
+          col("sim"))), Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNull.as("is_new"),
+        col("match_id"), col("sim"))
   }
 
   /** Rebuild a persisted IVF index's centroids from the CURRENT cell table
@@ -1607,7 +1668,8 @@ object Similarity {
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+      nprobe: Int = 2, rerank: Int = 4,
+      excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
     val cents = spark.read.parquet(centroidsPath(spark, path))
     val books = readBooks(spark, s"$path/books")
@@ -1617,7 +1679,7 @@ object Similarity {
         pqQueryTable(col("qe"), books).as("qt"))
     // streaming-ingest side area joins as its own scan (per-side DPP, as
     // in ivfSqTopKIndexed — a join does not push through a Union)
-    val ing = ingestCells(spark, path)
+    val ing = ingestCells(spark, path, excludeBatch)
     def scoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("code"), col("cell"))
       .join(broadcast(q), Seq("cell"))

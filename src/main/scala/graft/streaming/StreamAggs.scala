@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -333,25 +333,107 @@ object StreamAggs {
     * [[graft.ops.Similarity.compactIvfIngest]] folds the side area back
     * on the maintenance cadence.
     */
+  /** Layout-routed ingest append ([[graft.ops.Similarity.ivfIndexLayout]]):
+    * set once at build, so migrating an index to a compressed layout never
+    * changes the ingestion topology.
+    */
+  private def appendBatchRouted(s: SparkSession, idxPath: String,
+      batch: DataFrame, idCol: String, vecCol: String, batchId: Long): Unit =
+    graft.ops.Similarity.ivfIndexLayout(s, idxPath) match {
+      case "pq" => graft.ops.Similarity.appendBatchToIvfPqIndex(s,
+        idxPath, batch, idCol, vecCol, batchId)
+      case "sq" => graft.ops.Similarity.appendBatchToIvfSqIndex(s,
+        idxPath, batch, idCol, vecCol, batchId)
+      case _ => graft.ops.Similarity.appendBatchToIvfIndex(s,
+        idxPath, batch, idCol, vecCol, batchId)
+    }
+
   def indexAtIngest(stream: DataFrame, idxPath: String, idCol: String,
       vecCol: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      appendBatchRouted(batch.sparkSession, idxPath, batch.toDF(), idCol,
+        vecCol, batchId)
+    }
+
+  /** SELF-GROWING semantic (embedding) dedup over a persisted IVF-family
+    * index — the SemDeDup-at-ingest shape: each micro-batch's vectors are
+    * probed against the index (top-1, exact cosine rescore), a neighbor at
+    * `sim ≥ threshold` marks the vector a near-duplicate, verdicts go to
+    * `sink`, and the ACCEPTED vectors append into the index as the batch's
+    * own idempotent `b=batchId` partitions — later batches dedup against
+    * everything accepted before them. Works over all three persisted
+    * layouts (float / SQ8 / PQ) through the same routing as
+    * [[indexAtIngest]]; compressed layouts pre-rank compressed and
+    * exact-rescore, so the DECISION metric is exact cosine either way
+    * (`rerank` sizes the rescore sliver exactly as in the probes).
+    *
+    * Crash-replay: the probe EXCLUDES the current batchId's ingest
+    * partitions, so a replayed vector is never screened against its own or
+    * a sibling's first-attempt ghost — the re-probe is bit-identical and
+    * the re-append rewrites exactly itself. A batch already FOLDED by
+    * [[graft.ops.Similarity.compactIvfIngest]] skips its whole replay body
+    * ([[graft.ops.Similarity.batchFolded]]). Batch-INTERNAL near-dups are
+    * both admitted (the screen is batch-vs-accepted-corpus, matching
+    * [[dedupAtIngest]]'s text semantics); run a batch-local dedup upstream
+    * if micro-batches can self-duplicate.
+    */
+  def semDedupAtIngest(stream: DataFrame, idxPath: String, idCol: String,
+      vecCol: String, threshold: Double, nprobe: Int = 2, rerank: Int = 4)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
-      // route on the persisted layout: a PQ index carries codebooks at
-      // `books`, an SQ8 index its scale at `sq_scale`, the plain float
-      // index neither — set once at build, so migrating an index to a
-      // compressed layout never changes the ingestion topology
-      val conf = s.sessionState.newHadoopConf()
-      def has(sub: String) = {
-        val p = new org.apache.hadoop.fs.Path(s"$idxPath/$sub")
-        p.getFileSystem(conf).exists(p)
+      if (!graft.ops.Similarity.batchFolded(s, idxPath, batchId)) {
+        val verdicts = graft.ops.Similarity.semScreen(s, idxPath,
+            batch.toDF(), idCol, vecCol, threshold, nprobe, rerank,
+            excludeBatch = Some(batchId))
+          .localCheckpoint() // consumed twice: sink + accepted semi-join
+        sink(verdicts, batchId)
+        val accepted = batch.toDF().join(
+          verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
+        appendBatchRouted(s, idxPath, accepted, idCol, vecCol, batchId)
       }
-      if (has("books")) graft.ops.Similarity.appendBatchToIvfPqIndex(s,
-        idxPath, batch.toDF(), idCol, vecCol, batchId)
-      else if (has("sq_scale")) graft.ops.Similarity.appendBatchToIvfSqIndex(s,
-        idxPath, batch.toDF(), idCol, vecCol, batchId)
-      else graft.ops.Similarity.appendBatchToIvfIndex(s,
-        idxPath, batch.toDF(), idCol, vecCol, batchId)
+    }
+
+  /** SELF-GROWING near-dup screen over a persisted LSH index
+    * ([[graft.ops.LshIndex]]): each micro-batch is screened against the
+    * index, the verdicts go to `sink`, and the ACCEPTED (is_new) docs'
+    * signatures append into the index as the batch's own idempotent
+    * `b=batchId` partitions — so later batches dedup against everything
+    * accepted before them, without ever re-signing the corpus.
+    *
+    * Contracts:
+    *  - `corpus` is a THUNK re-evaluated per batch: verification resolves
+    *    candidate texts from it, so the sink must make accepted docs
+    *    visible there (it is the ingest pipeline — accepted docs are
+    *    appended to the corpus store by definition). A candidate whose
+    *    text is not yet visible verifies as no-match, which degrades to
+    *    admitting a near-dup — never to dropping a novel doc.
+    *  - Crash-replay: the screen EXCLUDES the current batchId's index
+    *    partitions, so a doc is never matched against its own
+    *    first-attempt signatures; the re-screen is then bit-identical and
+    *    the re-append rewrites exactly itself. A batch already FOLDED by
+    *    [[graft.ops.LshIndex.compactIngest]] skips its whole replay body
+    *    (same contract as [[indexAtIngest]]) — post-fold its signatures
+    *    are indistinguishable from the corpus.
+    */
+  def dedupAtIngest(stream: DataFrame, idxPath: String,
+      corpus: () => DataFrame, idCol: String, textCol: String,
+      threshold: Double)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val s = batch.sparkSession
+      if (!graft.ops.LshIndex.batchFolded(s, idxPath, batchId)) {
+        val verdicts = graft.ops.LshIndex.screen(s, idxPath, corpus(),
+            batch.toDF(), idCol, textCol, threshold,
+            excludeBatch = Some(batchId))
+          .localCheckpoint() // consumed twice: sink + accepted semi-join
+        sink(verdicts, batchId)
+        val accepted = batch.toDF().join(
+          verdicts.filter(org.apache.spark.sql.functions.col("is_new"))
+            .select(idCol), Seq(idCol), "semi")
+        graft.ops.LshIndex.appendBatch(s, idxPath, accepted, idCol, textCol,
+          batchId)
+      }
     }
 
   def screenNearDupAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,

@@ -1,14 +1,15 @@
 package graft.tools
 
 import graft.log.{CommitMode, EventLog}
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, LshIndex, Sampling, TextAnalysis}
 import graft.streaming.ReadModel
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The 100× rehearsal: ONE composed pipeline — ingest → dedup (minhash LSH +
-  * simhash64 bands + span-level) → quality screen → PII redact → per-source
+  * simhash64 bands + span-level) → quality screen → PII redact → persisted
+  * LSH index build + 10k-batch incoming screen → per-source
   * cap + split assignment → read model — driven end-to-end at two corpus
   * sizes (default 1M and 5M docs), with planted artifacts asserted at every
   * stage and per-million-doc runtime compared across the two runs (the
@@ -151,6 +152,47 @@ object FullPipelineSmoke {
         require(red.agg(sum(TextAnalysis.piiEmailCount(col("text"))))
           .collect()(0).getLong(0) == 0L, "redact must clear every email")
         red
+      }
+
+      // ── persisted LSH index: sign the accepted corpus ONCE, then screen
+      // an incoming 10k-doc batch against it — the continuous-ingest screen
+      // at composed scale. Half the batch near-dups accepted docs (the
+      // formula text with token 3 swapped), half is novel vocabulary; the
+      // verdict counts are exact up to the targets that fell to the junk
+      // screen (k ≡ 0 mod 97 never reached the corpus).
+      time("lsh index build over accepted corpus") {
+        LshIndex.build(corpus5, "doc_id", "text", s"$dir/lshidx",
+          sigBuckets = 64)
+      }
+      time("lsh screen 10k batch (planted dups + novels)") {
+        val m = 10000
+        val tgt = col("id") * 10 + 5 // ≡5 (mod 10): never a pair copy or PII row
+        val dupText = concat_ws(" ", (0 until 40).map { j =>
+          if (j == 3) lit("changed")
+          else concat(lit("w"), pmod(xxhash64(tgt * 31 + j), lit(5000)))
+        }: _*)
+        val novelText = concat_ws(" ", (0 until 40).map { j =>
+          concat(lit("nov"), col("id"), lit("x"), lit(j))
+        }: _*)
+        val batch = spark.range(m.toLong).select(
+          (col("id") + n.toLong * 2).as("doc_id"),
+          when(col("id") % 2 === 0, dupText).otherwise(novelText).as("text"))
+        val verd = LshIndex.screen(spark, s"$dir/lshidx", corpus5, batch,
+          "doc_id", "text", threshold = 0.5)
+        val dup = verd.filter(!col("is_new")).count()
+        var expDup = 0L
+        var ii = 0L
+        while (ii < m) { // even i, target exists and survived the junk screen
+          val k = ii * 10 + 5
+          if (ii % 2 == 0 && k < n && k % 97 != 0) expDup += 1
+          ii += 1
+        }
+        // banding recall is probabilistic: 4 single-hash bands at the
+        // planted J ≈ 0.85 miss a pair with (1−J)⁴ ≈ 5e-4 — allow that
+        // tail (0.5%), never an over-count (a false flag would mean the
+        // verify threshold leaked)
+        require(dup <= expDup && dup >= expDup - (expDup / 200 + 2),
+          s"lsh screen flagged $dup, expected ≈ $expDup")
       }
 
       // ── mixture shaping: per-source cap (binds on all 20 sources) + split

@@ -116,10 +116,19 @@ object GenScaleTier {
           pmod(xxhash64(col("id") * 37), lit(2500)).cast("int"))).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // ts must be MONOTONE in event_id (the driver's testdata property, and
+    // bulkImport's documented invariant: per stream, seq order must not
+    // decrease in time — a hash-random ts violated it for ~half the rows
+    // and the import's ULID clamp then rightly flattened the readback
+    // times). Microsecond jitter < the slot stride keeps ts strictly
+    // increasing, collision-free, and off exact session-gap boundaries
+    // (whole-second ts produced exact 30-min gaps that trip tie semantics).
+    val evStartUs = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC
+    val evStepUs = (86400L * 30 * 1000000L) / math.max(1L, n("events"))
     spark.range(n("events")).select(
         col("id").as("event_id"),
-        timestamp_seconds(unix_timestamp(lit("2024-01-01 00:00:00")) +
-          pmod(xxhash64(col("id")), lit(86400L * 30))).as("ts"),
+        timestamp_micros(lit(evStartUs) + col("id") * lit(evStepUs) +
+          pmod(xxhash64(col("id")), lit(evStepUs))).as("ts"),
         pmod(xxhash64(col("id") * 61), lit(nUsers)).as("user_id"),
         element_at(array(lit("click"), lit("view"), lit("purchase"),
             lit("error"), lit("signup")),

@@ -1,0 +1,208 @@
+package graft
+
+import graft.ops.{Dedup, LshIndex, Similarity}
+import graft.streaming.StreamAggs
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted MinHash-LSH signature index: build/append/streaming-ingest/
+  * compact lifecycle, screen equivalence with the ad-hoc incremental screen,
+  * partition pruning of the signature scan, the shared mutation fence, and
+  * the self-growing streaming dedup composite.
+  */
+class LshIndexSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  // disjoint per-family vocabularies: families never near-dup each other
+  private def fam(i: Long, tag: String) =
+    s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i family$i $tag"
+
+  private def corpusDf(n: Long) = {
+    val s = spark
+    import s.implicits._
+    (0L until n).map(i => (i, fam(i, "accepted corpus body here")))
+      .toDF("doc_id", "text")
+  }
+
+  private def batchDf(ids: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    ids.map { i =>
+      if (i % 2 == 0) (100L + i, fam(i % 8, "accepted corpus body CHANGED"))
+      else (100L + i, s"novel unrelated content number$i with distinct words entirely here now")
+    }.toDF("doc_id", "text")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.toString).toSeq
+
+  test("persisted screen equals the ad-hoc incremental screen; the index scan prunes") {
+    val s = spark
+    val corpus = corpusDf(30)
+    val batch = batchDf(0L until 10L)
+    val idx = Files.createTempDirectory("lshidx").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 16)
+
+    val got = LshIndex.screen(s, idx, corpus, batch, "doc_id", "text", 0.5)
+    val want = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 0.5)
+    assert(rows(got) === rows(want))
+    assert(got.filter(!col("is_new")).count() == 5, "5 planted near-dups")
+
+    // physical layout: two-level (band, sig-bucket) partition grid …
+    val bandDirs = new java.io.File(s"$idx/sigs").listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName).toSet
+    assert(bandDirs.size == 4, s"expected 4 band partitions, got $bandDirs")
+    // … and the candidate join (the screen's internal first stage) pushes
+    // the batch's touched (band, sb) set as a STATIC partition filter: the
+    // stored scan only reads the buckets the batch's signatures hash into
+    val cand = LshIndex.candidates(s, idx, batch, "doc_id", "text")
+    assert(cand.count() > 0)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+        """\(band#\d+ = \d""".r.findFirstIn(plan).isDefined,
+      "the candidate join must push a literal (band, sb) partition filter:\n" +
+        plan.take(2000))
+  }
+
+  test("full lifecycle (build + append + ingest + compact + ingest) screens like a one-shot build") {
+    val s = spark
+    val corpus = corpusDf(40)
+    val batch = batchDf(0L until 10L)
+
+    val oneShot = Files.createTempDirectory("lshone").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", oneShot, sigBuckets = 8)
+
+    val staged = Files.createTempDirectory("lshlife").toFile.getAbsolutePath
+    LshIndex.build(corpus.filter(col("doc_id") < 10), "doc_id", "text",
+      staged, sigBuckets = 8)
+    LshIndex.append(s, staged,
+      corpus.filter(col("doc_id") >= 10 && col("doc_id") < 20), "doc_id", "text")
+    LshIndex.appendBatch(s, staged,
+      corpus.filter(col("doc_id") >= 20 && col("doc_id") < 30), "doc_id", "text", 1L)
+    LshIndex.compactIngest(s, staged) // batch 1 folds into sigs/
+    LshIndex.appendBatch(s, staged,
+      corpus.filter(col("doc_id") >= 30), "doc_id", "text", 2L) // stays in ingest
+    assert(new java.io.File(s"$staged/ingest").exists())
+
+    val a = rows(LshIndex.screen(s, oneShot, corpus, batch, "doc_id", "text", 0.5))
+    val b = rows(LshIndex.screen(s, staged, corpus, batch, "doc_id", "text", 0.5))
+    assert(a === b, "write-path history must be invisible to the screen")
+    assert(LshIndex.signatures(s, staged).count() ==
+      LshIndex.signatures(s, oneShot).count())
+  }
+
+  test("appendBatch is idempotent; a folded batch's replay is skipped, not re-folded") {
+    val s = spark
+    val corpus = corpusDf(10)
+    val idx = Files.createTempDirectory("lshreplay").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 8)
+    val extra = corpusDf(14).filter(col("doc_id") >= 10)
+
+    LshIndex.appendBatch(s, idx, extra, "doc_id", "text", 7L)
+    val n1 = LshIndex.signatures(s, idx).count()
+    // pre-compact replay: dynamic overwrite rewrites exactly itself
+    LshIndex.appendBatch(s, idx, extra, "doc_id", "text", 7L)
+    assert(LshIndex.signatures(s, idx).count() == n1)
+
+    LshIndex.compactIngest(s, idx)
+    assert(LshIndex.batchFolded(s, idx, 7L))
+    assert(LshIndex.signatures(s, idx).count() == n1)
+    // post-compact replay (stream checkpoint was uncommitted at the crash):
+    // the folded marker must make it a no-op — without it the rewrite of
+    // the now-absent b=7 partitions would duplicate every vector at the
+    // NEXT compact
+    LshIndex.appendBatch(s, idx, extra, "doc_id", "text", 7L)
+    assert(!new java.io.File(s"$idx/ingest").exists(),
+      "a folded batch's replay must not resurrect the ingest area")
+    LshIndex.compactIngest(s, idx)
+    assert(LshIndex.signatures(s, idx).count() == n1,
+      "re-compacting after a folded replay must not duplicate signatures")
+  }
+
+  test("every mutator routes through the shared index fence") {
+    val s = spark
+    val corpus = corpusDf(6)
+    val idx = Files.createTempDirectory("lshfence").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx)
+    Similarity.withIndexMutation(s, idx, "holder") {
+      def refused(f: => Unit): Unit =
+        assertThrows[java.util.ConcurrentModificationException](f)
+      refused(LshIndex.build(corpus, "doc_id", "text", idx))
+      refused(LshIndex.append(s, idx, corpus, "doc_id", "text"))
+      refused(LshIndex.appendBatch(s, idx, corpus, "doc_id", "text", 1L))
+      refused(LshIndex.compactIngest(s, idx))
+    }
+    // fence released: mutations proceed again
+    LshIndex.append(s, idx, corpusDf(8).filter(col("doc_id") >= 6),
+      "doc_id", "text")
+  }
+
+  test("dedupAtIngest: accepted docs screen later batches; a replay never matches a doc against itself") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("lshingest").toFile.getAbsolutePath
+    val corpus = corpusDf(10)
+    corpus.write.parquet(s"$dir/accepted") // the corpus store the sink feeds
+    val idx = s"$dir/idx"
+    LshIndex.build(spark.read.parquet(s"$dir/accepted"), "doc_id", "text", idx,
+      sigBuckets = 8)
+
+    // one flat parquet file per micro-batch (file stream doesn't recurse)
+    def writeBatch(rowsIn: Seq[(Long, String)], name: String): Unit = {
+      rowsIn.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/stage/$name")
+      val part = new java.io.File(s"$dir/stage/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/in").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet")): Unit
+    }
+    // batch 1: 100 near-dups corpus doc 0; 101 novel
+    writeBatch(Seq(
+      (100L, fam(0, "accepted corpus body CHANGED")),
+      (101L, "novel unrelated first content with distinct words entirely one")), "b1")
+    // batch 2: 200 near-dups batch 1's ACCEPTED doc 101 — only the
+    // self-growing index can catch it; 201 novel
+    writeBatch(Seq(
+      (200L, "novel unrelated first content with distinct words entirely two"),
+      (201L, "fresh disjoint second content nothing shared with anything else")), "b2")
+
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Any)]()
+    val q = StreamAggs.dedupAtIngest(
+        spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        idx, () => spark.read.parquet(s"$dir/accepted"),
+        "doc_id", "text", threshold = 0.5) { (res, _) =>
+        val rs = res.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.get(2)))
+        verdicts.synchronized { verdicts ++= rs; () }
+        // the ingest-pipeline contract: accepted docs become corpus
+        res.filter(col("is_new")).select(col("doc_id"))
+          .join(spark.read.parquet(s"$dir/in"), Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(s"$dir/accepted"); ()
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      val byId = verdicts.synchronized { verdicts.toList }.map(v => v._1 -> v).toMap
+      assert(byId(100L)._2 == false && byId(100L)._3 == 0L,
+        s"100 near-dups corpus doc 0: $byId")
+      assert(byId(101L)._2 == true)
+      assert(byId(200L)._2 == false && byId(200L)._3 == 101L,
+        s"200 must match batch 1's accepted doc through the index: $byId")
+      assert(byId(201L)._2 == true)
+    } finally q.stop()
+
+    // crash-replay twin: re-running batch 2's body with its own
+    // first-attempt signatures already in the index must yield the SAME
+    // verdicts — the screen excludes b=<batchId>, so 201 cannot match its
+    // own ghost (is_new would silently flip on every restart otherwise)
+    val b2 = spark.read.parquet(s"$dir/in").filter(col("doc_id") >= 200)
+    val replay = LshIndex.screen(s, idx, spark.read.parquet(s"$dir/accepted"),
+      b2, "doc_id", "text", 0.5, excludeBatch = Some(1L))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(replay === Seq((200L, false), (201L, true)),
+      s"replay with first-attempt signatures present must not self-match: $replay")
+  }
+}

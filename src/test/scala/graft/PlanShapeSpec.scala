@@ -162,6 +162,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // semi-join prune of corpus verify docs (AQE broadcasts the candidate
       // ids), verify join — corpus shingle sets are never materialized
       "d11_span_dedup" -> 3, "d12_incremental" -> 2,
+      // d17: the persisted-index screen — candidate c_id distinct + the
+      // verify's b_id rollup; every batch-derived frame broadcasts and the
+      // signature scan partition-prunes, so the corpus and the index are
+      // never exchanged (pruning asserted in LshIndexSpec)
+      "d17_lsh_index" -> 2,
       // d13: dup-window min-struct agg (skew-proof, map-side combined),
       // covered-position distinct (duplicated occurrences × k only), doc
       // reassembly agg; the dup-window and drop-position joins broadcast at
@@ -217,6 +222,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // e16: the same probe plan over k-means books (books are a literal —
       // the plan shape cannot depend on their values)
       "e16_pqk_ann" -> 7,
+      // e17: e11's probe-sliver exchanges (the semantic screen IS the SQ8
+      // probe at k=1) — the verdict left-join broadcasts the thresholded
+      // top-1 sliver, adding none
+      "e17_semdedup_screen" -> 7,
       // e9: the returned full-probe plan — query-side cell-assign window,
       // per-query top-k window, and the (tiny) query frame's own exchange;
       // build/append/recluster side effects run eagerly before it

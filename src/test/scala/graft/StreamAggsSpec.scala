@@ -907,4 +907,70 @@ class StreamAggsSpec extends AnyFunSuite {
     assert(fullProbe.orderBy("qid", "rn").collect().toSeq ===
       exact.orderBy("qid", "rn").collect().toSeq)
   }
+
+  test("semantic dedup at ingest: accepted vectors screen later batches; replay never matches a ghost") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semingest")
+      .toFile.getAbsolutePath
+    // one-hot corpus: pairwise cosine 0 — every verdict margin is wide
+    def oneHot(d: Int, scale: Float = 1f) =
+      Array.tabulate(8)(j => if (j == d) scale else 0f)
+    val corpus = (0 until 8).map(i => (i.toLong, oneHot(i)))
+    corpus.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/corpus")
+    graft.ops.Similarity.buildIvfSqIndex(s.read.parquet(s"$dir/corpus"),
+      "vec_id", "embedding", s"$dir/idx", nlist = 4)
+
+    val flat = Array.fill(8)(0.3535f)                      // cos ≈ .35 vs any e_i
+    val flatTwin = flat.updated(0, 0.36f)                  // cos ≈ 1 vs flat
+    val alt = Array.tabulate(8)(j => if (j % 2 == 0) 0.5f else -0.5f)
+    def writeBatch(rows: Seq[(Long, Array[Float])], name: String): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1).write
+        .parquet(s"$dir/stage/$name")
+      val part = new java.io.File(s"$dir/stage/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/in").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet")): Unit
+    }
+    // batch 1: 100 near-dups corpus vec 0; 101 (flat) is novel
+    writeBatch(Seq(
+      (100L, oneHot(0, 0.9f).updated(1, 0.05f)), (101L, flat)), "b1")
+    // batch 2: 200 near-dups batch 1's ACCEPTED vector 101 — only the
+    // self-grown index can catch it; 201 (alternating) is novel
+    writeBatch(Seq((200L, flatTwin), (201L, alt)), "b2")
+
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Any)]()
+    val q = StreamAggs.semDedupAtIngest(
+        s.readStream.schema("vec_id long, embedding array<float>")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        s"$dir/idx", "vec_id", "embedding", threshold = 0.9,
+        nprobe = 4, rerank = 1000) { (res, _) =>
+        val rs = res.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.get(2)))
+        verdicts.synchronized { verdicts ++= rs; () }
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(verdicts(100L) == (false, 0L), s"100 near-dups corpus 0: $verdicts")
+      assert(verdicts(101L)._1, "flat vector is novel vs the one-hot corpus")
+      assert(verdicts(200L) == (false, 101L),
+        s"200 must match batch 1's accepted vector through the index: $verdicts")
+      assert(verdicts(201L)._1, s"alternating vector is novel: $verdicts")
+    } finally q.stop()
+
+    // crash-replay twin of batch 2 (its first-attempt vectors live in
+    // ingest/b=1): the screen excludes b=1, so 200 still matches 101
+    // (accepted in b=0) and 201 stays novel instead of matching its own
+    // ghost — is_new would silently flip on every restart otherwise
+    val replay = graft.ops.Similarity.semScreen(s, s"$dir/idx",
+        Seq((200L, flatTwin), (201L, alt)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, nprobe = 4, rerank = 1000,
+        excludeBatch = Some(1L))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.get(2))).toSeq
+    assert(replay === Seq((200L, false, 101L), (201L, true, null)),
+      s"replay with first-attempt vectors present must not self-match: $replay")
+  }
 }

@@ -15,7 +15,10 @@ def load(sfdir, out):
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver testdata ships single files; generated tiers (GenScaleTier)
+        # are Spark-written directories of part files
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 def norm(df):
