@@ -1174,6 +1174,24 @@ object SparkEntry {
       ops.Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
         "embedding", simFloor = 0.1, nlist = 8)),
 
+    // ── similarity: IVF-index FORGET (GDPR) — the ANN twin of d18: after
+    //    removing every vec_id ≡ 0 (mod 3) from the SQ8 index (vector,
+    //    codes and assignment in one copy-on-write geometry version), a
+    //    full probe with exhaustive rerank must equal the exact cosine
+    //    scan over the SURVIVORS — a forgotten vector surfacing as a
+    //    neighbor, or a survivor lost by the rewrite, breaks the hash.
+    "e18_ivf_forget" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte18")
+      ops.Similarity.buildIvfSqIndex(emb, "vec_id", "embedding", idx, nlist = 8)
+      ops.Similarity.forgetFromIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")),
+        "vec_id")
+      ops.Similarity.ivfSqTopKIndexed(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, nprobe = 8, rerank = 1000000)
+    }),
+
     // ── similarity: SQ8 compressed-domain ANN (integer dot products) ──────
     "e8_sq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1420,6 +1438,25 @@ object SparkEntry {
         batchId = 2) // batch 2 stays in ingest: the screen reads the union
       ops.LshIndex.screen(s, idx, corpus, docs.filter(bucket < 2000),
         "doc_id", "text", threshold = 0.2)
+    }),
+
+    // ── dedup: LSH-index FORGET (GDPR) — content-derived fingerprints
+    //    participate in the erasure story: after forgetting the 2000–4999
+    //    bucket range, the screen must behave EXACTLY as if the index had
+    //    been built on the surviving corpus — the oracle re-derives the
+    //    screen over bucket ≥ 5000 only, so one surviving victim signature
+    //    (or one lost survivor) breaks the hash.
+    "d18_lsh_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = ops.Sampling.hashBucket(col("doc_id"), "inc", 10000)
+      val idx = tempLogDir("graftd18")
+      ops.LshIndex.build(docs.filter(bucket >= 2000), "doc_id", "text", idx,
+        sigBuckets = 16)
+      ops.LshIndex.forget(s, idx,
+        docs.filter(bucket >= 2000 && bucket < 5000).select(col("doc_id")),
+        "doc_id")
+      ops.LshIndex.screen(s, idx, docs.filter(bucket >= 5000),
+        docs.filter(bucket < 2000), "doc_id", "text", threshold = 0.2)
     }),
 
     // ── text: PII screening + typed redaction (email / phone / IPv4) ──────
@@ -3174,6 +3211,61 @@ object SparkEntry {
         |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
         |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
         |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    // d12's re-derivation restricted to the SURVIVING corpus (bucket ≥
+    // 5000): post-forget, the index must be indistinguishable from one
+    // built on the survivors
+    "d18_lsh_forget" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  (((md5_number('inc' || doc_id::VARCHAR) % 4294967296) + 4294967296)
+        |     % 4294967296) % 10000 AS bucket FROM documents),
+        |tok AS (SELECT doc_id, bucket < 2000 AS is_batch,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |        FROM b WHERE bucket < 2000 OR bucket >= 5000),
+        |sh AS (SELECT doc_id, is_batch, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id, is_batch,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id, is_batch,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id, is_batch),
+        |mh AS (SELECT doc_id, is_batch, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 3, sig3 FROM mh0),
+        |cand AS (SELECT DISTINCT bm.doc_id AS b_id, cm.doc_id AS c_id
+        |         FROM mh bm JOIN mh cm ON bm.band = cm.band AND bm.sig = cm.sig
+        |         WHERE bm.is_batch AND NOT cm.is_batch),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |ver AS (SELECT b_id, min(c_id) AS match_id
+        |        FROM cand JOIN sets sb ON sb.doc_id = b_id
+        |                  JOIN sets sc ON sc.doc_id = c_id
+        |        WHERE round(len(list_intersect(sb.sh, sc.sh)) * 1.0
+        |              / len(list_distinct(sb.sh || sc.sh)), 4) >= 0.2
+        |        GROUP BY b_id)
+        |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
+        |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
+        |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    // the exact scan over the SURVIVORS (vec_id % 3 != 0): full probe +
+    // exhaustive rerank over the forgotten index must reproduce it
+    "e18_ivf_forget" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        |           WHERE vec_id BETWEEN 100 AND 109),
+        |c AS (SELECT qid, e.vec_id,
+        |             round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+        |      FROM q CROSS JOIN embeddings e
+        |      WHERE e.vec_id != qid AND e.vec_id % 3 != 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin,
 
     // identical to d12 BY DESIGN: the persisted index is semantically the
     // corpus signature table, so the whole build/append/ingest/compact

@@ -187,16 +187,36 @@ object Dedup {
       shingleSets(df, idCol, textCol, shingleSize).localCheckpoint(),
       candidates, threshold)
 
-  /** Verification against pre-built (normally checkpointed) shingle sets. */
+  /** Verification against pre-built (normally checkpointed) shingle sets.
+    *
+    * The pair joins are PINNED to sort-merge: the sets side carries array
+    * columns whose planner width estimate is a fixed few bytes, so a
+    * corpus-sized shingle frame can estimate under the broadcast threshold
+    * and the planner then ships every shingle in the corpus through one
+    * BroadcastExchange — measured at sf10 (500k docs, 340M candidate
+    * pairs from a 30-word vocabulary): 15 scan tasks returning 1.08 GB of
+    * task results, over maxResultSize, query dead. Neither side is
+    * reliably small (candidate volume is corpus-dependent and unbounded),
+    * so SMJ is the only always-safe strategy; each leg is additionally
+    * semi-pruned to the candidate ids so the shuffled sets sliver is the
+    * candidates' shingles, not the corpus's. The candidate subplan appears
+    * three times but executes once (ReuseExchange).
+    */
   def jaccardVerifyFromSets(sets: DataFrame, candidates: DataFrame,
-      threshold: Double = 0.0): DataFrame =
+      threshold: Double = 0.0): DataFrame = {
+    def leg(side: String) = sets
+      .join(candidates.select(col(side).as("set_id")).distinct(),
+        Seq("set_id"), "semi")
+      .select(col("set_id").as(side), col("sh").as(s"sh_$side"))
+      .hint("merge")
     candidates
-      .join(sets.select(col("set_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("set_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(leg("doc_a"), Seq("doc_a"))
+      .join(leg("doc_b"), Seq("doc_b"))
       .withColumn("jaccard",
-        round(graft.functions.jaccard_sim(col("sh_a"), col("sh_b")), 4))
+        round(graft.functions.jaccard_sim(col("sh_doc_a"), col("sh_doc_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** 32-bit SimHash over the token multiset: per bit, sum ±1 contributions of
     * every token hash; bit set iff the sum is positive. ONE codegen'd

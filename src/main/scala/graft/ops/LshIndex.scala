@@ -80,7 +80,12 @@ object LshIndex {
   /** Build and persist the index over `corpus`. Overwrites any previous
     * index at `path` (including pending ingest and its replay markers —
     * a rebuild starts the streaming story from scratch, same contract as
-    * [[Similarity.buildIvfIndex]]).
+    * [[Similarity.buildIvfIndex]]). Like the IVF builds, NOT
+    * reader-concurrent (it rewrites `sigs/` in place) and not silently
+    * crash-recoverable: a build that dies mid-way leaves the mutation
+    * fence held, so every subsequent mutator refuses until the operator
+    * clears it ([[Similarity.breakIndexMutation]]) and re-runs the build —
+    * a half-built index can never be mutated into quietly.
     *
     * `sigBuckets` sizes the partition grid: `bands × sigBuckets`
     * directories. Size it so one bucket's rows fit a task comfortably —
@@ -154,11 +159,23 @@ object LshIndex {
     * `sigs/band=B/sb=S/ing-bN-f.parquet`. Marker-before-move and
     * latest-marker pruning exactly as [[Similarity.compactIvfIngest]] —
     * the crash/replay analysis there carries over unchanged; the only
-    * difference is the two-level partition walk.
+    * difference is the two-level partition walk. Also like the IVF
+    * compact, crash-safe but NOT reader-concurrent (a screen that listed
+    * `ingest/` before the moves reads vanished paths): run it on the
+    * maintenance cadence, not under live screens.
     */
   def compactIngest(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     Similarity.withIndexMutation(spark, path, "LshIndex.compactIngest") {
+      compactIngestFenced(spark, path)
+    }
+
+  /** The compact body, for callers already holding the fence
+    * ([[compactIngest]], [[forget]] — which must fold the side area before
+    * its rewrite or forgotten signatures would survive in `ingest/`).
+    */
+  private def compactIngestFenced(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
       import org.apache.hadoop.fs.Path
       val fs = fsOf(spark, path)
       val ingest = new Path(s"$path/ingest")
@@ -203,6 +220,43 @@ object LshIndex {
       }
     }
 
+  /** GDPR/forget: REMOVE the given doc ids' signature rows via a
+    * copy-on-write rewrite of `sigs/` (staged full write, then swap) —
+    * content-derived fingerprints must participate in the same erasure
+    * story as the corpus itself (`EventLog.forget`'s contract), or a
+    * "deleted" document keeps matching future batches. Folds pending
+    * ingest first so forgotten signatures cannot survive in the side
+    * area. Not reader-concurrent (like [[build]] and [[compactIngest]] —
+    * maintenance cadence); a crash mid-swap leaves the fence held and the
+    * staged copy on disk, so the operator re-runs forget after breaking
+    * the fence (the rewrite is idempotent). Returns rows removed.
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Long =
+    Similarity.withIndexMutation(spark, path, "LshIndex.forget") {
+      import org.apache.hadoop.fs.Path
+      val fs = fsOf(spark, path)
+      val staged = new Path(s"$path/sigs.forget")
+      val live = new Path(s"$path/sigs")
+      // crash recovery: a previous forget that died between the delete and
+      // the rename left only the staged copy — adopt it before rewriting
+      if (!fs.exists(live) && fs.exists(staged)) {
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"lsh forget recovery rename failed")
+      }
+      compactIngestFenced(spark, path)
+      val victims = ids.select(col(idCol).as("mh_id")).distinct()
+      val full = spark.read.parquet(live.toString)
+      val before = full.count()
+      full.join(broadcast(victims), Seq("mh_id"), "left_anti")
+        .repartition(col("band"), col("sb"))
+        .write.mode("overwrite").partitionBy("band", "sb")
+        .parquet(staged.toString)
+      if (!fs.delete(live, true) || !fs.rename(staged, live))
+        throw new java.io.IOException(s"lsh forget swap failed at $path")
+      before - spark.read.parquet(live.toString).count()
+    }
+
   /** The index's signature frame: `sigs ∪ ingest` (each side keeps its own
     * partition pruning). `excludeBatch` drops one ingest batch — the
     * streaming composite excludes the CURRENT batch so a crash-replay
@@ -210,10 +264,19 @@ object LshIndex {
     */
   def signatures(spark: org.apache.spark.sql.SparkSession, path: String,
       excludeBatch: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val main = spark.read.parquet(s"$path/sigs")
       .select(col("mh_id"), col("band"), col("sig"), col("sb"))
-    val ing = new org.apache.hadoop.fs.Path(s"$path/ingest")
-    if (!fsOf(spark, path).exists(ing)) main
+    val ing = new Path(s"$path/ingest")
+    val fs = fsOf(spark, path)
+    // a compact that crashed AFTER its last file move but BEFORE deleting
+    // the side area leaves an EMPTY directory tree: every signature already
+    // lives in sigs/, and a bare read of it would fail schema inference and
+    // take every screen down (the Similarity.ingestCells guard, same crash)
+    def hasData(d: Path): Boolean = fs.listStatus(d).exists(s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && hasData(s.getPath)))
+    if (!fs.exists(ing) || !hasData(ing)) main
     else {
       val side0 = spark.read.parquet(ing.toString)
       val side = excludeBatch.fold(side0)(b => side0.filter(col("b") =!= b))

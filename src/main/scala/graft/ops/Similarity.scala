@@ -965,7 +965,6 @@ object Similarity {
 
   private def reclusterIvfIndexFenced(spark: org.apache.spark.sql.SparkSession,
       path: String, nlist: Int, iters: Int, sampleRate: Double): Unit = {
-    import org.apache.hadoop.fs.Path
     // fold any streaming-ingest side area in FIRST: the rewrite below
     // retrains centroids and reassigns from `cells` only — an unfolded
     // ingest area would keep unioning into probes with cell ids from the
@@ -980,6 +979,32 @@ object Similarity {
     // kmeansCentroids localCheckpoints its result: the centroid frame is
     // materialized and the staged writes below never re-read live dirs lazily
     val cents = kmeansCentroids(sample, "vec_id", "ce", nlist, iters)
+    publishGeometry(spark, path) { next =>
+      cents.write.mode("overwrite").parquet(s"$path/centroids@$next")
+      // preserve the compressed columns of an SQ8/PQ index through the
+      // rewrite: codes depend only on the FROZEN scale/codebooks, never on
+      // the coarse centroids, so reassigning cells cannot change them — one
+      // zero-shuffle projection re-derives the cell over ALL existing
+      // columns (the same codegen kernel assignCells uses)
+      val (ids, mat) = collectCentroids(cents)
+      full.drop("cell")
+        .withColumn("cell", element_at(ids,
+          graft.functions.nearest_centroid(col("ce"), mat).getField("idx") + 1))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells@$next")
+    }
+  }
+
+  /** The staged-publish half of the versioned-geometry protocol, shared by
+    * every fenced whole-table rewrite ([[reclusterIvfIndex]],
+    * [[forgetFromIvfIndex]]): clear crashed-stage leftovers above the
+    * published version, run `stage(next)` to write `centroids@next` /
+    * `cells@next`, publish with ONE atomic `_geom.next` marker create, and
+    * retire everything older than the previous version (the one-cycle
+    * reader grace window).
+    */
+  private def publishGeometry(spark: org.apache.spark.sql.SparkSession,
+      path: String)(stage: Long => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val cur = geomVersion(fs, path).getOrElse(0L) // legacy layout = version 0
     val next = cur + 1
@@ -990,29 +1015,51 @@ object Similarity {
       Seq("cells@", "centroids@").exists(pfx => n.startsWith(pfx) &&
         n.dropWhile(_ != '@').drop(1).toLongOption.exists(_ > cur))
     }.foreach(st => fs.delete(st.getPath, true): Unit)
-    cents.write.mode("overwrite").parquet(s"$path/centroids@$next")
-    // preserve the compressed columns of an SQ8/PQ index through the
-    // rewrite: codes depend only on the FROZEN scale/codebooks, never on
-    // the coarse centroids, so reassigning cells cannot change them — one
-    // zero-shuffle projection re-derives the cell over ALL existing
-    // columns (the same codegen kernel assignCells uses)
-    val (ids, mat) = collectCentroids(cents)
-    full.drop("cell")
-      .withColumn("cell", element_at(ids,
-        graft.functions.nearest_centroid(col("ce"), mat).getField("idx") + 1))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells@$next")
+    stage(next)
     // publish: one atomic marker create flips every subsequent resolution
     fs.create(new Path(s"$path/_geom.$next"), false).close()
     // retire versions older than the PREVIOUS one — the grace window a
-    // reader mid-query needs is bounded by one recluster cycle (in-flight
+    // reader mid-query needs is bounded by one rewrite cycle (in-flight
     // scans hold version `cur`, which stays on disk until the NEXT
-    // recluster retires it)
+    // rewrite retires it)
     val retire = cur - 1
     if (retire >= 1) Seq(s"cells@$retire", s"centroids@$retire",
       s"_geom.$retire").foreach(t => fs.delete(new Path(s"$path/$t"), true): Unit)
     if (retire >= 0) Seq("cells", "centroids").foreach(t =>
       fs.delete(new Path(s"$path/$t"), true): Unit) // legacy v0 dirs
   }
+
+  /** GDPR/forget for a persisted IVF-family index (plain, SQ8 or PQ — the
+    * cell tables share their shape): REMOVE the given ids' rows — vector,
+    * codes and assignment — via a copy-on-write rewrite into the next
+    * geometry version. Centroids are COPIED unchanged (membership shrinks;
+    * the geometry doesn't move), so probes keep their plan and in-flight
+    * readers of the VERSIONED geometry keep snapshot isolation exactly as
+    * under a recluster. Pending ingest folds first (forgotten vectors may
+    * still sit in the side area) — a reader whose plan unioned that
+    * transient side area follows the compaction contract instead
+    * (maintenance cadence, not reader-concurrent: folds move files). The log-side twin is `EventLog.forget`; an index built from
+    * content must participate in the same erasure story, or the "deleted"
+    * vector keeps surfacing as a neighbor. Returns the number of rows
+    * removed.
+    */
+  def forgetFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Long =
+    withIndexMutation(spark, path, "forgetFromIvfIndex") {
+      compactIvfIngestFenced(spark, path)
+      val full = spark.read.parquet(cellsPath(spark, path))
+      val cents = spark.read.parquet(centroidsPath(spark, path))
+        .localCheckpoint() // staged copy below must not lazily re-read live dirs
+      val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      val before = full.count()
+      publishGeometry(spark, path) { next =>
+        cents.write.mode("overwrite").parquet(s"$path/centroids@$next")
+        full.join(broadcast(victims), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells@$next")
+      }
+      before - spark.read.parquet(cellsPath(spark, path)).count()
+    }
 
   /** Per-cell health of a persisted IVF-family index (plain, SQ8, or PQ —
     * all cell tables share `(vec_id, ce, cell)`): occupancy and

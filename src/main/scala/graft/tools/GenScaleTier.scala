@@ -138,28 +138,30 @@ object GenScaleTier {
           lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // documents: the testdata's ~30-word vocabulary, variable 8–80 token
-    // length, planted structure at the base tier's SPARSE rates — every
-    // 500th doc exactly duplicates its predecessor, every 100th (not also
-    // ≡0 mod 500) near-duplicates it (token 3 swapped). Dup density must
-    // stay sparse: a dense planted structure would turn the dedup queries'
-    // candidate volume quadratic and invalidate the ratio comparison.
-    val vocab = Seq("batch", "part", "spark", "line", "column", "order",
-      "small", "sort", "fast", "value", "scan", "hash", "slow", "group",
-      "agg", "filter", "query", "big", "key", "window", "a", "the", "vector",
-      "table", "stream", "customer", "join", "merge", "data", "plan")
-    val vocabCol = array(vocab.map(lit): _*)
+    // documents: variable 8–80 token length, planted structure at the base
+    // tier's SPARSE rates — every 500th doc exactly duplicates its
+    // predecessor, every 100th (not also ≡0 mod 500) near-duplicates it
+    // (token 3 swapped). Dup density must stay sparse: a dense planted
+    // structure would turn the dedup queries' candidate volume quadratic
+    // and invalidate the ratio comparison. The VOCABULARY must scale with
+    // the factor for the same reason: the testdata's ~30 words at 100×
+    // the docs make every pair of unrelated documents collide in the
+    // minhash buckets (measured at factor 100: 340M candidate pairs from
+    // 500k docs — a ~n² explosion that measures the corpus's collapsed
+    // shingle space, not the engine). 30 tokens per base-tier doc-count
+    // unit keeps per-bucket density at the base tier's rate.
+    val vocabSize = math.max(30L, 30L * factor)
     val baseId = when(pmod(col("id"), lit(500)) === 1, col("id") - 1)
       .when(pmod(col("id"), lit(100)) === 1, col("id") - 1)
       .otherwise(col("id"))
     val nTok = (pmod(xxhash64(baseId * 131), lit(73)) + 8).cast("int")
     val words = transform(sequence(lit(0), nTok - 1), j =>
-      element_at(vocabCol,
-        (pmod(xxhash64(baseId * lit(211) + j.cast("long") +
+      concat(lit("w"),
+        pmod(xxhash64(baseId * lit(211) + j.cast("long") +
           // the near-dup (≡1 mod 100, not ≡1 mod 500) swaps token 3 only
           when(pmod(col("id"), lit(100)) === 1 &&
             pmod(col("id"), lit(500)) =!= 1 && j === 3, col("id"))
-            .otherwise(lit(0L))), lit(vocab.size)) + 1).cast("int")))
+            .otherwise(lit(0L))), lit(vocabSize))))
     spark.range(n("documents")).select(
         col("id").as("doc_id"),
         concat_ws(" ", words).as("text"),

@@ -120,6 +120,56 @@ class LshIndexSpec extends AnyFunSuite {
       "re-compacting after a folded replay must not duplicate signatures")
   }
 
+  test("a compact crashed after its moves leaves screens alive (empty ingest tree)") {
+    val s = spark
+    val corpus = corpusDf(10)
+    val idx = Files.createTempDirectory("lshcrash").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 8)
+    LshIndex.appendBatch(s, idx, corpusDf(14).filter(col("doc_id") >= 10),
+      "doc_id", "text", 3L)
+    val before = LshIndex.signatures(s, idx).count()
+    LshIndex.compactIngest(s, idx)
+    // reconstruct the crash window: every file moved, side area not yet
+    // deleted — an empty b=/band=/sb= tree left behind
+    new java.io.File(s"$idx/ingest/b=3/band=0/sb=0").mkdirs()
+    assert(LshIndex.signatures(s, idx).count() == before,
+      "an empty crash-leftover ingest tree must read as absent")
+    val verd = LshIndex.screen(s, idx, corpus, batchDf(0L until 4L),
+      "doc_id", "text", 0.5)
+    assert(verd.count() == 4, "screens must survive the crash leftover")
+  }
+
+  test("forget scrubs signatures from main and ingest; the index screens like one built on survivors") {
+    val s = spark
+    val corpus = corpusDf(30)
+    val idx = Files.createTempDirectory("lshforget").toFile.getAbsolutePath
+    LshIndex.build(corpus.filter(col("doc_id") < 20), "doc_id", "text", idx,
+      sigBuckets = 8)
+    LshIndex.appendBatch(s, idx, corpus.filter(col("doc_id") >= 20),
+      "doc_id", "text", 1L) // victims will straddle sigs/ AND ingest/
+    val victims = Seq(5L, 6L, 7L, 8L, 9L, 22L, 23L, 24L)
+    val s0 = spark
+    import s0.implicits._
+    val removed = LshIndex.forget(s, idx, victims.toDF("doc_id"), "doc_id")
+    assert(removed == victims.size * 4L, s"4 bands per victim doc: $removed")
+    assert(LshIndex.signatures(s, idx).count() == (30L - victims.size) * 4)
+
+    // behavioral equivalence: screen == against an index BUILT on survivors
+    val survivors = corpus.filter(!col("doc_id").isin(victims: _*))
+    val twin = Files.createTempDirectory("lshforgettwin").toFile.getAbsolutePath
+    LshIndex.build(survivors, "doc_id", "text", twin, sigBuckets = 8)
+    val batch = batchDf(0L until 10L)
+    assert(rows(LshIndex.screen(s, idx, survivors, batch, "doc_id", "text", 0.5))
+      === rows(LshIndex.screen(s, twin, survivors, batch, "doc_id", "text", 0.5)))
+
+    // a batch doc near-dupping a FORGOTTEN doc must now be novel
+    val probe = Seq((500L, fam(5, "accepted corpus body CHANGED")))
+      .toDF("doc_id", "text")
+    val v = LshIndex.screen(s, idx, survivors, probe, "doc_id", "text", 0.5)
+      .collect()(0)
+    assert(v.getBoolean(1), "a forgotten doc must stop matching")
+  }
+
   test("every mutator routes through the shared index fence") {
     val s = spark
     val corpus = corpusDf(6)

@@ -85,7 +85,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // one legitimate exchange — it moves candidate-PAIR-sized data (post
       // threshold filter), not the corpus; the band join itself stays an
       // equi-join on (t,bucket)
-      "d4_ngram_jaccard" -> 2, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 2,
+      // d4: the verify pair joins are PINNED to sort-merge with semi-pruned
+      // sets legs (Dedup.jaccardVerifyFromSets) — the planner's array-width
+      // underestimate made it broadcast the corpus-sized shingle frame at
+      // sf10 (1.08 GB of task results, query dead); the honest scale-safe
+      // plan pays 2 prune aggs + both-side exchanges on sliver-sized legs
+      "d4_ngram_jaccard" -> 10, "d5_embedding_dedup" -> 1, "d6_dedup_survivors" -> 2,
       // d15/x9: the large-star/small-star contraction runs EAGERLY (per-round
       // convergence probes + checkpoints); the returned plan is the singleton
       // back-join over the checkpointed star-forest labels (d6's shape), plus
@@ -167,6 +172,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // signature scan partition-prunes, so the corpus and the index are
       // never exchanged (pruning asserted in LshIndexSpec)
       "d17_lsh_index" -> 2,
+      // d18: d17's screen plan over the post-forget index (the forget
+      // rewrite runs eagerly before the returned frame)
+      "d18_lsh_forget" -> 2,
       // d13: dup-window min-struct agg (skew-proof, map-side combined),
       // covered-position distinct (duplicated occurrences × k only), doc
       // reassembly agg; the dup-window and drop-position joins broadcast at
@@ -226,6 +234,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // probe at k=1) — the verdict left-join broadcasts the thresholded
       // top-1 sliver, adding none
       "e17_semdedup_screen" -> 7,
+      // e18: e11's probe plan over the post-forget geometry version (the
+      // copy-on-write rewrite runs eagerly before the returned frame)
+      "e18_ivf_forget" -> 7,
       // e9: the returned full-probe plan — query-side cell-assign window,
       // per-query top-k window, and the (tiny) query frame's own exchange;
       // build/append/recluster side effects run eagerly before it
@@ -262,6 +273,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // joins read post-aggregate frames whose size statistics only exist at
     // runtime — the initial plan picks SMJ and AQE converts to broadcast.
     val smjAllowed = Set("j3_snapshot_stitch", "d6_dedup_survivors",
+      // d4: verify pair joins deliberately PINNED to merge — neither side
+      // of a pair-verify is reliably small (see the budget comment)
+      "d4_ngram_jaccard",
       // d15/x9: same singleton back-join as d6 — the checkpointed label
       // frame's size exists only at runtime; AQE broadcasts it at execution
       "d15_cc_clusters", "x9_leakage_safe_split",

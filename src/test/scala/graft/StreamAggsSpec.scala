@@ -636,6 +636,52 @@ class StreamAggsSpec extends AnyFunSuite {
     assert(probe().orderBy("qid", "rn").collect().toSeq === want)
   }
 
+  test("IVF forget: victims vanish from probes (main + ingest), survivors and codes intact, readers snapshot-safe") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftivfforget").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(43)
+    val all = (0L until 90L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = all.toDF("vec_id", "embedding").localCheckpoint()
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfSqIndex(
+      emb.filter(col("vec_id") < 70), "vec_id", "embedding", idx, nlist = 4)
+    val queries = emb.filter(col("vec_id") < 3)
+    // a reader over the VERSIONED geometry planned before the forget keeps
+    // its snapshot (same contract as recluster). Planned before the ingest
+    // batch lands: a reader whose plan unions the pending ingest side area
+    // is outside the snapshot contract — folds MOVE those files (the
+    // documented maintenance-cadence rule for compaction).
+    val preProbe = graft.ops.Similarity.ivfSqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 4, rerank = 100)
+    val preWant = preProbe.orderBy("qid", "rn").collect().toSeq
+    graft.ops.Similarity.appendBatchToIvfSqIndex(s, idx,
+      emb.filter(col("vec_id") >= 70).toDF(), "vec_id", "embedding", 1L)
+    // victims straddle the main table and the ingest side area
+    val victims = Seq(5L, 6L, 7L, 80L, 81L)
+    val removed = graft.ops.Similarity.forgetFromIvfIndex(s, idx,
+      victims.toDF("vec_id"), "vec_id")
+    assert(removed == victims.size.toLong, s"removed $removed")
+    assert(preProbe.orderBy("qid", "rn").collect().toSeq === preWant,
+      "a reader planned before the forget must keep its snapshot")
+    // full probe + exhaustive rerank == the exact scan over SURVIVORS:
+    // no victim may surface, no survivor may be lost
+    val post = graft.ops.Similarity.ivfSqTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = 4, rerank = 1000)
+    val exact = graft.ops.Similarity.cosineTopK(
+      all.filterNot(v => victims.contains(v._1)).toDF("vec_id", "embedding"),
+      queries, "vec_id", "embedding", 4)
+    assert(post.orderBy("qid", "rn").collect().toSeq ===
+      exact.orderBy("qid", "rn").collect().toSeq)
+    // the SQ8 code column survives the copy-on-write (compressed pre-rank
+    // still serves) and the rewrite published a new geometry version
+    val cells = s.read.parquet(
+      graft.ops.Similarity.resolvedTablePath(s, idx, "cells"))
+    assert(cells.columns.contains("cq"), "codes must survive the rewrite")
+    assert(cells.count() == 85L)
+    assert(new java.io.File(s"$idx/_geom.1").exists(), "version published")
+  }
+
   test("index mutation fence: mutators exclude each other; a crashed holder is breakable") {
     val s = spark
     import s.implicits._
