@@ -1459,6 +1459,18 @@ object SparkEntry {
         docs.filter(bucket < 2000), "doc_id", "text", threshold = 0.2)
     }),
 
+    // ── dedup: LSH-index HEALTH — the maintenance scheduler's skew signal:
+    //    the topK heaviest (band, sig) buckets. Candidate expansion is
+    //    quadratic IN THE BUCKET, so this is what decides a maxBucketSize
+    //    cap or an upstream exact-dedup pass; the oracle re-derives every
+    //    signature and the exact top-20 (ties broken on (band, sig)).
+    "d19_lsh_health" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = tempLogDir("graftd19")
+      ops.LshIndex.build(docs, "doc_id", "text", idx, sigBuckets = 16)
+      ops.LshIndex.health(s, idx, topK = 20)
+    }),
+
     // ── text: PII screening + typed redaction (email / phone / IPv4) ──────
     // The corpus is digit-free word salad, so the query plants PII
     // deterministically from doc_id — both engines derive the identical
@@ -3254,6 +3266,32 @@ object SparkEntry {
         |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
         |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
         |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    "d19_lsh_health" ->
+      """WITH tok AS (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id),
+        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
+        |b AS (SELECT band, sig::BIGINT AS sig, count(*)::BIGINT AS n
+        |      FROM mh GROUP BY band, sig)
+        |SELECT band, sig, n FROM b
+        |ORDER BY n DESC, band, sig LIMIT 20""".stripMargin,
 
     // the exact scan over the SURVIVORS (vec_id % 3 != 0): full probe +
     // exhaustive rerank over the forgotten index must reproduce it

@@ -51,12 +51,47 @@ object LshIndex {
     * error (an index is never legally meta-less); read failures propagate —
     * silently guessing parameters would produce signatures incomparable
     * with the persisted ones (the [[Similarity]] `sq_meta` lesson).
+    *
+    * The grid size is ALSO stamped into the sigs directory itself
+    * (`sigs/_grid`, written by build/forget/reshard) and cross-checked
+    * here: a [[reshard]] crash between its meta write and its directory
+    * swap would otherwise leave new-grid metadata over old-grid files, and
+    * every screen would derive `sb` with the wrong modulus — partition
+    * pruning then silently drops true candidates. The mismatch REFUSES
+    * loudly instead; re-running reshard repairs it (idempotent rewrite).
+    * Pre-marker directories (no `_grid`) skip the check.
     */
   private def meta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
-    (r.getInt(r.fieldIndex("bands")), r.getInt(r.fieldIndex("shingle_size")),
-      r.getInt(r.fieldIndex("sig_buckets")))
+    val sb = r.getInt(r.fieldIndex("sig_buckets"))
+    val fs = fsOf(spark, path)
+    gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>
+      require(g == sb,
+        s"lsh index at $path: sigs grid $g != lsh_meta sig_buckets $sb — " +
+          "a crashed reshard left the swap incomplete; re-run LshIndex.reshard"))
+    (r.getInt(r.fieldIndex("bands")), r.getInt(r.fieldIndex("shingle_size")), sb)
+  }
+
+  private def gridMarker(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_grid")
+
+  private def gridOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = gridMarker(dir)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(body.toInt)
+    }
+  }
+
+  private def writeGrid(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(gridMarker(dir), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Sign a frame with the index's parameters: `(mh_id, band, sig, sb)`.
@@ -107,6 +142,7 @@ object LshIndex {
       signFrame(corpus, idCol, textCol, bands, shingleSize, sigBuckets)
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(s"$path/sigs")
+      writeGrid(fs, new org.apache.hadoop.fs.Path(s"$path/sigs"), sigBuckets)
     }
 
   /** Incrementally index a batch (non-streaming form): signatures under
@@ -220,6 +256,77 @@ object LshIndex {
       }
     }
 
+  /** Per-bucket health of the index — the numbers a maintenance scheduler
+    * watches: `(band, sig, n)` for the `topK` heaviest signature buckets
+    * plus the grid occupancy per `(band, sb)` partition. Heavy buckets are
+    * the boilerplate-skew signal (candidate expansion is quadratic IN THE
+    * BUCKET — the screen's cost model dies on one pathological bucket long
+    * before it dies on corpus size; remedy: `maxBucketSize` screening
+    * upstream or exact-dedup of the boilerplate class), and a partition
+    * grid whose per-(band, sb) row counts dwarf the write/commit sweet
+    * spot is the [[reshard]] trigger. One scan of `sigs ∪ ingest`, one
+    * grid-keyed aggregate.
+    */
+  def health(spark: org.apache.spark.sql.SparkSession, path: String,
+      topK: Int = 20): DataFrame = {
+    val sigs = signatures(spark, path)
+    val heavy = sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("band"), col("sig"))
+      .limit(topK)
+    heavy.select(col("band"), col("sig"), col("n"))
+  }
+
+  /** Re-shard the partition grid to `newSigBuckets` — the maintenance verb
+    * for an index whose corpus outgrew its build-time grid (`sb` is a pure
+    * function of `sig`, so this is ONE deterministic rewrite; no
+    * signatures change, only their physical placement). Folds pending
+    * ingest first, rewrites `sigs/` through the same staged-swap protocol
+    * as [[forget]] (crash leaves the fence held + the staged copy
+    * adoptable), and persists the new grid in `lsh_meta` so every
+    * subsequent probe/append derives the matching `sb`. Not
+    * reader-concurrent (maintenance cadence).
+    */
+  def reshard(spark: org.apache.spark.sql.SparkSession, path: String,
+      newSigBuckets: Int): Unit =
+    Similarity.withIndexMutation(spark, path, "LshIndex.reshard") {
+      import org.apache.hadoop.fs.Path
+      import spark.implicits._
+      val fs = fsOf(spark, path)
+      val staged = new Path(s"$path/sigs.reshard")
+      val live = new Path(s"$path/sigs")
+      // crash recovery: a previous reshard that died between the delete and
+      // the rename left only the staged copy — adopt it before proceeding
+      if (!fs.exists(live) && fs.exists(staged)) {
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException("lsh reshard recovery rename failed")
+      }
+      compactIngestFenced(spark, path)
+      // raw parameter read (no grid cross-check): reshard is the REPAIR for
+      // a meta/grid mismatch, so it must be callable while one exists
+      val r0 = spark.read.parquet(s"$path/lsh_meta").collect()(0)
+      val (bands, shingleSize) = (r0.getInt(r0.fieldIndex("bands")),
+        r0.getInt(r0.fieldIndex("shingle_size")))
+      spark.read.parquet(live.toString)
+        .select(col("mh_id"), col("band"), col("sig"))
+        .withColumn("sb",
+          pmod(col("sig"), lit(newSigBuckets.toLong)).cast("int"))
+        .repartition(col("band"), col("sb"))
+        .write.mode("overwrite").partitionBy("band", "sb")
+        .parquet(staged.toString)
+      writeGrid(fs, staged, newSigBuckets)
+      Seq((bands, shingleSize, newSigBuckets))
+        .toDF("bands", "shingle_size", "sig_buckets")
+        .write.mode("overwrite").parquet(s"$path/lsh_meta")
+      // crash windows are LOUD, never silently lossy: after the meta write
+      // but before the swap, live's _grid contradicts meta and every
+      // parameter read refuses; after the delete but before the rename,
+      // sigs is absent and screens fail outright — both states repair by
+      // re-running reshard (idempotent: sb is a pure function of sig)
+      if (!fs.delete(live, true) || !fs.rename(staged, live))
+        throw new java.io.IOException(s"lsh reshard swap failed at $path")
+    }
+
   /** GDPR/forget: REMOVE the given doc ids' signature rows via a
     * copy-on-write rewrite of `sigs/` (staged full write, then swap) —
     * content-derived fingerprints must participate in the same erasure
@@ -252,6 +359,7 @@ object LshIndex {
         .repartition(col("band"), col("sb"))
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(staged.toString)
+      writeGrid(fs, staged, meta(spark, path)._3) // grid unchanged by forget
       if (!fs.delete(live, true) || !fs.rename(staged, live))
         throw new java.io.IOException(s"lsh forget swap failed at $path")
       before - spark.read.parquet(live.toString).count()

@@ -170,6 +170,49 @@ class LshIndexSpec extends AnyFunSuite {
     assert(v.getBoolean(1), "a forgotten doc must stop matching")
   }
 
+  test("health surfaces heavy buckets; reshard regrows the grid; a half-done reshard refuses loudly") {
+    val s = spark
+    import s.implicits._
+    // 24 FULLY-DISJOINT docs (per-doc vocabulary — a shared tail would
+    // mint accidental shared-shingle buckets) + a 6-doc boilerplate class
+    // (identical text): the class shares one bucket per band — the skew
+    // health must surface exactly it
+    val docs = (0L until 24L).map(i => (i, fam(i, s"solo$i tail$i end$i")))
+      .toDF("doc_id", "text").unionByName(
+        (100L until 106L).map(i => (i, fam(99, "boilerplate body")))
+          .toDF("doc_id", "text"))
+    val idx = Files.createTempDirectory("lshhealth").toFile.getAbsolutePath
+    LshIndex.build(docs, "doc_id", "text", idx, sigBuckets = 4)
+    val top = LshIndex.health(s, idx, topK = 4).collect()
+    assert(top.forall(_.getLong(2) == 6L),
+      s"4 bands x one 6-doc boilerplate bucket must lead: ${top.mkString(",")}")
+
+    val batch = batchDf(0L until 10L)
+    val before = rows(LshIndex.screen(s, idx, docs, batch, "doc_id", "text", 0.5))
+    LshIndex.reshard(s, idx, newSigBuckets = 16)
+    val sbDirs = new java.io.File(s"$idx/sigs/band=0").listFiles()
+      .count(_.getName.startsWith("sb="))
+    assert(sbDirs > 4, s"grid must regrow: $sbDirs")
+    assert(rows(LshIndex.screen(s, idx, docs, batch, "doc_id", "text", 0.5))
+      === before, "resharding must be invisible to screens")
+    // appends after the reshard derive the NEW grid
+    LshIndex.appendBatch(s, idx, corpusDf(30).filter(col("doc_id") >= 24),
+      "doc_id", "text", 1L)
+    assert(LshIndex.signatures(s, idx).count() == (30L + 6L) * 4)
+
+    // a crashed reshard's half-state (meta flipped, directory not swapped)
+    // must REFUSE, not silently prune with the wrong modulus
+    Seq((4, 3, 64)).toDF("bands", "shingle_size", "sig_buckets")
+      .write.mode("overwrite").parquet(s"$idx/lsh_meta")
+    val e = intercept[IllegalArgumentException](
+      LshIndex.screen(s, idx, docs, batch, "doc_id", "text", 0.5))
+    assert(e.getMessage.contains("re-run LshIndex.reshard"))
+    // and reshard IS the documented repair
+    LshIndex.reshard(s, idx, newSigBuckets = 64)
+    assert(rows(LshIndex.screen(s, idx, docs, batch, "doc_id", "text", 0.5))
+      === before)
+  }
+
   test("every mutator routes through the shared index fence") {
     val s = spark
     val corpus = corpusDf(6)

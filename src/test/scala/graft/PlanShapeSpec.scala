@@ -175,6 +175,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // d18: d17's screen plan over the post-forget index (the forget
       // rewrite runs eagerly before the returned frame)
       "d18_lsh_forget" -> 2,
+      // d19: one grid-keyed aggregate over the signature scan (TakeOrdered
+      // caps the top-k, no range exchange)
+      "d19_lsh_health" -> 1,
       // d13: dup-window min-struct agg (skew-proof, map-side combined),
       // covered-position distinct (duplicated occurrences × k only), doc
       // reassembly agg; the dup-window and drop-position joins broadcast at
