@@ -164,10 +164,21 @@ object LshIndex {
     * batch against itself.
     */
   def batchFolded(spark: org.apache.spark.sql.SparkSession, path: String,
-      batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/ingest_folded/b=$batchId")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+      batchId: Long): Boolean =
+    IndexLifecycle.batchFolded(spark, path, batchId)
+
+  /** Clear the fold-marker history after the owning stream's checkpoint is
+    * retired (a fresh checkpoint restarts batch ids at 0, which
+    * [[IndexLifecycle.guardBatchId]] otherwise refuses). Folds pending
+    * ingest first; see [[IndexLifecycle.resetFoldedFenced]] for the safety
+    * contract. The exact twin of [[Similarity.resetIngestFolded]].
+    */
+  def resetIngestFolded(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    Similarity.withIndexMutation(spark, path, "resetIngestFolded") {
+      IndexLifecycle.resetFoldedFenced(spark, path)(
+        compactIngestFenced(spark, path))
+    }
 
   /** IDEMPOTENT per-batch append for continuous ingest: the batch lands
     * in `ingest/` partitioned by `(b=batchId, band, sb)` with dynamic
@@ -182,6 +193,7 @@ object LshIndex {
         reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
+        IndexLifecycle.guardBatchId(spark, path, batchId)
         val (bands, shingleSize, sigBuckets) = meta(spark, path)
         signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets)
           .withColumn("b", lit(batchId))
@@ -216,8 +228,6 @@ object LshIndex {
       val fs = fsOf(spark, path)
       val ingest = new Path(s"$path/ingest")
       if (fs.exists(ingest)) {
-      val folded = new Path(s"$path/ingest_folded")
-      fs.mkdirs(folded)
       fs.listStatus(ingest).filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("b=")).foreach { bdir =>
         val bTag = bdir.getPath.getName.stripPrefix("b=")
@@ -232,10 +242,7 @@ object LshIndex {
         // marker BEFORE the moves; only when there is something to move —
         // an empty b= tree (crash leftover) must not mint a marker that
         // could block a future real batch of the same id
-        if (moves.nonEmpty) {
-          val marker = new Path(folded, s"b=$bTag")
-          if (!fs.exists(marker)) fs.create(marker, false).close()
-        }
+        if (moves.nonEmpty) IndexLifecycle.mintFoldedMarker(fs, path, bTag)
         moves.foreach { case (part, f) =>
           val dest = new Path(s"$path/sigs/$part")
           fs.mkdirs(dest)
@@ -244,15 +251,9 @@ object LshIndex {
         }
       }
       fs.delete(ingest, true): Unit
-      // batch ids are monotone per streaming query and only the LATEST
-      // uncommitted batch can ever replay — prune markers below the max
-      val tags = fs.listStatus(folded)
-        .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption)
-      if (tags.nonEmpty) {
-        val mx = tags.max
-        tags.filter(_ < mx).foreach(t =>
-          fs.delete(new Path(folded, s"b=$t"), false): Unit)
-      }
+      // markers below the max are dead under the monotone-id protocol the
+      // guardBatchId refusal enforces — see IndexLifecycle
+      IndexLifecycle.pruneFoldedMarkers(fs, path)
       }
     }
 

@@ -8,12 +8,22 @@ import org.apache.spark.sql.types._
   * plus a typed metadata struct, with decode / feature-extraction / resize /
   * frame-sampling as partition-parallel batched transforms.
   *
-  * The actual media codecs are NOT available in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB — but the Spark-side
-  * plumbing is real and what matters at 100 TB: binary columns ride Parquet
-  * untouched, metadata predicates prune without touching bytes, and the
-  * batched `mapPartitions` shape is exactly where a JNI/Python codec slots in
-  * (mapInPandas/Arrow on the PySpark side, batch-iterated rows here).
+  * Two tiers of "decode" live here:
+  *
+  *  - REAL image decode via the JDK's own `javax.imageio` (PNG and BMP
+  *    readers ship with every JRE — no external codec needed):
+  *    [[synthImages]] encodes, [[perceptualHash]] decodes and derives
+  *    integer dHash/aHash fingerprints, [[phashNearDupPairs]] finds image
+  *    near-duplicates by the same 4×16-bit pigeonhole banding the text
+  *    side uses ([[Dedup.simhashPairs]]). Every arithmetic step after the
+  *    decode is exact-integer, so a DuckDB oracle re-derives the hashes
+  *    from the source bytes without decoding anything — the decode legs
+  *    are verified by ROUND-TRIP equality (mm5/mm6).
+  *  - Deterministic STUB kernels for the codecs that genuinely are not in
+  *    this container (video frame extraction, audio): the Spark-side
+  *    plumbing — binary columns riding Parquet untouched, metadata
+  *    predicates pruning without touching bytes, batched `mapPartitions`
+  *    exactly where a JNI/Python codec slots in — is real and tested.
   */
 object Multimodal {
 

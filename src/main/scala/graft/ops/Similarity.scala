@@ -361,24 +361,36 @@ object Similarity {
       fs.delete(marker, false): Unit
     val won = {
       if (fs.exists(marker)) false
-      else {
+      else if (fs.getScheme == "file") {
+        // link(2) fails EEXIST atomically; rename(2) would overwrite
         val tmp = new Path(root, s"._mutating.tmp.${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, true)
         try out.write(content.getBytes("UTF-8")) finally out.close()
         try {
-          if (fs.getScheme == "file") {
-            // link(2) fails EEXIST atomically; rename(2) would overwrite
-            try {
-              java.nio.file.Files.createLink(
-                java.nio.file.Paths.get(marker.toUri.getPath),
-                java.nio.file.Paths.get(tmp.toUri.getPath))
-              true
-            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } else {
-            try fs.rename(tmp, marker)
-            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-          }
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(marker.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         } finally fs.delete(tmp, false): Unit
+      } else {
+        // create(overwrite = false) IS the no-overwrite consensus primitive
+        // everywhere else: an atomic namespace op on HDFS, and the op that
+        // maps to a conditional (If-None-Match) PUT on object-store
+        // connectors that have one. rename(tmp, marker) is NOT safe there —
+        // S3A implements rename as copy-over, so two racers could both
+        // "win" (ADVICE r12). A create that succeeds but fails mid-write
+        // leaves a partial marker behind — same recovery as a crashed
+        // holder: breakIndexMutation.
+        try {
+          val out = fs.create(marker, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
       }
     }
     if (!won) {
@@ -463,11 +475,34 @@ object Similarity {
     }
   }
 
-  private def cellsPath(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = resolvedTablePath(spark, path, "cells")
+  /** Both geometry-table paths derived from ONE version resolution. Every
+    * entry point — probe or fenced mutator — takes a single snapshot at
+    * entry and threads it through all its legs. Probes are deliberately
+    * unfenced, so resolving the version independently per leg (the old
+    * `cellsPath`/`centroidsPath`-per-call shape) raced against a concurrent
+    * recluster/forget publish: a probe could assign queries against
+    * `centroids@N` but scan `cells@N+1` — silently wrong neighbors, the
+    * exact mixed-version hazard the versioning exists to close. A snapshot
+    * makes the probe atomic w.r.t. publishes: it reads version N's
+    * IMMUTABLE files end to end (retained until the next rewrite — the
+    * one-cycle reader grace window).
+    */
+  private[graft] final case class GeomSnapshot(cells: String, centroids: String)
 
-  private def centroidsPath(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = resolvedTablePath(spark, path, "centroids")
+  /** Test seam: counts geometry-version resolutions, so specs can pin the
+    * resolve-ONCE-per-entry-point contract structurally.
+    */
+  private[graft] val geomResolutions = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def snapshotGeometry(spark: org.apache.spark.sql.SparkSession,
+      path: String): GeomSnapshot = {
+    geomResolutions.incrementAndGet(): Unit
+    val p = new org.apache.hadoop.fs.Path(path)
+    geomVersion(p.getFileSystem(spark.sessionState.newHadoopConf()), path) match {
+      case Some(v) => GeomSnapshot(s"$path/cells@$v", s"$path/centroids@$v")
+      case None => GeomSnapshot(s"$path/cells", s"$path/centroids")
+    }
+  }
 
   /** Build and PERSIST an IVF index: `path/centroids` (nlist rows) and
     * `path/cells` (one row per corpus vector, parquet PARTITIONED BY the
@@ -498,9 +533,10 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfIndex") {
-      val cents = spark.read.parquet(centroidsPath(spark, path))
+      val g = snapshotGeometry(spark, path)
+      val cents = spark.read.parquet(g.centroids)
       assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
-        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
+        .write.mode("append").partitionBy("cell").parquet(g.cells)
     }
 
   /** ANN top-k against a persisted index: queries assign to their `nprobe`
@@ -512,9 +548,10 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(spark, path))
+    val g = snapshotGeometry(spark, path)
+    val cents = spark.read.parquet(g.centroids)
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
-    val base = spark.read.parquet(cellsPath(spark, path))
+    val base = spark.read.parquet(g.cells)
       .select(col("vec_id"), col("ce"), col("cell"))
     // ingested-but-uncompacted vectors are probe-visible here too (per-side
     // join under the final window, matching ivfSqTopKIndexed's shape)
@@ -550,7 +587,8 @@ object Similarity {
         reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(centroidsPath(spark, path))
+        IndexLifecycle.guardBatchId(spark, path, batchId)
+        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
         assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
           .withColumn("b", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -651,11 +689,12 @@ object Similarity {
   def appendToIvfSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfSqIndex") {
-      val cents = spark.read.parquet(centroidsPath(spark, path))
+      val g = snapshotGeometry(spark, path)
+      val cents = spark.read.parquet(g.centroids)
       val scale = spark.read.parquet(s"$path/sq_scale")
       val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
       assignCellsSq(b, idCol, vecCol, cents, scale)
-        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
+        .write.mode("append").partitionBy("cell").parquet(g.cells)
     }
 
   /** IDEMPOTENT per-batch append for continuous ingest (the
@@ -677,7 +716,8 @@ object Similarity {
         reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(centroidsPath(spark, path))
+        IndexLifecycle.guardBatchId(spark, path, batchId)
+        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
         val scale = spark.read.parquet(s"$path/sq_scale")
         val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
         assignCellsSq(b, idCol, vecCol, cents, scale)
@@ -709,10 +749,21 @@ object Similarity {
     * would match the batch against itself.
     */
   def batchFolded(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/ingest_folded/b=$batchId")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+      path: String, batchId: Long): Boolean =
+    IndexLifecycle.batchFolded(spark, path, batchId)
+
+  /** Clear the fold-marker history after the owning stream's checkpoint is
+    * retired (a fresh checkpoint restarts batch ids at 0, which
+    * [[IndexLifecycle.guardBatchId]] otherwise refuses). Folds pending
+    * ingest first; see [[IndexLifecycle.resetFoldedFenced]] for the safety
+    * contract.
+    */
+  def resetIngestFolded(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    withIndexMutation(spark, path, "resetIngestFolded") {
+      IndexLifecycle.resetFoldedFenced(spark, path)(
+        compactIvfIngestFenced(spark, path))
+    }
 
   /** Fold the streaming-ingest side area into the main cell table as PURE
     * FILE MOVES — no data rewrite: every parquet file under
@@ -741,9 +792,7 @@ object Similarity {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val ingest = new Path(s"$path/ingest")
     if (!fs.exists(ingest)) return
-    val liveCells = cellsPath(spark, path)
-    val folded = new Path(s"$path/ingest_folded")
-    fs.mkdirs(folded)
+    val liveCells = snapshotGeometry(spark, path).cells
     fs.listStatus(ingest).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("b=")).foreach { bdir =>
       val bTag = bdir.getPath.getName.stripPrefix("b=")
@@ -759,10 +808,7 @@ object Similarity {
       // Only when there IS something to move: an empty b= tree (a previous
       // compact's crash leftover) must not mint a marker that could block a
       // future real batch of the same id.
-      if (moves.nonEmpty) {
-        val marker = new Path(folded, s"b=$bTag")
-        if (!fs.exists(marker)) fs.create(marker, false).close()
-      }
+      if (moves.nonEmpty) IndexLifecycle.mintFoldedMarker(fs, path, bTag)
       moves.foreach { case (cellDir, f) =>
         val dest = new Path(s"$liveCells/$cellDir")
         fs.mkdirs(dest)
@@ -771,17 +817,9 @@ object Similarity {
       }
     }
     fs.delete(ingest, true): Unit
-    // prune markers below the max: batch ids are monotone per streaming
-    // query and only the LATEST uncommitted batch can ever be replayed, so
-    // once a higher batch folded, the lower markers are dead — steady-state
-    // marker count is O(1), not O(batches)
-    val tags = fs.listStatus(folded)
-      .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption)
-    if (tags.nonEmpty) {
-      val mx = tags.max
-      tags.filter(_ < mx).foreach(t =>
-        fs.delete(new Path(folded, s"b=$t"), false): Unit)
-    }
+    // markers below the max are dead under the monotone-id protocol the
+    // guardBatchId refusal enforces — see IndexLifecycle
+    IndexLifecycle.pruneFoldedMarkers(fs, path)
   }
 
   /** The ingest side area's cell frame, if any — same columns as the main
@@ -830,7 +868,8 @@ object Similarity {
       nprobe: Int = 2, rerank: Int = 4,
       excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
-    val cents = spark.read.parquet(centroidsPath(spark, path))
+    val g = snapshotGeometry(spark, path)
+    val cents = spark.read.parquet(g.centroids)
     val scale = spark.read.parquet(s"$path/sq_scale")
     // a normalized index quantizes normalized queries (the persisted flag,
     // set once at build); cosine rescoring below is norm-invariant, so the
@@ -861,9 +900,9 @@ object Similarity {
         aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x))
       .select(col("qid"), col("vec_id"), col("cell"), col("qscore"))
-    val scored = ing.map(i => scoredOf(spark.read.parquet(cellsPath(spark, path)))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(g.cells))
         .unionByName(scoredOf(i)))
-      .getOrElse(scoredOf(spark.read.parquet(cellsPath(spark, path))))
+      .getOrElse(scoredOf(spark.read.parquet(g.cells)))
     val cand = scored
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= k.toLong * rerank)
@@ -874,9 +913,9 @@ object Similarity {
     def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
       .join(broadcast(cand), Seq("cell", "vec_id"))
-    val rescored = ing.map(i => rescoredOf(spark.read.parquet(cellsPath(spark, path)))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(g.cells))
         .unionByName(rescoredOf(i)))
-      .getOrElse(rescoredOf(spark.read.parquet(cellsPath(spark, path))))
+      .getOrElse(rescoredOf(spark.read.parquet(g.cells)))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     rescored
       .join(broadcast(qvecs), Seq("qid"))
@@ -971,7 +1010,7 @@ object Similarity {
     // RETIRED geometry (wrong cells probed, vectors invisible at the right
     // ones). Compaction is pure file moves, so this costs metadata only.
     compactIvfIngestFenced(spark, path)
-    val full = spark.read.parquet(cellsPath(spark, path))
+    val full = spark.read.parquet(snapshotGeometry(spark, path).cells)
     val live = full.select(col("vec_id"), col("ce"))
     val sample =
       if (sampleRate >= 1.0) live
@@ -1047,8 +1086,9 @@ object Similarity {
       path: String, ids: DataFrame, idCol: String): Long =
     withIndexMutation(spark, path, "forgetFromIvfIndex") {
       compactIvfIngestFenced(spark, path)
-      val full = spark.read.parquet(cellsPath(spark, path))
-      val cents = spark.read.parquet(centroidsPath(spark, path))
+      val g = snapshotGeometry(spark, path)
+      val full = spark.read.parquet(g.cells)
+      val cents = spark.read.parquet(g.centroids)
         .localCheckpoint() // staged copy below must not lazily re-read live dirs
       val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
       val before = full.count()
@@ -1058,7 +1098,7 @@ object Similarity {
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$path/cells@$next")
       }
-      before - spark.read.parquet(cellsPath(spark, path)).count()
+      before - spark.read.parquet(snapshotGeometry(spark, path).cells).count()
     }
 
   /** Per-cell health of a persisted IVF-family index (plain, SQ8, or PQ —
@@ -1074,8 +1114,9 @@ object Similarity {
     */
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(spark, path))
-    val base = spark.read.parquet(cellsPath(spark, path))
+    val g = snapshotGeometry(spark, path)
+    val cents = spark.read.parquet(g.centroids)
+    val base = spark.read.parquet(g.cells)
       .select(col("vec_id"), col("ce"), col("cell"))
     val cells = ingestCells(spark, path)
       .map(i => base.unionByName(i.select(col("vec_id"), col("ce"), col("cell"))))
@@ -1674,10 +1715,11 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfPqIndex") {
-      val cents = spark.read.parquet(centroidsPath(spark, path))
+      val g = snapshotGeometry(spark, path)
+      val cents = spark.read.parquet(g.centroids)
       val books = readBooks(spark, s"$path/books")
       assignCellsPq(batch, idCol, vecCol, cents, books)
-        .write.mode("append").partitionBy("cell").parquet(cellsPath(spark, path))
+        .write.mode("append").partitionBy("cell").parquet(g.cells)
     }
 
   /** The IVF-PQ twin of [[appendBatchToIvfSqIndex]]: an IDEMPOTENT
@@ -1693,7 +1735,8 @@ object Similarity {
         reclaimSameOp = true) {
       if (batchFolded(spark, path, batchId)) ()
       else {
-        val cents = spark.read.parquet(centroidsPath(spark, path))
+        IndexLifecycle.guardBatchId(spark, path, batchId)
+        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
         val books = readBooks(spark, s"$path/books")
         assignCellsPq(batch, idCol, vecCol, cents, books)
           .withColumn("b", lit(batchId))
@@ -1718,7 +1761,8 @@ object Similarity {
       nprobe: Int = 2, rerank: Int = 4,
       excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
-    val cents = spark.read.parquet(centroidsPath(spark, path))
+    val g = snapshotGeometry(spark, path)
+    val cents = spark.read.parquet(g.centroids)
     val books = readBooks(spark, s"$path/books")
     // probe side (tiny by contract): nprobe cells + the ADC tables
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
@@ -1733,9 +1777,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qdist", pqAdcDist(col("code"), col("qt")))
       .select(col("qid"), col("vec_id"), col("cell"), col("qdist"))
-    val scored = ing.map(i => scoredOf(spark.read.parquet(cellsPath(spark, path)))
+    val scored = ing.map(i => scoredOf(spark.read.parquet(g.cells))
         .unionByName(scoredOf(i)))
-      .getOrElse(scoredOf(spark.read.parquet(cellsPath(spark, path))))
+      .getOrElse(scoredOf(spark.read.parquet(g.cells)))
     val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("vec_id"))
     val cand = scored
       .withColumn("crn", row_number().over(wq))
@@ -1746,9 +1790,9 @@ object Similarity {
     def rescoredOf(df: DataFrame) = df
       .select(col("vec_id"), col("ce"), col("cell"))
       .join(broadcast(cand), Seq("cell", "vec_id"))
-    val rescored = ing.map(i => rescoredOf(spark.read.parquet(cellsPath(spark, path)))
+    val rescored = ing.map(i => rescoredOf(spark.read.parquet(g.cells))
         .unionByName(rescoredOf(i)))
-      .getOrElse(rescoredOf(spark.read.parquet(cellsPath(spark, path))))
+      .getOrElse(rescoredOf(spark.read.parquet(g.cells)))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     rescored
       .join(broadcast(qvecs), Seq("qid"))

@@ -233,12 +233,21 @@ object StreamAggs {
     val cSigs = graft.ops.Dedup.minhashSignaturesFromSets(cSets, bands)
       .localCheckpoint() // signed once, reused by every micro-batch
 
-    // (batchId, path, complete) — complete = the job-level `_SUCCESS`
-    // marker exists. A crash DURING `folded.write` leaves a v= directory
-    // with task-committed part files but no marker; admitting it as the
+    // (batchId, path, complete) — complete = OUR commit marker exists
+    // (written here after the parquet write returns), falling back to
+    // Hadoop's job-level `_SUCCESS` for state dirs written before the own
+    // marker existed. The own marker is load-bearing, not belt-and-braces:
+    // `_SUCCESS` is configurable (mapreduce.fileoutputcommitter
+    // .marksuccessfuljobs=false is common with object-store committers),
+    // and with it disabled a `_SUCCESS`-only completeness test would treat
+    // EVERY persisted version as crash debris on cold-start — deleting all
+    // component state and silently reseeding from the corpus (ADVICE r12).
+    // A crash DURING `folded.write` leaves a v= directory with
+    // task-committed part files but neither marker; admitting it as the
     // authoritative assignment would silently drop component rows that
     // belong to older batches (not re-derivable from the replayed batch),
     // corrupting the leakage-safe split-key table downstream.
+    val Committed = "_graft_committed"
     def versions(dir: String): Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -247,7 +256,8 @@ object StreamAggs {
         .flatMap { st =>
           val n = st.getPath.getName
           if (n.startsWith("v=")) n.drop(2).toLongOption.map(v => (v, st.getPath,
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))))
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Committed)) ||
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))))
           else None
         }
     }
@@ -300,6 +310,14 @@ object StreamAggs {
           val conflicts = versions(dir).exists(_._1 == batchId)
           val staged = if (conflicts) folded.localCheckpoint() else folded
           staged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+          // own commit marker, created only after the write RETURNED — the
+          // completeness signal versions() trusts regardless of the
+          // _SUCCESS committer setting (an overwrite replay deletes the
+          // dir first, so a stale marker can never cover fresh debris)
+          new org.apache.hadoop.fs.Path(s"$dir/v=$batchId/$Committed")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .create(new org.apache.hadoop.fs.Path(s"$dir/v=$batchId/$Committed"),
+              true).close()
           if (conflicts)
             org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(staged)
           val current = spark.read.parquet(s"$dir/v=$batchId")
