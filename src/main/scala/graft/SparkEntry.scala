@@ -1705,6 +1705,42 @@ object SparkEntry {
           round(col("sum_b") / 255.0, 4).as("f"))
     }),
 
+    // ── multimodal: REAL decode (javax.imageio PNG+BMP) → perceptual hash ─
+    // the engine encodes a deterministic raster, DECODES it with the JDK's
+    // real codecs, and hashes the decoded pixels; the oracle re-derives the
+    // hashes from the SOURCE bytes without decoding — a hash match proves
+    // the encode→decode legs lossless end to end
+    "mm5_phash" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "image/gray")
+      ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(packed))
+        .select(col("media_id"), col("img_w"), col("img_h"),
+          col("dhash"), col("ahash"))
+    }),
+
+    // ── multimodal: image near-dup via 4×16-bit dHash pigeonhole banding ──
+    // maxDist=3 makes banding recall TOTAL, so the oracle is the EXACT
+    // all-pairs hamming join — the gate verifies the banding recall claim,
+    // not just the arithmetic
+    "mm6_image_neardup" -> ((s, dir) => {
+      // the testdata's planted text near-dups change lengths, which
+      // scrambles the cyclic raster — so plant IMAGE near-dups here: an
+      // identical copy (hamming 0) and a pixel-noise copy (every 'e' byte
+      // +1 shifts each 4×4 box mean by at most 1 → tiny gradient hamming),
+      // the same construction as the oracle's UNION ALL
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val planted = base
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+          translate(col("text"), "e", "f").as("text")))
+      val packed = ops.Multimodal.pack(planted, "doc_id", "text", "image/gray")
+      ops.Multimodal.phashNearDupPairs(
+        ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(packed)),
+        maxDist = 3)
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1791,6 +1827,49 @@ object SparkEntry {
       |      FROM ccells JOIN qcells USING (cell) WHERE vec_id != qid),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3""".stripMargin
+
+  /** The shared dHash/aHash re-derivation CTE of the mm5/mm6 oracles: the
+    * 36×32 cyclic raster from the source bytes (mm4's hex-byte pattern),
+    * floor-mean 4×4 boxes → the 9×8 grid, gradient/brightness bits packed
+    * MSB-first into four 16-bit words (`dh(d0..d3)` / `ah(a0..a3)`) —
+    * integer-exact mirrors of [[graft.ops.Multimodal.perceptualHash]]'s
+    * post-decode arithmetic.
+    */
+  private def mmPhashCte(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+      |h AS (SELECT media_id, hex(text::BLOB) AS hx,
+      |             octet_length(text::BLOB) AS n
+      |      FROM src),
+      |px AS (SELECT media_id, unnest(range(1152)) AS i, hx, n FROM h),
+      |pv AS (SELECT media_id, i,
+      |         (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+1, 1))-1)*16
+      |       + (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+2, 1))-1) AS v
+      |       FROM px),
+      |grid AS (SELECT media_id, (i // 36) // 4 AS gr, (i % 36) // 4 AS gc,
+      |                (sum(v))::BIGINT // 16 AS g
+      |         FROM pv GROUP BY 1, 2, 3),
+      |db AS (SELECT a.media_id, a.gr*8 + a.gc AS p,
+      |              CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      |       FROM grid a JOIN grid b ON a.media_id = b.media_id
+      |        AND a.gr = b.gr AND b.gc = a.gc + 1
+      |       WHERE a.gc < 8),
+      |am AS (SELECT media_id, (sum(g))::BIGINT // 64 AS m FROM grid
+      |       WHERE gc < 8 GROUP BY 1),
+      |ab AS (SELECT g.media_id, g.gr*8 + g.gc AS p,
+      |              CASE WHEN g.g > am.m THEN 1 ELSE 0 END AS bit
+      |       FROM grid g JOIN am ON g.media_id = am.media_id WHERE g.gc < 8),
+      |dh AS (SELECT media_id,
+      |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d0,
+      |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d1,
+      |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d2,
+      |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d3
+      |       FROM db GROUP BY 1),
+      |ah AS (SELECT media_id,
+      |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a0,
+      |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a1,
+      |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a2,
+      |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a3
+      |       FROM ab GROUP BY 1)""".stripMargin
 
   private def embPairsCte(threshold: Double): String = {
     val tables = 8; val bits = 16
@@ -3476,6 +3555,36 @@ object SparkEntry {
         |       round(sum((strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1))-1)*16
         |               + (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1))-1))/255.0, 4) AS f
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the engine's path: bytes → 36×32 raster → REAL PNG/BMP encode →
+    // javax.imageio decode → luma → 9×8 box grid → dHash/aHash. This twin
+    // re-derives the hashes straight from the source bytes (raster pixel i
+    // = byte (i mod n); grid = floor 4×4 box mean; bits pack MSB-first into
+    // four 16-bit words) — every post-decode step is exact-integer, so a
+    // hash match PROVES the codec round-trip lossless.
+    "mm5_phash" -> (mmPhashCte(
+      "SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200") +
+      """
+        |SELECT media_id, 36::INTEGER AS img_w, 32::INTEGER AS img_h,
+        |       printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash,
+        |       printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash
+        |FROM dh JOIN ah USING (media_id)""".stripMargin),
+
+    // EXACT all-pairs hamming ≤ 3 over the re-derived dHashes: at maxDist 3
+    // the engine's 4×16-bit pigeonhole banding has TOTAL recall, so banded
+    // == exact — the gate checks the recall claim, not just arithmetic
+    "mm6_image_neardup" -> (mmPhashCte(
+      """SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+        |           FROM documents WHERE doc_id < 200""".stripMargin) +
+      """
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       (bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |      + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)))::BIGINT AS dist
+        |FROM dh a JOIN dh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -175,4 +175,191 @@ object Multimodal {
       }
       f
     }
+
+  // ── REAL image decode: javax.imageio (JDK-builtin PNG/BMP codecs) ───────
+
+  // no ImageIO disk-cache temp files on executors — streams are in-memory
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Rasterize the content bytes into a REAL encoded image (`img` binary):
+    * a `w × h` grayscale raster whose pixel (r, c) is the content byte at
+    * index `(r·w + c) mod n` (cyclic), written through the JDK's own PNG or
+    * BMP encoder. `format = "mixed"` alternates by media_id parity — both
+    * decoders then exercise in one pass, and since both codecs are lossless
+    * for this raster the downstream hashes are format-invariant (spec'd).
+    *
+    * The pixel rule is deliberately a pure integer function of the source
+    * bytes: everything downstream of the DECODE is then re-derivable by an
+    * oracle that never decodes — round-trip equality IS the decode test
+    * (the mm5/mm6 gates). Same batched mapPartitions shape as
+    * [[extractFeatures]]; the codec call sits exactly where a JNI binding
+    * would.
+    */
+  def synthImages(df: DataFrame, w: Int = 36, h: Int = 32,
+      format: String = "mixed", batchSize: Int = 64): DataFrame = {
+    require(w > 0 && h > 0, "image dims must be positive")
+    val schema = StructType(df.schema.fields :+
+      StructField("img", BinaryType, nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val fmt = format match {
+            case "mixed" => if (r.getLong(idIdx) % 2 == 0) "png" else "bmp"
+            case f => f
+          }
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          Row.fromSeq(r.toSeq :+ encodeGray(rasterOf(bytes, w, h), w, h, fmt))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** The cyclic grayscale raster (row-major, one int per pixel, 0–255). */
+  private def rasterOf(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val n = if (bytes == null) 0 else bytes.length
+    Array.tabulate(w * h)(i => if (n == 0) 0 else bytes(i % n) & 0xff)
+  }
+
+  private def encodeGray(pix: Array[Int], w: Int, h: Int,
+      fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pix(y * w + x) * 0x010101); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, baos), s"no ImageIO writer: $fmt")
+    baos.toByteArray
+  }
+
+  /** REAL decode: parse the encoded image (format sniffed from the bytes —
+    * PNG and BMP readers ship with the JDK) and return (width, height,
+    * integer luma raster). Luma is the ITU-R 601 integer form
+    * `(299·R + 587·G + 114·B) / 1000` — exact for grayscale rasters
+    * (R = G = B = v ⟹ luma = v), correct for color ones.
+    */
+  private[graft] def decodeLuma(img: Array[Byte]): (Int, Int, Array[Int]) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+    require(bi != null, "undecodable image bytes")
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        out(y * w + x) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Perceptual hashes of REAL decoded images — the image near-dup
+    * fingerprint (public dHash/aHash designs, e.g. the pHash family):
+    *
+    *  1. decode via `javax.imageio` (header parse, bottom-up BMP rows, PNG
+    *     inflate — the real thing), luma per pixel;
+    *  2. box-average down to the canonical 9×8 grid (boxes of
+    *     `(w/9) × (h/8)` pixels, integer mean with floor — `w`, `h` must
+    *     divide evenly; the fixed-size "resize" step of the standard
+    *     algorithm, exact-integer so the oracle can mirror it);
+    *  3. dHash: bit (r, c) = grid(r, c) > grid(r, c+1) — 64 gradient bits;
+    *     aHash: bit (r, c) = grid(r, c) > mean(left 8×8 sub-grid), with the
+    *     mean floored — 64 brightness bits.
+    *
+    * Bits pack MSB-first into FOUR 16-bit band words per hash (`dh0..dh3`,
+    * `ah0..ah3`) — the banding [[phashNearDupPairs]] pigeonholes on, and
+    * small enough integers that the DuckDB twin never touches 64-bit sign
+    * (the d10 HUGEINT contortion). `dhash`/`ahash` are the packed 16-hex
+    * forms. Everything after the decode is exact integer arithmetic: the
+    * oracle re-derives the hashes from the SOURCE bytes (never decoding),
+    * so a hash match end-to-end proves the encode→decode legs lossless.
+    */
+  def perceptualHash(df: DataFrame, imgCol: String = "img",
+      batchSize: Int = 64): DataFrame = {
+    val added = Seq(
+      StructField("img_w", IntegerType, nullable = true),
+      StructField("img_h", IntegerType, nullable = true)) ++
+      (0 to 3).map(k => StructField(s"dh$k", IntegerType, nullable = true)) ++
+      (0 to 3).map(k => StructField(s"ah$k", IntegerType, nullable = true)) ++
+      Seq(StructField("dhash", StringType, nullable = true),
+        StructField("ahash", StringType, nullable = true))
+    val schema = StructType(df.schema.fields ++ added)
+    val imgIdx = df.schema.fieldIndex(imgCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, lum) = decodeLuma(r.getAs[Array[Byte]](imgIdx))
+          require(w % 9 == 0 && h % 8 == 0,
+            s"phash needs dims divisible by 9x8, got ${w}x$h")
+          val (bw, bh) = (w / 9, h / 8)
+          val g = Array.tabulate(8, 9) { (gr, gc) =>
+            var s = 0; var yy = gr * bh
+            while (yy < (gr + 1) * bh) {
+              var xx = gc * bw
+              while (xx < (gc + 1) * bw) { s += lum(yy * w + xx); xx += 1 }
+              yy += 1
+            }
+            s / (bw * bh)
+          }
+          val dbits = Array.tabulate(64)(p => if (g(p / 8)(p % 8) > g(p / 8)(p % 8 + 1)) 1 else 0)
+          var asum = 0
+          var p = 0
+          while (p < 64) { asum += g(p / 8)(p % 8); p += 1 }
+          val amean = asum / 64
+          val abits = Array.tabulate(64)(p => if (g(p / 8)(p % 8) > amean) 1 else 0)
+          def bands(bits: Array[Int]): Array[Int] =
+            Array.tabulate(4)(k => (0 until 16).map(j => bits(16 * k + j) << (15 - j)).sum)
+          val (db, ab) = (bands(dbits), bands(abits))
+          def hexOf(bs: Array[Int]) = bs.map(b => f"$b%04x").mkString
+          Row.fromSeq(r.toSeq ++ Seq(w, h) ++ db ++ ab :+ hexOf(db) :+ hexOf(ab))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Image near-duplicate pairs by pigeonhole banding on the dHash's four
+    * 16-bit words — [[Dedup.simhashPairs]]'s machinery pointed at decoded
+    * pixels: two hashes within Hamming distance 3 must collide in at least
+    * one word (recall TOTAL for `maxDist ≤ 3`), candidates are an equi-join
+    * on `(band, word)` — never all-pairs — and the `bit_count(xor)` verify
+    * runs map-side before the pair-dedup shuffle. Input is
+    * [[perceptualHash]] output; emits `(id_a, id_b, dist)`.
+    *
+    * Scale shape: identical to the text side — candidate volume is
+    * ~4·N²/65536 per homogeneous corpus, and a pathological band value
+    * (e.g. flat images hashing to all-zero gradients) is the same
+    * heavy-bucket skew [[LshIndex.health]] surfaces for text; cap or
+    * exact-dedup the flat class upstream.
+    */
+  def phashNearDupPairs(hashed: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    val bands = hashed
+      .select(col("media_id"), col("dh0"), col("dh1"), col("dh2"), col("dh3"),
+        posexplode(array(col("dh0"), col("dh1"), col("dh2"), col("dh3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "word")
+    def side(tag: String) = bands.select(col("band"), col("word"),
+      col("media_id").as(s"id_$tag"), col("dh0").as(s"h0$tag"),
+      col("dh1").as(s"h1$tag"), col("dh2").as(s"h2$tag"), col("dh3").as(s"h3$tag"))
+    side("a").join(side("b"), Seq("band", "word"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        (bit_count(col("h0a").bitwiseXOR(col("h0b"))) +
+          bit_count(col("h1a").bitwiseXOR(col("h1b"))) +
+          bit_count(col("h2a").bitwiseXOR(col("h2b"))) +
+          bit_count(col("h3a").bitwiseXOR(col("h3b")))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
 }

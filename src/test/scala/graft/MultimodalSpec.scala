@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode (javax.imageio PNG/BMP) + perceptual hashing + banded
+  * image near-dup: codec round-trip losslessness, format invariance of the
+  * hashes, planted-duplicate behavior, and total banding recall at
+  * hamming ≤ 3 against a brute-force oracle.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  // a long text (> 1152 chars = one full 36×32 raster) so a single-char
+  // edit perturbs exactly ONE pixel — the controlled near-dup fixture
+  private def longText(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    (0 until 260).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  private def packed(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Multimodal.pack(rows.toDF("doc_id", "text"), "doc_id", "text", "image/gray")
+  }
+
+  test("synthImages emits REAL codec bytes; decode round-trips losslessly in both formats") {
+    val rows = (0L until 6L).map(i => (i, longText(i.toInt)))
+    val png = Multimodal.synthImages(packed(rows), format = "png")
+      .select("media_id", "img").collect()
+    val bmp = Multimodal.synthImages(packed(rows), format = "bmp")
+      .select("media_id", "img").collect()
+    // real container magics — these are genuine encoded files, not stubs
+    png.foreach { r =>
+      val b = r.getAs[Array[Byte]]("img")
+      assert((b(1) & 0xff) == 'P' && (b(2) & 0xff) == 'N' && (b(3) & 0xff) == 'G')
+    }
+    bmp.foreach { r =>
+      val b = r.getAs[Array[Byte]]("img")
+      assert(b(0) == 'B' && b(1) == 'M')
+    }
+    // decode returns the exact synthesized raster whichever codec carried it
+    rows.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val expect = Array.tabulate(36 * 32)(i => bytes(i % bytes.length) & 0xff)
+      Seq(png, bmp).foreach { imgs =>
+        val img = imgs.find(_.getLong(0) == id).get.getAs[Array[Byte]]("img")
+        val (w, h, lum) = Multimodal.decodeLuma(img)
+        assert(w == 36 && h == 32)
+        assert(lum.toSeq == expect.toSeq, s"decode must be lossless (doc $id)")
+      }
+    }
+  }
+
+  test("perceptual hashes are format-invariant (PNG and BMP decode to the same pixels)") {
+    val rows = (0L until 10L).map(i => (i, longText(100 + i.toInt)))
+    def hashes(fmt: String) = Multimodal.perceptualHash(
+        Multimodal.synthImages(packed(rows), format = fmt))
+      .select("media_id", "dhash", "ahash").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(hashes("png") === hashes("bmp"))
+  }
+
+  test("planted duplicates: identical image hashes equal; a one-pixel edit stays within hamming 2") {
+    val s = spark
+    val base = longText(7)
+    // one-char substitution by ±1 codepoint at a position beyond any word
+    // boundary effect: exactly one raster pixel changes by 1, so at most
+    // one 4×4 box mean moves by at most 1 → at most 2 dHash gradient bits
+    val oneOff = base.updated(600, (base(600) + 1).toChar)
+    val rows = Seq((1L, base), (2L, base), (3L, oneOff))
+    val h = Multimodal.perceptualHash(Multimodal.synthImages(packed(rows)))
+      .select("media_id", "dh0", "dh1", "dh2", "dh3", "dhash").collect()
+      .map(r => r.getLong(0) -> (0 to 3).map(k => r.getInt(1 + k))).toMap
+    def hamming(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(hamming(h(1L), h(2L)) == 0, "identical images must hash identically")
+    assert(hamming(h(1L), h(3L)) <= 2,
+      s"a one-pixel ±1 edit must stay within hamming 2, got ${hamming(h(1L), h(3L))}")
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHash(Multimodal.synthImages(packed(rows))),
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"banding must surface all three planted pairs, got $pairs")
+  }
+
+  test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
+    val s = spark
+    // 40 bases + systematic near copies: single-char ±1 edits at varying
+    // positions (some flip 0 bits, some 1–2) — plus the unrelated bases,
+    // whose pairwise hammings are mostly far
+    val rows = (0L until 40L).flatMap { i =>
+      val b = longText(500 + i.toInt)
+      Seq((i * 10, b), (i * 10 + 1, b.updated(50 + i.toInt, (b(50 + i.toInt) + 1).toChar)))
+    }
+    val hashed = Multimodal.perceptualHash(Multimodal.synthImages(packed(rows)))
+      .localCheckpoint()
+    val banded = Multimodal.phashNearDupPairs(hashed, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = hashed.select("media_id", "dh0", "dh1", "dh2", "dh3").collect()
+      .map(r => r.getLong(0) -> (0 to 3).map(k => r.getInt(1 + k)))
+    val brute = (for {
+      (ia, ha) <- h; (ib, hb) <- h if ia < ib
+      d = ha.zip(hb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one near pair")
+    assert(banded === brute,
+      "4x16-bit pigeonhole banding must have TOTAL recall at hamming <= 3")
+  }
+}
