@@ -37,6 +37,15 @@ object Bridge {
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
           .queryExecution.analyzed))
 
+  /** The analyzed logical plan behind a DataFrame — what a table-valued
+    * SQL function builder must return (the analyzer leaves the resolved
+    * subtree alone inside the caller's larger plan).
+    */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
   /** Drop the executor-cached blocks behind a `localCheckpoint()`ed frame.
     * A localCheckpoint materializes its RDD into block-manager storage with
     * no public handle to release it; long-running iterative state (one new

@@ -67,6 +67,76 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("table-valued SQL surface: LSH screen and layout-routed ANN probe from spark.sql only") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.ops.SqlOps.register(s)
+    val dir = Files.createTempDirectory("graftsqlops").toFile.getAbsolutePath
+
+    // ── LSH: build an index, register views, screen from PURE SQL ──
+    def fam(i: Long, tag: String) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i family$i $tag"
+    val corpus = (0L until 30L).map(i => (i, fam(i, "accepted corpus body")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, fam(3L, "accepted corpus CHANGED")),
+      (101L, "entirely novel content with completely distinct vocabulary"))
+      .toDF("doc_id", "text")
+    graft.ops.LshIndex.build(corpus, "doc_id", "text", s"$dir/lsh", sigBuckets = 8)
+    corpus.createOrReplaceTempView("sqlops_corpus")
+    batch.createOrReplaceTempView("sqlops_batch")
+    val screened = s.sql(
+      s"""SELECT doc_id, is_new, match_id
+         |FROM lsh_screen('$dir/lsh', 'sqlops_corpus', 'sqlops_batch',
+         |                'doc_id', 'text', 0.5)
+         |ORDER BY doc_id""".stripMargin).collect()
+    val apiScreen = graft.ops.LshIndex.screen(s, s"$dir/lsh", corpus, batch,
+      "doc_id", "text", 0.5).orderBy("doc_id").collect()
+    assert(screened.toSeq.map(_.toString) === apiScreen.toSeq.map(_.toString),
+      "the SQL surface must return exactly the Scala API's result")
+    assert(screened(0).getBoolean(1) === false && screened(1).getBoolean(1),
+      "planted near-dup flagged, novel doc admitted")
+    // the index's reason to exist survives the SQL route: the candidate
+    // join still pushes a literal (band, sb) partition filter
+    val candPlan = s.sql(
+      s"""SELECT * FROM lsh_candidates('$dir/lsh', 'sqlops_batch', 'doc_id', 'text')"""
+    ).queryExecution.executedPlan.toString
+    assert(candPlan.contains("PartitionFilters") &&
+      """\(band#\d+ = \d""".r.findFirstIn(candPlan).isDefined,
+      s"SQL-routed candidates must keep the partition pruning:\n${candPlan.take(1500)}")
+
+    // ── IVF-SQ8: build, probe from PURE SQL, compare to the Scala API ──
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfSqIndex(emb, "vec_id", "embedding",
+      s"$dir/ivf", nlist = 4)
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("sqlops_queries")
+    val probed = s.sql(
+      s"""SELECT qid, vec_id, sim, rn
+         |FROM ivf_probe('$dir/ivf', 'sqlops_queries', 'vec_id', 'embedding', 3, 2, 4)
+         |ORDER BY qid, rn""".stripMargin).collect()
+    val apiProbe = graft.ops.Similarity.ivfSqTopKIndexed(s, s"$dir/ivf",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+        nprobe = 2, rerank = 4)
+      .orderBy("qid", "rn").collect()
+    assert(probed.toSeq.map(_.toString) === apiProbe.toSeq.map(_.toString),
+      "ivf_probe must route to the SQ8 layout and match the Scala API")
+
+    // health dashboards compose in larger SQL
+    val unhealthy = s.sql(
+      s"""SELECT count(*) AS n FROM ivf_index_health('$dir/ivf') WHERE n > 0"""
+    ).head().getLong(0)
+    assert(unhealthy === 4L, "one health row per cell")
+    assert(s.sql(s"SELECT * FROM lsh_index_health('$dir/lsh', 5)").count() === 5L)
+
+    // non-literal args refuse loudly instead of silently mis-binding
+    val e = intercept[Exception](s.sql(
+      s"SELECT * FROM lsh_screen(text, 'a', 'b', 'c', 'd', 0.5) ").collect())
+    assert(e.getMessage != null)
+  }
+
   test("zorder_key SQL macro interleaves like the Scala API") {
     graft.functions.registerAll(spark)
     // 2 dims → 16 bits each; bit b of dim 0 lands at position 2b, of dim 1
