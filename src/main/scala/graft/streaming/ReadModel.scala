@@ -92,6 +92,67 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     * way); stamp preservation de-fangs the races a violated scope used to
     * open.
     */
+  /** GDPR/forget for the PROJECTED state: remove (default) or scrub EVERY
+    * stored version of the given keys — not just the latest-wins winner,
+    * because superseded rows stay readable until compaction and "the user
+    * asked to be deleted" must not mean "until the next compact".
+    * `EventLog.forget` erases the source-of-truth bodies (and the index
+    * family twins erase derived signatures/vectors), but a projection
+    * materializes VALUES DERIVED from those bodies — the reference scrubs
+    * its snapshots for exactly this reason (eventstore.go:405-432); a read
+    * model is the same derived-state story one hop further.
+    *
+    *  - `scrub = None`: the keys' rows are REMOVED. The caller then
+    *    re-projects those keys from the (already-forgotten) log if a
+    *    post-scrub state should exist — replaying a scrubbed log rebuilds
+    *    exactly the scrubbed state.
+    *  - `scrub = Some(f)`: `f` rewrites the victim rows in place (e.g.
+    *    nulling PII columns). It MUST preserve `keyCol` and
+    *    `__rm_version` — stamps are what keep merges order-neutral, so a
+    *    scrub that preserves them leaves checkpoint continuity untouched:
+    *    the projector's tokens stay valid, later versioned merges still
+    *    win, replayed old batches still lose.
+    *
+    * Copy-on-write: survivors + scrubbed victims are re-appended with their
+    * ORIGINAL stamps, then ALL pre-existing files are deleted immediately —
+    * unlike [[compact]] there is no retention grace, because lingering
+    * victim bytes are the thing being erased. Writer scope: single owner,
+    * maintenance cadence (the same not-reader-concurrent contract as the
+    * log's forget). Returns the number of victim rows removed or scrubbed.
+    */
+  def forget(keys: DataFrame,
+      scrub: Option[DataFrame => DataFrame] = None): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return 0L
+    val snapshot = fs.listStatus(hp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return 0L
+    val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val all = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
+    val victims = all.join(broadcast(k), Seq(keyCol), "semi")
+    val survivors = all.join(broadcast(k), Seq(keyCol), "anti")
+    val n = victims.count()
+    if (n == 0) return 0L
+    val out = scrub match {
+      case Some(f) =>
+        val scrubbed = f(victims)
+        require(scrubbed.columns.contains(keyCol) &&
+          scrubbed.columns.contains("__rm_version"),
+          s"scrub must preserve $keyCol and __rm_version (stamps carry the " +
+            "merge order — dropping them would break checkpoint continuity)")
+        survivors.unionByName(scrubbed)
+      case None => survivors
+    }
+    // materialize BEFORE touching source files (the write below must not
+    // lazily re-read paths this method then deletes), then swap
+    val staged = out.localCheckpoint()
+    staged.write.mode(SaveMode.Append).parquet(path)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(staged)
+    snapshot.foreach(s => fs.delete(s.getPath, false): Unit)
+    n
+  }
+
   def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())

@@ -74,6 +74,99 @@ class ReadModelSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/balances").count() == 2) // one row per key
   }
 
+  test("forget erases every stored version; rebuild from the scrubbed log shows scrubbed state") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrmf").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(73L))
+    val store = new EventStore(log, AccountType)
+    val t0 = 1700000000000L
+    val (idA, idB) = ("01HXRMFORGETA0000000000001", "01HXRMFORGETB0000000000002")
+    store.create(idA, Seq(AccountType.created(100, "Paulo")), nowMs = t0)
+    store.create(idB, Seq(AccountType.created(50, "Ana")), nowMs = t0)
+    store.update(idA)(_ => Seq(AccountType.deposited(30)), nowMs = t0 + 60000L)
+
+    val rm = new ReadModel(spark, s"$dir/balances", "aggregate_id")
+    def project(name: String, filter: EventFilter = EventFilter(aggregateKinds = Seq("Account"))): Unit = {
+      def apply(ds: Dataset[ProjMessage]): Unit = {
+        val msgs = ds.collect().filter(_.meta_kind != "switch")
+        if (msgs.isEmpty) return
+        val folded = msgs.sortBy(_.id).groupBy(_.aggregate_id).map { case (aid, ms) =>
+          var acc = AccountType.empty
+          ms.foreach(m => acc = AccountType.fold(acc, m.kind, m.body))
+          (aid, acc.owner, acc.balance)
+        }.toSeq
+        rm.merge(folded.toDF("aggregate_id", "owner", "balance"))
+      }
+      new Projector(log, name, dir, filter = filter, partitions = 2)
+        .catchup(apply, nowMs = t0 + 120000L)
+    }
+    project("rm-forget")
+    // A has TWO stored versions now (create-batch fold + deposit refold
+    // would be one here; force a second version with an explicit merge)
+    rm.merge(Seq((idA, "Paulo", 130L)).toDF("aggregate_id", "owner", "balance"))
+    assert(spark.read.parquet(s"$dir/balances")
+      .filter($"aggregate_id" === idA).count() >= 2, "fixture: multiple versions of A")
+
+    // the GDPR chain: scrub the LOG first (the reference's eventstore
+    // forget), then erase the projection's derived rows
+    def scrub(body: String): String = {
+      val n = graft.codec.Codec.parse(body)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (n.has("owner")) n.put("owner", "[GONE]")
+      graft.codec.Codec.write(n)
+    }
+    log.forget(idA, Set("AccountCreated"), scrub, scrub)
+    val removed = rm.forget(Seq(idA).toDF("aggregate_id"))
+    assert(removed >= 2L, s"every stored version of A must be touched, got $removed")
+    // EVERY version is gone — not just the latest-wins winner (superseded
+    // rows would otherwise hold the owner until the next compact)
+    assert(spark.read.parquet(s"$dir/balances")
+      .filter($"aggregate_id" === idA).count() === 0L)
+    assert(rm.current().filter($"aggregate_id" === idA).count() === 0L)
+    assert(rm.current().filter($"aggregate_id" === idB).count() === 1L,
+      "survivor keys untouched")
+
+    // rebuild the key from the (scrubbed) log: a fresh projection replay
+    // produces exactly the scrubbed state — the "rebuild" half of
+    // rebuild-or-scrub
+    project("rm-forget-rebuild", EventFilter(aggregateKinds = Seq("Account"),
+      custom = Some(org.apache.spark.sql.functions.col("aggregate_id") === idA)))
+    val a = rm.current().filter($"aggregate_id" === idA)
+      .select("owner", "balance").as[(String, Long)].head()
+    assert(a == ("[GONE]", 130L),
+      s"post-forget rebuild must show the scrubbed owner with intact balance, got $a")
+  }
+
+  test("forget with scrub rewrites all versions in place and preserves merge continuity") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrms").toFile.getAbsolutePath
+    val rm = new ReadModel(spark, s"$dir/rm", "k")
+    rm.merge(Seq(("a", "pii-4", 4L)).toDF("k", "who", "v"), version = Some(4L))
+    rm.merge(Seq(("a", "pii-5", 5L), ("b", "ok", 1L)).toDF("k", "who", "v"),
+      version = Some(5L))
+    val n = rm.forget(Seq("a").toDF("k"), scrub = Some(df =>
+      df.withColumn("who", org.apache.spark.sql.functions.lit("[GONE]"))))
+    assert(n == 2L, "both stored versions of a scrubbed")
+    // the raw table holds NO unscrubbed copy of either version
+    val raw = spark.read.parquet(s"$dir/rm").filter($"k" === "a")
+      .select("who").as[String].collect()
+    assert(raw.length == 2 && raw.forall(_ == "[GONE]"))
+    assert(rm.current().filter($"k" === "a").select("v").as[Long].head() == 5L,
+      "latest-wins order survives the scrub (stamps preserved)")
+    // checkpoint continuity: a later versioned merge still wins, a replayed
+    // older batch still loses — forget never touched the stamp order
+    rm.merge(Seq(("a", "new", 6L)).toDF("k", "who", "v"), version = Some(6L))
+    rm.merge(Seq(("a", "pii-5", 5L)).toDF("k", "who", "v"), version = Some(5L))
+    assert(rm.current().filter($"k" === "a").select("who", "v")
+      .as[(String, Long)].head() == ("new", 6L))
+    // a scrub dropping the stamp refuses (it would break that continuity)
+    val e = intercept[IllegalArgumentException](
+      rm.forget(Seq("b").toDF("k"), scrub = Some(_.drop("__rm_version"))))
+    assert(e.getMessage.contains("__rm_version"))
+  }
+
   test("versioned merges are order-neutral: a stale instance can't roll state back") {
     // two projector instances of one name race; the laggard replays an OLDER
     // batch AFTER the leader merged a newer one — with version-stamped
