@@ -38,6 +38,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared-query manifest: a sweep (check.py) fails when a DECLARED
+    // query is absent from it instead of silently shrinking the set — the
+    // r12 sf1 artifact covered 120 of 121 because the sweep ran against an
+    // older HEAD's dump and nothing noticed (ADVICE r13 input)
+    val declared = SparkEntry.queries.keySet.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      declared.map(q).mkString("[", ",", "]"))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    if (noOracle.nonEmpty)
+      System.err.println("[verify] WARNING: queries with no oracle (driver " +
+        s"records a weaker rows-only check): ${noOracle.toSeq.sorted.mkString(",")}")
     // Machine-readable failure record beside the dumps: an empty round
     // artifact must never again read as a quiet success (round-7 lesson).
     val failJson = failures

@@ -98,9 +98,17 @@ object FullPipelineSmoke {
         require(d.count() == n.toLong, "read-back count"); d
       }
 
-      // ── dedup 1/3: minhash LSH candidates → Jaccard verify → components
+      // ── dedup 1/3: minhash LSH candidates → Jaccard verify → components.
+      // materializeSets = false IS the 100 TB shape this rehearsal claims to
+      // rehearse: the default (true) localCheckpoints the WHOLE corpus's
+      // shingle-set arrays into block storage — at 5M docs that cache was
+      // the smoke's heap peak (OOM at the default 8g; r12 papered over it
+      // with a 16g note). With false, signatures run as the zero-shuffle
+      // codegen projection and shingle sets are built only for the
+      // candidate SLIVER — executor storage stays flat at any corpus size.
       val surv = time("minhash LSH + verify + survivor components") {
-        Dedup.dedupSurvivors(docs, "doc_id", "text", threshold = 0.5, rounds = 3)
+        Dedup.dedupSurvivors(docs, "doc_id", "text", threshold = 0.5, rounds = 3,
+            materializeSets = false)
           .filter(col("is_survivor")).select(col("doc_id")).localCheckpoint()
       }
       val kept1 = surv.count()

@@ -30,6 +30,21 @@ def norm(df):
 def main(sfdir, outdir, only=None):
     con = load(sfdir, outdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # declared-vs-swept fence (r12 lesson: the sf1 artifact silently covered
+    # 120/121 because the dump predated one query). Verify writes the full
+    # declared-query manifest beside the dumps; a full sweep (no `only`
+    # subset) must cover every declared name or fail LOUDLY here.
+    declared_path = f"{outdir}/declared.json"
+    if only is None and os.path.exists(declared_path):
+        declared = set(json.load(open(declared_path)))
+        missing = declared - set(oracle)
+        dumped = {os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)}
+        undumped = declared - dumped
+        if missing or undumped:
+            print(f"FAIL sweep: declared queries absent from it — "
+                  f"no oracle: {sorted(missing)}; no engine dump: {sorted(undumped)}")
+            print("\n0 pass / 1 fail (sweep-completeness fence)")
+            return 1
     if only:
         unknown = only - set(oracle)
         if unknown:
