@@ -106,6 +106,43 @@ object IndexLifecycle {
     }
   }
 
+  // ── pending-build marker (half-done-build loud crash, both families) ──
+  // A from-scratch build writes its PARAMETER tables before its data table
+  // (IVF: centroids / sq_scale / books before cells; LSH: lsh_meta before
+  // sigs). A crash in between leaves new parameters over old data, and the
+  // mutation fence alone cannot keep that state unreachable: the operator
+  // BREAKS a crashed holder's fence by design, after which probes would
+  // quantize/sign against parameters the stored rows never saw — silently
+  // wrong neighbors / silently lost candidates (the LSH `_grid` lesson,
+  // generalized to every build-written parameter). Builds mint this marker
+  // FIRST and clear it LAST; every read/mutate entry point refuses while it
+  // exists, naming the repair (re-run the build — completing it clears the
+  // marker). The refusal message is IDENTICAL across families (parity spec).
+
+  private def pendingBuild(path: String) = new Path(s"$path/_pending_build")
+
+  /** Mint the marker (build entry, inside the build's fence). */
+  def beginBuild(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val p = pendingBuild(path)
+    if (!fs.exists(p)) fs.create(p, false).close()
+  }
+
+  /** Clear the marker — the build's LAST act, after every table landed. */
+  def endBuild(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(pendingBuild(path), false): Unit
+
+  /** Refuse while a build is half-written (marker present). Sits on each
+    * family's single parameter-resolution choke point, so every probe,
+    * append, compact, recluster, forget and reshard passes through it.
+    */
+  def assertNoPendingBuild(spark: SparkSession, path: String): Unit =
+    if (fsOf(spark, path).exists(pendingBuild(path)))
+      throw new IllegalStateException(
+        s"index at $path: a crashed build left it half-written (parameters " +
+          "newer than data) — re-run the build; the marker clears when it " +
+          "completes")
+
   /** The repair verb behind [[guardBatchId]]'s refusal: fold any pending
     * ingest (the caller passes its family's fenced compact body), then
     * clear ALL fold markers so a fresh checkpoint's restarted batch ids

@@ -63,6 +63,12 @@ object LshIndex {
     */
   private def meta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int) = {
+    // the family's parameter choke point: a half-written build (crashed
+    // between lsh_meta and sigs, fence since broken) would sign probes with
+    // NEW bands against OLD stored signatures — bands the stored side never
+    // hashed silently match nothing. Refuse instead (IndexLifecycle parity
+    // with the IVF snapshotGeometry check).
+    IndexLifecycle.assertNoPendingBuild(spark, path)
     val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
     val sb = r.getInt(r.fieldIndex("sig_buckets"))
     val fs = fsOf(spark, path)
@@ -133,6 +139,7 @@ object LshIndex {
     Similarity.withIndexMutation(corpus.sparkSession, path, "LshIndex.build") {
       val spark = corpus.sparkSession
       import spark.implicits._
+      IndexLifecycle.beginBuild(spark, path)
       val fs = fsOf(spark, path)
       Seq((bands, shingleSize, sigBuckets))
         .toDF("bands", "shingle_size", "sig_buckets")
@@ -143,6 +150,7 @@ object LshIndex {
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(s"$path/sigs")
       writeGrid(fs, new org.apache.hadoop.fs.Path(s"$path/sigs"), sigBuckets)
+      IndexLifecycle.endBuild(spark, path)
     }
 
   /** Incrementally index a batch (non-streaming form): signatures under
@@ -293,6 +301,10 @@ object LshIndex {
     Similarity.withIndexMutation(spark, path, "LshIndex.reshard") {
       import org.apache.hadoop.fs.Path
       import spark.implicits._
+      // reshard repairs a GRID mismatch, not a half-done build — resharding
+      // old sigs under a new build's meta would "repair" into consistent-
+      // looking wrong parameters
+      IndexLifecycle.assertNoPendingBuild(spark, path)
       val fs = fsOf(spark, path)
       val staged = new Path(s"$path/sigs.reshard")
       val live = new Path(s"$path/sigs")
@@ -343,6 +355,7 @@ object LshIndex {
       ids: DataFrame, idCol: String): Long =
     Similarity.withIndexMutation(spark, path, "LshIndex.forget") {
       import org.apache.hadoop.fs.Path
+      IndexLifecycle.assertNoPendingBuild(spark, path)
       val fs = fsOf(spark, path)
       val staged = new Path(s"$path/sigs.forget")
       val live = new Path(s"$path/sigs")
@@ -374,6 +387,7 @@ object LshIndex {
   def signatures(spark: org.apache.spark.sql.SparkSession, path: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
+    IndexLifecycle.assertNoPendingBuild(spark, path)
     val main = spark.read.parquet(s"$path/sigs")
       .select(col("mh_id"), col("band"), col("sig"), col("sb"))
     val ing = new Path(s"$path/ingest")

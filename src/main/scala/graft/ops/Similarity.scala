@@ -496,6 +496,11 @@ object Similarity {
 
   private def snapshotGeometry(spark: org.apache.spark.sql.SparkSession,
       path: String): GeomSnapshot = {
+    // the family's one parameter-resolution choke point: a half-written
+    // build (crashed between its parameter and cell writes, fence since
+    // broken) refuses HERE, before any probe/append/maintenance leg can
+    // mix new parameters with old codes — see IndexLifecycle.beginBuild
+    IndexLifecycle.assertNoPendingBuild(spark, path)
     geomResolutions.incrementAndGet(): Unit
     val p = new org.apache.hadoop.fs.Path(path)
     geomVersion(p.getFileSystem(spark.sessionState.newHadoopConf()), path) match {
@@ -518,11 +523,13 @@ object Similarity {
       path: String, nlist: Int = 8,
       centroids: Option[DataFrame] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfIndex") {
+      IndexLifecycle.beginBuild(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      IndexLifecycle.endBuild(corpus.sparkSession, path)
     }
 
   /** Incrementally index a new vector batch: assign against the PERSISTED
@@ -647,6 +654,7 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       normalize: Boolean = false): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfSqIndex") {
+      IndexLifecycle.beginBuild(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val c = if (normalize) withNormalized(corpus, vecCol) else corpus
@@ -662,6 +670,7 @@ object Similarity {
       val scale = spark.read.parquet(s"$path/sq_scale")
       assignCellsSq(c, idCol, vecCol, cents, scale)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      IndexLifecycle.endBuild(spark, path)
     }
 
   /** The build-time normalize flag of a persisted IVF-SQ index; indexes
@@ -1684,6 +1693,7 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       codebooks: Option[Array[Array[Array[Double]]]] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfPqIndex") {
+      IndexLifecycle.beginBuild(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
@@ -1692,6 +1702,7 @@ object Similarity {
       writeBooks(spark, books, s"$path/books")
       assignCellsPq(corpus, idCol, vecCol, cents, books)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      IndexLifecycle.endBuild(spark, path)
     }
 
   /** Assign + PQ-encode in ONE zero-shuffle projection (the IVF-SQ build

@@ -189,6 +189,61 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("a half-done build refuses every read and mutation in BOTH families, even after a fence break") {
+    // the hazard the fence alone cannot close: a build crashes between its
+    // PARAMETER writes and its data write, the operator breaks the fence
+    // (by design — that is the crashed-holder recovery), and probes would
+    // then quantize/sign against parameters the stored rows never saw —
+    // silently wrong neighbors (IVF) / silently lost candidates (LSH).
+    // Builds mint _pending_build first and clear it last; everything else
+    // refuses while it exists, with the SAME message in both families.
+    val s = spark
+    val dir = Files.createTempDirectory("lcpending").toFile.getAbsolutePath
+
+    val lsh = s"$dir/lsh"
+    LshIndex.build(docs(0L until 20L, "corpus"), "doc_id", "text", lsh,
+      sigBuckets = 8)
+    val ivf = s"$dir/ivf"
+    Similarity.buildIvfSqIndex(emb(0L until 30L), "vec_id", "embedding", ivf,
+      nlist = 4)
+    // completed builds leave no marker: everything works
+    assert(LshIndex.screen(s, lsh, docs(0L until 20L, "corpus"),
+      docs(Seq(100L), "b"), "doc_id", "text", 0.5).count() === 1)
+    assert(Similarity.ivfIndexHealth(s, ivf).count() === 4)
+
+    // simulate the crash: marker present, fence already broken
+    Seq(lsh, ivf).foreach(p => IndexLifecycle.beginBuild(s, p))
+    val eLsh = intercept[IllegalStateException](
+      LshIndex.screen(s, lsh, docs(0L until 20L, "corpus"),
+        docs(Seq(100L), "b"), "doc_id", "text", 0.5))
+    val eLsh2 = intercept[IllegalStateException](LshIndex.health(s, lsh))
+    val eLsh3 = intercept[IllegalStateException](
+      LshIndex.reshard(s, lsh, newSigBuckets = 16))
+    val eIvf = intercept[IllegalStateException](
+      Similarity.ivfSqTopKIndexed(s, ivf, emb(Seq(100L), 8), "vec_id",
+        "embedding", k = 3).collect())
+    val eIvf2 = intercept[IllegalStateException](Similarity.ivfIndexHealth(s, ivf))
+    val eIvf3 = intercept[IllegalStateException](
+      Similarity.appendToIvfSqIndex(s, ivf, emb(Seq(100L), 8), "vec_id", "embedding"))
+    def shape(m: String) = m.replaceAll(s"index at \\S+:", "index at <path>:")
+    val msgs = Seq(eLsh, eLsh2, eLsh3, eIvf, eIvf2, eIvf3).map(e => shape(e.getMessage))
+    assert(msgs.forall(_ == msgs.head),
+      s"both families must refuse a half-done build identically: $msgs")
+    assert(msgs.head.contains("re-run the build"), "the refusal names the repair")
+    assert(!new java.io.File(s"$lsh/_mutating").exists() &&
+      !new java.io.File(s"$ivf/_mutating").exists(),
+      "refused mutators must release the fence")
+
+    // the named repair works: re-running the build clears the marker
+    LshIndex.build(docs(0L until 20L, "corpus"), "doc_id", "text", lsh,
+      sigBuckets = 8)
+    Similarity.buildIvfSqIndex(emb(0L until 30L), "vec_id", "embedding", ivf,
+      nlist = 4)
+    assert(LshIndex.screen(s, lsh, docs(0L until 20L, "corpus"),
+      docs(Seq(100L), "b"), "doc_id", "text", 0.5).count() === 1)
+    assert(Similarity.ivfIndexHealth(s, ivf).count() === 4)
+  }
+
   test("guardBatchId is inert without fold history; fold + prune keep O(1) markers") {
     val s = spark
     val dir = Files.createTempDirectory("lcinert").toFile.getAbsolutePath
