@@ -106,6 +106,68 @@ object IndexLifecycle {
     }
   }
 
+  // ── ingest ownership (the root fix behind guardBatchId) ───────────────
+  // guardBatchId catches a colliding second stream only once its ids cross
+  // a folded marker; two streams interleaving BEFORE any compact still
+  // dynamic-overwrite each other's `b=` partitions silently. Ownership
+  // closes that window: the stream's identity (the caller's checkpoint
+  // location — the thing that actually owns the batch-id sequence)
+  // registers on first ingest append and every later append must match.
+  // Opt-in (owner = None keeps the documented single-stream contract) so
+  // existing callers are unchanged; the streaming composites thread it.
+
+  private def ownerMarker(path: String) = new Path(s"$path/ingest_owner")
+
+  /** A from-scratch build restarts the streaming story: pending ingest,
+    * fold markers and the owner registration all belong to the PREVIOUS
+    * index and must go — a stale side area would otherwise keep unioning
+    * into probes with assignments from the retired geometry (and duplicate
+    * vectors the new build re-indexed). Shared by every build in both
+    * families, inside the build's fence.
+    */
+  def clearIngestState(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    Seq(s"$path/ingest", foldedDir(path), ownerMarker(path).toString)
+      .foreach(p => fs.delete(new Path(p), true): Unit)
+  }
+
+  /** Register/verify the ingest owner (callers hold the mutation fence).
+    * First owner registers; a different owner refuses naming the repair.
+    */
+  def assertOwner(spark: SparkSession, path: String, owner: String): Unit = {
+    val fs = fsOf(spark, path)
+    val m = ownerMarker(path)
+    if (!fs.exists(m)) {
+      val out = fs.create(m, false)
+      try out.write(owner.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(m)
+      val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (cur != owner)
+        throw new IllegalStateException(
+          s"index at $path: ingest is owned by [$cur], not [$owner]. One " +
+            "streaming query (one checkpoint) owns an index's ingest area — " +
+            "a second stream's b= partitions would silently overwrite the " +
+            "owner's. To hand the index to a new stream after the old " +
+            "checkpoint is retired, call rebindIngestOwner")
+    }
+  }
+
+  /** Hand the ingest area to a new owning stream: fold pending ingest,
+    * clear the fold-marker history (the new checkpoint restarts batch ids),
+    * and rewrite the owner registration. ONLY safe once the previous
+    * stream's checkpoint is retired — same contract as [[resetFoldedFenced]],
+    * which this composes. Callers hold the family's mutation fence.
+    */
+  def rebindOwnerFenced(spark: SparkSession, path: String, owner: String)
+      (compactFenced: => Unit): Unit = {
+    resetFoldedFenced(spark, path)(compactFenced)
+    val fs = fsOf(spark, path)
+    fs.delete(ownerMarker(path), false): Unit
+    assertOwner(spark, path, owner)
+  }
+
   // ── pending-build marker (half-done-build loud crash, both families) ──
   // A from-scratch build writes its PARAMETER tables before its data table
   // (IVF: centroids / sq_scale / books before cells; LSH: lsh_meta before

@@ -144,8 +144,7 @@ object LshIndex {
       Seq((bands, shingleSize, sigBuckets))
         .toDF("bands", "shingle_size", "sig_buckets")
         .write.mode("overwrite").parquet(s"$path/lsh_meta")
-      Seq("ingest", "ingest_folded").foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true): Unit)
+      IndexLifecycle.clearIngestState(spark, path)
       signFrame(corpus, idCol, textCol, bands, shingleSize, sigBuckets)
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(s"$path/sigs")
@@ -188,6 +187,16 @@ object LshIndex {
         compactIngestFenced(spark, path))
     }
 
+  /** Hand the ingest area to a NEW owning stream (the old checkpoint must
+    * be retired) — the exact twin of [[Similarity.rebindIngestOwner]].
+    */
+  def rebindIngestOwner(spark: org.apache.spark.sql.SparkSession,
+      path: String, owner: String): Unit =
+    Similarity.withIndexMutation(spark, path, "rebindIngestOwner") {
+      IndexLifecycle.rebindOwnerFenced(spark, path, owner)(
+        compactIngestFenced(spark, path))
+    }
+
   /** IDEMPOTENT per-batch append for continuous ingest: the batch lands
     * in `ingest/` partitioned by `(b=batchId, band, sb)` with dynamic
     * overwrite — a crash-replay rewrites exactly its own partitions. The
@@ -196,9 +205,11 @@ object LshIndex {
     * skipped ([[batchFolded]]).
     */
   def appendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String, batchId: Long): Unit =
+      batch: DataFrame, idCol: String, textCol: String, batchId: Long,
+      owner: Option[String] = None): Unit =
     Similarity.withIndexMutation(spark, path, s"LshIndex.appendBatch b=$batchId",
         reclaimSameOp = true) {
+      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)

@@ -524,6 +524,7 @@ object Similarity {
       centroids: Option[DataFrame] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfIndex") {
       IndexLifecycle.beginBuild(corpus.sparkSession, path)
+      IndexLifecycle.clearIngestState(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -589,9 +590,10 @@ object Similarity {
     */
   def appendBatchToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
-      batchId: Long): Unit =
+      batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId",
         reclaimSameOp = true) {
+      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
@@ -655,6 +657,7 @@ object Similarity {
       normalize: Boolean = false): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfSqIndex") {
       IndexLifecycle.beginBuild(corpus.sparkSession, path)
+      IndexLifecycle.clearIngestState(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val c = if (normalize) withNormalized(corpus, vecCol) else corpus
@@ -720,9 +723,10 @@ object Similarity {
     */
   def appendBatchToIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
-      batchId: Long): Unit =
+      batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId",
         reclaimSameOp = true) {
+      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
@@ -771,6 +775,17 @@ object Similarity {
       path: String): Unit =
     withIndexMutation(spark, path, "resetIngestFolded") {
       IndexLifecycle.resetFoldedFenced(spark, path)(
+        compactIvfIngestFenced(spark, path))
+    }
+
+  /** Hand the ingest area to a NEW owning stream (the old checkpoint must
+    * be retired): folds pending ingest, clears the fold-marker history and
+    * re-registers ownership — see [[IndexLifecycle.rebindOwnerFenced]].
+    */
+  def rebindIngestOwner(spark: org.apache.spark.sql.SparkSession,
+      path: String, owner: String): Unit =
+    withIndexMutation(spark, path, "rebindIngestOwner") {
+      IndexLifecycle.rebindOwnerFenced(spark, path, owner)(
         compactIvfIngestFenced(spark, path))
     }
 
@@ -1694,6 +1709,7 @@ object Similarity {
       codebooks: Option[Array[Array[Array[Double]]]] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfPqIndex") {
       IndexLifecycle.beginBuild(corpus.sparkSession, path)
+      IndexLifecycle.clearIngestState(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
       val spark = corpus.sparkSession
       val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
@@ -1741,9 +1757,10 @@ object Similarity {
     */
   def appendBatchToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
-      batchId: Long): Unit =
+      batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId",
         reclaimSameOp = true) {
+      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)

@@ -356,21 +356,28 @@ object StreamAggs {
     * changes the ingestion topology.
     */
   private def appendBatchRouted(s: SparkSession, idxPath: String,
-      batch: DataFrame, idCol: String, vecCol: String, batchId: Long): Unit =
+      batch: DataFrame, idCol: String, vecCol: String, batchId: Long,
+      owner: Option[String]): Unit =
     graft.ops.Similarity.ivfIndexLayout(s, idxPath) match {
       case "pq" => graft.ops.Similarity.appendBatchToIvfPqIndex(s,
-        idxPath, batch, idCol, vecCol, batchId)
+        idxPath, batch, idCol, vecCol, batchId, owner)
       case "sq" => graft.ops.Similarity.appendBatchToIvfSqIndex(s,
-        idxPath, batch, idCol, vecCol, batchId)
+        idxPath, batch, idCol, vecCol, batchId, owner)
       case _ => graft.ops.Similarity.appendBatchToIvfIndex(s,
-        idxPath, batch, idCol, vecCol, batchId)
+        idxPath, batch, idCol, vecCol, batchId, owner)
     }
 
+  /** `owner` (pass the query's CHECKPOINT LOCATION): registers ingest
+    * ownership on the first batch and refuses a different stream's appends
+    * — the silent b=partition collision two streams sharing one index
+    * would otherwise suffer ([[graft.ops.IndexLifecycle.assertOwner]]).
+    * None keeps the documented single-stream contract.
+    */
   def indexAtIngest(stream: DataFrame, idxPath: String, idCol: String,
-      vecCol: String): DataStreamWriter[Row] =
+      vecCol: String, owner: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       appendBatchRouted(batch.sparkSession, idxPath, batch.toDF(), idCol,
-        vecCol, batchId)
+        vecCol, batchId, owner)
     }
 
   /** SELF-GROWING semantic (embedding) dedup over a persisted IVF-family
@@ -396,7 +403,8 @@ object StreamAggs {
     * if micro-batches can self-duplicate.
     */
   def semDedupAtIngest(stream: DataFrame, idxPath: String, idCol: String,
-      vecCol: String, threshold: Double, nprobe: Int = 2, rerank: Int = 4)
+      vecCol: String, threshold: Double, nprobe: Int = 2, rerank: Int = 4,
+      owner: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
@@ -408,7 +416,7 @@ object StreamAggs {
         sink(verdicts, batchId)
         val accepted = batch.toDF().join(
           verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
-        appendBatchRouted(s, idxPath, accepted, idCol, vecCol, batchId)
+        appendBatchRouted(s, idxPath, accepted, idCol, vecCol, batchId, owner)
       }
     }
 
@@ -436,7 +444,7 @@ object StreamAggs {
     */
   def dedupAtIngest(stream: DataFrame, idxPath: String,
       corpus: () => DataFrame, idCol: String, textCol: String,
-      threshold: Double)
+      threshold: Double, owner: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
@@ -450,7 +458,7 @@ object StreamAggs {
           verdicts.filter(org.apache.spark.sql.functions.col("is_new"))
             .select(idCol), Seq(idCol), "semi")
         graft.ops.LshIndex.appendBatch(s, idxPath, accepted, idCol, textCol,
-          batchId)
+          batchId, owner)
       }
     }
 

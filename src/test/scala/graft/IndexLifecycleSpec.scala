@@ -189,6 +189,70 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest ownership: a second stream refuses BEFORE any marker exists; rebind hands over; rebuild resets") {
+    // guardBatchId catches a rogue stream only once its ids cross a folded
+    // marker; two streams interleaving before any compact would silently
+    // dynamic-overwrite each other's b= partitions. Ownership (the caller's
+    // checkpoint location) closes that window on the FIRST append.
+    val s = spark
+    val dir = Files.createTempDirectory("lcowner").toFile.getAbsolutePath
+
+    val lsh = s"$dir/lsh"
+    LshIndex.build(docs(0L until 20L, "corpus"), "doc_id", "text", lsh,
+      sigBuckets = 8)
+    LshIndex.appendBatch(s, lsh, docs(Seq(100L), "a0"), "doc_id", "text", 0L,
+      owner = Some("chk://stream-a"))
+    val before = LshIndex.signatures(s, lsh).count()
+    val e1 = intercept[IllegalStateException](
+      LshIndex.appendBatch(s, lsh, docs(Seq(200L), "b0"), "doc_id", "text", 0L,
+        owner = Some("chk://stream-b")))
+    assert(e1.getMessage.contains("rebindIngestOwner"),
+      s"the refusal must name the repair: ${e1.getMessage}")
+    assert(LshIndex.signatures(s, lsh).count() === before,
+      "a refused foreign append must not overwrite the owner's partitions")
+    // same-owner replays keep working (idempotent, same b= partitions)
+    LshIndex.appendBatch(s, lsh, docs(Seq(100L), "a0"), "doc_id", "text", 0L,
+      owner = Some("chk://stream-a"))
+    assert(LshIndex.signatures(s, lsh).count() === before)
+    // handover: old checkpoint retired → rebind folds + clears + re-registers
+    LshIndex.rebindIngestOwner(s, lsh, "chk://stream-b")
+    LshIndex.appendBatch(s, lsh, docs(Seq(200L), "b0"), "doc_id", "text", 0L,
+      owner = Some("chk://stream-b"))
+    assert(LshIndex.signatures(s, lsh).count() === before + 4)
+
+    // IVF twin — identical refusal up to the path
+    val ivf = s"$dir/ivf"
+    Similarity.buildIvfSqIndex(emb(0L until 30L), "vec_id", "embedding", ivf,
+      nlist = 4)
+    Similarity.appendBatchToIvfSqIndex(s, ivf, emb(Seq(100L), 8), "vec_id",
+      "embedding", 0L, owner = Some("chk://stream-a"))
+    val e2 = intercept[IllegalStateException](
+      Similarity.appendBatchToIvfSqIndex(s, ivf, emb(Seq(200L), 9), "vec_id",
+        "embedding", 0L, owner = Some("chk://stream-b")))
+    def shape(m: String) = m.replaceAll(s"index at \\S+:", "index at <path>:")
+    assert(shape(e1.getMessage) === shape(e2.getMessage))
+    Similarity.rebindIngestOwner(s, ivf, "chk://stream-b")
+    Similarity.appendBatchToIvfSqIndex(s, ivf, emb(Seq(200L), 9), "vec_id",
+      "embedding", 0L, owner = Some("chk://stream-b"))
+
+    // a from-scratch REBUILD restarts the streaming story: stale ingest,
+    // fold markers and ownership all cleared (previously the IVF builds
+    // left a stale ingest side area unioning into probes — r13 fix)
+    Similarity.appendBatchToIvfSqIndex(s, ivf, emb(Seq(300L), 10), "vec_id",
+      "embedding", 1L, owner = Some("chk://stream-b"))
+    assert(new java.io.File(s"$ivf/ingest").exists())
+    Similarity.buildIvfSqIndex(emb(0L until 30L), "vec_id", "embedding", ivf,
+      nlist = 4)
+    assert(!new java.io.File(s"$ivf/ingest").exists() &&
+      !new java.io.File(s"$ivf/ingest_owner").exists(),
+      "rebuild must clear stale ingest state")
+    assert(s.read.parquet(Similarity.resolvedTablePath(s, ivf, "cells"))
+      .count() === 30L, "probes after rebuild see exactly the new corpus")
+    // the new story accepts a fresh owner from batch 0
+    Similarity.appendBatchToIvfSqIndex(s, ivf, emb(Seq(400L), 11), "vec_id",
+      "embedding", 0L, owner = Some("chk://stream-c"))
+  }
+
   test("a half-done build refuses every read and mutation in BOTH families, even after a fence break") {
     // the hazard the fence alone cannot close: a build crashes between its
     // PARAMETER writes and its data write, the operator breaks the fence
