@@ -1724,21 +1724,19 @@ object SparkEntry {
     // all-pairs hamming join — the gate verifies the banding recall claim,
     // not just the arithmetic
     "mm6_image_neardup" -> ((s, dir) => {
-      // the testdata's planted text near-dups change lengths, which
-      // scrambles the cyclic raster — so plant IMAGE near-dups here: an
-      // identical copy (hamming 0) and a pixel-noise copy (every 'e' byte
-      // +1 shifts each 4×4 box mean by at most 1 → tiny gradient hamming),
-      // the same construction as the oracle's UNION ALL
-      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text"))
-      val planted = base
-        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
-          translate(col("text"), "e", "f").as("text")))
-      val packed = ops.Multimodal.pack(planted, "doc_id", "text", "image/gray")
-      ops.Multimodal.phashNearDupPairs(
-        ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(packed)),
-        maxDist = 3)
+      ops.Multimodal.phashNearDupPairs(mmPlantedHashes(s, dir), maxDist = 3)
+    }),
+
+    // ── multimodal: image-dedup SURVIVORS — exact components over the
+    // hamming-banded pair graph, gated by the d15 recursive-closure truth ─
+    "mm7_image_survivors" -> ((s, dir) => {
+      val hashed = mmPlantedHashes(s, dir).localCheckpoint()
+      val pairs = ops.Multimodal.phashNearDupPairs(hashed, maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      ops.Dedup.connectedComponents(
+          hashed.select(col("media_id").as("node")), pairs)
+        .select(col("node").as("media_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_survivor"))
     }),
 
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
@@ -1835,8 +1833,35 @@ object SparkEntry {
     * integer-exact mirrors of [[graft.ops.Multimodal.perceptualHash]]'s
     * post-decode arithmetic.
     */
+  /** The planted image-near-dup corpus of mm6/mm7, hashed: the testdata's
+    * planted TEXT near-dups change lengths, which scrambles the cyclic
+    * raster — so the image dups are planted here. Each base doc < 200 plus
+    * an identical copy (hamming 0) and a pixel-noise copy (every 'e' byte
+    * +1 shifts each 4×4 box mean by at most 1 → tiny gradient hamming);
+    * the oracle's [[mmPlantedSrcSql]] is the same construction.
+    */
+  private def mmPlantedHashes(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val planted = base
+      .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+        translate(col("text"), "e", "f").as("text")))
+    ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(
+      ops.Multimodal.pack(planted, "doc_id", "text", "image/gray")))
+  }
+
+  private val mmPlantedSrcSql: String =
+    """SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
+      | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+      | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+      |           FROM documents WHERE doc_id < 200""".stripMargin
+
   private def mmPhashCte(srcSql: String): String =
-    s"""WITH src AS ($srcSql),
+    "WITH " + mmPhashCteBody(srcSql)
+
+  private def mmPhashCteBody(srcSql: String): String =
+    s"""src AS ($srcSql),
       |h AS (SELECT media_id, hex(text::BLOB) AS hx,
       |             octet_length(text::BLOB) AS n
       |      FROM src),
@@ -3573,11 +3598,7 @@ object SparkEntry {
     // EXACT all-pairs hamming ≤ 3 over the re-derived dHashes: at maxDist 3
     // the engine's 4×16-bit pigeonhole banding has TOTAL recall, so banded
     // == exact — the gate checks the recall claim, not just arithmetic
-    "mm6_image_neardup" -> (mmPhashCte(
-      """SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
-        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
-        | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
-        |           FROM documents WHERE doc_id < 200""".stripMargin) +
+    "mm6_image_neardup" -> (mmPhashCte(mmPlantedSrcSql) +
       """
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |       (bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
@@ -3585,6 +3606,24 @@ object SparkEntry {
         |FROM dh a JOIN dh b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
         |    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3""".stripMargin),
+
+    // d15's recursive-closure truth applied to the IMAGE near-dup graph:
+    // exact components over the hamming<=3 pairs, survivor = min id
+    "mm7_image_survivors" -> (s"WITH RECURSIVE ${mmPhashCteBody(mmPlantedSrcSql)}," +
+      """
+        |pairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+        |          FROM dh a JOIN dh b ON a.media_id < b.media_id
+        |          WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |              + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3),
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT src.media_id, coalesce(l.component, src.media_id) AS component,
+        |       coalesce(l.component, src.media_id) = src.media_id AS is_survivor
+        |FROM src LEFT JOIN lab l ON l.node = src.media_id""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

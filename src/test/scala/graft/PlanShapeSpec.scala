@@ -129,7 +129,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "mm2_frame_sample" -> 0, "mm3_resize" -> 0, "mm4_features" -> 0,
       // mm5: decode+hash are kernel projections — zero exchanges; mm6: the
       // band self-join (SMJ: both sides corpus-sized) + pair distinct
-      "mm5_phash" -> 0, "mm6_image_neardup" -> 3,
+      "mm5_phash" -> 0, "mm6_image_neardup" -> 3, "mm7_image_survivors" -> 2,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
@@ -287,9 +287,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d15_cc_clusters", "x9_leakage_safe_split",
       // d16: semi/anti + back-join over runtime-sized checkpointed frames
       "d16_incremental_components",
-      // mm6: the dHash band self-join — both sides are the corpus-sized
-      // hashed frame, so SMJ is the only always-safe plan (d4's reasoning)
-      "mm6_image_neardup",
+      // mm6/mm7: the dHash band self-join — both sides are the corpus-sized
+      // hashed frame, so SMJ is the only always-safe plan (d4's reasoning);
+      // mm7 adds d15's component machinery on top
+      "mm6_image_neardup", "mm7_image_survivors",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
