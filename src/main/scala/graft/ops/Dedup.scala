@@ -529,14 +529,47 @@ object Dedup {
     * recompute and streams the pairs through a codegen'd join with the
     * `bit_count(xor)` verify applied map-side before the dedup shuffle.
     */
+  /** Drop `(band, word)` buckets holding more than `cap` members from a
+    * banded fingerprint frame — the hot-bucket skew guard shared by the
+    * simhash (text) and dHash (image) pair generators. A boilerplate class
+    * (identical license headers; blank/template images) is ONE bucket that
+    * pairs completely — quadratic in the class size — and at web scale one
+    * such class dominates the whole job. The cap drops ONLY oversized
+    * buckets (a pair colliding in any other word still surfaces), trades
+    * recall on exactly the near-identical clusters an exact-dedup pass
+    * upstream catches anyway, and is never silent: dropped buckets are
+    * counted and logged (the `lshFromSignatures` contract). The count
+    * frame is one row per populated bucket — bounded by the 4×65536 grid,
+    * never by data.
+    */
+  private[ops] def capWordBuckets(bands: DataFrame, cap: Option[Int],
+      what: String): DataFrame = cap match {
+    case None => bands
+    case Some(c) =>
+      val over = bands.groupBy(col("band"), col("word"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > c)
+        .localCheckpoint() // consumed twice: report + anti-join
+      val dropped = over.agg(count(lit(1)), sum(col("__n"))).collect()(0)
+      if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$what: dropped ${dropped.getLong(0)} (band, word) buckets over " +
+            s"cap=$c (${dropped.getLong(1)} member rows); recall loss is " +
+            "confined to near-identical clusters - run exact dedup upstream")
+      bands.join(broadcast(over.select(col("band"), col("word"))),
+        Seq("band", "word"), "anti")
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2, maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only to hamming 3")
     // (simhash >> 16k) & 0xffff extracts word k identically under arithmetic
     // or logical shift — the mask covers only real fingerprint bits
-    val bands = simhash64(df, idCol, textCol).localCheckpoint()
-      .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("word", expr("shiftright(simhash, band * 16)").bitwiseAND(65535))
+    val bands = capWordBuckets(
+      simhash64(df, idCol, textCol).localCheckpoint()
+        .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("word", expr("shiftright(simhash, band * 16)").bitwiseAND(65535)),
+      maxBucketSize, "simhashPairs")
     bands.select(col("band"), col("word"), col("sh_id").as("doc_a"), col("simhash").as("ha"))
       .join(bands.select(col("band"), col("word"), col("sh_id").as("doc_b"),
         col("simhash").as("hb")), Seq("band", "word"))

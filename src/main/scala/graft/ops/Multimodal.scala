@@ -342,12 +342,17 @@ object Multimodal {
     * heavy-bucket skew [[LshIndex.health]] surfaces for text; cap or
     * exact-dedup the flat class upstream.
     */
-  def phashNearDupPairs(hashed: DataFrame, maxDist: Int = 2): DataFrame = {
+  def phashNearDupPairs(hashed: DataFrame, maxDist: Int = 2,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
-    val bands = hashed
+    // maxBucketSize: the flat-image/boilerplate skew guard — see
+    // Dedup.capWordBuckets (one blank-image class is a single bucket
+    // pairing completely, quadratic in the class size; opt-in, loud)
+    val bands = Dedup.capWordBuckets(hashed
       .select(col("media_id"), col("dh0"), col("dh1"), col("dh2"), col("dh3"),
         posexplode(array(col("dh0"), col("dh1"), col("dh2"), col("dh3"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "word")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "word"),
+      maxBucketSize, "phashNearDupPairs")
     def side(tag: String) = bands.select(col("band"), col("word"),
       col("media_id").as(s"id_$tag"), col("dh0").as(s"h0$tag"),
       col("dh1").as(s"h1$tag"), col("dh2").as(s"h2$tag"), col("dh3").as(s"h3$tag"))

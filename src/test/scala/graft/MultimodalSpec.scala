@@ -87,6 +87,36 @@ class MultimodalSpec extends AnyFunSuite {
       s"banding must surface all three planted pairs, got $pairs")
   }
 
+  test("maxBucketSize drops ONLY the flat hot bucket; planted pairs elsewhere survive") {
+    val s = spark
+    import s.implicits._
+    // 40 identical flat images (one bucket, C(40,2) = 780 pairs) plus one
+    // planted near pair in ordinary buckets
+    val base = longText(42)
+    val rows = (0L until 40L).map(i => (i, "x" * 1200)) ++
+      Seq((100L, base), (101L, base.updated(700, (base(700) + 1).toChar)))
+    val hashed = Multimodal.perceptualHash(Multimodal.synthImages(packed(rows)))
+      .localCheckpoint()
+    val uncapped = Multimodal.phashNearDupPairs(hashed, maxDist = 3)
+    assert(uncapped.filter($"id_a" < 40 && $"id_b" < 40).count() === 780L,
+      "flat class pairs completely without a cap")
+    val capped = Multimodal.phashNearDupPairs(hashed, maxDist = 3,
+      maxBucketSize = Some(10))
+    assert(capped.filter($"id_a" < 40 && $"id_b" < 40).count() === 0L,
+      "the cap must drop the hot bucket's pairs")
+    assert(capped.filter($"id_a" === 100L && $"id_b" === 101L).count() === 1L,
+      "pairs in ordinary buckets must survive the cap")
+    // the text twin behaves identically (shared capWordBuckets)
+    val docs = ((0L until 40L).map(i => (i, "lorem ipsum dolor sit amet " * 8)) ++
+      Seq((100L, longText(50)), (101L, longText(50) + " tail")))
+      .toDF("doc_id", "text")
+    val simCapped = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = Some(10))
+    assert(simCapped.filter($"doc_a" < 40 && $"doc_b" < 40).count() === 0L)
+    assert(simCapped.filter($"doc_a" === 100L && $"doc_b" === 101L).count() === 1L,
+      "the near pair outside the boilerplate class survives the simhash cap")
+  }
+
   test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
     val s = spark
     // 40 bases + systematic near copies: single-char ±1 edits at varying
