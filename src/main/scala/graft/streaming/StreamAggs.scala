@@ -148,6 +148,63 @@ object StreamAggs {
     }
   }
 
+  /** Per-key RUNNING fold held in the STATE STORE — the streaming A1 via
+    * `flatMapGroupsWithState`. Each micro-batch's events fold into the
+    * key's held state (ordered by `seqCol` within the batch — Structured
+    * Streaming guarantees a key's rows land in one group invocation per
+    * batch, and the log's per-stream versions make cross-batch order the
+    * arrival order), the UPDATED state row is emitted downstream, and the
+    * state survives restarts through the query checkpoint — no re-read of
+    * prior events, which is the difference from [[Projector]]-style
+    * refolds: at 100 TB a billion-key projection holds its state in the
+    * (RocksDB-backed) state store instead of re-scanning the log or a
+    * read-model table per batch.
+    *
+    * `stateTtl` (processing-time timeout) evicts keys idle past it —
+    * bounded state over unbounded keyspaces; an evicted key that receives
+    * a late event restarts from `empty` (pair with a batch refold backstop
+    * for exactness, the reference's catchup-overlap pattern). `None` keeps
+    * state forever. Works identically on a BATCH frame (state starts
+    * empty, one group invocation per key) — the develop-in-batch,
+    * flip-to-readStream property every StreamAggs op keeps.
+    *
+    * Output: `(key, state)` rows, one per key seen in the batch.
+    */
+  def runningFold[S](events: DataFrame, keyCol: String, seqCol: String,
+      kindCol: String, bodyCol: String, empty: S,
+      fold: (S, String, String) => S,
+      stateTtl: Option[String] = None)
+      (implicit se: org.apache.spark.sql.Encoder[S]): Dataset[(String, S)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, S)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, se)
+    val rows = events.select(
+        col(keyCol).cast("string"), col(seqCol).cast("long"),
+        col(kindCol).cast("string"), col(bodyCol).cast("string"))
+      .as[(String, Long, String, String)]
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+    rows.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update, timeout) {
+      (key: String, it: Iterator[(String, Long, String, String)],
+          state: GroupState[S]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = it.toSeq.sortBy(_._2)
+          var acc = state.getOption.getOrElse(empty)
+          batch.foreach { case (_, _, kind, body) => acc = fold(acc, kind, body) }
+          state.update(acc)
+          stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.single((key, acc))
+        }
+    }
+  }
+
   /** Continuous ingestion INTO the log: every micro-batch of incoming event
     * rows (`aggregate_id, aggregate_kind, kind, body, seq[, discriminator]`)
     * appends at each stream's current head via

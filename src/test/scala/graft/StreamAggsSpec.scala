@@ -752,6 +752,66 @@ class StreamAggsSpec extends AnyFunSuite {
       "the reclaimed fence must be released after the replay")
   }
 
+  test("runningFold holds per-key state in the state store across batches and restarts") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrfold").toFile.getAbsolutePath
+    def writeBatch(rows: Seq[(String, Long, String, String)], name: String): Unit = {
+      rows.toDF("aggregate_id", "seq", "kind", "body")
+        .coalesce(1).write.parquet(s"$dir/stage/$name")
+      val part = new java.io.File(s"$dir/stage/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/in").mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet")): Unit
+    }
+    // batch semantics first: same fold, state starts empty, one pass
+    val batchDf = Seq(
+      ("a", 1L, "AccountCreated", """{"money":100,"owner":"P"}"""),
+      ("a", 2L, "MoneyDeposited", """{"money":30}"""),
+      ("b", 1L, "AccountCreated", """{"money":50,"owner":"A"}"""))
+      .toDF("aggregate_id", "seq", "kind", "body")
+    val batchOut = StreamAggs.runningFold(batchDf, "aggregate_id", "seq",
+        "kind", "body", AccountType.empty, AccountType.fold)
+      .collect().map(t => t._1 -> t._2.balance).toMap
+    assert(batchOut == Map("a" -> 130L, "b" -> 50L),
+      "batch mode folds each key's events in seq order")
+
+    // streaming: state ACCUMULATES across micro-batches with no re-read
+    writeBatch(Seq(
+      ("a", 1L, "AccountCreated", """{"money":100,"owner":"P"}"""),
+      ("b", 1L, "AccountCreated", """{"money":50,"owner":"A"}""")), "b1")
+    val seen = scala.collection.mutable.Map[String, Long]()
+    def run(): Unit = {
+      val q = StreamAggs.runningFold(
+          s.readStream.schema("aggregate_id string, seq long, kind string, body string")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+          "aggregate_id", "seq", "kind", "body",
+          AccountType.empty, AccountType.fold)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/chk")
+        .foreachBatch { (out: org.apache.spark.sql.Dataset[(String, Account)], _: Long) =>
+          out.collect().foreach { case (k, st) =>
+            seen.synchronized { seen(k) = st.balance }; ()
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.synchronized(seen.toMap) == Map("a" -> 100L, "b" -> 50L))
+    // second batch folds ON TOP of held state
+    writeBatch(Seq(("a", 2L, "MoneyDeposited", """{"money":30}""")), "b2")
+    run()
+    assert(seen.synchronized(seen("a")) == 130L,
+      "held state must accumulate across batches")
+    // a RESTARTED query (same checkpoint) resumes the state store
+    writeBatch(Seq(("a", 3L, "MoneyWithdrawn", """{"money":15}"""),
+      ("b", 2L, "MoneyDeposited", """{"money":7}""")), "b3")
+    run()
+    assert(seen.synchronized(seen.toMap) == Map("a" -> 115L, "b" -> 57L),
+      "restart must resume from checkpointed state, not refold from empty")
+  }
+
   test("component state cold-start skips an incomplete (no _SUCCESS) version") {
     // a crash DURING the versioned state write leaves task-committed files
     // without the job-level _SUCCESS marker; cold-start must fall back to
