@@ -1727,6 +1727,20 @@ object SparkEntry {
       ops.Multimodal.phashNearDupPairs(mmPlantedHashes(s, dir), maxDist = 3)
     }),
 
+    // ── multimodal: REAL audio decode (javax.sound.sampled WAV) → integer
+    // frame energies; the oracle re-derives them from the source bytes
+    // without decoding — a match proves the RIFF round-trip lossless ──────
+    "mm8_audio_energy" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "audio/wav")
+      ops.Multimodal.audioFeatures(ops.Multimodal.synthAudio(packed))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          posexplode(col("energies")).as(Seq("f", "energy")))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("f").cast("long").as("f"), col("energy"))
+    }),
+
     // ── multimodal: image-dedup SURVIVORS — exact components over the
     // hamming-banded pair graph, gated by the d15 recursive-closure truth ─
     "mm7_image_survivors" -> ((s, dir) => {
@@ -3606,6 +3620,21 @@ object SparkEntry {
         |FROM dh a JOIN dh b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
         |    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3""".stripMargin),
+
+    // the mm5 pattern for AUDIO: sample i = byte (i mod n), 8 frames of
+    // 256 samples, energy = sum |v - 128| per frame — integer-exact
+    "mm8_audio_energy" ->
+      """WITH h AS (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |                  octet_length(text::BLOB) AS n
+        |           FROM documents WHERE doc_id < 200),
+        |px AS (SELECT media_id, unnest(range(2048)) AS i, hx, n FROM h),
+        |pv AS (SELECT media_id, i,
+        |         (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+1, 1))-1)*16
+        |       + (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+2, 1))-1) AS v
+        |       FROM px)
+        |SELECT media_id, 2048::INTEGER AS n_samples, 8000::INTEGER AS sample_rate,
+        |       i // 256 AS f, (sum(abs(v - 128)))::BIGINT AS energy
+        |FROM pv GROUP BY 1, 4""".stripMargin,
 
     // d15's recursive-closure truth applied to the IMAGE near-dup graph:
     // exact components over the hamming<=3 pairs, survivor = min id

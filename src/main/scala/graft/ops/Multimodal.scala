@@ -328,6 +328,86 @@ object Multimodal {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  // ── REAL audio decode: javax.sound.sampled (JDK-builtin WAV codec) ─────
+
+  /** Rasterize the content bytes into a REAL WAV file (`audio` binary):
+    * `nSamples` of unsigned 8-bit mono PCM, sample i = content byte
+    * `(i mod n)` (cyclic — the same oracle-transparent rule as
+    * [[synthImages]]), written through the JDK's own RIFF/WAVE encoder.
+    * Same batched mapPartitions shape; the codec call sits exactly where a
+    * JNI binding would.
+    */
+  def synthAudio(df: DataFrame, nSamples: Int = 2048, sampleRate: Int = 8000,
+      batchSize: Int = 64): DataFrame = {
+    require(nSamples > 0, "nSamples must be positive")
+    val schema = StructType(df.schema.fields :+
+      StructField("audio", BinaryType, nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val n = if (bytes == null) 0 else bytes.length
+          val pcm = Array.tabulate[Byte](nSamples)(i =>
+            if (n == 0) 0 else bytes(i % n))
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos): Unit
+          Row.fromSeq(r.toSeq :+ baos.toByteArray)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** REAL audio decode + integer frame energies: parse the WAV container
+    * with `javax.sound.sampled` (RIFF header, fmt chunk, PCM payload — the
+    * real thing) and emit per-frame MEAN ABSOLUTE DEVIATION from the
+    * unsigned-8-bit midpoint, `energy_f = Σ_{i∈frame} |s_i − 128|` — the
+    * exact-integer loudness contour a pipeline silence-screens and
+    * segment-samples on. Adds `(n_samples, sample_rate, energies)`;
+    * everything after the decode is integer arithmetic, so the mm8 DuckDB
+    * twin re-derives the energies from the SOURCE bytes without decoding —
+    * a match proves the RIFF round-trip lossless (the mm5 gate, for audio).
+    */
+  def audioFeatures(df: DataFrame, audioCol: String = "audio",
+      frameSamples: Int = 256, batchSize: Int = 64): DataFrame = {
+    require(frameSamples > 0, "frameSamples must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("energies", ArrayType(LongType), nullable = true)))
+    val audioIdx = df.schema.fieldIndex(audioCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](audioIdx)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"audioFeatures expects 8-bit mono PCM, got $fmt")
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val frames = pcm.length / frameSamples
+          val energies = Array.tabulate(frames) { f =>
+            var s = 0L; var i = f * frameSamples
+            while (i < (f + 1) * frameSamples) {
+              s += math.abs((pcm(i) & 0xff) - 128); i += 1
+            }
+            s
+          }
+          Row.fromSeq(r.toSeq ++ Seq(pcm.length, fmt.getSampleRate.toInt,
+            energies))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Image near-duplicate pairs by pigeonhole banding on the dHash's four
     * 16-bit words — [[Dedup.simhashPairs]]'s machinery pointed at decoded
     * pixels: two hashes within Hamming distance 3 must collide in at least

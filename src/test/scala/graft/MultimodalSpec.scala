@@ -87,6 +87,26 @@ class MultimodalSpec extends AnyFunSuite {
       s"banding must surface all three planted pairs, got $pairs")
   }
 
+  test("synthAudio emits REAL RIFF/WAVE; decode round-trips losslessly; energies hand-verified") {
+    val s = spark
+    val text = "abcd" // bytes 97,98,99,100 cycled over 2048 samples
+    val out = Multimodal.audioFeatures(Multimodal.synthAudio(
+        packed(Seq((1L, text))), nSamples = 2048, sampleRate = 8000))
+      .select("media_id", "audio", "n_samples", "sample_rate", "energies")
+      .head()
+    val wav = out.getAs[Array[Byte]]("audio")
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "a genuine RIFF/WAVE container, not a stub")
+    assert(out.getAs[Int]("n_samples") == 2048 &&
+      out.getAs[Int]("sample_rate") == 8000, "header fields parsed by decode")
+    // hand-computed: each 256-sample frame cycles 'abcd' 64 times;
+    // |97-128|+|98-128|+|99-128|+|100-128| = 31+30+29+28 = 118 per cycle
+    val energies = out.getSeq[Long](out.fieldIndex("energies"))
+    assert(energies.size == 8 && energies.forall(_ == 64L * 118),
+      s"expected 8 frames of ${64 * 118}, got $energies")
+  }
+
   test("maxBucketSize drops ONLY the flat hot bucket; planted pairs elsewhere survive") {
     val s = spark
     import s.implicits._

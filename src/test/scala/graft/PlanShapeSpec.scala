@@ -130,6 +130,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm5: decode+hash are kernel projections — zero exchanges; mm6: the
       // band self-join (SMJ: both sides corpus-sized) + pair distinct
       "mm5_phash" -> 0, "mm6_image_neardup" -> 3, "mm7_image_survivors" -> 2,
+      "mm8_audio_energy" -> 0,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
