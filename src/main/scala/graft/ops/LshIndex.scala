@@ -234,6 +234,10 @@ object LshIndex {
   def compactIngest(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     Similarity.withIndexMutation(spark, path, "LshIndex.compactIngest") {
+      // parity with the IVF compact (which refuses via snapshotGeometry):
+      // folding a retired stream's ingest into a half-built index would
+      // mint fold markers from a dead id sequence
+      IndexLifecycle.assertNoPendingBuild(spark, path)
       compactIngestFenced(spark, path)
     }
 

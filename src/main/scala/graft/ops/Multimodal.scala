@@ -425,10 +425,17 @@ object Multimodal {
   def phashNearDupPairs(hashed: DataFrame, maxDist: Int = 2,
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    // checkpoint the (16-byte-per-row) hash frame BEFORE the self-join —
+    // simhashPairs' shape, for the same reason: both join sides (and the
+    // cap's bucket census) would otherwise re-execute the full
+    // decode+hash lineage, silently doubling the one-decode-per-image
+    // cost model this API exists for
+    val h = hashed.select(col("media_id"), col("dh0"), col("dh1"),
+      col("dh2"), col("dh3")).localCheckpoint()
     // maxBucketSize: the flat-image/boilerplate skew guard — see
     // Dedup.capWordBuckets (one blank-image class is a single bucket
     // pairing completely, quadratic in the class size; opt-in, loud)
-    val bands = Dedup.capWordBuckets(hashed
+    val bands = Dedup.capWordBuckets(h
       .select(col("media_id"), col("dh0"), col("dh1"), col("dh2"), col("dh3"),
         posexplode(array(col("dh0"), col("dh1"), col("dh2"), col("dh3"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "word"),

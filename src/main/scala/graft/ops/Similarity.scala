@@ -803,6 +803,11 @@ object Similarity {
   def compactIvfIngest(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     withIndexMutation(spark, path, "compactIvfIngest") {
+      // explicit (not just via the fold's geometry snapshot, which an
+      // empty ingest area short-circuits past): folding into a half-built
+      // index would mint fold markers from a retired id sequence —
+      // LshIndex.compactIngest parity
+      IndexLifecycle.assertNoPendingBuild(spark, path)
       compactIvfIngestFenced(spark, path)
     }
 

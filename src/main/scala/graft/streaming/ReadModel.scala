@@ -128,7 +128,17 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     val snapshot = fs.listStatus(hp)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (snapshot.isEmpty) return 0L
-    val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    // resolve the key column by NAME, never by position: a frame whose
+    // first column merely coincides with valid key values would delete the
+    // WRONG rows (and a filtered current() passed as keys would silently
+    // match nothing) — the LshIndex.forget/forgetFromIvfIndex idCol contract
+    val k = (if (keys.columns.contains(keyCol)) keys.select(col(keyCol))
+      else {
+        require(keys.columns.length == 1,
+          s"keys frame must carry '$keyCol' or exactly one column of key " +
+            s"values, got ${keys.columns.mkString(", ")}")
+        keys.select(col(keys.columns.head).as(keyCol))
+      }).distinct()
     val all = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
     val victims = all.join(broadcast(k), Seq(keyCol), "semi")
     val survivors = all.join(broadcast(k), Seq(keyCol), "anti")

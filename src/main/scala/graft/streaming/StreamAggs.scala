@@ -168,6 +168,16 @@ object StreamAggs {
     * empty, one group invocation per key) — the develop-in-batch,
     * flip-to-readStream property every StreamAggs op keeps.
     *
+    * MEMORY BOUND, stated honestly: the group iterator must be SORTED by
+    * seq before folding, and flatMapGroupsWithState exposes no spillable
+    * sort, so one key's events WITHIN ONE MICRO-BATCH materialize on an
+    * executor. That bounds this operator to the live tail (per-key
+    * per-batch volume is trigger-interval-sized by construction); a
+    * backfill replaying a hot key's full history through one batch belongs
+    * on the spillable batch fold (`EventStore.rehydrateAll`,
+    * `flatMapSortedGroups`) — the same catchup-then-live split the
+    * Projector makes.
+    *
     * Output: `(key, state)` rows, one per key seen in the batch.
     */
   def runningFold[S](events: DataFrame, keyCol: String, seqCol: String,

@@ -96,11 +96,11 @@ object MultimodalScaleSmoke {
         val planted = pairs.filter(col("id_b") === col("id_a") + 1 &&
           col("id_b") % 10 === 1)
         val got = planted.count()
+        // the exact count IS the hamming bound: a planted pair past
+        // hamming 2 would be absent from the maxDist=2 output and break it
         require(got == expPlanted,
-          s"planted pairs found $got, expected $expPlanted (total recall at <=2)")
-        require(pairs.filter(col("id_b") === col("id_a") + 1 &&
-            col("id_b") % 10 === 1 && col("dist") > 2).isEmpty,
-          "a one-pixel edit must stay within hamming 2")
+          s"planted pairs found $got, expected $expPlanted (total recall, " +
+            "one-pixel edits within hamming 2)")
         // the flat class is ONE hot bucket: exactly C(nFlat, 2) dist-0 pairs
         val flatPairs = pairs.filter(col("id_a") % 997 === 0 &&
           col("id_b") % 997 === 0)

@@ -283,14 +283,21 @@ class IndexLifecycleSpec extends AnyFunSuite {
     val eLsh2 = intercept[IllegalStateException](LshIndex.health(s, lsh))
     val eLsh3 = intercept[IllegalStateException](
       LshIndex.reshard(s, lsh, newSigBuckets = 16))
+    val eLsh4 = intercept[IllegalStateException](LshIndex.compactIngest(s, lsh))
     val eIvf = intercept[IllegalStateException](
       Similarity.ivfSqTopKIndexed(s, ivf, emb(Seq(100L), 8), "vec_id",
         "embedding", k = 3).collect())
     val eIvf2 = intercept[IllegalStateException](Similarity.ivfIndexHealth(s, ivf))
     val eIvf3 = intercept[IllegalStateException](
       Similarity.appendToIvfSqIndex(s, ivf, emb(Seq(100L), 8), "vec_id", "embedding"))
+    // the fenced COMPACT verbs refuse too (the IVF one via its geometry
+    // snapshot, the LSH one explicitly) — but only when there is pending
+    // ingest to fold, so plant one batch behind each marker... the marker
+    // refuses before the fold looks at anything, so a bare call suffices
+    val eIvf4 = intercept[IllegalStateException](Similarity.compactIvfIngest(s, ivf))
     def shape(m: String) = m.replaceAll(s"index at \\S+:", "index at <path>:")
-    val msgs = Seq(eLsh, eLsh2, eLsh3, eIvf, eIvf2, eIvf3).map(e => shape(e.getMessage))
+    val msgs = Seq(eLsh, eLsh2, eLsh3, eLsh4, eIvf, eIvf2, eIvf3, eIvf4)
+      .map(e => shape(e.getMessage))
     assert(msgs.forall(_ == msgs.head),
       s"both families must refuse a half-done build identically: $msgs")
     assert(msgs.head.contains("re-run the build"), "the refusal names the repair")

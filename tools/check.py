@@ -37,14 +37,20 @@ def main(sfdir, outdir, only=None):
     declared_path = f"{outdir}/declared.json"
     if only is None and os.path.exists(declared_path):
         declared = set(json.load(open(declared_path)))
-        missing = declared - set(oracle)
         dumped = {os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)}
         undumped = declared - dumped
-        if missing or undumped:
-            print(f"FAIL sweep: declared queries absent from it — "
-                  f"no oracle: {sorted(missing)}; no engine dump: {sorted(undumped)}")
+        if undumped:
+            print(f"FAIL sweep: declared queries with no engine dump: {sorted(undumped)}")
             print("\n0 pass / 1 fail (sweep-completeness fence)")
             return 1
+        # an oracle-less query is a LEGITIMATE (weaker, rows-only) state the
+        # driver supports — Verify warns about it; this sweep just can't
+        # check it, so surface it without failing (the fence's target is a
+        # dump missing from the sweep, the r12 sf1 gap)
+        missing = declared - set(oracle)
+        if missing:
+            print(f"WARN sweep: declared queries with no oracle "
+                  f"(rows-only on the driver side): {sorted(missing)}")
     if only:
         unknown = only - set(oracle)
         if unknown:
