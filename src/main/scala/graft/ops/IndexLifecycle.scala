@@ -63,6 +63,17 @@ object IndexLifecycle {
     * [[batchFolded]] FIRST (equality with the retained max marker is the
     * legitimate crash-replay, skipped idempotently); this guard only fires
     * strictly below it.
+    *
+    * KNOWN BLIND SPOT (`id == max`, ADVICE r13): a fresh-checkpoint stream
+    * whose FIRST batch id happens to EQUAL the retained max marker is
+    * indistinguishable from that marker's crash-replay — [[batchFolded]]
+    * skips it silently and its data is dropped. The id-sequence alone
+    * cannot disambiguate; OWNERSHIP can and is the supported fix: a stream
+    * that registers its checkpoint location as owner ([[assertOwner]],
+    * threaded by every streaming composite) refuses at the owner marker
+    * before the skip — a fresh checkpoint IS a different owner string. An
+    * unowned fresh stream must call `resetIngestFolded` first (the same
+    * repair this guard's refusal names for ids strictly below max).
     */
   def guardBatchId(spark: SparkSession, path: String, batchId: Long): Unit =
     maxFoldedBatch(spark, path).filter(batchId < _).foreach { mx =>
@@ -131,15 +142,53 @@ object IndexLifecycle {
       .foreach(p => fs.delete(new Path(p), true): Unit)
   }
 
+  /** Owner dispatch for the append entry points: `Some(o)` verifies/
+    * registers via [[assertOwner]]; `None` keeps the documented unguarded
+    * single-stream contract — EXCEPT that appending unowned onto an index
+    * some stream HAS registered is almost certainly the two-writer mistake
+    * ownership exists to catch, so it warns LOUDLY once per path (r13
+    * verdict #8). Not a refusal: a maintenance backfill by the owner's
+    * operator is legitimate, and the registered owner string names who to
+    * coordinate with.
+    */
+  def checkOwner(spark: SparkSession, path: String, owner: Option[String]): Unit =
+    owner match {
+      case Some(o) => assertOwner(spark, path, o)
+      case None =>
+        if (fsOf(spark, path).exists(ownerMarker(path)) && warnedUnowned.add(path)) {
+          unownedAppendWarnings.incrementAndGet(): Unit
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index at $path: appending with NO owner onto an index that " +
+              "HAS a registered ingest owner — if this is a second stream, " +
+              "its b= partitions can silently overwrite the owner's; pass " +
+              "the owning checkpoint location as owner, or rebindIngestOwner")
+        }
+    }
+
+  /** Test seam + warn-once registry for [[checkOwner]]. */
+  private[graft] val unownedAppendWarnings = new java.util.concurrent.atomic.AtomicLong
+  private val warnedUnowned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Register/verify the ingest owner (callers hold the mutation fence).
     * First owner registers; a different owner refuses naming the repair.
+    *
+    * The registration write is tmp + rename, never create-then-write in
+    * place: a crash between create and write would leave an EMPTY marker
+    * that permanently refuses the legitimate owner as "owned by []" (ADVICE
+    * r13). Rename-overwrite races are excluded by the mutation fence every
+    * caller holds; a pre-existing empty marker from an old version still
+    * refuses — the message names the repair.
     */
   def assertOwner(spark: SparkSession, path: String, owner: String): Unit = {
     val fs = fsOf(spark, path)
     val m = ownerMarker(path)
     if (!fs.exists(m)) {
-      val out = fs.create(m, false)
+      val tmp = new Path(s"$path/._ingest_owner.tmp")
+      val out = fs.create(tmp, true)
       try out.write(owner.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, m))
+        throw new java.io.IOException(s"ingest-owner marker rename failed at $path")
     } else {
       val in = fs.open(m)
       val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -150,7 +199,9 @@ object IndexLifecycle {
             "streaming query (one checkpoint) owns an index's ingest area — " +
             "a second stream's b= partitions would silently overwrite the " +
             "owner's. To hand the index to a new stream after the old " +
-            "checkpoint is retired, call rebindIngestOwner")
+            "checkpoint is retired, call rebindIngestOwner" +
+            (if (cur.isEmpty) " (an EMPTY owner means a pre-tmp-rename " +
+              "version crashed mid-registration — rebind to repair)" else ""))
     }
   }
 

@@ -209,7 +209,7 @@ object LshIndex {
       owner: Option[String] = None): Unit =
     Similarity.withIndexMutation(spark, path, s"LshIndex.appendBatch b=$batchId",
         reclaimSameOp = true) {
-      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
+      IndexLifecycle.checkOwner(spark, path, owner)
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)

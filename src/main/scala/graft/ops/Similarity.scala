@@ -383,6 +383,16 @@ object Similarity {
         // "win" (ADVICE r12). A create that succeeds but fails mid-write
         // leaves a partial marker behind — same recovery as a crashed
         // holder: breakIndexMutation.
+        //
+        // ADVICE r13: on a plain object store WITHOUT conditional create
+        // (e.g. S3A before fs.s3a.create.conditional.enabled, Hadoop
+        // >= 3.4.1), create(false) degrades to last-writer-wins and two
+        // racers can both believe they hold the fence. Probe the
+        // connector's published capability and warn LOUDLY once per
+        // filesystem when mutual exclusion is not actually guaranteed —
+        // not a refusal, because capability names vary across connector
+        // versions and a false negative would brick working deployments.
+        warnIfNonAtomicCreate(fs, root)
         try {
           val out = fs.create(marker, false)
           try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -404,6 +414,33 @@ object Similarity {
           "or clear a crashed holder's fence with Similarity.breakIndexMutation")
     }
     try body finally fs.delete(marker, false)
+  }
+
+  /** Warn-once-per-filesystem when the fence's create-if-absent primitive
+    * is not namespace-atomic on this store: HDFS-family schemes are (the
+    * create is a namenode op), object stores are only with conditional PUT
+    * — the capability S3A publishes once `fs.s3a.create.conditional.enabled`
+    * is on (Hadoop >= 3.4.1). Unknown capability names return false per the
+    * `hasPathCapability` contract, so a capable connector that predates the
+    * published name still warns — noisy-safe, never silently unsafe.
+    */
+  private val warnedFenceFs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnIfNonAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val hdfsLike = Set("hdfs", "viewfs", "webhdfs", "ofs", "o3fs")
+    if (hdfsLike.contains(fs.getScheme)) return
+    val capable =
+      try Seq("fs.capability.create.conditional.overwrite",
+          "fs.capability.conditional.create").exists(fs.hasPathCapability(root, _))
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!capable && warnedFenceFs.add(String.valueOf(fs.getUri)))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"index mutation fence on ${fs.getUri} (scheme ${fs.getScheme}): " +
+          "this filesystem does not advertise atomic conditional create — " +
+          "two concurrent mutators could BOTH acquire the fence. On S3A " +
+          "enable fs.s3a.create.conditional.enabled (Hadoop >= 3.4.1); " +
+          "otherwise serialize mutations externally")
   }
 
   /** Operator escape hatch: clear a fence left by a CRASHED mutator. Never
@@ -593,7 +630,7 @@ object Similarity {
       batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfIndex b=$batchId",
         reclaimSameOp = true) {
-      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
+      IndexLifecycle.checkOwner(spark, path, owner)
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
@@ -726,7 +763,7 @@ object Similarity {
       batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfSqIndex b=$batchId",
         reclaimSameOp = true) {
-      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
+      IndexLifecycle.checkOwner(spark, path, owner)
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
@@ -1765,7 +1802,7 @@ object Similarity {
       batchId: Long, owner: Option[String] = None): Unit =
     withIndexMutation(spark, path, s"appendBatchToIvfPqIndex b=$batchId",
         reclaimSameOp = true) {
-      owner.foreach(IndexLifecycle.assertOwner(spark, path, _))
+      IndexLifecycle.checkOwner(spark, path, owner)
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)

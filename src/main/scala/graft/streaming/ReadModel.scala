@@ -24,9 +24,8 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
   // same pattern as EventLog's side IO; a bare java.io.File would silently
   // report "no data" for any non-local scheme.
   private def hasData: Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+    val (hp, fs) = fsOf
+    fs.exists(hp) && parquetFiles(fs, hp).nonEmpty
   }
 
   /** Upsert a batch: every row in `batch` becomes the key's new state.
@@ -61,6 +60,16 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
 
   /** Current state: the latest row per key. */
   def current(): DataFrame = {
+    val (hp, fs) = fsOf
+    // a forget whose swap crashed mid-way leaves `_forget_swap` behind and
+    // the root half-deleted — reading it would silently miss keys. Loud
+    // refusal, naming the repair (the swap finishes FORWARD on the next
+    // maintenance entry); readers must not run the recovery themselves,
+    // maintenance is single-owner.
+    if (fs.exists(hp) && fs.exists(swapMarker(hp)))
+      throw new IllegalStateException(
+        s"read model at $path: a forget crashed mid-swap — re-run forget() " +
+          "or compact() (either finishes the swap forward) before reading")
     if (!hasData)
       throw new IllegalStateException(s"read model at $path has no data yet")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
@@ -92,6 +101,44 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     * way); stamp preservation de-fangs the races a violated scope used to
     * open.
     */
+  // ── staged side-directory machinery (shared by forget/compact) ─────────
+  // Both maintenance rewrites write their output to a hidden side directory
+  // FIRST (Spark's file listing ignores `.`/`_`-prefixed names, so readers
+  // never see it), then move the part files into the model root. The write
+  // may read the source files lazily — they are untouched until the staged
+  // copy is complete — so nothing needs to materialize in executor block
+  // storage. The previous shape (`localCheckpoint()` then append) pinned the
+  // ENTIRE surviving model in block storage, the exact corpus-sized-cache
+  // pattern that OOM'd elsewhere at 5M docs; at a billion-key model the
+  // staged write is the only shape that survives (the LshIndex.forget
+  // staged-swap, applied to a loose-file table).
+
+  private def fsOf = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    (hp, hp.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Move every staged part file into the model root (names carry task
+    * UUIDs, so they never collide with existing files), then drop the side
+    * directory and its `_SUCCESS`/metadata leftovers.
+    */
+  private def adoptStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staged: org.apache.hadoop.fs.Path): Unit = {
+    parquetFiles(fs, staged).foreach { s =>
+      if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
+        throw new java.io.IOException(
+          s"read model staged adopt failed for ${s.getPath}")
+    }
+    fs.delete(staged, true): Unit
+  }
+
   /** GDPR/forget for the PROJECTED state: remove (default) or scrub EVERY
     * stored version of the given keys — not just the latest-wins winner,
     * because superseded rows stay readable until compaction and "the user
@@ -113,20 +160,25 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     *    the projector's tokens stay valid, later versioned merges still
     *    win, replayed old batches still lose.
     *
-    * Copy-on-write: survivors + scrubbed victims are re-appended with their
-    * ORIGINAL stamps, then ALL pre-existing files are deleted immediately —
-    * unlike [[compact]] there is no retention grace, because lingering
-    * victim bytes are the thing being erased. Writer scope: single owner,
-    * maintenance cadence (the same not-reader-concurrent contract as the
-    * log's forget). Returns the number of victim rows removed or scrubbed.
+    * Copy-on-write: survivors + scrubbed victims are rewritten (original
+    * stamps preserved) to a hidden staged directory, then swapped in under a
+    * `_forget_swap` marker: marker minted AFTER the staged copy is complete,
+    * old files deleted, staged files moved in, marker cleared. A crash
+    * before the marker leaves the model untouched (stale staging is
+    * overwritten by the next attempt); a crash after it is finished by the
+    * next forget/compact/read-entry recovery (the staged copy IS the
+    * post-forget truth). Unlike [[compact]] there is no retention grace,
+    * because lingering victim bytes are the thing being erased. Writer
+    * scope: single owner, maintenance cadence (the same not-reader-
+    * concurrent contract as the log's forget). Returns the number of victim
+    * rows removed or scrubbed.
     */
   def forget(keys: DataFrame,
       scrub: Option[DataFrame => DataFrame] = None): Long = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val (hp, fs) = fsOf
     if (!fs.exists(hp)) return 0L
-    val snapshot = fs.listStatus(hp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    recoverSwap(fs, hp)
+    val snapshot = parquetFiles(fs, hp)
     if (snapshot.isEmpty) return 0L
     // resolve the key column by NAME, never by position: a frame whose
     // first column merely coincides with valid key values would delete the
@@ -142,6 +194,7 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
     val all = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
     val victims = all.join(broadcast(k), Seq(keyCol), "semi")
     val survivors = all.join(broadcast(k), Seq(keyCol), "anti")
+    val total = all.count() // parquet-metadata count, no scan
     val n = victims.count()
     if (n == 0) return 0L
     val out = scrub match {
@@ -154,21 +207,78 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
         survivors.unionByName(scrubbed)
       case None => survivors
     }
-    // materialize BEFORE touching source files (the write below must not
-    // lazily re-read paths this method then deletes), then swap
-    val staged = out.localCheckpoint()
-    staged.write.mode(SaveMode.Append).parquet(path)
-    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(staged)
+    // staged side-dir write: sources are read lazily but stay untouched
+    // until the copy is complete — no model-sized materialization
+    val staged = stagedDir(hp)
+    out.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    // row conservation (ADVICE r13): a scrub that filters or deduplicates
+    // would silently DROP stored versions while forget reports them
+    // scrubbed — the staged copy must hold exactly (total − n) removed or
+    // `total` scrubbed rows; counted from the staged files, never recomputed
+    val written = spark.read.parquet(staged.toString).count()
+    val expect = if (scrub.isDefined) total else total - n
+    if (written != expect) {
+      fs.delete(staged, true): Unit
+      throw new IllegalStateException(
+        s"read model forget at $path: staged rewrite holds $written rows, " +
+          s"expected $expect ($total stored, $n victims) — the scrub " +
+          "function must rewrite victim rows 1:1, never filter or " +
+          "deduplicate them; the model is untouched")
+    }
+    // swap: marker → delete old → adopt staged → clear marker. The marker
+    // NAMES the old files (written via tmp+rename so it is never partial),
+    // which is what lets a mid-swap crash finish FORWARD deterministically:
+    // recovery deletes exactly the named files (idempotent — adopted part
+    // files have fresh task-UUID names and can never match) and adopts
+    // whatever staged files remain.
+    writeSwapMarker(fs, hp, snapshot.map(_.getPath.getName))
     snapshot.foreach(s => fs.delete(s.getPath, false): Unit)
+    adoptStaged(fs, hp, staged)
+    fs.delete(swapMarker(hp), false): Unit
     n
   }
 
+  private def writeSwapMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, oldNames: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._forget_swap.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(oldNames.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, swapMarker(root)))
+      throw new java.io.IOException(s"read model swap-marker rename failed at $root")
+  }
+
+  private def stagedDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".staged_rewrite")
+  private def swapMarker(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_forget_swap")
+
+  /** Finish a forget whose swap crashed mid-way: the marker is minted only
+    * once the staged copy is COMPLETE, so with it present the staged files
+    * are the post-forget truth — delete exactly the OLD files the marker
+    * names (never the freshly adopted ones) and adopt whatever staged files
+    * remain; every step is idempotent. Without the marker, a stale staged
+    * dir is a pre-swap crash: the model is intact and the next rewrite
+    * simply overwrites the leftovers.
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val marker = swapMarker(root)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val oldNames = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").filter(_.nonEmpty) finally in.close()
+    oldNames.foreach(nm =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, nm), false): Unit)
+    adoptStaged(fs, root, stagedDir(root))
+    fs.delete(marker, false): Unit
+  }
+
   def compact(gcRetentionMs: Long = 10 * 60 * 1000L): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val (hp, fs) = fsOf
     if (!fs.exists(hp)) return
-    val snapshot = fs.listStatus(hp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    recoverSwap(fs, hp)
+    val snapshot = parquetFiles(fs, hp)
     if (snapshot.isEmpty) return
     val latest = {
       val w = Window.partitionBy(col(keyCol)).orderBy(col("__rm_version").desc)
@@ -176,9 +286,16 @@ class ReadModel(spark: SparkSession, path: String, keyCol: String) {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn")
-        .localCheckpoint()
     }
-    latest.write.mode(SaveMode.Append).parquet(path)
+    // staged side-dir write (sources read lazily, untouched until the copy
+    // completes — no model-sized localCheckpoint), then MOVE the part files
+    // in: append semantics, so no swap marker is needed — a crash after a
+    // partial adoption leaves content-identical duplicates latest-wins
+    // already tolerates, and the old files survive until the retention
+    // delete below, which runs last
+    val staged = stagedDir(hp)
+    latest.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    adoptStaged(fs, hp, staged)
     val horizon = System.currentTimeMillis() - gcRetentionMs
     snapshot.filter(_.getModificationTime < horizon)
       .foreach(s => fs.delete(s.getPath, false): Unit)

@@ -183,7 +183,8 @@ object StreamAggs {
   def runningFold[S](events: DataFrame, keyCol: String, seqCol: String,
       kindCol: String, bodyCol: String, empty: S,
       fold: (S, String, String) => S,
-      stateTtl: Option[String] = None)
+      stateTtl: Option[String] = None,
+      maxBatchRowsPerKey: Int = 1 << 20)
       (implicit se: org.apache.spark.sql.Encoder[S]): Dataset[(String, S)] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val spark = events.sparkSession
@@ -205,7 +206,29 @@ object StreamAggs {
           state.remove()
           Iterator.empty
         } else {
-          val batch = it.toSeq.sortBy(_._2)
+          // celebrity-key guard: the per-batch sort materializes ONE key's
+          // batch rows on an executor (flatMapGroupsWithState exposes no
+          // spillable sort), which is trigger-interval-sized by
+          // construction — a key receiving ~a whole backfill batch is the
+          // documented misuse, and an unbounded buffer here would OOM the
+          // executor SILENTLY. Refuse loudly at the bound instead, naming
+          // the spillable batch fold as the right path for that shape.
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)]
+          it.foreach { r =>
+            buf += r
+            if (buf.length > maxBatchRowsPerKey)
+              throw new IllegalStateException(
+                s"runningFold: key [$key] received more than " +
+                  s"$maxBatchRowsPerKey rows in one micro-batch — this " +
+                  "operator buffers one key's batch in memory and is " +
+                  "bounded to the live tail. Replay a hot key's history " +
+                  "through the spillable batch fold " +
+                  "(EventStore.rehydrateAll / flatMapSortedGroups), then " +
+                  "resume streaming — the Projector's catchup-then-live " +
+                  "split; or raise maxBatchRowsPerKey if the executor heap " +
+                  "genuinely holds it")
+          }
+          val batch = buf.sortBy(_._2)
           var acc = state.getOption.getOrElse(empty)
           batch.foreach { case (_, _, kind, body) => acc = fold(acc, kind, body) }
           state.update(acc)

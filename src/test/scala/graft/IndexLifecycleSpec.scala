@@ -253,6 +253,39 @@ class IndexLifecycleSpec extends AnyFunSuite {
       "embedding", 0L, owner = Some("chk://stream-c"))
   }
 
+  test("an UNOWNED append onto an index that HAS a registered owner warns loudly, once per path") {
+    // ownership is opt-in, so a direct appendBatch caller with owner=None
+    // keeps the unguarded contract — but doing that on an index some stream
+    // HAS registered is almost certainly the two-writer mistake; it must at
+    // least log loudly (r13 verdict #8). Not a refusal: the owner's own
+    // operator may legitimately run a maintenance backfill.
+    val s = spark
+    val dir = Files.createTempDirectory("lcwarn").toFile.getAbsolutePath
+    val lsh = s"$dir/lsh"
+    LshIndex.build(docs(0L until 20L, "corpus"), "doc_id", "text", lsh,
+      sigBuckets = 8)
+    val w0 = IndexLifecycle.unownedAppendWarnings.get()
+    // no owner registered yet: unowned appends are the documented contract,
+    // nothing to warn about
+    LshIndex.appendBatch(s, lsh, docs(Seq(100L), "b0"), "doc_id", "text", 0L)
+    assert(IndexLifecycle.unownedAppendWarnings.get() === w0)
+    LshIndex.rebindIngestOwner(s, lsh, "chk://stream-a")
+    // now the index is OWNED: an unowned append warns (and still lands —
+    // warn, not refuse)
+    val before = LshIndex.signatures(s, lsh).count()
+    LshIndex.appendBatch(s, lsh, docs(Seq(200L), "b1"), "doc_id", "text", 1L)
+    assert(IndexLifecycle.unownedAppendWarnings.get() === w0 + 1,
+      "unowned append onto an owned index must log loudly")
+    assert(LshIndex.signatures(s, lsh).count() === before + 4)
+    // warn-ONCE per path: a second unowned append stays quiet
+    LshIndex.appendBatch(s, lsh, docs(Seq(201L), "b2"), "doc_id", "text", 2L)
+    assert(IndexLifecycle.unownedAppendWarnings.get() === w0 + 1)
+    // an owned append never trips the counter
+    LshIndex.appendBatch(s, lsh, docs(Seq(202L), "b3"), "doc_id", "text", 3L,
+      owner = Some("chk://stream-a"))
+    assert(IndexLifecycle.unownedAppendWarnings.get() === w0 + 1)
+  }
+
   test("a half-done build refuses every read and mutation in BOTH families, even after a fence break") {
     // the hazard the fence alone cannot close: a build crashes between its
     // PARAMETER writes and its data write, the operator breaks the fence

@@ -232,4 +232,62 @@ class ReadModelSpec extends AnyFunSuite {
     assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 9L))
     assert(spark.read.parquet(s"$dir/rm").count() == 2)
   }
+
+  test("forget refuses a scrub that drops rows (row conservation); the model is untouched") {
+    // ADVICE r13: the returned count was the PRE-scrub victim count — a
+    // scrub that filters or deduplicates would silently drop stored
+    // versions while forget reported them scrubbed
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrmrc").toFile.getAbsolutePath
+    val rm = new ReadModel(spark, s"$dir/rm", "k")
+    rm.merge(Seq(("a", 1L), ("b", 1L)).toDF("k", "v"), version = Some(1L))
+    rm.merge(Seq(("a", 2L)).toDF("k", "v"), version = Some(2L))
+    val before = spark.read.parquet(s"$dir/rm").collect().toSet
+    val e = intercept[IllegalStateException](
+      rm.forget(Seq("a").toDF("k"), scrub = Some(_.limit(1))))
+    assert(e.getMessage.contains("1:1"), s"must name the contract: ${e.getMessage}")
+    assert(spark.read.parquet(s"$dir/rm").collect().toSet == before,
+      "a refused forget must leave every stored file untouched")
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    // and a conforming scrub on the same model still works
+    assert(rm.forget(Seq("a").toDF("k"),
+      scrub = Some(_.withColumn("v", org.apache.spark.sql.functions.lit(0L)))) == 2L)
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("a forget that crashed mid-swap refuses reads and finishes FORWARD on the next maintenance entry") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftrmcr").toFile.getAbsolutePath
+    val rm = new ReadModel(spark, s"$dir/rm", "k")
+    rm.merge(Seq(("a", 1L)).toDF("k", "v"), version = Some(1L))
+    rm.merge(Seq(("b", 2L)).toDF("k", "v"), version = Some(2L))
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/rm")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(old.length >= 2)
+    // manufacture the crash state forget() leaves between its old-file
+    // deletes: staged post-forget copy complete, marker naming the old
+    // files, ONE old file already deleted
+    spark.read.parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+      .filter($"k" =!= "a")
+      .write.parquet(s"$dir/rm/.staged_rewrite")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/rm/_forget_swap"), false)
+    out.write(old.map(_.getPath.getName).mkString("\n").getBytes("UTF-8")); out.close()
+    fs.delete(old.head.getPath, false)
+    // readers refuse LOUDLY instead of silently missing keys
+    val e = intercept[IllegalStateException](rm.current())
+    assert(e.getMessage.contains("mid-swap"), e.getMessage)
+    // the next maintenance entry finishes the swap forward deterministically
+    rm.compact(gcRetentionMs = 0L)
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("b" -> 2L),
+      "recovery must adopt the staged post-forget truth, never resurrect victims")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rm/_forget_swap")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rm/.staged_rewrite")))
+    // and the model keeps working
+    rm.merge(Seq(("c", 3L)).toDF("k", "v"), version = Some(3L))
+    assert(rm.current().as[(String, Long)].collect().toMap == Map("b" -> 2L, "c" -> 3L))
+  }
 }

@@ -812,6 +812,43 @@ class StreamAggsSpec extends AnyFunSuite {
       "restart must resume from checkpointed state, not refold from empty")
   }
 
+  test("runningFold refuses a celebrity key past the per-batch bound; the spillable batch fold handles it") {
+    val s = spark
+    import s.implicits._
+    // one key receiving ~a whole batch: the shape runningFold's in-memory
+    // per-key buffer cannot hold at backfill scale — must refuse LOUDLY at
+    // the bound, naming the spillable path (r13 verdict #4)
+    val hot = (1L to 5L).map(i =>
+      ("hot", i, "MoneyDeposited", """{"money":1}""")) :+
+      (("b", 1L, "AccountCreated", """{"money":50,"owner":"A"}"""))
+    val df = hot.toDF("aggregate_id", "seq", "kind", "body")
+    val e = intercept[Exception] {
+      StreamAggs.runningFold(df, "aggregate_id", "seq", "kind", "body",
+        AccountType.empty, AccountType.fold, maxBatchRowsPerKey = 3).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val msg = causes(e).map(String.valueOf(_)).mkString(" | ")
+    assert(msg.contains("rehydrateAll") && msg.contains("hot"),
+      s"the refusal must name the key and the spillable path: $msg")
+    // the named path: a spillable SORTED group fold over the same fixture
+    // (flatMapSortedGroups spills through the sort machinery instead of
+    // buffering the key's rows on-heap) — same fold, same answer
+    val folded = df.select($"aggregate_id", $"seq", $"kind", $"body")
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col("seq")) { (k, it) =>
+        var acc = AccountType.empty
+        it.foreach { case (_, _, kind, body) => acc = AccountType.fold(acc, kind, body) }
+        Iterator.single((k, acc.balance))
+      }.collect().toMap
+    assert(folded == Map("hot" -> 5L, "b" -> 50L))
+    // under the default bound the same fixture passes
+    val ok = StreamAggs.runningFold(df, "aggregate_id", "seq", "kind", "body",
+      AccountType.empty, AccountType.fold).collect().map(t => t._1 -> t._2.balance).toMap
+    assert(ok == Map("hot" -> 5L, "b" -> 50L))
+  }
+
   test("component state cold-start skips an incomplete (no _SUCCESS) version") {
     // a crash DURING the versioned state write leaves task-committed files
     // without the job-level _SUCCESS marker; cold-start must fall back to
