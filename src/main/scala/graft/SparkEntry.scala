@@ -1753,6 +1753,38 @@ object SparkEntry {
           (col("node") === col("label")).as("is_survivor"))
     }),
 
+    // ── multimodal: REAL video container (RIFF/AVI, uncompressed DIB
+    // frames — pure-JDK byte work both ways) → per-frame perceptual hashes.
+    // The oracle re-derives every frame's hash from the SOURCE bytes
+    // without touching the container, so a hash match proves BOTH codec
+    // legs (AVI chunk walk + DIB de-pad/flip, BMP re-encode) lossless ─────
+    "mm9_video_frames" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(
+        t(s, dir, "documents").filter(col("doc_id") < 120),
+        "doc_id", "text", "video/avi")
+      ops.Multimodal.perceptualHash(
+          ops.Multimodal.videoFrames(ops.Multimodal.synthVideo(packed)))
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          col("img_w"), col("img_h"), col("dhash"), col("ahash"))
+    }),
+
+    // ── multimodal: video near-dup by FRAME-HASH OVERLAP — frame-aligned
+    // banded pairs rolled up per video pair (>= half the frames within
+    // hamming 3). At maxDist 3 banding recall is total, so the oracle is
+    // the EXACT per-frame hamming join + the same rollup ──────────────────
+    "mm10_video_neardup" -> ((s, dir) => {
+      val frames = mmPlantedVideoHashes(s, dir)
+      val fid = frames.select(
+        (col("media_id") * 10 + col("frame_no")).cast("long").as("media_id"),
+        col("dh0"), col("dh1"), col("dh2"), col("dh3"))
+      ops.Multimodal.phashNearDupPairs(fid, maxDist = 3)
+        .filter(pmod(col("id_a"), lit(10)) === pmod(col("id_b"), lit(10)))
+        .groupBy(floor(col("id_a") / 10).cast("long").as("vid_a"),
+          floor(col("id_b") / 10).cast("long").as("vid_b"))
+        .agg(count(lit(1)).as("matched_frames"))
+        .filter(col("matched_frames") >= 2)
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1871,44 +1903,92 @@ object SparkEntry {
       | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
       |           FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** mm10's planted corpus, as VIDEOS: same construction as
+    * [[mmPlantedHashes]] (identical copy → hamming 0 on every frame;
+    * translate-noise copy → tiny per-frame gradient hamming), hashed one
+    * row per (video, frame) through the full container round-trip.
+    */
+  private def mmPlantedVideoHashes(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    val planted = base
+      .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+        translate(col("text"), "e", "f").as("text")))
+    ops.Multimodal.perceptualHash(ops.Multimodal.videoFrames(
+      ops.Multimodal.synthVideo(
+        ops.Multimodal.pack(planted, "doc_id", "text", "video/avi"))))
+  }
+
+  private val mmPlantedVideoSrcSql: String =
+    """SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 120
+      | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 120
+      | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+      |           FROM documents WHERE doc_id < 120""".stripMargin
+
   private def mmPhashCte(srcSql: String): String =
     "WITH " + mmPhashCteBody(srcSql)
 
   private def mmPhashCteBody(srcSql: String): String =
     s"""src AS ($srcSql),
-      |h AS (SELECT media_id, hex(text::BLOB) AS hx,
-      |             octet_length(text::BLOB) AS n
-      |      FROM src),
-      |px AS (SELECT media_id, unnest(range(1152)) AS i, hx, n FROM h),
-      |pv AS (SELECT media_id, i,
-      |         (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+1, 1))-1)*16
-      |       + (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+2, 1))-1) AS v
+      |""".stripMargin + mmGridCteBody(
+      """SELECT media_id, hex(text::BLOB) AS hx,
+        |             octet_length(text::BLOB) AS n
+        |      FROM src""".stripMargin,
+      Seq("media_id"), "i % n")
+
+  /** The video twin: same grid/hash derivation keyed by (media_id, f) —
+    * frame f's raster pixel i is source byte ((f·1152 + i) mod n), the
+    * [[graft.ops.Multimodal.synthVideo]] rule.
+    */
+  private def mmVideoCteBody(srcSql: String, nFrames: Int): String =
+    s"""src AS ($srcSql),
+      |""".stripMargin + mmGridCteBody(
+      s"""SELECT media_id, unnest(range($nFrames)) AS f, hx, n
+        |      FROM (SELECT media_id, hex(text::BLOB) AS hx,
+        |                   octet_length(text::BLOB) AS n FROM src) hh""".stripMargin,
+      Seq("media_id", "f"), "(f*1152 + i) % n")
+
+  /** The keyed core shared by the image (keys = media_id) and video
+    * (keys = media_id, f) hash re-derivations: `hSql` yields one row per
+    * key tuple with `hx` (hex of the source bytes) and `n` (byte count);
+    * raster pixel `i` is source byte `pix`; output CTEs `dh`/`ah` carry the
+    * four 16-bit band words per key tuple.
+    */
+  private def mmGridCteBody(hSql: String, keys: Seq[String], pix: String): String = {
+    val k = keys.mkString(", ")
+    val kg = (1 to keys.length).mkString(", ")
+    def eq(l: String, r: String) = keys.map(c => s"$l.$c = $r.$c").mkString(" AND ")
+    def ql(t: String) = keys.map(c => s"$t.$c").mkString(", ")
+    def words(alias: Char): String = (0 to 3).map(j =>
+      s"         (sum(CASE WHEN p // 16 = $j THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS $alias$j")
+      .mkString(",\n")
+    s"""h AS ($hSql),
+      |px AS (SELECT $k, unnest(range(1152)) AS i, hx, n FROM h),
+      |pv AS (SELECT $k, i,
+      |         (strpos('0123456789ABCDEF', substring(hx, 2*($pix)+1, 1))-1)*16
+      |       + (strpos('0123456789ABCDEF', substring(hx, 2*($pix)+2, 1))-1) AS v
       |       FROM px),
-      |grid AS (SELECT media_id, (i // 36) // 4 AS gr, (i % 36) // 4 AS gc,
+      |grid AS (SELECT $k, (i // 36) // 4 AS gr, (i % 36) // 4 AS gc,
       |                (sum(v))::BIGINT // 16 AS g
-      |         FROM pv GROUP BY 1, 2, 3),
-      |db AS (SELECT a.media_id, a.gr*8 + a.gc AS p,
+      |         FROM pv GROUP BY ${(1 to keys.length + 2).mkString(", ")}),
+      |db AS (SELECT ${ql("a")}, a.gr*8 + a.gc AS p,
       |              CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
-      |       FROM grid a JOIN grid b ON a.media_id = b.media_id
+      |       FROM grid a JOIN grid b ON ${eq("a", "b")}
       |        AND a.gr = b.gr AND b.gc = a.gc + 1
       |       WHERE a.gc < 8),
-      |am AS (SELECT media_id, (sum(g))::BIGINT // 64 AS m FROM grid
-      |       WHERE gc < 8 GROUP BY 1),
-      |ab AS (SELECT g.media_id, g.gr*8 + g.gc AS p,
+      |am AS (SELECT $k, (sum(g))::BIGINT // 64 AS m FROM grid
+      |       WHERE gc < 8 GROUP BY $kg),
+      |ab AS (SELECT ${ql("g")}, g.gr*8 + g.gc AS p,
       |              CASE WHEN g.g > am.m THEN 1 ELSE 0 END AS bit
-      |       FROM grid g JOIN am ON g.media_id = am.media_id WHERE g.gc < 8),
-      |dh AS (SELECT media_id,
-      |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d0,
-      |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d1,
-      |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d2,
-      |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS d3
-      |       FROM db GROUP BY 1),
-      |ah AS (SELECT media_id,
-      |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a0,
-      |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a1,
-      |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a2,
-      |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a3
-      |       FROM ab GROUP BY 1)""".stripMargin
+      |       FROM grid g JOIN am ON ${eq("g", "am")} WHERE g.gc < 8),
+      |dh AS (SELECT $k,
+      |${words('d')}
+      |       FROM db GROUP BY $kg),
+      |ah AS (SELECT $k,
+      |${words('a')}
+      |       FROM ab GROUP BY $kg)""".stripMargin
+  }
 
   private def embPairsCte(threshold: Double): String = {
     val tables = 8; val bits = 16
@@ -3653,6 +3733,28 @@ object SparkEntry {
         |SELECT src.media_id, coalesce(l.component, src.media_id) AS component,
         |       coalesce(l.component, src.media_id) = src.media_id AS is_survivor
         |FROM src LEFT JOIN lab l ON l.node = src.media_id""".stripMargin),
+
+    // the mm5 source-bytes pattern per FRAME: pixel i of frame f = byte
+    // ((f·1152 + i) mod n) — never touches the AVI container, so the hash
+    // match proves the container + BMP re-encode round-trip lossless
+    "mm9_video_frames" -> ("WITH " + mmVideoCteBody(
+      "SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 120", 4) +
+      """
+        |SELECT media_id, f AS frame_no, 36::INTEGER AS img_w, 32::INTEGER AS img_h,
+        |       printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash,
+        |       printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash
+        |FROM dh JOIN ah USING (media_id, f)""".stripMargin),
+
+    // EXACT frame-aligned hamming join + per-video rollup: banding recall
+    // is total at maxDist 3, so banded == exact (the mm6 gate, per frame)
+    "mm10_video_neardup" -> ("WITH " + mmVideoCteBody(mmPlantedVideoSrcSql, 4) +
+      """
+        |SELECT a.media_id AS vid_a, b.media_id AS vid_b,
+        |       (count(*))::BIGINT AS matched_frames
+        |FROM dh a JOIN dh b ON a.media_id < b.media_id AND a.f = b.f
+        |WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

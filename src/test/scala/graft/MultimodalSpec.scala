@@ -137,6 +137,76 @@ class MultimodalSpec extends AnyFunSuite {
       "the near pair outside the boilerplate class survives the simhash cap")
   }
 
+  test("buildAvi/parseAvi: genuine RIFF/AVI, lossless frame round-trip incl. row padding") {
+    // w=27 → 81-byte rows padded to 84: exercises the DIB stride path the
+    // 36-wide default never touches
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (27, 16)
+    val frames = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val avi = Multimodal.buildAvi(frames, w, h, fps = 10)
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ",
+      "a genuine RIFF/AVI container, not a stub")
+    val (pw, ph, rasters) = Multimodal.parseAvi(avi)
+    assert(pw == w && ph == h && rasters.length == 3)
+    frames.zip(rasters).zipWithIndex.foreach { case ((in, out), f) =>
+      assert(out.toSeq == in.toSeq, s"frame $f must round-trip losslessly")
+    }
+    // garbage refuses loudly
+    val eg = intercept[IllegalArgumentException](
+      Multimodal.parseAvi("not a riff at all".getBytes("US-ASCII")))
+    assert(eg.getMessage.contains("RIFF"))
+    // a container whose idx1 disagrees with movi refuses (truncation guard):
+    // patch idx1's declared size down to one entry
+    val patched = avi.clone()
+    val ip = patched.indexOfSlice("idx1".getBytes("US-ASCII"))
+    assert(ip > 0)
+    patched(ip + 4) = 16 // le32 size: 3 entries (48) → 1 entry (16)
+    val et = intercept[IllegalArgumentException](Multimodal.parseAvi(patched))
+    assert(et.getMessage.contains("AVI"), et.getMessage)
+  }
+
+  test("video frame 0 hashes IDENTICALLY to the image of the same content (shared pixel rule)") {
+    val s = spark
+    val rows = (0L until 5L).map(i => (i, longText(300 + i.toInt)))
+    val imgHashes = Multimodal.perceptualHash(Multimodal.synthImages(packed(rows)))
+      .select("media_id", "dhash", "ahash").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val frames = Multimodal.perceptualHash(
+      Multimodal.videoFrames(Multimodal.synthVideo(packed(rows), nFrames = 3)))
+    val f0 = frames.filter(col("frame_no") === 0)
+      .select("media_id", "dhash", "ahash").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(f0 === imgHashes,
+      "frame 0's cyclic rule coincides with synthImages — the cross-codec pin")
+    // one row per (video, frame), dims parsed from the container
+    assert(frames.count() === 15L)
+    assert(frames.select("vid_w", "vid_h").distinct().collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1))) == Seq((36, 32)))
+  }
+
+  test("video near-dup by frame overlap: identical video matches all frames; frames align") {
+    val s = spark
+    import s.implicits._
+    val base = longText(77)
+    val rows = Seq((1L, base), (2L, base), // identical video → 4/4 frames match
+      (3L, longText(78))) // unrelated
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.videoFrames(Multimodal.synthVideo(packed(rows))))
+    val fid = hashed.select(
+      (col("media_id") * 10 + col("frame_no")).cast("long").as("media_id"),
+      col("dh0"), col("dh1"), col("dh2"), col("dh3"))
+    val matched = Multimodal.phashNearDupPairs(fid, maxDist = 3)
+      .filter(pmod($"id_a", lit(10)) === pmod($"id_b", lit(10)))
+      .groupBy(floor($"id_a" / 10).cast("long").as("vid_a"),
+        floor($"id_b" / 10).cast("long").as("vid_b"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(matched.get((1L, 2L)).contains(4L),
+      s"identical videos must match on every frame, got $matched")
+    assert(!matched.contains((1L, 3L)) && !matched.contains((2L, 3L)),
+      s"unrelated videos must not match, got $matched")
+  }
+
   test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
     val s = spark
     // 40 bases + systematic near copies: single-char ±1 edits at varying

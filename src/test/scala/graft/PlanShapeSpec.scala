@@ -131,6 +131,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // band self-join (SMJ: both sides corpus-sized) + pair distinct
       "mm5_phash" -> 0, "mm6_image_neardup" -> 3, "mm7_image_survivors" -> 2,
       "mm8_audio_energy" -> 0,
+      // mm9: decode+hash is pure mapPartitions lineage, zero shuffles;
+      // mm10: mm6's banded pair machinery (band self-join + pair distinct)
+      // plus the per-video-pair rollup aggregate
+      "mm9_video_frames" -> 0, "mm10_video_neardup" -> 4,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
@@ -288,10 +292,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "d15_cc_clusters", "x9_leakage_safe_split",
       // d16: semi/anti + back-join over runtime-sized checkpointed frames
       "d16_incremental_components",
-      // mm6/mm7: the dHash band self-join — both sides are the corpus-sized
-      // hashed frame, so SMJ is the only always-safe plan (d4's reasoning);
-      // mm7 adds d15's component machinery on top
-      "mm6_image_neardup", "mm7_image_survivors",
+      // mm6/mm7/mm10: the dHash band self-join — both sides are the
+      // corpus-sized hashed frame, so SMJ is the only always-safe plan
+      // (d4's reasoning); mm7 adds d15's component machinery on top, mm10
+      // runs the same self-join over per-frame hashes
+      "mm6_image_neardup", "mm7_image_survivors", "mm10_video_neardup",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
