@@ -131,7 +131,8 @@ private[sources] class GraftSqlTable(inner: GraftEventsTable,
         "events under a new revision; retention pruning is EventLog.prune")
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -336,6 +337,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft-events: rename is a filesystem move — perform it with storage tooling")
+
+  // ── CALL surface: fenced index-maintenance procedures ────────────────────
+  // The same guarded Scala bodies (mutation fence, pending-build choke
+  // point, batch-id guard), reachable from pure SQL; identifiers resolve by
+  // NAME only — the procedure's path ARGUMENT names the index, not the
+  // catalog namespace (indexes are directories, same as the log tables).
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    graft.ops.Procedures.load(ident.name())
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    graft.ops.Procedures.names.map(Identifier.of(namespace, _)).toArray
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace).mkString("/"))

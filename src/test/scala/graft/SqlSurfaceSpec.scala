@@ -137,6 +137,98 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("CALL procedures run the SAME fenced maintenance bodies; refusals surface through SQL") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftcall").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftproc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftproc.warehouse", s"$dir/wh")
+    try {
+      def fam(i: Long, tag: String) =
+        s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i family$i $tag"
+      val corpus = (0L until 30L).map(i => (i, fam(i, "corpus body")))
+        .toDF("doc_id", "text")
+      val batch = Seq((100L, fam(3L, "corpus CHANGED"))).toDF("doc_id", "text")
+      def lsState(p: String) = {
+        val sigs = graft.ops.LshIndex.signatures(s, p)
+          .collect().map(_.toString).sorted.toSeq
+        val dirs = new java.io.File(s"$p/sigs").listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted.toSeq
+        val folded = Option(new java.io.File(s"$p/ingest_folded").listFiles())
+          .fold(Seq.empty[String])(_.map(_.getName).sorted.toSeq)
+        (sigs, dirs, folded, new java.io.File(s"$p/ingest").exists())
+      }
+      // twin LSH indexes, identically built + appended; fold A via the
+      // Scala API, B via SQL CALL — the states must CONVERGE identically
+      Seq("a", "b").foreach { t =>
+        graft.ops.LshIndex.build(corpus, "doc_id", "text", s"$dir/lsh_$t",
+          sigBuckets = 8)
+        graft.ops.LshIndex.appendBatch(s, s"$dir/lsh_$t", batch,
+          "doc_id", "text", 0L)
+      }
+      graft.ops.LshIndex.compactIngest(s, s"$dir/lsh_a")
+      s.sql(s"CALL graftproc.lsh_compact('$dir/lsh_b')").collect()
+      val (sa, da, fa, ia) = lsState(s"$dir/lsh_a")
+      val (sb, db, fb, ib) = lsState(s"$dir/lsh_b")
+      assert(sa.map(_.replace("lsh_a", "lsh_b")) === sb &&
+        da === db && fa === fb && !ia && !ib,
+        "SQL CALL and Scala API must leave identical index state")
+
+      // IVF twin: same convergence through ivf_compact
+      val rnd = new scala.util.Random(5)
+      val emb = (0L until 40L).map(i =>
+        (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val extra = Seq((100L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
+      Seq("a", "b").foreach { t =>
+        graft.ops.Similarity.buildIvfSqIndex(emb, "vec_id", "embedding",
+          s"$dir/ivf_$t", nlist = 4)
+        graft.ops.Similarity.appendBatchToIvfSqIndex(s, s"$dir/ivf_$t", extra,
+          "vec_id", "embedding", 0L)
+      }
+      graft.ops.Similarity.compactIvfIngest(s, s"$dir/ivf_a")
+      s.sql(s"CALL graftproc.ivf_compact('$dir/ivf_b')").collect()
+      def ivState(p: String) = (
+        s.read.parquet(graft.ops.Similarity.resolvedTablePath(s, p, "cells"))
+          .collect().map(_.toString).sorted.toSeq,
+        new java.io.File(s"$p/ingest").exists())
+      val (ca, ga) = ivState(s"$dir/ivf_a")
+      val (cb, gb) = ivState(s"$dir/ivf_b")
+      assert(ca === cb && !ga && !gb,
+        "ivf_compact via CALL must converge to the API's cell state")
+
+      // refusals surface through SQL with the SAME message (it IS the same
+      // code path): a crashed build's pending marker refuses both ways
+      graft.ops.IndexLifecycle.beginBuild(s, s"$dir/lsh_b")
+      def rootMsg(t: Throwable): String = {
+        var c: Throwable = t
+        while (c.getCause != null) c = c.getCause
+        String.valueOf(c.getMessage)
+      }
+      val eApi = intercept[Exception](
+        graft.ops.LshIndex.compactIngest(s, s"$dir/lsh_b"))
+      val eSql = intercept[Exception](
+        s.sql(s"CALL graftproc.lsh_compact('$dir/lsh_b')").collect())
+      assert(rootMsg(eSql) === rootMsg(eApi) &&
+        rootMsg(eSql).contains("half-written"),
+        s"SQL refusal must be the API's refusal: ${rootMsg(eSql)}")
+      graft.ops.IndexLifecycle.endBuild(s, s"$dir/lsh_b")
+
+      // unknown procedures name the available surface
+      val eNo = intercept[Exception](s.sql(s"CALL graftproc.nope('$dir')"))
+      assert(rootMsg(eNo).contains("ivf_compact") ||
+        String.valueOf(eNo.getMessage).contains("nope"), String.valueOf(eNo.getMessage))
+
+      // the catalog lists its procedures (SHOW PROCEDURES surface)
+      val listed = s.sql("SHOW PROCEDURES IN graftproc").collect()
+        .map(_.toString).mkString(" ")
+      assert(listed.contains("lsh_compact") && listed.contains("ivf_compact"),
+        s"SHOW PROCEDURES must list the surface, got: $listed")
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftproc")
+      s.conf.unset("spark.sql.catalog.graftproc.warehouse")
+    }
+  }
+
   test("zorder_key SQL macro interleaves like the Scala API") {
     graft.functions.registerAll(spark)
     // 2 dims → 16 bits each; bit b of dim 0 lands at position 2b, of dim 1
