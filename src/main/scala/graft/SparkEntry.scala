@@ -1785,6 +1785,105 @@ object SparkEntry {
         .filter(col("matched_frames") >= 2)
     }),
 
+    // ── multimodal: REAL header sniff — magic-byte format detection plus
+    // container geometry (PNG IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE fmt +
+    // data, RIFF/AVI avih), header-only. The media are REAL encoded
+    // containers with PLANTED geometry, so the oracle knows every field by
+    // construction — a match proves the parse pulls the true values out of
+    // genuine codec output. Corrupt (truncated header) and unknown (text
+    // bytes) blobs route as data, never as exceptions ─────────────────────
+    "mm11_sniff_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def slab(lo: Int, hi: Int) = ops.Multimodal.pack(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "raw")
+      val img = ops.Multimodal.synthImages(slab(0, 100))
+        .select(col("media_id"), col("img").as("blob"))
+      val wav = ops.Multimodal.synthAudio(slab(100, 150))
+        .select(col("media_id"), col("audio").as("blob"))
+      val avi = ops.Multimodal.synthVideo(slab(150, 200))
+        .select(col("media_id"), col("video").as("blob"))
+      val corrupt = img.filter(col("media_id") < 10)
+        .select((col("media_id") + 1000).as("media_id"),
+          substring(col("blob"), 1, 14).as("blob"))
+      val unknown = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000).as("media_id"),
+          col("text").cast("binary").as("blob"))
+      ops.Multimodal.sniffMeta(
+          img.unionByName(wav).unionByName(avi)
+            .unionByName(corrupt).unionByName(unknown), "blob")
+        .select(col("media_id"), col("fmt"), col("width"), col("height"),
+          col("n_frames"), col("n_channels"), col("sample_rate"),
+          col("n_samples"))
+    }),
+
+    // ── multimodal: persisted PERCEPTUAL-HASH index — the image twin of
+    // d17 (third IndexLifecycle family). Full lifecycle (build + append +
+    // streaming ingest + compact + pending ingest), then a screen whose
+    // Hamming verify is INDEX-RESIDENT (stored rows carry their full hash;
+    // the image corpus is never re-decoded). maxDist 3 makes banding
+    // recall total, so the oracle is the EXACT hamming screen — the gate
+    // verifies the whole lifecycle collapses to one re-derivation ────────
+    "mm12_phash_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def img(df: DataFrame) = ops.Multimodal.synthImages(
+          ops.Multimodal.pack(df, "doc_id", "text", "raw"))
+        .select(col("media_id").as("img_id"), col("img"))
+      val base = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val idx = tempLogDir("graftmm12")
+      ops.PhashIndex.build(img(base.filter(col("doc_id") < 100)),
+        "img_id", "img", idx, sigBuckets = 8)
+      ops.PhashIndex.append(s, idx,
+        img(base.filter(col("doc_id") >= 100 && col("doc_id") < 140)),
+        "img_id", "img")
+      ops.PhashIndex.appendBatch(s, idx,
+        img(base.filter(col("doc_id") >= 140 && col("doc_id") < 170)),
+        "img_id", "img", batchId = 1)
+      ops.PhashIndex.compactIngest(s, idx) // batch 1 folds into sigs/
+      ops.PhashIndex.appendBatch(s, idx,
+        img(base.filter(col("doc_id") >= 170)),
+        "img_id", "img", batchId = 2) // stays in ingest: screen reads union
+      val batch = base.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      ops.PhashIndex.screen(s, idx, img(batch), "img_id", "img", maxDist = 3)
+    }),
+
+    // ── multimodal: CROSS-MODAL contamination — video frames screened
+    // against the persisted image index (frame f=0's pixel rule equals the
+    // image rule, so an image leaked into a video is a frame-hash match:
+    // the training-data "image appears in video corpus" audit). Rollup per
+    // video: matched frame count + earliest matching image ────────────────
+    "mm13_cross_modal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def img(df: DataFrame) = ops.Multimodal.synthImages(
+          ops.Multimodal.pack(df, "doc_id", "text", "raw"))
+        .select(col("media_id").as("img_id"), col("img"))
+      val idx = tempLogDir("graftmm13")
+      ops.PhashIndex.build(
+        img(docs.filter(col("doc_id") < 150).select(col("doc_id"), col("text"))),
+        "img_id", "img", idx, sigBuckets = 8)
+      val vsrc = docs.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 60000).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+          .select((col("doc_id") + 70000).as("doc_id"), col("text")))
+      val frames = ops.Multimodal.videoFrames(ops.Multimodal.synthVideo(
+          ops.Multimodal.pack(vsrc, "doc_id", "text", "raw")))
+        .select((col("media_id") * 10 + col("frame_no")).cast("long").as("fid"),
+          col("img"))
+      ops.PhashIndex.candidates(s, idx, frames, "fid", "img", maxDist = 3)
+        .groupBy(floor(col("b_id") / 10).cast("long").as("video_id"))
+        .agg(countDistinct(pmod(col("b_id"), lit(10))).as("n_matched_frames"),
+          min(col("c_id")).as("first_image"))
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -3755,6 +3854,82 @@ object SparkEntry {
         |WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
         |    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
+    // the geometry of every container is PLANTED (real codecs, known
+    // parameters), so the oracle is the construction itself — a match
+    // proves the header parse pulls the true values out of genuine
+    // PNG/BMP/WAVE/AVI bytes; corrupt/unknown rows route as data
+    "mm11_sniff_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |       36::INTEGER AS width, 32::INTEGER AS height, 1::INTEGER AS n_frames,
+        |       NULL::INTEGER AS n_channels, NULL::INTEGER AS sample_rate,
+        |       NULL::INTEGER AS n_samples
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, 'wav', NULL, NULL, NULL, 1, 8000, 2048
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 150
+        |UNION ALL SELECT doc_id, 'avi', 36, 32, 4, NULL, NULL, NULL
+        |FROM documents WHERE doc_id >= 150 AND doc_id < 200
+        |UNION ALL SELECT doc_id + 1000,
+        |       'corrupt:' || CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END,
+        |       NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM documents WHERE doc_id < 10
+        |UNION ALL SELECT doc_id + 2000, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // identical to the d17 principle for IMAGES: the persisted index is
+    // semantically the corpus hash table, so the whole lifecycle must
+    // collapse to one exact re-derivation (banding recall total at 3)
+    "mm12_phash_index" -> ("WITH " + mmGridCteBody(
+      """SELECT media_id, is_b, hex(t::BLOB) AS hx, octet_length(t::BLOB) AS n
+        |      FROM (SELECT doc_id AS media_id, 0 AS is_b, text AS t
+        |            FROM documents WHERE doc_id < 200
+        |            UNION ALL SELECT doc_id + 10000, 1, text
+        |            FROM documents WHERE doc_id < 60
+        |            UNION ALL SELECT doc_id + 20000, 1, translate(text, 'e', 'f')
+        |            FROM documents WHERE doc_id >= 60 AND doc_id < 120
+        |            UNION ALL SELECT doc_id + 30000, 1, text
+        |            FROM documents WHERE doc_id >= 200 AND doc_id < 260) src""".stripMargin,
+      Seq("media_id", "is_b"), "i % n") +
+      """,
+        |ver AS (SELECT b.media_id AS b_id, min(c.media_id) AS match_id
+        |        FROM dh b JOIN dh c ON b.is_b = 1 AND c.is_b = 0
+        |        WHERE bit_count(xor(b.d0, c.d0)) + bit_count(xor(b.d1, c.d1))
+        |            + bit_count(xor(b.d2, c.d2)) + bit_count(xor(b.d3, c.d3)) <= 3
+        |        GROUP BY 1)
+        |SELECT t.media_id AS img_id, v.match_id IS NULL AS is_new, v.match_id
+        |FROM (SELECT media_id FROM dh WHERE is_b = 1) t
+        |LEFT JOIN ver v ON v.b_id = t.media_id""".stripMargin),
+
+    // cross-modal truth: frame f of a video and a standalone image share
+    // the pixel rule at f=0 (and the noise copies drift within hamming 3),
+    // so the exact per-frame hamming join + rollup re-derives the
+    // contamination audit end to end
+    "mm13_cross_modal" -> ("WITH " + mmGridCteBody(
+      """SELECT media_id, f, hx, n FROM (
+        |        SELECT doc_id AS media_id, -1 AS f, hex(text::BLOB) AS hx,
+        |               octet_length(text::BLOB) AS n
+        |        FROM documents WHERE doc_id < 150
+        |        UNION ALL
+        |        SELECT media_id, unnest(range(4)) AS f, hx, n FROM (
+        |          SELECT doc_id + 50000 AS media_id, hex(text::BLOB) AS hx,
+        |                 octet_length(text::BLOB) AS n
+        |          FROM documents WHERE doc_id < 60
+        |          UNION ALL SELECT doc_id + 60000,
+        |                 hex(translate(text, 'e', 'f')::BLOB),
+        |                 octet_length(text::BLOB)
+        |          FROM documents WHERE doc_id < 40
+        |          UNION ALL SELECT doc_id + 70000, hex(text::BLOB),
+        |                 octet_length(text::BLOB)
+        |          FROM documents WHERE doc_id >= 200 AND doc_id < 240) vv) src""".stripMargin,
+      Seq("media_id", "f"), "(greatest(f, 0)*1152 + i) % n") +
+      """
+        |SELECT v.media_id AS video_id, count(DISTINCT v.f) AS n_matched_frames,
+        |       min(c.media_id) AS first_image
+        |FROM dh v JOIN dh c ON v.f >= 0 AND c.f = -1
+        |WHERE bit_count(xor(v.d0, c.d0)) + bit_count(xor(v.d1, c.d1))
+        |    + bit_count(xor(v.d2, c.d2)) + bit_count(xor(v.d3, c.d3)) <= 3
+        |GROUP BY 1""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+  private[ops] def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -79,10 +79,10 @@ object LshIndex {
     (r.getInt(r.fieldIndex("bands")), r.getInt(r.fieldIndex("shingle_size")), sb)
   }
 
-  private def gridMarker(dir: org.apache.hadoop.fs.Path) =
+  private[ops] def gridMarker(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_grid")
 
-  private def gridOf(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def gridOf(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Option[Int] = {
     val m = gridMarker(dir)
     if (!fs.exists(m)) None
@@ -94,7 +94,7 @@ object LshIndex {
     }
   }
 
-  private def writeGrid(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def writeGrid(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, n: Int): Unit = {
     val out = fs.create(gridMarker(dir), true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
@@ -135,18 +135,31 @@ object LshIndex {
     * buckets it hashes into.
     */
   def build(corpus: DataFrame, idCol: String, textCol: String, path: String,
-      bands: Int = 4, shingleSize: Int = 3, sigBuckets: Int = 64): Unit =
-    Similarity.withIndexMutation(corpus.sparkSession, path, "LshIndex.build") {
-      val spark = corpus.sparkSession
-      import spark.implicits._
+      bands: Int = 4, shingleSize: Int = 3, sigBuckets: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildSigned(spark, path, "LshIndex.build",
+      signFrame(corpus, idCol, textCol, bands, shingleSize, sigBuckets),
+      sigBuckets,
+      () => Seq((bands, shingleSize, sigBuckets))
+        .toDF("bands", "shingle_size", "sig_buckets")
+        .write.mode("overwrite").parquet(s"$path/lsh_meta"))
+  }
+
+  /** The layout-generic build skeleton (fence → pending-build marker →
+    * family meta → ingest reset → partitioned write → grid stamp →
+    * marker clear); `signed` must already carry `(band, sb)` and be
+    * repartitioned on them (the signer's job).
+    */
+  private[ops] def buildSigned(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, signed: DataFrame, sigBuckets: Int,
+      writeMeta: () => Unit): Unit =
+    Similarity.withIndexMutation(spark, path, op) {
       IndexLifecycle.beginBuild(spark, path)
       val fs = fsOf(spark, path)
-      Seq((bands, shingleSize, sigBuckets))
-        .toDF("bands", "shingle_size", "sig_buckets")
-        .write.mode("overwrite").parquet(s"$path/lsh_meta")
+      writeMeta()
       IndexLifecycle.clearIngestState(spark, path)
-      signFrame(corpus, idCol, textCol, bands, shingleSize, sigBuckets)
-        .write.mode("overwrite").partitionBy("band", "sb")
+      signed.write.mode("overwrite").partitionBy("band", "sb")
         .parquet(s"$path/sigs")
       writeGrid(fs, new org.apache.hadoop.fs.Path(s"$path/sigs"), sigBuckets)
       IndexLifecycle.endBuild(spark, path)
@@ -156,11 +169,22 @@ object LshIndex {
     * the persisted parameters, appended straight into the main table.
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit =
-    Similarity.withIndexMutation(spark, path, "LshIndex.append") {
-      val (bands, shingleSize, sigBuckets) = meta(spark, path)
-      signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets)
-        .write.mode("append").partitionBy("band", "sb").parquet(s"$path/sigs")
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val (bands, shingleSize, sigBuckets) = meta(spark, path)
+    appendSigned(spark, path, "LshIndex.append",
+      signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets))
+  }
+
+  /** Layout-generic non-streaming append (fenced straight write). The
+    * pending-build assert re-runs INSIDE the fence: the family meta read
+    * that signed the frame ran outside it, and a build could have begun
+    * in between.
+    */
+  private[ops] def appendSigned(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, signed: DataFrame): Unit =
+    Similarity.withIndexMutation(spark, path, op) {
+      IndexLifecycle.assertNoPendingBuild(spark, path)
+      signed.write.mode("append").partitionBy("band", "sb").parquet(s"$path/sigs")
     }
 
   /** Has a compact already folded this batch's ingest files into `sigs/`?
@@ -207,15 +231,27 @@ object LshIndex {
   def appendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String, batchId: Long,
       owner: Option[String] = None): Unit =
-    Similarity.withIndexMutation(spark, path, s"LshIndex.appendBatch b=$batchId",
-        reclaimSameOp = true) {
+    appendBatchSigned(spark, path, s"LshIndex.appendBatch b=$batchId",
+      batchId, owner) {
+      val (bands, shingleSize, sigBuckets) = meta(spark, path)
+      signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets)
+    }
+
+  /** Layout-generic idempotent per-batch ingest append: fence (reclaimable
+    * by the same op — a crashed micro-batch's replay IS the dead holder's
+    * retry), ownership check, folded-batch skip, monotone-id guard, then
+    * the batch's own `(b, band, sb)` partitions via dynamic overwrite.
+    * `signed` is by-name: a skipped (already-folded) batch never signs.
+    */
+  private[ops] def appendBatchSigned(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, batchId: Long, owner: Option[String])(
+      signed: => DataFrame): Unit =
+    Similarity.withIndexMutation(spark, path, op, reclaimSameOp = true) {
       IndexLifecycle.checkOwner(spark, path, owner)
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
-        val (bands, shingleSize, sigBuckets) = meta(spark, path)
-        signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets)
-          .withColumn("b", lit(batchId))
+        signed.withColumn("b", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("b", "band", "sb").parquet(s"$path/ingest")
       }
@@ -245,7 +281,7 @@ object LshIndex {
     * ([[compactIngest]], [[forget]] — which must fold the side area before
     * its rewrite or forgotten signatures would survive in `ingest/`).
     */
-  private def compactIngestFenced(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def compactIngestFenced(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
       import org.apache.hadoop.fs.Path
       val fs = fsOf(spark, path)
@@ -292,8 +328,15 @@ object LshIndex {
     * grid-keyed aggregate.
     */
   def health(spark: org.apache.spark.sql.SparkSession, path: String,
-      topK: Int = 20): DataFrame = {
-    val sigs = signatures(spark, path)
+      topK: Int = 20): DataFrame = healthOf(spark, path, topK)
+
+  /** Layout-generic: the bucket census touches only the universal
+    * `(band, sig)` columns, so one body serves every family.
+    */
+  private[ops] def healthOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, topK: Int): DataFrame = {
+    val sigs = signaturesOf(spark, path,
+      Seq("mh_id", "band", "sig", "sb"), None)
     val heavy = sigs.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("band"), col("sig"))
@@ -312,10 +355,30 @@ object LshIndex {
     * reader-concurrent (maintenance cadence).
     */
   def reshard(spark: org.apache.spark.sql.SparkSession, path: String,
-      newSigBuckets: Int): Unit =
-    Similarity.withIndexMutation(spark, path, "LshIndex.reshard") {
+      newSigBuckets: Int): Unit = {
+    import spark.implicits._
+    reshardRows(spark, path, "LshIndex.reshard", newSigBuckets,
+      Seq("mh_id", "band", "sig"), () => {
+        // raw parameter read (no grid cross-check): reshard is the REPAIR
+        // for a meta/grid mismatch, so it must be callable while one exists
+        val r0 = spark.read.parquet(s"$path/lsh_meta").collect()(0)
+        Seq((r0.getInt(r0.fieldIndex("bands")),
+            r0.getInt(r0.fieldIndex("shingle_size")), newSigBuckets))
+          .toDF("bands", "shingle_size", "sig_buckets")
+          .write.mode("overwrite").parquet(s"$path/lsh_meta")
+      })
+  }
+
+  /** The layout-generic reshard body: `sb` is a pure function of `sig`,
+    * so the regrid is ONE deterministic rewrite of `dataCols` (everything
+    * but `sb`) under the new modulus, staged then swapped; `rewriteMeta`
+    * persists the family's new grid parameter.
+    */
+  private[ops] def reshardRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, newSigBuckets: Int, dataCols: Seq[String],
+      rewriteMeta: () => Unit): Unit =
+    Similarity.withIndexMutation(spark, path, op) {
       import org.apache.hadoop.fs.Path
-      import spark.implicits._
       // reshard repairs a GRID mismatch, not a half-done build — resharding
       // old sigs under a new build's meta would "repair" into consistent-
       // looking wrong parameters
@@ -327,32 +390,25 @@ object LshIndex {
       // the rename left only the staged copy — adopt it before proceeding
       if (!fs.exists(live) && fs.exists(staged)) {
         if (!fs.rename(staged, live))
-          throw new java.io.IOException("lsh reshard recovery rename failed")
+          throw new java.io.IOException("index reshard recovery rename failed")
       }
       compactIngestFenced(spark, path)
-      // raw parameter read (no grid cross-check): reshard is the REPAIR for
-      // a meta/grid mismatch, so it must be callable while one exists
-      val r0 = spark.read.parquet(s"$path/lsh_meta").collect()(0)
-      val (bands, shingleSize) = (r0.getInt(r0.fieldIndex("bands")),
-        r0.getInt(r0.fieldIndex("shingle_size")))
       spark.read.parquet(live.toString)
-        .select(col("mh_id"), col("band"), col("sig"))
+        .select(dataCols.map(col): _*)
         .withColumn("sb",
           pmod(col("sig"), lit(newSigBuckets.toLong)).cast("int"))
         .repartition(col("band"), col("sb"))
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(staged.toString)
       writeGrid(fs, staged, newSigBuckets)
-      Seq((bands, shingleSize, newSigBuckets))
-        .toDF("bands", "shingle_size", "sig_buckets")
-        .write.mode("overwrite").parquet(s"$path/lsh_meta")
+      rewriteMeta()
       // crash windows are LOUD, never silently lossy: after the meta write
       // but before the swap, live's _grid contradicts meta and every
       // parameter read refuses; after the delete but before the rename,
       // sigs is absent and screens fail outright — both states repair by
       // re-running reshard (idempotent: sb is a pure function of sig)
       if (!fs.delete(live, true) || !fs.rename(staged, live))
-        throw new java.io.IOException(s"lsh reshard swap failed at $path")
+        throw new java.io.IOException(s"index reshard swap failed at $path")
     }
 
   /** GDPR/forget: REMOVE the given doc ids' signature rows via a
@@ -368,7 +424,18 @@ object LshIndex {
     */
   def forget(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, idCol: String): Long =
-    Similarity.withIndexMutation(spark, path, "LshIndex.forget") {
+    forgetRows(spark, path, "LshIndex.forget", ids, idCol,
+      meta(spark, path)._3)
+
+  /** The layout-generic forget body: fold pending ingest, staged full
+    * rewrite of `sigs/` minus the victims' rows, swap. `gridBuckets` is
+    * passed BY NAME so the family meta read (which asserts no pending
+    * build itself) runs inside the fence.
+    */
+  private[ops] def forgetRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, ids: DataFrame, idCol: String,
+      gridBuckets: => Int): Long =
+    Similarity.withIndexMutation(spark, path, op) {
       import org.apache.hadoop.fs.Path
       IndexLifecycle.assertNoPendingBuild(spark, path)
       val fs = fsOf(spark, path)
@@ -378,7 +445,7 @@ object LshIndex {
       // the rename left only the staged copy — adopt it before rewriting
       if (!fs.exists(live) && fs.exists(staged)) {
         if (!fs.rename(staged, live))
-          throw new java.io.IOException(s"lsh forget recovery rename failed")
+          throw new java.io.IOException(s"index forget recovery rename failed")
       }
       compactIngestFenced(spark, path)
       val victims = ids.select(col(idCol).as("mh_id")).distinct()
@@ -388,9 +455,9 @@ object LshIndex {
         .repartition(col("band"), col("sb"))
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(staged.toString)
-      writeGrid(fs, staged, meta(spark, path)._3) // grid unchanged by forget
+      writeGrid(fs, staged, gridBuckets) // grid unchanged by forget
       if (!fs.delete(live, true) || !fs.rename(staged, live))
-        throw new java.io.IOException(s"lsh forget swap failed at $path")
+        throw new java.io.IOException(s"index forget swap failed at $path")
       before - spark.read.parquet(live.toString).count()
     }
 
@@ -400,11 +467,20 @@ object LshIndex {
     * never screens a document against its own first-attempt signatures.
     */
   def signatures(spark: org.apache.spark.sql.SparkSession, path: String,
-      excludeBatch: Option[Long] = None): DataFrame = {
+      excludeBatch: Option[Long] = None): DataFrame =
+    signaturesOf(spark, path, Seq("mh_id", "band", "sig", "sb"), excludeBatch)
+
+  /** The layout-generic `sigs ∪ ingest` read, parameterized by the
+    * family's data columns — the phash family carries its full hash words
+    * on every row ([[PhashIndex]]); the minhash family carries none.
+    */
+  private[ops] def signaturesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, dataCols: Seq[String],
+      excludeBatch: Option[Long]): DataFrame = {
     import org.apache.hadoop.fs.Path
     IndexLifecycle.assertNoPendingBuild(spark, path)
     val main = spark.read.parquet(s"$path/sigs")
-      .select(col("mh_id"), col("band"), col("sig"), col("sb"))
+      .select(dataCols.map(col): _*)
     val ing = new Path(s"$path/ingest")
     val fs = fsOf(spark, path)
     // a compact that crashed AFTER its last file move but BEFORE deleting
@@ -418,8 +494,7 @@ object LshIndex {
     else {
       val side0 = spark.read.parquet(ing.toString)
       val side = excludeBatch.fold(side0)(b => side0.filter(col("b") =!= b))
-      main.unionByName(
-        side.select(col("mh_id"), col("band"), col("sig"), col("sb")))
+      main.unionByName(side.select(dataCols.map(col): _*))
     }
   }
 
@@ -440,7 +515,7 @@ object LshIndex {
     val (bands, shingleSize, sigBuckets) = meta(spark, path)
     candidatesFromSigs(spark, path,
       signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets),
-      excludeBatch)
+      bands * sigBuckets, excludeBatch)
   }
 
   /** Above this many touched buckets the probe stops enumerating a static
@@ -452,31 +527,54 @@ object LshIndex {
   private val MaxPruneBuckets = 1024
 
   private def candidatesFromSigs(spark: org.apache.spark.sql.SparkSession,
-      path: String, bSigs: DataFrame,
+      path: String, bSigs: DataFrame, fullGrid: Int,
+      excludeBatch: Option[Long]): DataFrame =
+    candidatesJoin(spark, path, bSigs.withColumnRenamed("mh_id", "b_id"),
+      Seq("mh_id", "band", "sig", "sb"), fullGrid, excludeBatch)
+      .select(col("b_id"), col("c_id")).distinct()
+
+  /** The layout-generic pruned candidate join: the probe's touched
+    * `(band, sb)` set is a pure function of its signatures and bounded by
+    * the partition grid, so it is collected (bounded, driver-tiny) and
+    * pushed as a literal partition filter — STATIC pruning, deterministic
+    * unlike the DPP heuristic, which declines when the broadcast side
+    * lacks a selective scalar predicate (exactly this shape: the probe is
+    * a small in-memory frame).
+    *
+    * `bSigs` must already carry `b_id` (plus any probe-side verify
+    * columns); the stored side's `mh_id` comes back as `c_id` and every
+    * other non-key data column gains a `c_` prefix, so a family can carry
+    * its verify payload on BOTH sides of the join without a name clash
+    * (the phash family's map-side hamming verify, [[PhashIndex]]).
+    */
+  private[ops] def candidatesJoin(spark: org.apache.spark.sql.SparkSession,
+      path: String, bSigs: DataFrame, dataCols: Seq[String], fullGrid: Int,
       excludeBatch: Option[Long]): DataFrame = {
-    // STATIC partition pruning: the probe's touched (band, sb) set is a
-    // pure function of its signatures and bounded by the partition grid,
-    // so it is collected (bounded, driver-tiny) and pushed as a literal
-    // partition filter — deterministic, unlike the DPP heuristic, which
-    // declines when the broadcast side lacks a selective scalar predicate
-    // (exactly this shape: the probe is a small in-memory frame).
+    // collecting past min(fullGrid, cap) is pointless: the touched set is
+    // bounded by the grid itself, and a probe that reaches every bucket
+    // gains nothing from a filter that names every partition
+    val pruneCap = math.min(MaxPruneBuckets, fullGrid - 1)
     val touched = bSigs.select(col("band"), col("sb")).distinct()
-      .limit(MaxPruneBuckets + 1).collect()
-    val idx = signatures(spark, path, excludeBatch)
+      .limit(pruneCap + 1).collect()
+    val keyCols = Set("mh_id", "band", "sig", "sb")
+    val idx0 = signaturesOf(spark, path, dataCols, excludeBatch)
       .withColumnRenamed("mh_id", "c_id")
+    val idx = dataCols.filterNot(keyCols)
+      .foldLeft(idx0)((d, c) => d.withColumnRenamed(c, s"c_$c"))
     val pruned =
       if (touched.isEmpty) idx.where(lit(false))
-      else if (touched.length > MaxPruneBuckets) {
+      else if (touched.length > pruneCap) {
+        // full-grid (or past-cap) probes: a literal filter enumerating
+        // every partition is strictly worse than no filter — it taxes the
+        // planner and the file-listing without skipping anything (measured
+        // on PhashIndexScaleSmoke's 5k-probe × 256-bucket grid)
         org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"lsh probe touches > $MaxPruneBuckets buckets; scanning the grid")
+          s"index probe touches > $pruneCap buckets; scanning the grid")
         idx
       } else idx.where(
         touched.map(r => col("band") === r.getInt(0) && col("sb") === r.getInt(1))
           .reduce(_ || _))
-    pruned
-      .join(broadcast(bSigs.withColumnRenamed("mh_id", "b_id")),
-        Seq("band", "sb", "sig"))
-      .select(col("b_id"), col("c_id")).distinct()
+    pruned.join(broadcast(bSigs), Seq("band", "sb", "sig"))
   }
 
   /** Screen a batch against the index: for each batch doc, `is_new` plus
@@ -496,7 +594,8 @@ object LshIndex {
       .localCheckpoint()
     val bSigs = Dedup.minhashSignaturesFromSets(bSets, bands)
       .withColumn("sb", pmod(col("sig"), lit(sigBuckets.toLong)).cast("int"))
-    val cand = candidatesFromSigs(spark, path, bSigs, excludeBatch)
+    val cand = candidatesFromSigs(spark, path, bSigs, bands * sigBuckets,
+        excludeBatch)
       .localCheckpoint() // consumed twice: corpus-sliver prune + verify join
     // every batch-derived frame here is small BY CONSTRUCTION (screening
     // batches are bounded; pairs only exist inside colliding buckets), so

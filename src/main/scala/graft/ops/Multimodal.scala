@@ -622,6 +622,129 @@ object Multimodal {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  // ── REAL header sniffing: magic bytes → format + container metadata ────
+  // The metadata half of the modality story: [[pack]]'s width/height stub
+  // exists for RAW payloads (no header to parse); for CONTAINERIZED media
+  // the header IS parseable with pure JDK byte work, and a 100 TB intake
+  // pipeline's first pass over an unlabeled media column is exactly this —
+  // detect the format from magic bytes, pull the typed geometry out of the
+  // header, and route rows by (format, dims) WITHOUT decoding any pixels.
+  // Reference anchor: the reference treats media as opaque bytes end to end
+  // (sink/sink.go); the sniff is the beyond-reference intake step that
+  // makes the opaque column routable.
+
+  /** Schema added by [[sniffMeta]]: `fmt` plus the container's typed
+    * geometry, null where the format has no such axis (audio has no width;
+    * still images have exactly one frame).
+    */
+  private val sniffFields = Seq(
+    StructField("fmt", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true))
+
+  /** REAL format detection + header parse, header-only (no pixel/sample
+    * decode, no frame materialization — a 100 TB sniff reads a few hundred
+    * bytes per blob):
+    *
+    *  - PNG: 8-byte signature, then IHDR's big-endian width/height.
+    *  - BMP: "BM" + BITMAPINFOHEADER little-endian dims (top-down negative
+    *    heights normalized to their magnitude).
+    *  - RIFF/WAVE: the `fmt ` chunk's channels + sample rate, and the
+    *    `data` chunk's size over the block align = sample count.
+    *  - RIFF/AVI: the `avih` header's width/height/total-frame count (a
+    *    chunk-tree walk like [[parseAvi]]'s, but header-only).
+    *
+    * Failure policy is DATA, not exceptions: an unrecognized magic yields
+    * `fmt = "unknown"`, and a recognized magic whose header then fails to
+    * parse yields `fmt = "corrupt:<format>"` — one truncated blob in a
+    * 100 TB scan must quarantine itself into a routable bucket, not kill
+    * the job (the loud-refusal house style applies to PROTOCOL states;
+    * malformed third-party data is an expected input class).
+    */
+  def sniffMeta(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ sniffFields)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq ++ sniffOne(r.getAs[Array[Byte]](cIdx)))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** One blob's sniff verdict as the [[sniffFields]] value tuple. */
+  private[graft] def sniffOne(b: Array[Byte]): Seq[Any] = {
+    val nulls = Seq[Any](null, null, null, null, null, null)
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b == null || b.length < 12) "unknown" +: nulls
+    else if (be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a) {
+      try {
+        require(tag(12) == "IHDR" && b.length >= 24, "no IHDR")
+        val (w, h) = (be32(16), be32(20))
+        require(w > 0 && h > 0, "bad dims")
+        Seq[Any]("png", w, h, 1, null, null, null)
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:png" +: nulls }
+    } else if (b(0) == 'B' && b(1) == 'M') {
+      try {
+        require(b.length >= 26 && le32(14) >= 40, "no BITMAPINFOHEADER")
+        val (w, h) = (le32(18), le32(22))
+        require(w > 0 && h != 0, "bad dims")
+        Seq[Any]("bmp", w, math.abs(h), 1, null, null, null)
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:bmp" +: nulls }
+    } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+      try {
+        var p = 12
+        var channels = -1; var rate = -1; var blockAlign = -1; var dataSz = -1
+        while (p + 8 <= b.length && (channels < 0 || dataSz < 0)) {
+          val id = tag(p); val sz = le32(p + 4)
+          require(sz >= 0 && p + 8 + sz <= b.length, s"chunk '$id' truncated")
+          if (id == "fmt ") {
+            require(sz >= 16, "fmt chunk too short")
+            channels = le16(p + 10); rate = le32(p + 12); blockAlign = le16(p + 20)
+          } else if (id == "data") dataSz = sz
+          p += 8 + sz + (sz & 1)
+        }
+        require(channels > 0 && rate > 0 && blockAlign > 0 && dataSz >= 0,
+          "missing fmt/data chunk")
+        Seq[Any]("wav", null, null, null, channels, rate, dataSz / blockAlign)
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:wav" +: nulls }
+    } else if (tag(0) == "RIFF" && tag(8) == "AVI ") {
+      try {
+        // header-only walk: descend LIST/hdrl, read avih's dwTotalFrames
+        // (+16) and dwWidth/dwHeight (+32/+36); never touch movi
+        var found: Seq[Any] = null
+        def walk(start: Int, end: Int): Unit = {
+          var p = start
+          while (p + 8 <= end && found == null) {
+            val id = tag(p); val sz = le32(p + 4)
+            require(sz >= 0 && p + 8 + sz <= b.length, s"chunk '$id' truncated")
+            if (id == "LIST" && tag(p + 8) == "hdrl") walk(p + 12, p + 8 + sz)
+            else if (id == "avih") {
+              require(sz >= 40, "avih too short")
+              found = Seq[Any]("avi", le32(p + 8 + 32), le32(p + 8 + 36),
+                le32(p + 8 + 16), null, null, null)
+            }
+            p += 8 + sz + (sz & 1)
+          }
+        }
+        walk(12, b.length)
+        require(found != null, "no avih header")
+        found
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:avi" +: nulls }
+    } else "unknown" +: nulls
+  }
+
   /** Image near-duplicate pairs by pigeonhole banding on the dHash's four
     * 16-bit words — [[Dedup.simhashPairs]]'s machinery pointed at decoded
     * pixels: two hashes within Hamming distance 3 must collide in at least

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED perceptual-hash index — the IMAGE twin of [[LshIndex]],
+  * and the third family on the shared [[IndexLifecycle]] protocol.
+  *
+  * The ad-hoc image near-dup ([[Multimodal.phashNearDupPairs]], oracle
+  * `mm6`) re-DECODES and re-hashes the whole image corpus per run — at
+  * 100 TB the decode (measured ~8.5 µs/image, MultimodalScaleSmoke) plus
+  * the corpus-×-corpus self-join is the dominant cost even though a hash
+  * is 16 bytes. This module persists the hashes once; every subsequent
+  * screening batch decodes ONLY ITSELF and joins the persisted table.
+  *
+  * Same physical layout as the minhash family (`sigs/band=B/sb=S/`,
+  * `ingest/b=N/...`, `_grid`, fold markers, ownership, pending-build
+  * protocol — the generic verbs live in [[LshIndex]] as `private[ops]`
+  * bodies and are shared VERBATIM, so the crash/maintenance analysis
+  * there carries over unchanged), with two family-specific differences:
+  *
+  *  - the signature is a dHash BAND WORD: `(band ∈ 0..3, sig = the
+  *    band's 16 pigeonhole bits)` — two images within Hamming distance 3
+  *    MUST collide in at least one band ([[Multimodal.perceptualHash]]'s
+  *    recall argument), so the equi-join on `(band, sb, sig)` is a
+  *    total-recall candidate generator for `maxDist ≤ 3`;
+  *  - every stored row carries the image's FULL 4-word hash (`h0..h3`),
+  *    so the Hamming verify runs MAP-SIDE on the candidate join itself —
+  *    the image corpus is NEVER re-read, not even through a semi-join
+  *    sliver (cheaper than the text family, whose Jaccard verify must
+  *    fetch candidate texts). 8 extra bytes/row buys a fetch-free verify.
+  *
+  * Reference anchor: like [[LshIndex]], a beyond-reference operator — the
+  * reference treats media as opaque bytes (sink/sink.go); screening each
+  * ingest batch against all prior media is the training-data-pipeline
+  * analog of its store-batching shape (store/postgresql/store.go).
+  */
+object PhashIndex {
+
+  private val dataCols =
+    Seq("mh_id", "band", "sig", "h0", "h1", "h2", "h3", "sb")
+
+  /** Build-time grid parameter, persisted at `path/phash_meta`; absence is
+    * an error and the `sigs/_grid` cross-check mirrors [[LshIndex]]'s (a
+    * crashed reshard's half-swap refuses loudly, never prunes wrongly).
+    */
+  private def meta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    IndexLifecycle.assertNoPendingBuild(spark, path)
+    val r = spark.read.parquet(s"$path/phash_meta").collect()(0)
+    val sb = r.getInt(r.fieldIndex("sig_buckets"))
+    val fs = LshIndex.fsOf(spark, path)
+    LshIndex.gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>
+      require(g == sb,
+        s"phash index at $path: sigs grid $g != phash_meta sig_buckets $sb — " +
+          "a crashed reshard left the swap incomplete; re-run PhashIndex.reshard"))
+    sb
+  }
+
+  /** Decode + hash a frame of images into the index's signature rows:
+    * one row per (image, band) carrying the band word as `sig` AND the
+    * full 4-word hash for the map-side verify. The decode runs once per
+    * image ([[Multimodal.perceptualHash]]'s batched kernel); images must
+    * satisfy its 9×8-divisible-dims contract.
+    */
+  private def signFrame(images: DataFrame, idCol: String, imgCol: String,
+      sigBuckets: Int): DataFrame =
+    Multimodal.perceptualHash(
+        images.select(col(idCol).cast("long").as("mh_id"), col(imgCol).as("img")),
+        "img")
+      .select(col("mh_id"), col("dh0").as("h0"), col("dh1").as("h1"),
+        col("dh2").as("h2"), col("dh3").as("h3"),
+        posexplode(array(col("dh0"), col("dh1"), col("dh2"), col("dh3"))))
+      .withColumnRenamed("pos", "band")
+      .withColumn("sig", col("col").cast("long")).drop("col")
+      .withColumn("sb", pmod(col("sig"), lit(sigBuckets.toLong)).cast("int"))
+      .repartition(col("band"), col("sb"))
+
+  /** Build and persist the index over an image corpus. Same contract as
+    * [[LshIndex.build]]: overwrites any previous index (including pending
+    * ingest and its markers), not reader-concurrent, and a mid-build crash
+    * leaves the fence held + the pending-build marker set — every
+    * subsequent mutator and parameter read refuses until the operator
+    * intervenes. `sigBuckets` sizes the `4 × sigBuckets` partition grid.
+    */
+  def build(images: DataFrame, idCol: String, imgCol: String, path: String,
+      sigBuckets: Int = 16): Unit = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    LshIndex.buildSigned(spark, path, "PhashIndex.build",
+      signFrame(images, idCol, imgCol, sigBuckets), sigBuckets,
+      () => Seq(sigBuckets).toDF("sig_buckets")
+        .write.mode("overwrite").parquet(s"$path/phash_meta"))
+  }
+
+  /** Incrementally index a batch (non-streaming form). */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      images: DataFrame, idCol: String, imgCol: String): Unit =
+    LshIndex.appendSigned(spark, path, "PhashIndex.append",
+      signFrame(images, idCol, imgCol, meta(spark, path)))
+
+  /** IDEMPOTENT per-batch append for continuous ingest — the exact
+    * protocol of [[LshIndex.appendBatch]] (same generic body: reclaimable
+    * fence, ownership check, folded-batch skip, monotone-id guard,
+    * dynamic overwrite of the batch's own partitions).
+    */
+  def appendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      images: DataFrame, idCol: String, imgCol: String, batchId: Long,
+      owner: Option[String] = None): Unit =
+    LshIndex.appendBatchSigned(spark, path,
+      s"PhashIndex.appendBatch b=$batchId", batchId, owner)(
+      signFrame(images, idCol, imgCol, meta(spark, path)))
+
+  /** Has a compact already folded this batch's ingest files into `sigs/`?
+    * (See [[LshIndex.batchFolded]] for why this is public.)
+    */
+  def batchFolded(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long): Boolean =
+    IndexLifecycle.batchFolded(spark, path, batchId)
+
+  /** Clear the fold-marker history after the owning stream's checkpoint
+    * is retired — [[LshIndex.resetIngestFolded]]'s exact twin.
+    */
+  def resetIngestFolded(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    Similarity.withIndexMutation(spark, path, "resetIngestFolded") {
+      IndexLifecycle.resetFoldedFenced(spark, path)(
+        LshIndex.compactIngestFenced(spark, path))
+    }
+
+  /** Hand the ingest area to a NEW owning stream —
+    * [[LshIndex.rebindIngestOwner]]'s exact twin.
+    */
+  def rebindIngestOwner(spark: org.apache.spark.sql.SparkSession,
+      path: String, owner: String): Unit =
+    Similarity.withIndexMutation(spark, path, "rebindIngestOwner") {
+      IndexLifecycle.rebindOwnerFenced(spark, path, owner)(
+        LshIndex.compactIngestFenced(spark, path))
+    }
+
+  /** Fold the streaming-ingest side area into `sigs/` as pure file moves —
+    * the SAME generic body as the other two families (crash-safe, not
+    * reader-concurrent; maintenance cadence).
+    */
+  def compactIngest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    Similarity.withIndexMutation(spark, path, "PhashIndex.compactIngest") {
+      IndexLifecycle.assertNoPendingBuild(spark, path)
+      LshIndex.compactIngestFenced(spark, path)
+    }
+
+  /** The index's hash rows, `sigs ∪ ingest` (generic read). */
+  def signatures(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeBatch: Option[Long] = None): DataFrame =
+    LshIndex.signaturesOf(spark, path, dataCols, excludeBatch)
+
+  /** Per-bucket health — the flat-image/boilerplate skew signal (one
+    * blank-image class is a single band bucket pairing quadratically; the
+    * remedy is [[Dedup.capWordBuckets]] upstream or exact-dedup of the
+    * flat class). Same census as [[LshIndex.health]].
+    */
+  def health(spark: org.apache.spark.sql.SparkSession, path: String,
+      topK: Int = 20): DataFrame = LshIndex.healthOf(spark, path, topK)
+
+  /** GDPR/forget: remove the given image ids' hash rows — content-derived
+    * fingerprints participate in the erasure story ([[LshIndex.forget]]'s
+    * contract and generic body; staged rewrite + swap, folds ingest
+    * first). Returns rows removed.
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String): Long =
+    LshIndex.forgetRows(spark, path, "PhashIndex.forget", ids, idCol,
+      meta(spark, path))
+
+  /** Re-shard the partition grid — [[LshIndex.reshard]]'s generic body
+    * over this family's columns (the full hash words travel with their
+    * rows; nothing recomputes).
+    */
+  def reshard(spark: org.apache.spark.sql.SparkSession, path: String,
+      newSigBuckets: Int): Unit = {
+    import spark.implicits._
+    LshIndex.reshardRows(spark, path, "PhashIndex.reshard", newSigBuckets,
+      Seq("mh_id", "band", "sig", "h0", "h1", "h2", "h3"),
+      () => Seq(newSigBuckets).toDF("sig_buckets")
+        .write.mode("overwrite").parquet(s"$path/phash_meta"))
+  }
+
+  /** Verified near-duplicate candidates of a probe frame against the
+    * index: the pruned `(band, sb, sig)` equi-join ([[LshIndex]]'s static
+    * partition filter — a probe batch reads O(batch × bands) buckets,
+    * never the index), then the Hamming verify MAP-SIDE on the joined
+    * rows (both sides carry their full hash). Emits
+    * `(b_id, c_id, dist ≤ maxDist)` — distinct pairs; public for plan
+    * inspection and for pair-collecting consumers.
+    *
+    * `maxDist ≤ 3` is required: 4×16-bit banding guarantees candidate
+    * recall only to Hamming 3 (beyond it the equi-join is a heuristic,
+    * and this family refuses to pretend otherwise).
+    */
+  def candidates(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    // checkpoint: the probe hashes feed the touched-bucket collect AND the
+    // join — without this the probe DECODES twice (phashNearDupPairs'
+    // one-decode cost model, same reason)
+    val sigBuckets = meta(spark, path)
+    val bSigs = signFrame(batch, idCol, imgCol, sigBuckets)
+      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
+    LshIndex.candidatesJoin(spark, path, bSigs, dataCols, 4 * sigBuckets,
+        excludeBatch)
+      .withColumn("dist",
+        (bit_count(col("h0").bitwiseXOR(col("c_h0"))) +
+          bit_count(col("h1").bitwiseXOR(col("c_h1"))) +
+          bit_count(col("h2").bitwiseXOR(col("c_h2"))) +
+          bit_count(col("h3").bitwiseXOR(col("c_h3")))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("b_id"), col("c_id"), col("dist")).distinct()
+  }
+
+  /** Screen a batch of images against the index: for each batch image,
+    * `is_new` plus the minimum matching corpus id within `maxDist` —
+    * [[LshIndex.screen]]'s semantics with the verify already paid by
+    * [[candidates]] (no corpus argument: the verify is index-resident).
+    */
+  def screen(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val matched = candidates(spark, path, batch, idCol, imgCol, maxDist,
+        excludeBatch)
+      .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
+    batch.select(col(idCol)).join(
+        broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
+  }
+}

@@ -44,7 +44,11 @@ object Procedures {
       "streaming-ingest batches into the cell table " +
       "(Similarity.compactIvfIngest — fenced, marker-before-move, " +
       "idempotent)",
-      (s, p) => Similarity.compactIvfIngest(s, p))))
+      (s, p) => Similarity.compactIvfIngest(s, p))),
+    "phash_compact" -> (("Fold a persisted perceptual-hash index's pending " +
+      "streaming-ingest batches into sigs/ (PhashIndex.compactIngest — " +
+      "fenced, marker-before-move, idempotent; the image family)",
+      (s, p) => PhashIndex.compactIngest(s, p))))
 
   def names: Seq[String] = all.keys.toSeq.sorted
 

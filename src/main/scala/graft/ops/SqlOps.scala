@@ -115,10 +115,33 @@ object SqlOps {
         asInt(es(5), "sem_screen", 5), asInt(es(6), "sem_screen", 6))
     }
 
+    // screen an image-batch view against the persisted perceptual-hash
+    // index (PhashIndex.screen) — the image family's SQL leg. No corpus
+    // view argument: the Hamming verify is index-resident.
+    tvf("phash_screen", Seq(5)) { es =>
+      PhashIndex.screen(spark, asStr(es(0), "phash_screen", 0),
+        spark.table(asStr(es(1), "phash_screen", 1)),
+        asStr(es(2), "phash_screen", 2), asStr(es(3), "phash_screen", 3),
+        asInt(es(4), "phash_screen", 4))
+    }
+
+    // the verified pairs alone (plan-inspectable pruning from SQL)
+    tvf("phash_candidates", Seq(5)) { es =>
+      PhashIndex.candidates(spark, asStr(es(0), "phash_candidates", 0),
+        spark.table(asStr(es(1), "phash_candidates", 1)),
+        asStr(es(2), "phash_candidates", 2),
+        asStr(es(3), "phash_candidates", 3),
+        asInt(es(4), "phash_candidates", 4))
+    }
+
     // maintenance dashboards from SQL
     tvf("lsh_index_health", Seq(2)) { es =>
       LshIndex.health(spark, asStr(es(0), "lsh_index_health", 0),
         asInt(es(1), "lsh_index_health", 1))
+    }
+    tvf("phash_index_health", Seq(2)) { es =>
+      PhashIndex.health(spark, asStr(es(0), "phash_index_health", 0),
+        asInt(es(1), "phash_index_health", 1))
     }
     tvf("ivf_index_health", Seq(1)) { es =>
       Similarity.ivfIndexHealth(spark, asStr(es(0), "ivf_index_health", 0))

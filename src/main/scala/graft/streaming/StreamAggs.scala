@@ -552,6 +552,32 @@ object StreamAggs {
       }
     }
 
+  /** The IMAGE twin of [[dedupAtIngest]]: a self-growing near-dup screen
+    * over a persisted perceptual-hash index ([[graft.ops.PhashIndex]]).
+    * Same protocol (idempotent `b=batchId` partitions, current-batch
+    * exclusion, folded-batch skip) with one simplification the image
+    * family earns structurally: there is NO corpus thunk — the Hamming
+    * verify is index-resident (stored rows carry their full hash), so the
+    * make-accepted-visible contract and its verify-degradation caveat
+    * vanish. A batch decodes only itself; nothing else is ever re-read.
+    */
+  def imageDedupAtIngest(stream: DataFrame, idxPath: String, idCol: String,
+      imgCol: String, maxDist: Int = 2, owner: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val s = batch.sparkSession
+      if (!graft.ops.PhashIndex.batchFolded(s, idxPath, batchId)) {
+        val verdicts = graft.ops.PhashIndex.screen(s, idxPath, batch.toDF(),
+            idCol, imgCol, maxDist, excludeBatch = Some(batchId))
+          .localCheckpoint() // consumed twice: sink + accepted semi-join
+        sink(verdicts, batchId)
+        val accepted = batch.toDF().join(
+          verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
+        graft.ops.PhashIndex.appendBatch(s, idxPath, accepted, idCol, imgCol,
+          batchId, owner)
+      }
+    }
+
   def screenNearDupAtIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int = 4, shingleSize: Int = 3)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

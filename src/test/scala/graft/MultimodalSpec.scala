@@ -207,6 +207,46 @@ class MultimodalSpec extends AnyFunSuite {
       s"unrelated videos must not match, got $matched")
   }
 
+  test("sniffMeta: real header parse for all four container formats; corrupt and unknown route as data") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 4L).map(i => (i, longText(i.toInt)))
+    val img = Multimodal.synthImages(packed(rows), w = 45, h = 40) // mixed: png/bmp by parity
+    val wav = Multimodal.synthAudio(packed(rows), nSamples = 500, sampleRate = 11025)
+    val avi = Multimodal.synthVideo(packed(rows), w = 20, h = 14, nFrames = 3)
+
+    val si = Multimodal.sniffMeta(img, "img").select("media_id", "fmt", "width", "height", "n_frames").collect()
+    si.foreach { r =>
+      assert(r.getString(1) == (if (r.getLong(0) % 2 == 0) "png" else "bmp"))
+      assert(r.getInt(2) == 45 && r.getInt(3) == 40 && r.getInt(4) == 1)
+    }
+    val sw = Multimodal.sniffMeta(wav, "audio")
+      .select("fmt", "n_channels", "sample_rate", "n_samples", "width").collect()
+    sw.foreach { r =>
+      assert(r.getString(0) == "wav" && r.getInt(1) == 1 &&
+        r.getInt(2) == 11025 && r.getInt(3) == 500)
+      assert(r.isNullAt(4), "audio has no width")
+    }
+    val sv = Multimodal.sniffMeta(avi, "video")
+      .select("fmt", "width", "height", "n_frames", "sample_rate").collect()
+    sv.foreach { r =>
+      assert(r.getString(0) == "avi" && r.getInt(1) == 20 && r.getInt(2) == 14 &&
+        r.getInt(3) == 3)
+      assert(r.isNullAt(4), "video sniff carries no sample rate")
+    }
+
+    // corrupt: recognized magic, truncated header — routes, never throws
+    val firstImg = img.select("img").head.getAs[Array[Byte]](0)
+    assert(Multimodal.sniffOne(firstImg.take(14)).head.toString.startsWith("corrupt:"))
+    // a declared chunk size past the buffer end is corrupt, not a crash
+    val vid = avi.select("video").head.getAs[Array[Byte]](0)
+    assert(Multimodal.sniffOne(vid.take(40)).head == "corrupt:avi")
+    // unknown magic and null content route as data too
+    assert(Multimodal.sniffOne("plain text, not media at all".getBytes).head == "unknown")
+    assert(Multimodal.sniffOne(null).head == "unknown")
+    assert(Multimodal.sniffOne(Array[Byte](1, 2, 3)).head == "unknown")
+  }
+
   test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
     val s = spark
     // 40 bases + systematic near copies: single-char ±1 edits at varying

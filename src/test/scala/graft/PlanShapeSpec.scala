@@ -135,6 +135,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm10: mm6's banded pair machinery (band self-join + pair distinct)
       // plus the per-video-pair rollup aggregate
       "mm9_video_frames" -> 0, "mm10_video_neardup" -> 4,
+      // mm11: sniff is union of mapPartitions lineages — zero exchanges.
+      // mm12/mm13: the probe side is checkpointed and BROADCAST into the
+      // pruned index scan (zero exchange on the corpus side); only the
+      // match rollup (mm12: AQE collapses distinct+agg into one) and
+      // mm13's pair-distinct + per-video rollup shuffle
+      "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 1,
+      "mm13_cross_modal" -> 2,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,

@@ -229,6 +229,76 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("phash family SQL legs: screen/candidates/health TVFs and the fenced CALL, all API-identical") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.ops.SqlOps.register(s)
+    val dir = Files.createTempDirectory("graftsqlph").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.graftproc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftproc.warehouse", s"$dir/wh")
+    try {
+      def longText(seed: Int): String = {
+        val rnd = new scala.util.Random(seed)
+        val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+        (0 until 260).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      def imagesOf(rows: Seq[(Long, String)]) =
+        graft.ops.Multimodal.synthImages(graft.ops.Multimodal.pack(
+            rows.toDF("doc_id", "text"), "doc_id", "text", "raw"))
+          .select(col("media_id").as("img_id"), col("img"))
+      val corpus = (0L until 12L).map(i => (i, longText(i.toInt)))
+      val batch = Seq((100L, longText(3)), (101L, longText(777)))
+
+      // twin indexes: fold A via the API, B via CALL — states converge
+      Seq("a", "b").foreach { t =>
+        graft.ops.PhashIndex.build(imagesOf(corpus), "img_id", "img",
+          s"$dir/ph_$t", sigBuckets = 8)
+        graft.ops.PhashIndex.appendBatch(s, s"$dir/ph_$t",
+          imagesOf(Seq((200L, longText(200)))), "img_id", "img", 0L)
+      }
+      graft.ops.PhashIndex.compactIngest(s, s"$dir/ph_a")
+      s.sql(s"CALL graftproc.phash_compact('$dir/ph_b')").collect()
+      def state(p: String) = (
+        graft.ops.PhashIndex.signatures(s, p).collect().map(_.toString).sorted.toSeq,
+        new java.io.File(s"$p/sigs").listFiles().filter(_.isDirectory)
+          .map(_.getName).sorted.toSeq,
+        new java.io.File(s"$p/ingest").exists())
+      val (sa, da, ia) = state(s"$dir/ph_a")
+      val (sb, db, ib) = state(s"$dir/ph_b")
+      assert(sa === sb && da === db && !ia && !ib,
+        "phash_compact via CALL must converge to the API's index state")
+      assert(s.sql("SHOW PROCEDURES IN graftproc").collect().map(_.toString)
+        .mkString(" ").contains("phash_compact"))
+
+      // TVFs: screen/candidates/health from PURE SQL equal the Scala API
+      imagesOf(batch).createOrReplaceTempView("sqlops_imgs")
+      val screened = s.sql(
+        s"""SELECT img_id, is_new, match_id
+           |FROM phash_screen('$dir/ph_a', 'sqlops_imgs', 'img_id', 'img', 3)
+           |ORDER BY img_id""".stripMargin).collect()
+      val apiScreen = graft.ops.PhashIndex.screen(s, s"$dir/ph_a",
+          imagesOf(batch), "img_id", "img", 3)
+        .orderBy("img_id").collect()
+      assert(screened.toSeq.map(_.toString) === apiScreen.toSeq.map(_.toString),
+        "the SQL surface must return exactly the Scala API's result")
+      assert(!screened(0).getBoolean(1) && screened(1).getBoolean(1),
+        "planted dup of corpus image 3 flagged, novel image admitted")
+      val candPlan = s.sql(
+        s"""SELECT * FROM phash_candidates('$dir/ph_a', 'sqlops_imgs',
+           |                               'img_id', 'img', 3)""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(candPlan.contains("PartitionFilters") &&
+        """\(band#\d+ = \d""".r.findFirstIn(candPlan).isDefined,
+        s"SQL-routed phash candidates must keep the pruning:\n${candPlan.take(1500)}")
+      assert(s.sql(s"SELECT * FROM phash_index_health('$dir/ph_a', 5)")
+        .count() === 5L)
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftproc")
+      s.conf.unset("spark.sql.catalog.graftproc.warehouse")
+    }
+  }
+
   test("zorder_key SQL macro interleaves like the Scala API") {
     graft.functions.registerAll(spark)
     // 2 dims → 16 bits each; bit b of dim 0 lands at position 2b, of dim 1
