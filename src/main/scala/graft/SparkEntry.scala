@@ -1884,6 +1884,36 @@ object SparkEntry {
           min(col("c_id")).as("first_image"))
     }),
 
+    // ── multimodal: JOINT text+image dedup — one component graph over the
+    // UNION of verified text near-dup pairs (d6's machinery) and image
+    // hamming pairs (mm6's): a document duplicated in EITHER modality
+    // collapses (same text re-rendered, same image re-captioned — the
+    // web-scrape dup classes a single-modality pass misses). Exact
+    // components; the oracle re-derives both pair sets and the closure ───
+    "mm14_joint_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val slice = base
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+          translate(col("text"), "e", "f").as("text")))
+        .unionByName(base.select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" appended alpha beta gamma tokens")).as("text")))
+        .localCheckpoint() // consumed 3×: text sets, image hashes, nodes
+      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").localCheckpoint()
+      val textPairs = ops.Dedup.jaccardVerifyFromSets(sets,
+          ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
+        .select(col("doc_a"), col("doc_b"))
+      val imgPairs = ops.Multimodal.phashNearDupPairs(
+          ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(
+            ops.Multimodal.pack(slice, "doc_id", "text", "raw"))), maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      ops.Dedup.connectedComponents(slice.select(col("doc_id").as("node")),
+          textPairs.unionByName(imgPairs).distinct())
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_survivor"))
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2114,8 +2144,12 @@ object SparkEntry {
     * and d15's exact-components oracle — ONE SQL restatement of the
     * candidate machinery, three component policies on top.
     */
-  private val dedupPairsCte: String =
-    """tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
+  /** The verified text near-dup pair CTE over an arbitrary `(doc_id,
+    * text)` source — `documents` for the d-family oracles, the planted
+    * multimodal slice for mm14's joint graph.
+    */
+  private def dedupPairsCteOver(src: String): String =
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') ws FROM $src),
       |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
       |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
       |       FROM tok WHERE len(ws) >= 3),
@@ -2142,6 +2176,8 @@ object SparkEntry {
       |          JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
       |          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
       |                / len(list_distinct(sa.sh || sb.sh)) >= 0.2)""".stripMargin
+
+  private val dedupPairsCte: String = dedupPairsCteOver("documents")
 
   /** True-reachability closure over [[dedupPairsCte]]'s verified pair graph
     * (through `lab(node, component)`) — ONE statement of exact-component
@@ -3930,6 +3966,38 @@ object SparkEntry {
         |WHERE bit_count(xor(v.d0, c.d0)) + bit_count(xor(v.d1, c.d1))
         |    + bit_count(xor(v.d2, c.d2)) + bit_count(xor(v.d3, c.d3)) <= 3
         |GROUP BY 1""".stripMargin),
+
+    // one recursive closure over BOTH modality pair graphs: text pairs
+    // from the shared dedupPairsCte machinery pointed at the slice, image
+    // pairs from the shared grid CTE — the joint truth is the union
+    "mm14_joint_dedup" -> ("WITH RECURSIVE src AS (" +
+      """SELECT doc_id, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+        |           FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 30000, text || ' appended alpha beta gamma tokens'
+        |           FROM documents WHERE doc_id < 200""".stripMargin + "),\n" +
+      mmGridCteBody(
+        """SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+          |             octet_length(text::BLOB) AS n
+          |      FROM src""".stripMargin, Seq("media_id"), "i % n") + ",\n" +
+      dedupPairsCteOver("src") +
+      """,
+        |ipairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+        |           FROM dh a JOIN dh b ON a.media_id < b.media_id
+        |           WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |               + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3),
+        |allp AS (SELECT doc_a, doc_b FROM pairs
+        |         UNION SELECT doc_a, doc_b FROM ipairs),
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM allp
+        |        UNION SELECT doc_b, doc_a FROM allp),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT src.doc_id, coalesce(l.component, src.doc_id) AS component,
+        |       coalesce(l.component, src.doc_id) = src.doc_id AS is_survivor
+        |FROM src LEFT JOIN lab l ON l.node = src.doc_id""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

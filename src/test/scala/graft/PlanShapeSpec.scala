@@ -142,6 +142,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm13's pair-distinct + per-video rollup shuffle
       "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 1,
       "mm13_cross_modal" -> 2,
+      // mm14: the pair machinery executes eagerly behind localCheckpoints
+      // (d15's shape); the final plan is the component back-join
+      "mm14_joint_dedup" -> 2,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
@@ -304,6 +307,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // (d4's reasoning); mm7 adds d15's component machinery on top, mm10
       // runs the same self-join over per-frame hashes
       "mm6_image_neardup", "mm7_image_survivors", "mm10_video_neardup",
+      // mm14: composes mm6's band self-join AND d15's component machinery
+      "mm14_joint_dedup",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
