@@ -1914,6 +1914,26 @@ object SparkEntry {
           (col("node") === col("label")).as("is_survivor"))
     }),
 
+    // ── multimodal: AUDIO near-dup via the 64-bit energy-contour
+    // fingerprint — near-dup now spans all three modalities through ONE
+    // banded pair machine (text simhash, image/video dHash, audio contour).
+    // maxDist 3 keeps banding recall total, so the oracle is the EXACT
+    // hamming join over fingerprints re-derived from SOURCE bytes — the
+    // match proves the WAV decode + contour arithmetic end to end ─────────
+    "mm15_audio_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val planted = base
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+          translate(col("text"), "e", "f").as("text")))
+      val fp = ops.Multimodal.audioFingerprint(ops.Multimodal.synthAudio(
+        ops.Multimodal.pack(planted, "doc_id", "text", "raw")))
+      ops.Multimodal.phashNearDupPairs(
+        fp.select(col("media_id"), col("af0").as("dh0"), col("af1").as("dh1"),
+          col("af2").as("dh2"), col("af3").as("dh3")), maxDist = 3)
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -3998,6 +4018,40 @@ object SparkEntry {
         |SELECT src.doc_id, coalesce(l.component, src.doc_id) AS component,
         |       coalesce(l.component, src.doc_id) = src.doc_id AS is_survivor
         |FROM src LEFT JOIN lab l ON l.node = src.doc_id""".stripMargin),
+
+    // the mm8 energy derivation one hop further: 64 frames of 32 samples,
+    // bit p = e_p > e_(p+1 mod 64), packed into four 16-bit words — then
+    // the EXACT hamming join (banding recall total at 3)
+    "mm15_audio_fingerprint" ->
+      """WITH src AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+        | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+        |           FROM documents WHERE doc_id < 200),
+        |h AS (SELECT media_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS n
+        |      FROM src),
+        |px AS (SELECT media_id, unnest(range(2048)) AS i, hx, n FROM h),
+        |pv AS (SELECT media_id, i,
+        |         (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+1, 1))-1)*16
+        |       + (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+2, 1))-1) AS v
+        |       FROM px),
+        |e AS (SELECT media_id, i // 32 AS f, (sum(abs(v - 128)))::BIGINT AS e
+        |      FROM pv GROUP BY 1, 2),
+        |bits AS (SELECT a.media_id, a.f AS p,
+        |                CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |         FROM e a JOIN e b ON a.media_id = b.media_id
+        |          AND b.f = (a.f + 1) % 64),
+        |af AS (SELECT media_id,
+        |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a0,
+        |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a1,
+        |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a2,
+        |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a3
+        |       FROM bits GROUP BY media_id)
+        |SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |       (bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
+        |      + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)))::BIGINT AS dist
+        |FROM af x JOIN af y ON x.media_id < y.media_id
+        |WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
+        |    + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3""".stripMargin,
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -418,6 +418,60 @@ object Multimodal {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** 64-bit audio FINGERPRINT from the decoded energy contour — the audio
+    * near-dup signature (the energy-delta-sign design of the classic audio
+    * fingerprinting literature, integer-exact): decode the WAV (REAL codec,
+    * [[audioFeatures]]'s leg), take the first 64 frame energies
+    * (`frameSamples` samples each; refuses loudly on shorter audio — a
+    * silently padded contour would hash unrelated clips together), then
+    * bit i = `e_i > e_(i+1 mod 64)` — the loudness GRADIENT, invariant to
+    * uniform gain shifts the way dHash is to brightness. Bits pack
+    * MSB-first into four 16-bit band words `af0..af3` (+ hex `afhash`), the
+    * same pigeonhole shape as the image dHash: recall is TOTAL to Hamming 3
+    * under 4×16 banding, so the same pair generator and the SAME persisted
+    * index family serve audio — [[PhashIndex]] is fingerprint-agnostic
+    * through its `*Hashed` entry points. Everything after the decode is
+    * exact integer arithmetic: the oracle re-derives the fingerprint from
+    * SOURCE bytes without decoding (the mm8 pattern, one hop further).
+    */
+  def audioFingerprint(df: DataFrame, audioCol: String = "audio",
+      frameSamples: Int = 32, batchSize: Int = 64): DataFrame = {
+    require(frameSamples > 0, "frameSamples must be positive")
+    val added = (0 to 3).map(k =>
+      StructField(s"af$k", IntegerType, nullable = true)) :+
+      StructField("afhash", StringType, nullable = true)
+    val schema = StructType(df.schema.fields ++ added)
+    val audioIdx = df.schema.fieldIndex(audioCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](audioIdx)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"audioFingerprint expects 8-bit mono PCM, got $fmt")
+          val pcm = try ais.readAllBytes() finally ais.close()
+          require(pcm.length >= 64 * frameSamples,
+            s"audioFingerprint needs >= ${64 * frameSamples} samples for a " +
+              s"64-frame contour, got ${pcm.length} — shorter audio must " +
+              "not hash (a padded contour would collide unrelated clips)")
+          val e = Array.tabulate(64) { f =>
+            var s = 0L; var i = f * frameSamples
+            while (i < (f + 1) * frameSamples) {
+              s += math.abs((pcm(i) & 0xff) - 128); i += 1
+            }
+            s
+          }
+          val bits = Array.tabulate(64)(i => if (e(i) > e((i + 1) % 64)) 1 else 0)
+          val words = Array.tabulate(4)(k =>
+            (0 until 16).map(j => bits(16 * k + j) << (15 - j)).sum)
+          Row.fromSeq(r.toSeq ++ words :+ words.map(w => f"$w%04x").mkString)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   // ── REAL video container: RIFF/AVI with uncompressed DIB frames ─────────
   // No JDK video codec exists, but none is needed for the container story:
   // AVI is RIFF (the WAV lesson) and the 'DIB ' handler stores frames as

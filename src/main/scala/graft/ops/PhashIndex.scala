@@ -65,16 +65,30 @@ object PhashIndex {
     */
   private def signFrame(images: DataFrame, idCol: String, imgCol: String,
       sigBuckets: Int): DataFrame =
-    Multimodal.perceptualHash(
+    signWords(Multimodal.perceptualHash(
         images.select(col(idCol).cast("long").as("mh_id"), col(imgCol).as("img")),
-        "img")
-      .select(col("mh_id"), col("dh0").as("h0"), col("dh1").as("h1"),
-        col("dh2").as("h2"), col("dh3").as("h3"),
-        posexplode(array(col("dh0"), col("dh1"), col("dh2"), col("dh3"))))
+        "img"),
+      "mh_id", Seq("dh0", "dh1", "dh2", "dh3"), sigBuckets)
+
+  /** The fingerprint-agnostic signer: any four 16-bit band words — the
+    * image dHash, the audio energy-contour fingerprint
+    * ([[Multimodal.audioFingerprint]]), a video frame hash — enter the
+    * SAME persisted family through here. The `*Hashed` public entry
+    * points expose it for pre-hashed rows.
+    */
+  private def signWords(hashed: DataFrame, idCol: String,
+      wordCols: Seq[String], sigBuckets: Int): DataFrame = {
+    require(wordCols.length == 4, "banded hashes are four 16-bit words")
+    hashed
+      .select(col(idCol).cast("long").as("mh_id"),
+        col(wordCols(0)).as("h0"), col(wordCols(1)).as("h1"),
+        col(wordCols(2)).as("h2"), col(wordCols(3)).as("h3"),
+        posexplode(array(wordCols.map(col): _*)))
       .withColumnRenamed("pos", "band")
       .withColumn("sig", col("col").cast("long")).drop("col")
       .withColumn("sb", pmod(col("sig"), lit(sigBuckets.toLong)).cast("int"))
       .repartition(col("band"), col("sb"))
+  }
 
   /** Build and persist the index over an image corpus. Same contract as
     * [[LshIndex.build]]: overwrites any previous index (including pending
@@ -207,8 +221,15 @@ object PhashIndex {
     val sigBuckets = meta(spark, path)
     val bSigs = signFrame(batch, idCol, imgCol, sigBuckets)
       .withColumnRenamed("mh_id", "b_id").localCheckpoint()
-    LshIndex.candidatesJoin(spark, path, bSigs, dataCols, 4 * sigBuckets,
-        excludeBatch)
+    verifyHamming(LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
+      4 * sigBuckets, excludeBatch), maxDist)
+  }
+
+  /** The map-side Hamming verify over the candidate join (both sides
+    * carry their full 4-word hash — no fetch).
+    */
+  private def verifyHamming(joined: DataFrame, maxDist: Int): DataFrame =
+    joined
       .withColumn("dist",
         (bit_count(col("h0").bitwiseXOR(col("c_h0"))) +
           bit_count(col("h1").bitwiseXOR(col("c_h1"))) +
@@ -216,7 +237,6 @@ object PhashIndex {
           bit_count(col("h3").bitwiseXOR(col("c_h3")))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("b_id"), col("c_id"), col("dist")).distinct()
-  }
 
   /** Screen a batch of images against the index: for each batch image,
     * `is_new` plus the minimum matching corpus id within `maxDist` —
@@ -230,6 +250,58 @@ object PhashIndex {
         excludeBatch)
       .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
     batch.select(col(idCol)).join(
+        broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
+  }
+
+  // ── fingerprint-agnostic entry points: PRE-HASHED rows ─────────────────
+  // The index stores 4×16-bit band words; nothing about the lifecycle,
+  // pruning or Hamming verify is image-specific. Any fingerprint with the
+  // dHash banding contract (recall total to Hamming 3) shares the family —
+  // the audio energy-contour fingerprint is the first second tenant.
+
+  /** [[build]] over already-fingerprinted rows: `wordCols` are the four
+    * 16-bit band word columns (e.g. `af0..af3` from
+    * [[Multimodal.audioFingerprint]]).
+    */
+  def buildHashed(hashed: DataFrame, idCol: String, wordCols: Seq[String],
+      path: String, sigBuckets: Int = 16): Unit = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    LshIndex.buildSigned(spark, path, "PhashIndex.build",
+      signWords(hashed, idCol, wordCols, sigBuckets), sigBuckets,
+      () => Seq(sigBuckets).toDF("sig_buckets")
+        .write.mode("overwrite").parquet(s"$path/phash_meta"))
+  }
+
+  /** [[appendBatch]] over already-fingerprinted rows (same protocol). */
+  def appendBatchHashed(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashed: DataFrame, idCol: String, wordCols: Seq[String],
+      batchId: Long, owner: Option[String] = None): Unit =
+    LshIndex.appendBatchSigned(spark, path,
+      s"PhashIndex.appendBatch b=$batchId", batchId, owner)(
+      signWords(hashed, idCol, wordCols, meta(spark, path)))
+
+  /** [[candidates]] for a pre-hashed probe frame. */
+  def candidatesHashed(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashed: DataFrame, idCol: String, wordCols: Seq[String],
+      maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    val sigBuckets = meta(spark, path)
+    val bSigs = signWords(hashed, idCol, wordCols, sigBuckets)
+      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
+    verifyHamming(LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
+      4 * sigBuckets, excludeBatch), maxDist)
+  }
+
+  /** [[screen]] for a pre-hashed probe frame. */
+  def screenHashed(spark: org.apache.spark.sql.SparkSession, path: String,
+      hashed: DataFrame, idCol: String, wordCols: Seq[String],
+      maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
+    val matched = candidatesHashed(spark, path, hashed, idCol, wordCols,
+        maxDist, excludeBatch)
+      .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
+    hashed.select(col(idCol)).join(
         broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
       .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
   }

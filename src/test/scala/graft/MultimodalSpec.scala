@@ -247,6 +247,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffOne(Array[Byte](1, 2, 3)).head == "unknown")
   }
 
+  test("audioFingerprint: exact contour hash; the persisted index is fingerprint-agnostic") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 6L).map(i => (i, longText(i.toInt)))
+    val fp = Multimodal.audioFingerprint(Multimodal.synthAudio(packed(rows)))
+      .localCheckpoint()
+    // hand-verify fingerprint 0 against a direct source-byte computation
+    val r0 = fp.filter(col("media_id") === 0L).head
+    val bytes = longText(0).getBytes("UTF-8")
+    val e = Array.tabulate(64)(f => (0 until 32)
+      .map(j => math.abs((bytes((f * 32 + j) % bytes.length) & 0xff) - 128)).sum)
+    val bits = Array.tabulate(64)(i => if (e(i) > e((i + 1) % 64)) 1 else 0)
+    val words = Array.tabulate(4)(k =>
+      (0 until 16).map(j => bits(16 * k + j) << (15 - j)).sum)
+    assert((0 to 3).forall(k => r0.getAs[Int](s"af$k") == words(k)),
+      "the decoded contour hash must equal the source-byte derivation")
+
+    // the hashed entry points: an AUDIO corpus in the SAME index family
+    val idx = java.nio.file.Files.createTempDirectory("afidx").toFile
+      .getAbsolutePath
+    val afCols = Seq("af0", "af1", "af2", "af3")
+    graft.ops.PhashIndex.buildHashed(fp, "media_id", afCols, idx, sigBuckets = 8)
+    val probe = Multimodal.audioFingerprint(Multimodal.synthAudio(
+      packed(Seq((100L, longText(2)), (101L, longText(901)))))).localCheckpoint()
+    val v = graft.ops.PhashIndex.screenHashed(s, idx, probe, "media_id",
+        afCols, maxDist = 0)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.get(2))).toMap
+    assert(v(100L) == ((false, 2L)), s"identical audio must match its source: $v")
+    assert(v(101L)._1, s"novel audio must screen as new: $v")
+    // streaming-protocol parity rides the same generic bodies
+    graft.ops.PhashIndex.appendBatchHashed(s, idx, probe.filter(col("media_id") === 101L),
+      "media_id", afCols, batchId = 0L)
+    val v2 = graft.ops.PhashIndex.screenHashed(s, idx,
+        probe.filter(col("media_id") === 101L)
+          .select((col("media_id") + 100).as("media_id"), col("af0"), col("af1"),
+            col("af2"), col("af3")),
+        "media_id", afCols, maxDist = 0)
+      .head
+    assert(!v2.getBoolean(1) && v2.getLong(2) == 101L,
+      "the ingested audio fingerprint must screen later probes")
+
+    // too-short audio refuses loudly instead of hashing a padded contour
+    val short = Multimodal.synthAudio(packed(rows.take(1)), nSamples = 100)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(short).collect()
+    }
+    assert(err.getMessage.contains("64-frame contour") ||
+      Option(err.getCause).exists(_.getMessage.contains("64-frame contour")))
+  }
+
   test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
     val s = spark
     // 40 bases + systematic near copies: single-char ±1 edits at varying

@@ -145,6 +145,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
       "mm14_joint_dedup" -> 2,
+      // mm15: mm6's banded pair machine over audio contour words
+      "mm15_audio_fingerprint" -> 3,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
@@ -307,8 +309,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // (d4's reasoning); mm7 adds d15's component machinery on top, mm10
       // runs the same self-join over per-frame hashes
       "mm6_image_neardup", "mm7_image_survivors", "mm10_video_neardup",
-      // mm14: composes mm6's band self-join AND d15's component machinery
-      "mm14_joint_dedup",
+      // mm14: composes mm6's band self-join AND d15's component machinery;
+      // mm15: the same corpus-×-corpus band self-join over audio words
+      "mm14_joint_dedup", "mm15_audio_fingerprint",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
