@@ -1934,6 +1934,24 @@ object SparkEntry {
           col("af2").as("dh2"), col("af3").as("dh3")), maxDist = 3)
     }),
 
+    // ── multimodal: REAL image resize (decode → integer box-downscale →
+    // BMP re-encode) — at factor w/9 = h/8 the resize IS the perceptual
+    // hash's canonical-grid resampling, so hashing the RESIZED image must
+    // reproduce the original's hash exactly; the oracle re-derives that
+    // hash from SOURCE bytes, so one equality gates decode, the scale
+    // arithmetic, and the re-encode leg together ──────────────────────────
+    "mm16_resize_real" -> ((s, dir) => {
+      val packed = ops.Multimodal.pack(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", "raw")
+      ops.Multimodal.perceptualHash(
+          ops.Multimodal.resizeImages(ops.Multimodal.synthImages(packed),
+            factor = 4),
+          "resized_img")
+        .select(col("media_id"), col("rs_w"), col("rs_h"),
+          col("dhash"), col("ahash"))
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -4052,6 +4070,17 @@ object SparkEntry {
         |FROM af x JOIN af y ON x.media_id < y.media_id
         |WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
         |    + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3""".stripMargin,
+
+    // mm5's source-byte hash derivation — the RESIZED image must hash
+    // identically (the resize is the hash's own resampling step), with
+    // only the dims showing the 9×8 output
+    "mm16_resize_real" -> (mmPhashCte(
+      "SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200") +
+      """
+        |SELECT media_id, 9::INTEGER AS rs_w, 8::INTEGER AS rs_h,
+        |       printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash,
+        |       printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash
+        |FROM dh JOIN ah USING (media_id)""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -418,6 +418,51 @@ object Multimodal {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** REAL image resize — decode (`javax.imageio`), integer box-average
+    * downscale by `factor`, re-encode through the REAL BMP codec. The
+    * box mean uses floor division, deliberately the SAME arithmetic as
+    * [[perceptualHash]]'s canonical-grid step — at `factor = w/9 = h/8`
+    * the resized image IS the hash's 9×8 resampling, so
+    * `perceptualHash(resizeImages(x)) == perceptualHash(x)` EXACTLY
+    * (spec'd, and the mm16 oracle re-derives it from source bytes): one
+    * equality proves decode, scale arithmetic, and re-encode together.
+    * Dims must divide by `factor` (refuses loudly — a silent crop would
+    * shift every downstream hash). Replaces the stride-sample [[resize]]
+    * stub as the primary image path; the stub remains for raw payloads.
+    */
+  def resizeImages(df: DataFrame, imgCol: String = "img", factor: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_img", BinaryType, nullable = true),
+      StructField("rs_w", IntegerType, nullable = true),
+      StructField("rs_h", IntegerType, nullable = true)))
+    val imgIdx = df.schema.fieldIndex(imgCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, lum) = decodeLuma(r.getAs[Array[Byte]](imgIdx))
+          require(w % factor == 0 && h % factor == 0,
+            s"resizeImages: ${w}x$h does not divide by $factor — refusing " +
+              "a silent crop (it would shift every downstream hash)")
+          val (w2, h2) = (w / factor, h / factor)
+          val pix = Array.tabulate(w2 * h2) { i =>
+            val (r2, c2) = (i / w2, i % w2)
+            var s = 0; var yy = r2 * factor
+            while (yy < (r2 + 1) * factor) {
+              var xx = c2 * factor
+              while (xx < (c2 + 1) * factor) { s += lum(yy * w + xx); xx += 1 }
+              yy += 1
+            }
+            s / (factor * factor)
+          }
+          Row.fromSeq(r.toSeq ++ Seq(encodeGray(pix, w2, h2, "bmp"), w2, h2))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** 64-bit audio FINGERPRINT from the decoded energy contour — the audio
     * near-dup signature (the energy-delta-sign design of the classic audio
     * fingerprinting literature, integer-exact): decode the WAV (REAL codec,

@@ -297,6 +297,36 @@ class MultimodalSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("64-frame contour")))
   }
 
+  test("resizeImages: real decode->scale->re-encode; at the grid factor it IS the hash's resampling") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 6L).map(i => (i, longText(i.toInt)))
+    val imgs = Multimodal.synthImages(packed(rows)).localCheckpoint()
+    val resized = Multimodal.resizeImages(imgs, factor = 4)
+    // geometry: 36x32 -> 9x8, and the output is REAL BMP bytes
+    val r0 = resized.select("rs_w", "rs_h", "resized_img").head
+    assert(r0.getInt(0) == 9 && r0.getInt(1) == 8)
+    val rb = r0.getAs[Array[Byte]](2)
+    assert(rb(0) == 'B' && rb(1) == 'M', "re-encode must emit a genuine BMP")
+    val (w2, h2, _) = Multimodal.decodeLuma(rb)
+    assert(w2 == 9 && h2 == 8, "the re-encoded container must carry the new dims")
+
+    // the fixed point: hashing the resized image reproduces the original's
+    // hash EXACTLY (same floor box-mean arithmetic as the canonical grid)
+    def hashes(df: org.apache.spark.sql.DataFrame, c: String) =
+      Multimodal.perceptualHash(df, c).select("media_id", "dhash", "ahash")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(hashes(resized, "resized_img") === hashes(imgs, "img"),
+      "resize at the grid factor must be the hash's own resampling step")
+
+    // non-dividing dims refuse loudly (no silent crop)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeImages(imgs, factor = 5).collect()
+    }
+    assert(err.getMessage.contains("does not divide") ||
+      Option(err.getCause).exists(_.getMessage.contains("does not divide")))
+  }
+
   test("banded near-dup pairs EQUAL brute-force hamming<=3 pairs (total pigeonhole recall)") {
     val s = spark
     // 40 bases + systematic near copies: single-char ±1 edits at varying

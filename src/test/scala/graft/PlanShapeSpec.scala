@@ -145,8 +145,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
       "mm14_joint_dedup" -> 2,
-      // mm15: mm6's banded pair machine over audio contour words
-      "mm15_audio_fingerprint" -> 3,
+      // mm15: mm6's banded pair machine over audio contour words;
+      // mm16: decode->scale->re-encode->hash is pure kernel lineage
+      "mm15_audio_fingerprint" -> 3, "mm16_resize_real" -> 0,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
