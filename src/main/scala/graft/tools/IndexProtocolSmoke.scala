@@ -117,7 +117,41 @@ object IndexProtocolSmoke {
     time("ivf repair: re-run build") {
       Similarity.buildIvfSqIndex(emb, "vec_id", "embedding", ivf, nlist = 16)
     }
-    println("PROTO OK: both families' protocol holds at tier scale")
+
+    // ── phash family: a tier-sized image corpus through the SAME protocol ──
+    // (images synthesized from the tier's documents through the REAL codec)
+    val ph = s"$dir/ph"
+    def imgs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.synthImages(graft.ops.Multimodal.pack(
+          df, "doc_id", "text", "raw"), format = "bmp")
+        .select(col("media_id").as("img_id"), col("img"))
+    time(s"phash build (tier docs as images)") {
+      graft.ops.PhashIndex.build(imgs(docs), "img_id", "img", ph,
+        sigBuckets = 64)
+    }
+    val pbatch = imgs(batch)
+    time("phash owned append b=0") {
+      graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 0L,
+        owner = Some("chk://owner-a"))
+    }
+    refusal("phash wrong-owner refusal") {
+      graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 1L,
+        owner = Some("chk://intruder"))
+    }
+    time("phash compact")(graft.ops.PhashIndex.compactIngest(spark, ph))
+    refusal("phash stale-batch-id refusal") {
+      graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 0L,
+        owner = Some("chk://owner-a"))
+    }
+    IndexLifecycle.beginBuild(spark, ph)
+    refusal("phash pending-build refusal") {
+      graft.ops.PhashIndex.signatures(spark, ph).count()
+    }
+    time("phash repair: re-run build") {
+      graft.ops.PhashIndex.build(imgs(docs), "img_id", "img", ph,
+        sigBuckets = 64)
+    }
+    println("PROTO OK: all three families' protocol holds at tier scale")
     spark.stop()
   }
 }
