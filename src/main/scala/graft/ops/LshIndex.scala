@@ -169,19 +169,22 @@ object LshIndex {
     * the persisted parameters, appended straight into the main table.
     */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val (bands, shingleSize, sigBuckets) = meta(spark, path)
-    appendSigned(spark, path, "LshIndex.append",
-      signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets))
-  }
+      batch: DataFrame, idCol: String, textCol: String): Unit =
+    appendSigned(spark, path, "LshIndex.append") {
+      val (bands, shingleSize, sigBuckets) = meta(spark, path)
+      signFrame(batch, idCol, textCol, bands, shingleSize, sigBuckets)
+    }
 
-  /** Layout-generic non-streaming append (fenced straight write). The
-    * pending-build assert re-runs INSIDE the fence: the family meta read
-    * that signed the frame ran outside it, and a build could have begun
-    * in between.
+  /** Layout-generic non-streaming append (fenced straight write).
+    * `signed` is BY NAME so the family's meta read (and therefore the
+    * grid modulus the signer buckets under) resolves INSIDE the fence — a
+    * reshard committing between an outside read and the write would
+    * otherwise bucket these rows under the stale modulus, and every sb
+    * value would still be a valid partition dir: probes would silently
+    * never find them.
     */
   private[ops] def appendSigned(spark: org.apache.spark.sql.SparkSession,
-      path: String, op: String, signed: DataFrame): Unit =
+      path: String, op: String)(signed: => DataFrame): Unit =
     Similarity.withIndexMutation(spark, path, op) {
       IndexLifecycle.assertNoPendingBuild(spark, path)
       signed.write.mode("append").partitionBy("band", "sb").parquet(s"$path/sigs")

@@ -399,8 +399,12 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](audioIdx)))
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
-            s"audioFeatures expects 8-bit mono PCM, got $fmt")
+          // linear PCM only: companded 8-bit encodings (ULAW/ALAW) share
+          // the width/channel shape but |v − 128| is not a loudness there
+          require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+              fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"audioFeatures expects unsigned 8-bit mono LINEAR PCM, got $fmt")
           val pcm = try ais.readAllBytes() finally ais.close()
           val frames = pcm.length / frameSamples
           val energies = Array.tabulate(frames) { f =>
@@ -429,6 +433,13 @@ object Multimodal {
     * Dims must divide by `factor` (refuses loudly — a silent crop would
     * shift every downstream hash). Replaces the stride-sample [[resize]]
     * stub as the primary image path; the stub remains for raw payloads.
+    *
+    * CONTRACT: the output is the resized LUMA plane (color inputs are
+    * canonicalized to ITU-R 601 grayscale — the same plane every hash in
+    * this module derives). This is the dedup-pipeline resize, not a
+    * general chroma-preserving thumbnailer; a pipeline that must keep
+    * color binds its codec into this kernel slot and swaps
+    * [[decodeLuma]]/[[encodeGray]] for per-channel twins.
     */
   def resizeImages(df: DataFrame, imgCol: String = "img", factor: Int = 2,
       batchSize: Int = 64): DataFrame = {
@@ -493,8 +504,14 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](audioIdx)))
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
-            s"audioFingerprint expects 8-bit mono PCM, got $fmt")
+          // the ENCODING check matters as much as the width: 8-bit mono
+          // ULAW/ALAW passes a size/channel check, but its bytes are
+          // logarithmically companded — |v − 128| is not a loudness there
+          // and the gain-invariance claim silently breaks
+          require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+              fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"audioFingerprint expects unsigned 8-bit mono LINEAR PCM, got $fmt")
           val pcm = try ais.readAllBytes() finally ais.close()
           require(pcm.length >= 64 * frameSamples,
             s"audioFingerprint needs >= ${64 * frameSamples} samples for a " +

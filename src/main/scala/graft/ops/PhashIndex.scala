@@ -63,12 +63,17 @@ object PhashIndex {
     * image ([[Multimodal.perceptualHash]]'s batched kernel); images must
     * satisfy its 9×8-divisible-dims contract.
     */
-  private def signFrame(images: DataFrame, idCol: String, imgCol: String,
-      sigBuckets: Int): DataFrame =
-    signWords(Multimodal.perceptualHash(
-        images.select(col(idCol).cast("long").as("mh_id"), col(imgCol).as("img")),
-        "img"),
-      "mh_id", Seq("dh0", "dh1", "dh2", "dh3"), sigBuckets)
+  private val dhCols = Seq("dh0", "dh1", "dh2", "dh3")
+
+  /** Decode + hash an image frame into the `*Hashed` input shape: the
+    * image-specific public API is exactly the `*Hashed` API composed with
+    * this (one decode, then the shared fingerprint-agnostic machinery).
+    */
+  private def hashFrame(images: DataFrame, idCol: String,
+      imgCol: String): DataFrame =
+    Multimodal.perceptualHash(
+      images.select(col(idCol).cast("long").as("mh_id"), col(imgCol).as("img")),
+      "img")
 
   /** The fingerprint-agnostic signer: any four 16-bit band words — the
     * image dHash, the audio energy-contour fingerprint
@@ -98,20 +103,15 @@ object PhashIndex {
     * intervenes. `sigBuckets` sizes the `4 × sigBuckets` partition grid.
     */
   def build(images: DataFrame, idCol: String, imgCol: String, path: String,
-      sigBuckets: Int = 16): Unit = {
-    val spark = images.sparkSession
-    import spark.implicits._
-    LshIndex.buildSigned(spark, path, "PhashIndex.build",
-      signFrame(images, idCol, imgCol, sigBuckets), sigBuckets,
-      () => Seq(sigBuckets).toDF("sig_buckets")
-        .write.mode("overwrite").parquet(s"$path/phash_meta"))
-  }
+      sigBuckets: Int = 16): Unit =
+    buildHashed(hashFrame(images, idCol, imgCol), "mh_id", dhCols, path,
+      sigBuckets)
 
   /** Incrementally index a batch (non-streaming form). */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
       images: DataFrame, idCol: String, imgCol: String): Unit =
-    LshIndex.appendSigned(spark, path, "PhashIndex.append",
-      signFrame(images, idCol, imgCol, meta(spark, path)))
+    appendHashed(spark, path, hashFrame(images, idCol, imgCol), "mh_id",
+      dhCols)
 
   /** IDEMPOTENT per-batch append for continuous ingest — the exact
     * protocol of [[LshIndex.appendBatch]] (same generic body: reclaimable
@@ -121,9 +121,8 @@ object PhashIndex {
   def appendBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       images: DataFrame, idCol: String, imgCol: String, batchId: Long,
       owner: Option[String] = None): Unit =
-    LshIndex.appendBatchSigned(spark, path,
-      s"PhashIndex.appendBatch b=$batchId", batchId, owner)(
-      signFrame(images, idCol, imgCol, meta(spark, path)))
+    appendBatchHashed(spark, path, hashFrame(images, idCol, imgCol), "mh_id",
+      dhCols, batchId, owner)
 
   /** Has a compact already folded this batch's ingest files into `sigs/`?
     * (See [[LshIndex.batchFolded]] for why this is public.)
@@ -213,17 +212,9 @@ object PhashIndex {
     */
   def candidates(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
-      excludeBatch: Option[Long] = None): DataFrame = {
-    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
-    // checkpoint: the probe hashes feed the touched-bucket collect AND the
-    // join — without this the probe DECODES twice (phashNearDupPairs'
-    // one-decode cost model, same reason)
-    val sigBuckets = meta(spark, path)
-    val bSigs = signFrame(batch, idCol, imgCol, sigBuckets)
-      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
-    verifyHamming(LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
-      4 * sigBuckets, excludeBatch), maxDist)
-  }
+      excludeBatch: Option[Long] = None): DataFrame =
+    candidatesHashed(spark, path, hashFrame(batch, idCol, imgCol), "mh_id",
+      dhCols, maxDist, excludeBatch)
 
   /** The map-side Hamming verify over the candidate join (both sides
     * carry their full 4-word hash — no fetch).
@@ -242,23 +233,22 @@ object PhashIndex {
     * `is_new` plus the minimum matching corpus id within `maxDist` —
     * [[LshIndex.screen]]'s semantics with the verify already paid by
     * [[candidates]] (no corpus argument: the verify is index-resident).
+    * One row per distinct probe id, named `idCol` (long).
     */
   def screen(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
-      excludeBatch: Option[Long] = None): DataFrame = {
-    val matched = candidates(spark, path, batch, idCol, imgCol, maxDist,
-        excludeBatch)
-      .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
-    batch.select(col(idCol)).join(
-        broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
-      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
-  }
+      excludeBatch: Option[Long] = None): DataFrame =
+    screenHashed(spark, path, hashFrame(batch, idCol, imgCol), "mh_id",
+      dhCols, maxDist, excludeBatch)
+      .withColumnRenamed("mh_id", idCol)
 
   // ── fingerprint-agnostic entry points: PRE-HASHED rows ─────────────────
   // The index stores 4×16-bit band words; nothing about the lifecycle,
   // pruning or Hamming verify is image-specific. Any fingerprint with the
   // dHash banding contract (recall total to Hamming 3) shares the family —
-  // the audio energy-contour fingerprint is the first second tenant.
+  // the audio energy-contour fingerprint is the second tenant, and the
+  // image-specific API above is exactly these entries composed with
+  // [[Multimodal.perceptualHash]].
 
   /** [[build]] over already-fingerprinted rows: `wordCols` are the four
     * 16-bit band word columns (e.g. `af0..af3` from
@@ -274,6 +264,17 @@ object PhashIndex {
         .write.mode("overwrite").parquet(s"$path/phash_meta"))
   }
 
+  /** [[append]] over already-fingerprinted rows. The signer (and its grid
+    * meta read) runs inside the fence via [[LshIndex.appendSigned]]'s
+    * by-name body — a reshard committing between an outside meta read and
+    * the write would otherwise bucket these rows under the stale modulus.
+    */
+  def appendHashed(spark: org.apache.spark.sql.SparkSession, path: String,
+      hashed: DataFrame, idCol: String, wordCols: Seq[String]): Unit =
+    LshIndex.appendSigned(spark, path, "PhashIndex.append") {
+      signWords(hashed, idCol, wordCols, meta(spark, path))
+    }
+
   /** [[appendBatch]] over already-fingerprinted rows (same protocol). */
   def appendBatchHashed(spark: org.apache.spark.sql.SparkSession,
       path: String, hashed: DataFrame, idCol: String, wordCols: Seq[String],
@@ -286,23 +287,49 @@ object PhashIndex {
   def candidatesHashed(spark: org.apache.spark.sql.SparkSession,
       path: String, hashed: DataFrame, idCol: String, wordCols: Seq[String],
       maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
-    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
-    val sigBuckets = meta(spark, path)
-    val bSigs = signWords(hashed, idCol, wordCols, sigBuckets)
-      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
-    verifyHamming(LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
-      4 * sigBuckets, excludeBatch), maxDist)
+    requireBandedDist(maxDist) // BEFORE the probe decodes anything
+    verifyHamming(candidateJoinOf(spark, path,
+      probeSigs(spark, path, hashed, idCol, wordCols), excludeBatch), maxDist)
   }
 
-  /** [[screen]] for a pre-hashed probe frame. */
+  /** [[screen]] for a pre-hashed probe frame. One row per DISTINCT probe
+    * id (the id column keeps `idCol`'s name, cast to long). The probe ids
+    * come from the checkpointed signature frame, NOT from re-projecting
+    * `hashed` — for a decode-lineage probe (every Multimodal pipeline)
+    * that projection would re-run the whole decode a second time.
+    */
   def screenHashed(spark: org.apache.spark.sql.SparkSession, path: String,
       hashed: DataFrame, idCol: String, wordCols: Seq[String],
       maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
-    val matched = candidatesHashed(spark, path, hashed, idCol, wordCols,
-        maxDist, excludeBatch)
+    requireBandedDist(maxDist) // BEFORE the probe decodes anything
+    val bSigs = probeSigs(spark, path, hashed, idCol, wordCols)
+    val matched = verifyHamming(
+        candidateJoinOf(spark, path, bSigs, excludeBatch), maxDist)
       .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
-    hashed.select(col(idCol)).join(
-        broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
+    bSigs.select(col("b_id").as(idCol)).distinct()
+      .join(broadcast(matched.withColumnRenamed("b_id", idCol)),
+        Seq(idCol), "left")
       .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
   }
+
+  private def requireBandedDist(maxDist: Int): Unit =
+    require(maxDist <= 3,
+      "4x16-bit banding guarantees recall only to hamming 3")
+
+  /** Sign + CHECKPOINT a probe frame once (the probe feeds the
+    * touched-bucket collect, the join, and — in the screen — the verdict
+    * id list; without the checkpoint each consumer re-runs the probe's
+    * decode lineage).
+    */
+  private def probeSigs(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashed: DataFrame, idCol: String,
+      wordCols: Seq[String]): DataFrame =
+    signWords(hashed, idCol, wordCols, meta(spark, path))
+      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
+
+  private def candidateJoinOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, bSigs: DataFrame,
+      excludeBatch: Option[Long]): DataFrame =
+    LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
+      4 * meta(spark, path), excludeBatch)
 }

@@ -295,6 +295,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("64-frame contour") ||
       Option(err.getCause).exists(_.getMessage.contains("64-frame contour")))
+
+    // companded 8-bit mono (µ-law, fmt tag 7) shares the width/channel
+    // shape but its bytes are log-compressed — must refuse, not mis-hash
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val uData = Array.tabulate[Byte](2048)(i => i.toByte)
+    val ulawWav = "RIFF".getBytes("US-ASCII") ++ le32(36 + uData.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(7) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(uData.length) ++ uData
+    val eU = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(
+        Seq((1L, ulawWav)).toDF("media_id", "audio")).collect()
+    }
+    assert(eU.getMessage.contains("LINEAR PCM") ||
+      Option(eU.getCause).exists(_.getMessage.contains("LINEAR PCM")),
+      s"companded audio must refuse: ${eU.getMessage}")
   }
 
   test("resizeImages: real decode->scale->re-encode; at the grid factor it IS the hash's resampling") {

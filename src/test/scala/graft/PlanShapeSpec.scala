@@ -140,7 +140,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // pruned index scan (zero exchange on the corpus side); only the
       // match rollup (mm12: AQE collapses distinct+agg into one) and
       // mm13's pair-distinct + per-video rollup shuffle
-      "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 1,
+      // mm12: match rollup + the verdict id-list distinct (the distinct
+      // reads the CHECKPOINTED probe signatures — one tiny exchange over
+      // ≤4·|probe| rows bought the removal of a full probe re-decode)
+      "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 2,
       "mm13_cross_modal" -> 2,
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
