@@ -138,6 +138,12 @@ object IndexProtocolSmoke {
       graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 1L,
         owner = Some("chk://intruder"))
     }
+    time("phash owned append b=1") {
+      // a second batch so b=0 falls BELOW the retained max after the fold
+      // (replaying the max itself is the legitimate idempotent skip)
+      graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 1L,
+        owner = Some("chk://owner-a"))
+    }
     time("phash compact")(graft.ops.PhashIndex.compactIngest(spark, ph))
     refusal("phash stale-batch-id refusal") {
       graft.ops.PhashIndex.appendBatch(spark, ph, pbatch, "img_id", "img", 0L,
