@@ -48,6 +48,16 @@ object Bench {
         }
       }
       val ok = attempts.collect { case Right(t) => t }
+      // per-query isolation, OUTSIDE the timed region: queries that
+      // localCheckpoint (index probes, pair machines) leave RDD blocks
+      // that only free when the ContextCleaner notices their frames are
+      // unreferenced — which takes a GC. With a large heap GC runs
+      // rarely, so block-storage pressure accumulates across the ~130
+      // queries and pushes LATER heavy queries into eviction/GC churn
+      // (measured at sf1: d7 read 14.9 s mid-run vs 2.2 s in a fresh
+      // JVM). One explicit GC per query keeps each timing independent of
+      // alphabetical position.
+      System.gc()
       if (ok.nonEmpty) (name, Right(ok.min)) else (name, Left(attempts.head.left.getOrElse("?")))
     }
     val results = runs.collect { case (n, Right(t)) => (n, t) }
