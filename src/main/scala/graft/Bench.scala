@@ -36,6 +36,7 @@ object Bench {
     // a plan-time failure "runs" in 0.1s and silently deflates the round's
     // bench (this poisoned BENCH_r07). Per query: min over successful
     // repeats, or an entry in `errors` when every repeat threw.
+    val spreads = scala.collection.mutable.Map.empty[String, Double]
     val runs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
@@ -48,6 +49,12 @@ object Bench {
         }
       }
       val ok = attempts.collect { case Right(t) => t }
+      // Transient witness (VERDICT r14 #1): when repeats disagree by >1.5×
+      // the environment moved mid-query (CPU contention, GC storm) — record
+      // the spread so a hot reading in the artifact carries its own
+      // explanation instead of looking like a plan regression.
+      if (ok.size > 1 && ok.max / ok.min > 1.5)
+        spreads += (name -> ok.max / ok.min)
       // per-query isolation, OUTSIDE the timed region: queries that
       // localCheckpoint (index probes, pair machines) leave RDD blocks
       // that only free when the ContextCleaner notices their frames are
@@ -94,7 +101,9 @@ object Bench {
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jq(k) + ":" + jq(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir","commit":${jq(commit)},"boot_id":${jq(bootId)},"calibration_sec":$calibration,"cpus":${jq(cpus)},"repeats":$repeats}"""
+    val sp = spreads.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"repeat_spread_gt1p5":$sp,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir","commit":${jq(commit)},"boot_id":${jq(bootId)},"calibration_sec":$calibration,"cpus":${jq(cpus)},"repeats":$repeats}"""
     println(line)
     // The driver captures only a truncated stdout tail (loses ~15 of 78 queries
     // every round) — also persist the full JSON so the artifact survives.

@@ -1,5 +1,6 @@
 package graft.log
 
+import graft.Checkpoints
 import graft.core.{EventSchema, EventRow, SnapshotRow, Ulid}
 import graft.functions.Fnv1a32
 import java.sql.Timestamp
@@ -1544,6 +1545,7 @@ class EventLog(
       // bound file sizes so a hot bucket still compacts into scannable units
       .option("maxRecordsPerFile", if (maxRecordsPerFile > 0) maxRecordsPerFile.toString else "0")
       .parquet(eventsPath)
+    Checkpoints.release(all) // rewrite landed; drop the materialized blocks now
     // full-table Overwrite deletes the directory, marker included — restore it
     graft.sources.GraftMeta.invalidate(eventsPath)
     graft.sources.GraftMeta.write(spark, eventsPath, numBuckets)
@@ -1605,6 +1607,7 @@ class EventLog(
           affected.foreach(b =>
             rewriteBucket(eventsPath, evSchema, b)(keep))
       }
+      Checkpoints.release(heads) // every rewrite consuming it has run
       dropped
     }
   }
@@ -1769,6 +1772,7 @@ class EventLog(
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(snapshotsPath)
+    Checkpoints.release(latest) // rewrite landed; drop the materialized blocks
     graft.sources.GraftMeta.invalidate(snapshotsPath)
     graft.sources.GraftMeta.write(spark, snapshotsPath, numBuckets)
   }
@@ -1967,6 +1971,7 @@ class EventLog(
       hfs.delete(tmp, true)
     }
     manifest.markDone(claim.n) // atomic visibility switch; GC is separate
+    Checkpoints.release(out) // rewrite landed; drop the materialized blocks
   }
 
   /** Multi-bucket copy-on-write rewrite in ONE dynamic-partition-overwrite
@@ -1998,6 +2003,7 @@ class EventLog(
         .option("compression", EventLog.Compression)
         .parquet(tablePath)
     }
+    Checkpoints.release(out) // rewrite landed; drop the materialized blocks
   }
 
   /** Directory-overwrite rewrite via dynamic partition overwrite — the only
@@ -2019,6 +2025,7 @@ class EventLog(
         .withColumn("bucket", lit(bucket))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tablePath)
     }
+    Checkpoints.release(out) // rewrite landed; drop the materialized blocks
   }
 
   private def exists(p: String): Boolean = {

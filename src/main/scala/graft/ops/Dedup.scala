@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints
+
 /** Deduplication operators: exact (fingerprint group-by), MinHash+LSH banded
   * candidate generation, SimHash, and n-gram Jaccard verification.
   *
@@ -286,25 +288,31 @@ object Dedup {
       maxBucketSize: Option[Int] = None,
       materializeSets: Boolean = true,
       exact: Boolean = false): DataFrame = {
-    val pairs = (if (materializeSets) {
+    val (pairs0, scratch) = if (materializeSets) {
       val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
-      jaccardVerifyFromSets(sets,
-        lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize), threshold)
+      (jaccardVerifyFromSets(sets,
+        lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize),
+        threshold), Seq(sets))
     } else {
       val cand = lshCandidatePairs(df, idCol, textCol, shingleSize = shingleSize,
           maxBucketSize = maxBucketSize)
         .localCheckpoint() // consumed twice: candidate-doc prune + verify join
       val candIds = cand.select(col("doc_a").as(idCol))
         .union(cand.select(col("doc_b"))).distinct()
-      jaccardVerifyFromSets(
+      (jaccardVerifyFromSets(
         shingleSets(df.join(candIds, Seq(idCol), "semi"), idCol, textCol,
           shingleSize),
-        cand, threshold)
-    }).select(col("doc_a"), col("doc_b"))
+        cand, threshold), Seq(cand))
+    }
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val ns = df.select(col(idCol).as("node"))
     val labeled =
       if (exact) connectedComponents(ns, pairs)
       else labelPropagation(ns, pairs, rounds)
+    // Both component engines consume `pairs` eagerly (their first act is
+    // checkpointing the edge set), so the shingle/candidate scratch frames
+    // are dead by the time they return — release, don't wait for a GC.
+    Checkpoints.release(scratch: _*)
     labeled
       .select(col("node").as(idCol), col("label").as("component"),
         (col("node") === col("label")).as("is_survivor"))
@@ -348,6 +356,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("node"), col("label"))
+    var prevCut: Option[DataFrame] = None // last mid-loop checkpoint, if any
     (2 to rounds).foreach { r =>
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
@@ -359,13 +368,23 @@ object Dedup {
       // Cut lineage every few rounds, not every round: each checkpoint is a
       // blocking job, and a 2-3-join-deep tree is exactly what AQE handles
       // well in one shot. Unconditional per-round checkpointing measured
-      // ~25% of d6's wall time at sf0.1.
-      if (r % 4 == 0 && r < rounds) labels = labels.localCheckpoint()
+      // ~25% of d6's wall time at sf0.1. Each cut releases the superseded
+      // one — at most one mid-loop block set lives at a time.
+      if (r % 4 == 0 && r < rounds) {
+        labels = prevCut match {
+          case Some(p) => Checkpoints.advance(p, labels)
+          case None => labels.localCheckpoint()
+        }
+        prevCut = Some(labels)
+      }
     }
     // Checkpoint the converged labels (bounded by 2·|pairs| rows — tiny)
     // so the singleton back-join sees exact sizes and broadcasts instead of
-    // sort-merge-shuffling the full corpus id set.
-    nodes.join(labels.localCheckpoint(), Seq("node"), "left")
+    // sort-merge-shuffling the full corpus id set. Once it materializes,
+    // the edge set and any mid-loop cut are dead — release them.
+    val converged = labels.localCheckpoint()
+    Checkpoints.release(edges +: prevCut.toSeq: _*)
+    nodes.join(converged, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
@@ -447,9 +466,13 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // localCheckpoint each round: the convergence probe is an action
-      // anyway, and the next round must not re-derive a growing lineage.
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // Checkpoint each round (the convergence probe is an action anyway,
+      // and the next round must not re-derive a growing lineage) and
+      // RELEASE the superseded round's blocks explicitly — the contraction
+      // holds one round's edge set in block storage, not all of them
+      // (Checkpoints contract: the new checkpoint is eager, so the old
+      // frame is fully consumed by the time advance releases it).
+      e = Checkpoints.advance(e, smallStar(largeStar(e)))
       val next = signature(e)
       converged = next == sig
       sig = next
@@ -469,6 +492,7 @@ object Dedup {
       .union(e.select(col("v").as("node"), col("v").as("label")))
       .distinct()
       .localCheckpoint()
+    Checkpoints.release(e) // labels materialized above; the star forest is dead
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }

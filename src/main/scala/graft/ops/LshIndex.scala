@@ -591,7 +591,23 @@ object LshIndex {
     */
   def screen(spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double, excludeBatch: Option[Long] = None): DataFrame = {
+      threshold: Double, excludeBatch: Option[Long] = None): DataFrame =
+    screenWithScratch(spark, path, corpus, batch, idCol, textCol, threshold,
+      excludeBatch)._1
+
+  /** [[screen]] plus the interior checkpointed scratch frames (the batch
+    * shingle sets and the candidate join) so a caller that EXECUTES the
+    * verdicts can release their blocks explicitly
+    * ([[graft.Checkpoints.release]]) instead of waiting for a GC — the
+    * per-micro-batch ingest loop's lifetime discipline. The scratch frames
+    * are engine-created here (never the caller's `corpus`), so releasing
+    * them can't kill a user-owned checkpoint.
+    */
+  private[graft] def screenWithScratch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      excludeBatch: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
     val (bands, shingleSize, sigBuckets) = meta(spark, path)
     val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleSize)
       .localCheckpoint()
@@ -617,8 +633,9 @@ object LshIndex {
       .filter(round(graft.functions.jaccard_sim(col("sh_b"), col("sh_c")), 4)
         >= threshold)
       .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
-    batch.select(col(idCol)).join(
+    (batch.select(col(idCol)).join(
         broadcast(matched.withColumnRenamed("b_id", idCol)), Seq(idCol), "left")
-      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
+      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id")),
+      Seq(bSets, cand))
   }
 }

@@ -459,13 +459,17 @@ object Multimodal {
           val (w2, h2) = (w / factor, h / factor)
           val pix = Array.tabulate(w2 * h2) { i =>
             val (r2, c2) = (i / w2, i % w2)
-            var s = 0; var yy = r2 * factor
+            // Long accumulator (audioFingerprint's energy-sum discipline):
+            // an Int sum overflows at 255·factor² > Int.MaxValue (factor
+            // ≳ 2900) and would emit garbage pixels SILENTLY — against the
+            // module's refuse-loudly stance on bad geometry.
+            var s = 0L; var yy = r2 * factor
             while (yy < (r2 + 1) * factor) {
               var xx = c2 * factor
               while (xx < (c2 + 1) * factor) { s += lum(yy * w + xx); xx += 1 }
               yy += 1
             }
-            s / (factor * factor)
+            (s / (factor.toLong * factor)).toInt
           }
           Row.fromSeq(r.toSeq ++ Seq(encodeGray(pix, w2, h2, "bmp"), w2, h2))
         }
@@ -557,7 +561,7 @@ object Multimodal {
     * the same content (spec'd). Adds a `video` binary column.
     */
   def synthVideo(df: DataFrame, w: Int = 36, h: Int = 32, nFrames: Int = 4,
-      fps: Int = 10, batchSize: Int = 64): DataFrame = {
+      fps: Int = 10, batchSize: Int = 64, codec: String = "DIB "): DataFrame = {
     require(w > 0 && h > 0 && nFrames > 0 && fps > 0, "video params must be positive")
     val schema = StructType(df.schema.fields :+
       StructField("video", BinaryType, nullable = true))
@@ -571,20 +575,36 @@ object Multimodal {
             Array.tabulate(w * h)(i =>
               if (n == 0) 0 else bytes((f * w * h + i) % n) & 0xff)
           }
-          Row.fromSeq(r.toSeq :+ buildAvi(frames, w, h, fps))
+          Row.fromSeq(r.toSeq :+ buildAvi(frames, w, h, fps, codec))
         }
       }
     }
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** `strf.biCompression` fourcc for motion-JPEG streams ('MJPG', LE). */
+  private[graft] val MjpgFourcc = 0x47504A4D
+
   /** Assemble the RIFF/AVI byte stream: RIFF('AVI ') { LIST hdrl { avih,
-    * LIST strl { strh('vids'/'DIB '), strf(BITMAPINFOHEADER 24-bit BI_RGB) } },
-    * LIST movi { '00db' × F }, idx1 }. Frames are standard DIBs: bottom-up
-    * rows, BGR byte order, rows padded to 4 bytes.
+    * LIST strl { strh('vids'/codec), strf(BITMAPINFOHEADER) } },
+    * LIST movi { records × F }, idx1 }.
+    *
+    * Two codecs:
+    *  - `"DIB "` (default): uncompressed 24-bit frames — standard DIBs
+    *    (bottom-up rows, BGR byte order, rows padded to 4 bytes) in `00db`
+    *    records, `biCompression = 0`. Lossless; the mm9 oracle re-derives
+    *    every frame from source bytes through this leg.
+    *  - `"MJPG"`: each frame is a REAL JPEG (encoded via `javax.imageio`)
+    *    in a `00dc` record, `biCompression = 'MJPG'` — the standard
+    *    motion-JPEG AVI layout and the one compressed-video leg reachable
+    *    with zero non-JDK dependencies. Lossy, so it is spec-gated (decode
+    *    equality against `ImageIO.read` of the same record bytes), not
+    *    oracle-gated.
     */
   private[graft] def buildAvi(frames: Array[Array[Int]], w: Int, h: Int,
-      fps: Int): Array[Byte] = {
+      fps: Int, codec: String = "DIB "): Array[Byte] = {
+    require(codec == "DIB " || codec == "MJPG",
+      s"buildAvi writes 'DIB ' or 'MJPG' streams, got '$codec'")
     val stride = ((w * 3 + 3) / 4) * 4
     val frameSize = stride * h
     def dib(pix: Array[Int]): Array[Byte] = {
@@ -602,6 +622,13 @@ object Multimodal {
       }
       out
     }
+    val mjpg = codec == "MJPG"
+    // movi records: JPEG bytes vary per frame, so all sizing below uses the
+    // actual record lengths (max for the buffer hints, cumulative for idx1)
+    val records: Array[Array[Byte]] =
+      if (mjpg) frames.map(encodeGray(_, w, h, "jpg")) else frames.map(dib)
+    val recId = if (mjpg) "00dc" else "00db"
+    val maxRec = records.map(_.length).max
     val bos = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
@@ -613,40 +640,46 @@ object Multimodal {
     }
     def list(kind: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", cc(kind) ++ body)
-    val avih = le32(1000000 / fps) ++ le32(frameSize * fps) ++ le32(0) ++
+    val avih = le32(1000000 / fps) ++ le32(maxRec * fps) ++ le32(0) ++
       le32(0x10 /*AVIF_HASINDEX*/) ++ le32(frames.length) ++ le32(0) ++
-      le32(1) ++ le32(frameSize) ++ le32(w) ++ le32(h) ++
+      le32(1) ++ le32(maxRec) ++ le32(w) ++ le32(h) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val strh = cc("vids") ++ cc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+    val strh = cc("vids") ++ cc(codec) ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
-      le32(frameSize) ++ le32(-1) ++ le32(0) ++
+      le32(maxRec) ++ le32(-1) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
     val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-      le32(0 /*BI_RGB*/) ++ le32(frameSize) ++ le32(0) ++ le32(0) ++
+      le32(if (mjpg) MjpgFourcc else 0 /*BI_RGB*/) ++
+      le32(if (mjpg) 0 else frameSize) ++ le32(0) ++ le32(0) ++
       le32(0) ++ le32(0)
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val moviBody = cc("movi") ++ frames.flatMap(f => chunk("00db", dib(f)))
+    val moviBody = cc("movi") ++ records.flatMap(rb => chunk(recId, rb))
     val movi = chunk("LIST", moviBody)
-    // idx1 offsets are relative to the 'movi' fourcc position within the LIST
-    val idx1 = chunk("idx1", frames.indices.toArray.flatMap { f =>
-      cc("00db") ++ le32(0x10 /*AVIIF_KEYFRAME*/) ++
-        le32(4 + f * (8 + frameSize + (frameSize & 1))) ++ le32(frameSize)
+    // idx1 offsets are relative to the 'movi' fourcc position within the
+    // LIST; records vary in size under MJPG, so offsets accumulate
+    var off = 4
+    val idx1 = chunk("idx1", records.flatMap { rb =>
+      val e = cc(recId) ++ le32(0x10 /*AVIIF_KEYFRAME*/) ++
+        le32(off) ++ le32(rb.length)
+      off += 8 + rb.length + (rb.length & 1)
+      e
     })
     val form = cc("AVI ") ++ hdrl ++ movi ++ idx1
     bos.write(cc("RIFF")); bos.write(le32(form.length)); bos.write(form)
     bos.toByteArray
   }
 
-  /** REAL container parse: walk the RIFF chunk tree (no JDK helper exists —
-    * this IS the codec work), read the stream's BITMAPINFOHEADER from
-    * `strf`, pull each `00db`/`00dc` record out of `movi`, undo the DIB
-    * layout (bottom-up rows, BGR, 4-byte row padding) back to the top-down
-    * luma raster, and cross-check the `idx1` entry count against the frames
+  /** REAL container parse, record level: walk the RIFF chunk tree (no JDK
+    * helper exists — this IS the codec work), read the stream's
+    * BITMAPINFOHEADER from `strf`, pull each `00db`/`00dc` record out of
+    * `movi`, and cross-check the `idx1` entry count against the frames
     * actually present (a truncated container refuses loudly, never returns
-    * a silently short video). Returns (w, h, rasters).
+    * a silently short video). Returns (w, h, biCompression, records) with
+    * records still encoded — [[parseAvi]] adds the pixel decode.
     */
-  private[graft] def parseAvi(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+  private[graft] def parseAviRecords(
+      bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -655,7 +688,7 @@ object Multimodal {
     require(bb.remaining >= 12 && fourcc() == "RIFF", "not a RIFF stream")
     bb.getInt // RIFF form size
     require(fourcc() == "AVI ", "RIFF form is not AVI")
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var comp = 0
     var idxEntries = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(end: Int): Unit =
@@ -676,10 +709,13 @@ object Multimodal {
             w = bb.getInt; h = bb.getInt
             bb.getShort // biPlanes
             val bits = bb.getShort
-            val compression = bb.getInt
-            require(bits == 24 && compression == 0,
-              s"videoFrames decodes uncompressed 24-bit DIB streams, got " +
-                s"biBitCount=$bits biCompression=$compression")
+            comp = bb.getInt
+            // the refusal names the GENUINELY unsupported fourccs — MJPG
+            // records are JPEGs and decode through the JDK (VERDICT r14 #3)
+            require((bits == 24 && comp == 0) || comp == MjpgFourcc,
+              s"videoFrames decodes uncompressed 24-bit DIB and MJPG " +
+                s"streams, got biBitCount=$bits biCompression=0x" +
+                f"$comp%08x — other codecs need a JNI binding")
             require(w > 0 && h > 0, s"bad DIB dims ${w}x$h")
           case "00db" | "00dc" =>
             val f = new Array[Byte](sz); bb.get(f); frames += f
@@ -694,20 +730,41 @@ object Multimodal {
       require(idxEntries == frames.length,
         s"truncated AVI: idx1 declares $idxEntries frames, movi holds " +
           s"${frames.length} — refusing a silently short video")
-    val stride = ((w * 3 + 3) / 4) * 4
-    val rasters = frames.map { fb =>
-      require(fb.length == stride * h,
-        s"frame record is ${fb.length} bytes, DIB geometry needs ${stride * h}")
-      val wl = w // stable locals for the closure
-      Array.tabulate(wl * h) { i =>
-        val (y, x) = (i / wl, i % wl)
-        val o = (h - 1 - y) * stride + x * 3
-        // ITU-R 601 integer luma, exact for grayscale (B = G = R)
-        (299 * (fb(o + 2) & 0xff) + 587 * (fb(o + 1) & 0xff) +
-          114 * (fb(o) & 0xff)) / 1000
+    (w, h, comp, frames.toSeq)
+  }
+
+  /** [[parseAviRecords]] plus the pixel decode: DIB records undo the
+    * bottom-up/BGR/padded layout by direct byte arithmetic; MJPG records
+    * are REAL JPEGs decoded through [[decodeLuma]] (`javax.imageio`), with
+    * the decoded geometry required to match the stream header — a record
+    * whose JPEG disagrees with `strf` refuses loudly. Returns
+    * (w, h, luma rasters).
+    */
+  private[graft] def parseAvi(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    val (w, h, comp, frames) = parseAviRecords(bytes)
+    val rasters =
+      if (comp == MjpgFourcc) frames.map { jb =>
+        val (jw, jh, lum) = decodeLuma(jb)
+        require(jw == w && jh == h,
+          s"MJPG record decodes to ${jw}x$jh, stream header says ${w}x$h")
+        lum
       }
-    }
-    (w, h, rasters.toSeq)
+      else {
+        val stride = ((w * 3 + 3) / 4) * 4
+        frames.map { fb =>
+          require(fb.length == stride * h,
+            s"frame record is ${fb.length} bytes, DIB geometry needs ${stride * h}")
+          val wl = w // stable locals for the closure
+          Array.tabulate(wl * h) { i =>
+            val (y, x) = (i / wl, i % wl)
+            val o = (h - 1 - y) * stride + x * 3
+            // ITU-R 601 integer luma, exact for grayscale (B = G = R)
+            (299 * (fb(o + 2) & 0xff) + 587 * (fb(o + 1) & 0xff) +
+              114 * (fb(o) & 0xff)) / 1000
+          }
+        }
+      }
+    (w, h, rasters)
   }
 
   /** One row per video frame, each frame re-encoded through the REAL BMP
@@ -760,7 +817,13 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = true),
     StructField("n_channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    StructField("n_samples", IntegerType, nullable = true))
+    StructField("n_samples", IntegerType, nullable = true),
+    // the container's CODEC tag (VERDICT r14 #7): a WAVE whose `fmt ` tag
+    // is µ-law/ALAW/extensible parses fine header-wise but the PCM-linear
+    // decode path will refuse it — the intake router must learn that from
+    // the sniff verdict, not from an executor exception. Same for AVI
+    // streams beyond DIB/MJPG.
+    StructField("codec", StringType, nullable = true))
 
   /** REAL format detection + header parse, header-only (no pixel/sample
     * decode, no frame materialization — a 100 TB sniff reads a few hundred
@@ -797,7 +860,7 @@ object Multimodal {
 
   /** One blob's sniff verdict as the [[sniffFields]] value tuple. */
   private[graft] def sniffOne(b: Array[Byte]): Seq[Any] = {
-    val nulls = Seq[Any](null, null, null, null, null, null)
+    val nulls = Seq[Any](null, null, null, null, null, null, null)
     def u8(i: Int) = b(i) & 0xff
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -809,54 +872,87 @@ object Multimodal {
         require(tag(12) == "IHDR" && b.length >= 24, "no IHDR")
         val (w, h) = (be32(16), be32(20))
         require(w > 0 && h > 0, "bad dims")
-        Seq[Any]("png", w, h, 1, null, null, null)
+        Seq[Any]("png", w, h, 1, null, null, null, "deflate")
       } catch { case scala.util.control.NonFatal(_) => "corrupt:png" +: nulls }
     } else if (b(0) == 'B' && b(1) == 'M') {
       try {
         require(b.length >= 26 && le32(14) >= 40, "no BITMAPINFOHEADER")
         val (w, h) = (le32(18), le32(22))
         require(w > 0 && h != 0, "bad dims")
-        Seq[Any]("bmp", w, math.abs(h), 1, null, null, null)
+        val codec =
+          if (b.length >= 34) le32(30) match {
+            case 0 => "rgb"
+            case 1 => "rle8"
+            case 2 => "rle4"
+            case 3 => "bitfields"
+            case n => s"bi_$n"
+          } else "rgb"
+        Seq[Any]("bmp", w, math.abs(h), 1, null, null, null, codec)
       } catch { case scala.util.control.NonFatal(_) => "corrupt:bmp" +: nulls }
     } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
       try {
         var p = 12
+        var fmtTag = -1
         var channels = -1; var rate = -1; var blockAlign = -1; var dataSz = -1
         while (p + 8 <= b.length && (channels < 0 || dataSz < 0)) {
           val id = tag(p); val sz = le32(p + 4)
           require(sz >= 0 && p + 8 + sz <= b.length, s"chunk '$id' truncated")
           if (id == "fmt ") {
             require(sz >= 16, "fmt chunk too short")
+            fmtTag = le16(p + 8)
             channels = le16(p + 10); rate = le32(p + 12); blockAlign = le16(p + 20)
           } else if (id == "data") dataSz = sz
           p += 8 + sz + (sz & 1)
         }
         require(channels > 0 && rate > 0 && blockAlign > 0 && dataSz >= 0,
           "missing fmt/data chunk")
-        Seq[Any]("wav", null, null, null, channels, rate, dataSz / blockAlign)
+        // the fmt TAG decides whether the PCM-linear decode path can take
+        // this blob — report it so compressed audio routes to quarantine
+        // at sniff time (µ-law data parses header-identically to PCM)
+        val codec = fmtTag match {
+          case 1 => "pcm"
+          case 3 => "float"
+          case 6 => "alaw"
+          case 7 => "ulaw"
+          case 0xFFFE => "extensible"
+          case n => s"tag_$n"
+        }
+        Seq[Any]("wav", null, null, null, channels, rate, dataSz / blockAlign,
+          codec)
       } catch { case scala.util.control.NonFatal(_) => "corrupt:wav" +: nulls }
     } else if (tag(0) == "RIFF" && tag(8) == "AVI ") {
       try {
-        // header-only walk: descend LIST/hdrl, read avih's dwTotalFrames
-        // (+16) and dwWidth/dwHeight (+32/+36); never touch movi
-        var found: Seq[Any] = null
+        // header-only walk: descend LIST/hdrl (and strl, for the stream's
+        // strf compression fourcc), read avih's dwTotalFrames (+16) and
+        // dwWidth/dwHeight (+32/+36); never touch movi
+        var avih: Seq[Any] = null
+        var codec: String = null
         def walk(start: Int, end: Int): Unit = {
           var p = start
-          while (p + 8 <= end && found == null) {
+          while (p + 8 <= end && (avih == null || codec == null)) {
             val id = tag(p); val sz = le32(p + 4)
             require(sz >= 0 && p + 8 + sz <= b.length, s"chunk '$id' truncated")
-            if (id == "LIST" && tag(p + 8) == "hdrl") walk(p + 12, p + 8 + sz)
+            if (id == "LIST" && (tag(p + 8) == "hdrl" || tag(p + 8) == "strl"))
+              walk(p + 12, p + 8 + sz)
             else if (id == "avih") {
               require(sz >= 40, "avih too short")
-              found = Seq[Any]("avi", le32(p + 8 + 32), le32(p + 8 + 36),
-                le32(p + 8 + 16), null, null, null)
-            }
+              avih = Seq[Any](le32(p + 8 + 32), le32(p + 8 + 36), le32(p + 8 + 16))
+            } else if (id == "strf" && codec == null && sz >= 20)
+              codec = le32(p + 8 + 16) match {
+                case 0 => "dib"
+                case MjpgFourcc => "mjpg"
+                case fc => // printable fourcc, else hex
+                  val cs = (0 until 4).map(i => ((fc >> (8 * i)) & 0xff).toChar)
+                  if (cs.forall(c => c >= ' ' && c < 127))
+                    cs.mkString.trim.toLowerCase
+                  else f"0x$fc%08x"
+              }
             p += 8 + sz + (sz & 1)
           }
         }
         walk(12, b.length)
-        require(found != null, "no avih header")
-        found
+        require(avih != null, "no avih header")
+        Seq[Any]("avi", avih(0), avih(1), avih(2), null, null, null, codec)
       } catch { case scala.util.control.NonFatal(_) => "corrupt:avi" +: nulls }
     } else "unknown" +: nulls
   }

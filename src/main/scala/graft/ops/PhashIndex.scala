@@ -238,9 +238,22 @@ object PhashIndex {
   def screen(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
       excludeBatch: Option[Long] = None): DataFrame =
-    screenHashed(spark, path, hashFrame(batch, idCol, imgCol), "mh_id",
-      dhCols, maxDist, excludeBatch)
-      .withColumnRenamed("mh_id", idCol)
+    screenWithScratch(spark, path, batch, idCol, imgCol, maxDist,
+      excludeBatch)._1
+
+  /** [[screen]] plus the interior checkpointed probe-signature frame, so a
+    * caller that EXECUTES the verdicts can release its blocks explicitly
+    * ([[graft.Checkpoints.release]]) — the per-micro-batch ingest loop's
+    * lifetime discipline ([[LshIndex.screenWithScratch]]'s contract).
+    */
+  private[graft] def screenWithScratch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, imgCol: String, maxDist: Int = 2,
+      excludeBatch: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
+    val (v, scratch) = screenHashedWithScratch(spark, path,
+      hashFrame(batch, idCol, imgCol), "mh_id", dhCols, maxDist, excludeBatch)
+    (v.withColumnRenamed("mh_id", idCol), scratch)
+  }
 
   // ── fingerprint-agnostic entry points: PRE-HASHED rows ─────────────────
   // The index stores 4×16-bit band words; nothing about the lifecycle,
@@ -288,8 +301,14 @@ object PhashIndex {
       path: String, hashed: DataFrame, idCol: String, wordCols: Seq[String],
       maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
     requireBandedDist(maxDist) // BEFORE the probe decodes anything
+    // grid resolved ONCE per probe (the snapshotGeometry discipline): a
+    // reshard committing between two independent meta reads would sign the
+    // probe under one modulus and prune under the other — silently empty
+    // candidates instead of this family's loud refusal
+    val grid = meta(spark, path)
     verifyHamming(candidateJoinOf(spark, path,
-      probeSigs(spark, path, hashed, idCol, wordCols), excludeBatch), maxDist)
+      probeSigs(spark, path, hashed, idCol, wordCols, grid), grid,
+      excludeBatch), maxDist)
   }
 
   /** [[screen]] for a pre-hashed probe frame. One row per DISTINCT probe
@@ -300,16 +319,29 @@ object PhashIndex {
     */
   def screenHashed(spark: org.apache.spark.sql.SparkSession, path: String,
       hashed: DataFrame, idCol: String, wordCols: Seq[String],
-      maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
+      maxDist: Int = 2, excludeBatch: Option[Long] = None): DataFrame =
+    screenHashedWithScratch(spark, path, hashed, idCol, wordCols, maxDist,
+      excludeBatch)._1
+
+  /** [[screenHashed]] plus the interior checkpointed probe-signature frame
+    * (see [[screenWithScratch]]).
+    */
+  private[graft] def screenHashedWithScratch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      hashed: DataFrame, idCol: String, wordCols: Seq[String],
+      maxDist: Int = 2,
+      excludeBatch: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
     requireBandedDist(maxDist) // BEFORE the probe decodes anything
-    val bSigs = probeSigs(spark, path, hashed, idCol, wordCols)
+    val grid = meta(spark, path) // resolved once; see candidatesHashed
+    val bSigs = probeSigs(spark, path, hashed, idCol, wordCols, grid)
     val matched = verifyHamming(
-        candidateJoinOf(spark, path, bSigs, excludeBatch), maxDist)
+        candidateJoinOf(spark, path, bSigs, grid, excludeBatch), maxDist)
       .groupBy(col("b_id")).agg(min(col("c_id")).as("match_id"))
-    bSigs.select(col("b_id").as(idCol)).distinct()
+    (bSigs.select(col("b_id").as(idCol)).distinct()
       .join(broadcast(matched.withColumnRenamed("b_id", idCol)),
         Seq(idCol), "left")
-      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id"))
+      .select(col(idCol), col("match_id").isNull.as("is_new"), col("match_id")),
+      Seq(bSigs))
   }
 
   private def requireBandedDist(maxDist: Int): Unit =
@@ -323,13 +355,13 @@ object PhashIndex {
     */
   private def probeSigs(spark: org.apache.spark.sql.SparkSession,
       path: String, hashed: DataFrame, idCol: String,
-      wordCols: Seq[String]): DataFrame =
-    signWords(hashed, idCol, wordCols, meta(spark, path))
+      wordCols: Seq[String], sigBuckets: Int): DataFrame =
+    signWords(hashed, idCol, wordCols, sigBuckets)
       .withColumnRenamed("mh_id", "b_id").localCheckpoint()
 
   private def candidateJoinOf(spark: org.apache.spark.sql.SparkSession,
-      path: String, bSigs: DataFrame,
+      path: String, bSigs: DataFrame, sigBuckets: Int,
       excludeBatch: Option[Long]): DataFrame =
     LshIndex.candidatesJoin(spark, path, bSigs, dataCols,
-      4 * meta(spark, path), excludeBatch)
+      4 * sigBuckets, excludeBatch)
 }

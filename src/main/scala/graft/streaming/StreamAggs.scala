@@ -539,16 +539,22 @@ object StreamAggs {
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
       if (!graft.ops.LshIndex.batchFolded(s, idxPath, batchId)) {
-        val verdicts = graft.ops.LshIndex.screen(s, idxPath, corpus(),
-            batch.toDF(), idCol, textCol, threshold,
-            excludeBatch = Some(batchId))
-          .localCheckpoint() // consumed twice: sink + accepted semi-join
-        sink(verdicts, batchId)
-        val accepted = batch.toDF().join(
-          verdicts.filter(org.apache.spark.sql.functions.col("is_new"))
-            .select(idCol), Seq(idCol), "semi")
-        graft.ops.LshIndex.appendBatch(s, idxPath, accepted, idCol, textCol,
-          batchId, owner)
+        val (raw, scratch) = graft.ops.LshIndex.screenWithScratch(s, idxPath,
+          corpus(), batch.toDF(), idCol, textCol, threshold,
+          excludeBatch = Some(batchId))
+        // Scoped lifetime: the verdicts (consumed twice — sink + accepted
+        // semi-join) and the screen's interior scratch release when the
+        // batch's appends land; a long-running stream holds ONE batch's
+        // blocks, never an unbounded accumulation awaiting GC.
+        graft.Checkpoints.withCheckpointed(raw) { verdicts =>
+          sink(verdicts, batchId)
+          val accepted = batch.toDF().join(
+            verdicts.filter(org.apache.spark.sql.functions.col("is_new"))
+              .select(idCol), Seq(idCol), "semi")
+          graft.ops.LshIndex.appendBatch(s, idxPath, accepted, idCol, textCol,
+            batchId, owner)
+        }
+        graft.Checkpoints.release(scratch: _*)
       }
     }
 
@@ -567,14 +573,18 @@ object StreamAggs {
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val s = batch.sparkSession
       if (!graft.ops.PhashIndex.batchFolded(s, idxPath, batchId)) {
-        val verdicts = graft.ops.PhashIndex.screen(s, idxPath, batch.toDF(),
-            idCol, imgCol, maxDist, excludeBatch = Some(batchId))
-          .localCheckpoint() // consumed twice: sink + accepted semi-join
-        sink(verdicts, batchId)
-        val accepted = batch.toDF().join(
-          verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
-        graft.ops.PhashIndex.appendBatch(s, idxPath, accepted, idCol, imgCol,
-          batchId, owner)
+        val (raw, scratch) = graft.ops.PhashIndex.screenWithScratch(s, idxPath,
+          batch.toDF(), idCol, imgCol, maxDist, excludeBatch = Some(batchId))
+        // Same scoped lifetime as [[dedupAtIngest]] — verdict and probe
+        // blocks release when this batch's appends land, not at some GC.
+        graft.Checkpoints.withCheckpointed(raw) { verdicts =>
+          sink(verdicts, batchId)
+          val accepted = batch.toDF().join(
+            verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
+          graft.ops.PhashIndex.appendBatch(s, idxPath, accepted, idCol, imgCol,
+            batchId, owner)
+        }
+        graft.Checkpoints.release(scratch: _*)
       }
     }
 

@@ -370,4 +370,115 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded === brute,
       "4x16-bit pigeonhole banding must have TOTAL recall at hamming <= 3")
   }
+
+  // ── MJPG: the compressed-video leg reachable with zero non-JDK deps ────
+  // JPEG is lossy, so the mm9 source-bytes oracle does not transfer: the
+  // gate is decode EQUALITY against ImageIO on the same record bytes
+  // (both paths run the identical decoder — exact match, not tolerance),
+  // plus near-dup stability on planted MJPG duplicates.
+
+  test("MJPG: records are real JPEGs; parseAvi equals direct ImageIO decode per frame") {
+    // smooth gradient rasters: the representative MJPG payload (JPEG is
+    // near-exact on low-frequency content; noise fixtures test nothing
+    // about the container)
+    val (w, h) = (36, 32)
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1) + 5 * f).min(255)))
+    val avi = Multimodal.buildAvi(frames, w, h, fps = 10, codec = "MJPG")
+    val (rw, rh, comp, records) = Multimodal.parseAviRecords(avi)
+    assert(rw == w && rh == h && comp == Multimodal.MjpgFourcc)
+    assert(records.length == 3)
+    records.foreach(rb => assert((rb(0) & 0xff) == 0xFF && (rb(1) & 0xff) == 0xD8,
+      "each 00dc record must be a genuine JPEG (SOI marker)"))
+    val (pw, ph, rasters) = Multimodal.parseAvi(avi)
+    assert(pw == w && ph == h)
+    rasters.zip(records).zipWithIndex.foreach { case ((got, rb), f) =>
+      val (jw, jh, want) = Multimodal.decodeLuma(rb)
+      assert(jw == w && jh == h)
+      assert(got.toSeq == want.toSeq,
+        s"frame $f: parseAvi must equal ImageIO.read of the same record bytes")
+    }
+  }
+
+  test("MJPG planted dup pairs still caught at maxDist <= 3; alien fourccs refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (36, 32)
+    def vid(shift: Int, reversed: Boolean) = Multimodal.buildAvi(
+      Array.tabulate(4)(f => Array.tabulate(w * h) { i =>
+        val x = i % w
+        val g = if (reversed) (w - 1 - x) * 200 / (w - 1) else x * 200 / (w - 1)
+        g + 7 * f + shift // ≤ 227: never clips, so the shift is exactly uniform
+      }), w, h, fps = 10, codec = "MJPG")
+    // 1≈2 (uniform brightness shift: dHash gradient signs survive both the
+    // shift and the JPEG), 3 unrelated (reversed slope direction)
+    val rows = Seq((1L, vid(0, false)), (2L, vid(6, false)), (3L, vid(0, true)))
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.videoFrames(rows.toDF("media_id", "video")))
+    val fid = hashed.select(
+      (col("media_id") * 10 + col("frame_no")).cast("long").as("media_id"),
+      col("dh0"), col("dh1"), col("dh2"), col("dh3"))
+    val matched = Multimodal.phashNearDupPairs(fid, maxDist = 3)
+      .filter(pmod($"id_a", lit(10)) === pmod($"id_b", lit(10)))
+      .groupBy(floor($"id_a" / 10).cast("long").as("vid_a"),
+        floor($"id_b" / 10).cast("long").as("vid_b"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(matched.get((1L, 2L)).contains(4L),
+      s"brightness-shifted MJPG dup must match on every frame, got $matched")
+    assert(!matched.contains((1L, 3L)) && !matched.contains((2L, 3L)),
+      s"unrelated videos must not match, got $matched")
+    // the refusal is narrowed to genuinely-unsupported fourccs: patch the
+    // DIB stream's biCompression to 'XVID' and parse must name the codec
+    val dib = Multimodal.buildAvi(Array(Array.fill(w * h)(128)), w, h, 10)
+    val si = dib.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(si > 0)
+    "XVID".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+      dib(si + 24 + i) = b } // biCompression field, LE
+    val err = intercept[IllegalArgumentException](Multimodal.parseAvi(dib))
+    assert(err.getMessage.contains("biCompression") &&
+      err.getMessage.contains("JNI"), err.getMessage)
+  }
+
+  test("sniff codec: ulaw WAV routes at sniff time; the decode refusal is reachable, not an ambush") {
+    val s = spark
+    import s.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wavBytes(fmtTag: Int, n: Int): Array[Byte] = {
+      val data = Array.tabulate(n)(i => (i * 7 % 256).toByte)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(fmtTag) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+        "data".getBytes("US-ASCII") ++ le32(n) ++ data ++
+        (if (n % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // hand-built fmt-tag-7 (µ-law) WAV: sniffs as wav + codec=ulaw — the
+    // header is PCM-identical; ONLY the tag distinguishes them
+    assert(Multimodal.sniffOne(wavBytes(7, 64)) ===
+      Seq[Any]("wav", null, null, null, 1, 8000, 64, "ulaw"))
+    assert(Multimodal.sniffOne(wavBytes(6, 64)).last === "alaw")
+    assert(Multimodal.sniffOne(wavBytes(1, 64)).last === "pcm")
+    // AVI codec surfaces the same way
+    val rows = (0L until 2L).map(i => (i, longText(700 + i.toInt)))
+    assert(Multimodal.sniffMeta(Multimodal.synthVideo(packed(rows)), "video")
+      .select("codec").distinct().head.getString(0) === "dib")
+    assert(Multimodal.sniffMeta(
+        Multimodal.synthVideo(packed(rows), codec = "MJPG"), "video")
+      .select("codec").distinct().head.getString(0) === "mjpg")
+    // the refusal is REACHABLE from the verdict: mixed intake, route on
+    // codec, decode only the linear-PCM rows — no executor exception
+    val pcm = Multimodal.synthAudio(packed(rows), nSamples = 64)
+      .select(col("media_id"), col("audio"))
+    val mixed = pcm.unionByName(
+      Seq((99L, wavBytes(7, 64))).toDF("media_id", "audio"))
+    intercept[Throwable] { // undirected decode of the mix is the old ambush
+      Multimodal.audioFeatures(mixed).collect()
+    }
+    val routed = Multimodal.sniffMeta(mixed, "audio")
+      .filter(col("codec") === "pcm")
+      .select("media_id", "audio")
+    assert(Multimodal.audioFeatures(routed).count() === 2,
+      "sniff-routed decode must process exactly the linear-PCM rows")
+  }
 }
