@@ -1952,6 +1952,59 @@ object SparkEntry {
           col("dhash"), col("ahash"))
     }),
 
+    // ── multimodal: ALL-modality joint dedup — ONE component graph over
+    // the union of text (LSH+Jaccard), image (dHash), audio (energy
+    // contour) and video (frame-rollup) pair sets. The planted class spans
+    // three-plus modalities BY CONSTRUCTION: +10000 copies are identical
+    // (every modality links them), +20000 e→f translations perturb each
+    // source byte by one (image/audio/video fingerprints survive, the
+    // token-level text pairs do NOT), +30000 appended-token copies are
+    // text near-dups whose rasters shift (text-only edge) — so assembling
+    // the full dup class REQUIRES edges from at least three modality
+    // machines, which is the web-scrape dup-class story mm14 started ─────
+    "mm17_all_modal_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val slice = base
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+          translate(col("text"), "e", "f").as("text")))
+        .unionByName(base.select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" appended alpha beta gamma tokens")).as("text")))
+        .localCheckpoint() // consumed 4×: text sets, packed media, nodes
+      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").localCheckpoint()
+      val textPairs = ops.Dedup.jaccardVerifyFromSets(sets,
+          ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
+        .select(col("doc_a"), col("doc_b"))
+      // ONE pack feeds all three media synthesizers (decode-once shape)
+      val packed = ops.Multimodal.pack(slice, "doc_id", "text", "raw")
+        .localCheckpoint()
+      val imgPairs = ops.Multimodal.phashNearDupPairs(
+          ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(packed)),
+          maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val audPairs = ops.Multimodal.phashNearDupPairs(
+          ops.Multimodal.audioFingerprint(ops.Multimodal.synthAudio(packed))
+            .select(col("media_id"), col("af0").as("dh0"), col("af1").as("dh1"),
+              col("af2").as("dh2"), col("af3").as("dh3")), maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val fid = ops.Multimodal.perceptualHash(ops.Multimodal.videoFrames(
+          ops.Multimodal.synthVideo(packed)))
+        .select((col("media_id") * 10 + col("frame_no")).cast("long").as("media_id"),
+          col("dh0"), col("dh1"), col("dh2"), col("dh3"))
+      val vidPairs = ops.Multimodal.phashNearDupPairs(fid, maxDist = 3)
+        .filter(pmod(col("id_a"), lit(10)) === pmod(col("id_b"), lit(10)))
+        .groupBy(floor(col("id_a") / 10).cast("long").as("doc_a"),
+          floor(col("id_b") / 10).cast("long").as("doc_b"))
+        .agg(count(lit(1)).as("mf")).filter(col("mf") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      ops.Dedup.connectedComponents(slice.select(col("doc_id").as("node")),
+          textPairs.unionByName(imgPairs).unionByName(audPairs)
+            .unionByName(vidPairs).distinct())
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          (col("node") === col("label")).as("is_survivor"))
+    }),
+
     // ── Set ops: intersect / except of filtered subsets (§2.7) ────────────
     "u2_active_minus_error" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2122,7 +2175,12 @@ object SparkEntry {
     * raster pixel `i` is source byte `pix`; output CTEs `dh`/`ah` carry the
     * four 16-bit band words per key tuple.
     */
-  private def mmGridCteBody(hSql: String, keys: Seq[String], pix: String): String = {
+  /** `prefix` renames every CTE (`h` → `<prefix>h`, …) so two grid
+    * derivations — e.g. mm17's image hashes beside its video frame hashes —
+    * can live in ONE statement without name collisions.
+    */
+  private def mmGridCteBody(hSql: String, keys: Seq[String], pix: String,
+      prefix: String = ""): String = {
     val k = keys.mkString(", ")
     val kg = (1 to keys.length).mkString(", ")
     def eq(l: String, r: String) = keys.map(c => s"$l.$c = $r.$c").mkString(" AND ")
@@ -2130,32 +2188,59 @@ object SparkEntry {
     def words(alias: Char): String = (0 to 3).map(j =>
       s"         (sum(CASE WHEN p // 16 = $j THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS $alias$j")
       .mkString(",\n")
-    s"""h AS ($hSql),
-      |px AS (SELECT $k, unnest(range(1152)) AS i, hx, n FROM h),
-      |pv AS (SELECT $k, i,
+    val P = prefix
+    s"""${P}h AS ($hSql),
+      |${P}px AS (SELECT $k, unnest(range(1152)) AS i, hx, n FROM ${P}h),
+      |${P}pv AS (SELECT $k, i,
       |         (strpos('0123456789ABCDEF', substring(hx, 2*($pix)+1, 1))-1)*16
       |       + (strpos('0123456789ABCDEF', substring(hx, 2*($pix)+2, 1))-1) AS v
-      |       FROM px),
-      |grid AS (SELECT $k, (i // 36) // 4 AS gr, (i % 36) // 4 AS gc,
+      |       FROM ${P}px),
+      |${P}grid AS (SELECT $k, (i // 36) // 4 AS gr, (i % 36) // 4 AS gc,
       |                (sum(v))::BIGINT // 16 AS g
-      |         FROM pv GROUP BY ${(1 to keys.length + 2).mkString(", ")}),
-      |db AS (SELECT ${ql("a")}, a.gr*8 + a.gc AS p,
+      |         FROM ${P}pv GROUP BY ${(1 to keys.length + 2).mkString(", ")}),
+      |${P}db AS (SELECT ${ql("a")}, a.gr*8 + a.gc AS p,
       |              CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
-      |       FROM grid a JOIN grid b ON ${eq("a", "b")}
+      |       FROM ${P}grid a JOIN ${P}grid b ON ${eq("a", "b")}
       |        AND a.gr = b.gr AND b.gc = a.gc + 1
       |       WHERE a.gc < 8),
-      |am AS (SELECT $k, (sum(g))::BIGINT // 64 AS m FROM grid
+      |${P}am AS (SELECT $k, (sum(g))::BIGINT // 64 AS m FROM ${P}grid
       |       WHERE gc < 8 GROUP BY $kg),
-      |ab AS (SELECT ${ql("g")}, g.gr*8 + g.gc AS p,
-      |              CASE WHEN g.g > am.m THEN 1 ELSE 0 END AS bit
-      |       FROM grid g JOIN am ON ${eq("g", "am")} WHERE g.gc < 8),
-      |dh AS (SELECT $k,
+      |${P}ab AS (SELECT ${ql("g")}, g.gr*8 + g.gc AS p,
+      |              CASE WHEN g.g > ${P}am.m THEN 1 ELSE 0 END AS bit
+      |       FROM ${P}grid g JOIN ${P}am ON ${eq("g", s"${P}am")} WHERE g.gc < 8),
+      |${P}dh AS (SELECT $k,
       |${words('d')}
-      |       FROM db GROUP BY $kg),
-      |ah AS (SELECT $k,
+      |       FROM ${P}db GROUP BY $kg),
+      |${P}ah AS (SELECT $k,
       |${words('a')}
-      |       FROM ab GROUP BY $kg)""".stripMargin
+      |       FROM ${P}ab GROUP BY $kg)""".stripMargin
   }
+
+  /** The 64-bit energy-contour audio-fingerprint re-derivation (mm15's
+    * arithmetic) over `srcExpr` — any relation with `(media_id, text)` —
+    * through CTE `af(media_id, a0..a3)`. CTE names are `au`-prefixed so
+    * the chain composes beside the image/video grids in one statement.
+    */
+  private def audioFpCteOver(srcExpr: String): String =
+    s"""auh AS (SELECT media_id, hex(text::BLOB) AS hx,
+      |               octet_length(text::BLOB) AS n FROM $srcExpr),
+      |aupx AS (SELECT media_id, unnest(range(2048)) AS i, hx, n FROM auh),
+      |aupv AS (SELECT media_id, i,
+      |         (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+1, 1))-1)*16
+      |       + (strpos('0123456789ABCDEF', substring(hx, 2*(i % n)+2, 1))-1) AS v
+      |       FROM aupx),
+      |aue AS (SELECT media_id, i // 32 AS f, (sum(abs(v - 128)))::BIGINT AS e
+      |      FROM aupv GROUP BY 1, 2),
+      |aubits AS (SELECT a.media_id, a.f AS p,
+      |                CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      |         FROM aue a JOIN aue b ON a.media_id = b.media_id
+      |          AND b.f = (a.f + 1) % 64),
+      |af AS (SELECT media_id,
+      |         (sum(CASE WHEN p // 16 = 0 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a0,
+      |         (sum(CASE WHEN p // 16 = 1 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a1,
+      |         (sum(CASE WHEN p // 16 = 2 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a2,
+      |         (sum(CASE WHEN p // 16 = 3 THEN bit << (15 - p % 16) ELSE 0 END))::INTEGER AS a3
+      |       FROM aubits GROUP BY media_id)""".stripMargin
 
   private def embPairsCte(threshold: Double): String = {
     val tables = 8; val bits = 16
@@ -4081,6 +4166,57 @@ object SparkEntry {
         |       printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash,
         |       printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash
         |FROM dh JOIN ah USING (media_id)""".stripMargin),
+
+    // mm14 extended to ALL four modalities: the text pair CTE, the image
+    // grid, the v-prefixed video grid and the audio contour chain sit
+    // beside each other; one recursive closure folds their union into
+    // exact components — the oracle restates every modality's machine
+    // from SOURCE bytes in a single statement
+    "mm17_all_modal_dedup" -> ("WITH RECURSIVE src AS (" +
+      """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 150
+        | UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+        |           FROM documents WHERE doc_id < 150
+        | UNION ALL SELECT doc_id + 30000, text || ' appended alpha beta gamma tokens'
+        |           FROM documents WHERE doc_id < 150""".stripMargin + "),\n" +
+      mmGridCteBody(
+        """SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+          |             octet_length(text::BLOB) AS n
+          |      FROM src""".stripMargin, Seq("media_id"), "i % n") + ",\n" +
+      mmGridCteBody(
+        """SELECT media_id, unnest(range(4)) AS f, hx, n
+          |      FROM (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+          |                   octet_length(text::BLOB) AS n FROM src) vhh""".stripMargin,
+        Seq("media_id", "f"), "(f*1152 + i) % n", "v") + ",\n" +
+      audioFpCteOver("(SELECT doc_id AS media_id, text FROM src) aus") + ",\n" +
+      dedupPairsCteOver("src") +
+      """,
+        |ipairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+        |           FROM dh a JOIN dh b ON a.media_id < b.media_id
+        |           WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |               + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3),
+        |apairs AS (SELECT x.media_id AS doc_a, y.media_id AS doc_b
+        |           FROM af x JOIN af y ON x.media_id < y.media_id
+        |           WHERE bit_count(xor(x.a0, y.a0)) + bit_count(xor(x.a1, y.a1))
+        |               + bit_count(xor(x.a2, y.a2)) + bit_count(xor(x.a3, y.a3)) <= 3),
+        |vpairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+        |           FROM vdh a JOIN vdh b ON a.media_id < b.media_id AND a.f = b.f
+        |           WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+        |               + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+        |           GROUP BY 1, 2 HAVING count(*) >= 2),
+        |allp AS (SELECT doc_a, doc_b FROM pairs
+        |         UNION SELECT doc_a, doc_b FROM ipairs
+        |         UNION SELECT doc_a, doc_b FROM apairs
+        |         UNION SELECT doc_a, doc_b FROM vpairs),
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM allp
+        |        UNION SELECT doc_b, doc_a FROM allp),
+        |reach(u, v) AS (SELECT u, v FROM sym
+        |                UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |                       WHERE s.v <> r.u),
+        |lab AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT src.doc_id, coalesce(l.component, src.doc_id) AS component,
+        |       coalesce(l.component, src.doc_id) = src.doc_id AS is_survivor
+        |FROM src LEFT JOIN lab l ON l.node = src.doc_id""".stripMargin),
 
     "u1_union_kinds" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'

@@ -439,6 +439,68 @@ class MultimodalSpec extends AnyFunSuite {
       err.getMessage.contains("JNI"), err.getMessage)
   }
 
+  test("mm17 fixture: the planted dup class needs edges from >= 3 modality machines") {
+    val s = spark
+    import s.implicits._
+    // texts SHORTER than one 1152-px raster: appending tokens then shifts
+    // the cyclic raster (longer texts leave the first 1152 bytes — the
+    // whole image — untouched, and the image machine would link the
+    // appended copy on its own)
+    def shortText(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+      (0 until 150).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val base = (0L until 6L).map(i => (i, shortText(900 + i.toInt)))
+      .toDF("doc_id", "text")
+    val slice = base
+      .unionByName(base.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      .unionByName(base.select(($"doc_id" + 20000).as("doc_id"),
+        translate($"text", "e", "f").as("text")))
+      .unionByName(base.select(($"doc_id" + 30000).as("doc_id"),
+        concat($"text", lit(" appended alpha beta gamma tokens")).as("text")))
+      .localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.ops.Dedup.shingleSets(slice, "doc_id", "text").localCheckpoint()
+    val text = pairSet(graft.ops.Dedup.jaccardVerifyFromSets(sets,
+      graft.ops.Dedup.lshCandidatePairsFromSets(sets), 0.2))
+    val packed = Multimodal.pack(slice, "doc_id", "text", "raw").localCheckpoint()
+    val img = pairSet(Multimodal.phashNearDupPairs(
+        Multimodal.perceptualHash(Multimodal.synthImages(packed)), maxDist = 3)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+    val aud = pairSet(Multimodal.phashNearDupPairs(
+        Multimodal.audioFingerprint(Multimodal.synthAudio(packed))
+          .select($"media_id", $"af0".as("dh0"), $"af1".as("dh1"),
+            $"af2".as("dh2"), $"af3".as("dh3")), maxDist = 3)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+    def canon(p: Set[(Long, Long)]) = p.map { case (a, b) => (a min b, a max b) }
+    val (t, im, au) = (canon(text), canon(img), canon(aud))
+    // the +30000 appended-token copy is a TEXT near-dup whose raster
+    // shifted (text-only edge); the +20000 e→f translate breaks the token
+    // shingles but barely moves the byte-level fingerprints — find a doc
+    // whose class demonstrably needs text AND image AND audio edges
+    val i = (0L until 6L).find { i =>
+      t((i, i + 30000)) && !t((i, i + 20000)) &&
+        im((i, i + 20000)) && !im((i, i + 30000)) &&
+        au((i, i + 20000)) && !au((i, i + 30000))
+    }
+    assert(i.isDefined,
+      "fixture must plant a class whose assembly needs >= 3 modality machines")
+    // and the joint component graph actually assembles it (the fixture's
+    // tiny vocabulary also links base docs to each other — irrelevant
+    // here; the claim is that the four copies share ONE component)
+    val joint = graft.ops.Dedup.connectedComponents(
+      slice.select($"doc_id".as("node")),
+      (t ++ im ++ au).toSeq.toDF("doc_a", "doc_b"))
+    val comp = joint.filter($"node".isin(i.get, i.get + 10000, i.get + 20000,
+        i.get + 30000))
+      .select("label").distinct().collect()
+    assert(comp.length == 1,
+      "all four planted copies must fold into ONE component")
+  }
+
   test("sniff codec: ulaw WAV routes at sniff time; the decode refusal is reachable, not an ambush") {
     val s = spark
     import s.implicits._

@@ -151,6 +151,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm15: mm6's banded pair machine over audio contour words;
       // mm16: decode->scale->re-encode->hash is pure kernel lineage
       "mm15_audio_fingerprint" -> 3, "mm16_resize_real" -> 0,
+      // mm17: mm14's shape with two more modality pair machines, all
+      // executed eagerly behind localCheckpoints inside
+      // connectedComponents; the final plan is the component back-join
+      "mm17_all_modal_dedup" -> 2,
       "p1_fnv_hash" -> 1, "p3_split_counts" -> 2, "q1_pricing_summary" -> 1,
       "q3_shipping" -> 1, "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0,
       "q10_returned_items" -> 1,
@@ -314,8 +318,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // runs the same self-join over per-frame hashes
       "mm6_image_neardup", "mm7_image_survivors", "mm10_video_neardup",
       // mm14: composes mm6's band self-join AND d15's component machinery;
-      // mm15: the same corpus-×-corpus band self-join over audio words
-      "mm14_joint_dedup", "mm15_audio_fingerprint",
+      // mm15: the same corpus-×-corpus band self-join over audio words;
+      // mm17: mm14 plus the audio and video band self-joins
+      "mm14_joint_dedup", "mm15_audio_fingerprint", "mm17_all_modal_dedup",
       // j6: the zero-match-keeping rollup joins episodes to a post-agg
       // count frame whose size exists only at runtime — AQE broadcasts it
       "j6_interval_join",
