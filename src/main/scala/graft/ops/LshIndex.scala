@@ -347,6 +347,52 @@ object LshIndex {
     heavy.select(col("band"), col("sig"), col("n"))
   }
 
+  /** Collision-density census of the banded signature grid — what
+    * [[health]]'s topK view can't say: not just WHERE the heavy buckets
+    * are, but how much ACCIDENTAL candidate mass the whole grid implies.
+    * A screen's cost and false-candidate rate are both driven by the
+    * band-collision probability (two random corpus members sharing a
+    * band signature); on a differentiated corpus it is ~n/|sig-space|
+    * per band, on a near-uniform corpus (flat images, boilerplate text)
+    * it saturates — the 34%-accidental-match postmortem this verb turns
+    * into a BEFORE-the-fact dashboard. Per band:
+    *
+    *   - `n` rows, `buckets` distinct signatures;
+    *   - `collision_pairs` = Σ_b n_b·(n_b−1)/2 — unordered same-sig pairs;
+    *   - `collision_prob` = collision_pairs / C(n,2) — P(two random
+    *     members collide in this band);
+    *   - `exp_candidates_per_probe` = Σ_b n_b·(n_b−1)/n — candidates a
+    *     corpus-drawn probe pulls from this band (excluding itself).
+    *
+    * A probe's total candidate set is bounded by the SUM of the bands'
+    * `exp_candidates_per_probe` (union bound; multi-band collisions
+    * dedup in the screen). One scan of `sigs ∪ ingest`, one bucket
+    * census, one band-sized aggregate — the same cost as [[health]].
+    */
+  def density(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = densityOf(spark, path)
+
+  /** Layout-generic: touches only the universal `(band, sig)` columns,
+    * so one body serves the minhash, perceptual-hash, and audio
+    * fingerprint families alike.
+    */
+  private[ops] def densityOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val sigs = signaturesOf(spark, path, Seq("mh_id", "band", "sig"), None)
+    sigs.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("nb"))
+      .groupBy(col("band"))
+      .agg(sum(col("nb")).as("n"),
+        count(lit(1)).as("buckets"),
+        (sum(col("nb") * (col("nb") - 1)) / 2).cast("long")
+          .as("collision_pairs"))
+      .withColumn("collision_prob",
+        when(col("n") > 1, round(col("collision_pairs") * lit(2.0)
+          / (col("n") * (col("n") - lit(1))), 9)).otherwise(lit(0.0)))
+      .withColumn("exp_candidates_per_probe",
+        round(col("collision_pairs") * lit(2.0) / col("n"), 9))
+      .orderBy(col("band"))
+  }
+
   /** Re-shard the partition grid to `newSigBuckets` — the maintenance verb
     * for an index whose corpus outgrew its build-time grid (`sb` is a pure
     * function of `sig`, so this is ONE deterministic rewrite; no

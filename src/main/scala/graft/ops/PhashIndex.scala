@@ -175,6 +175,121 @@ object PhashIndex {
   def health(spark: org.apache.spark.sql.SparkSession, path: String,
       topK: Int = 20): DataFrame = LshIndex.healthOf(spark, path, topK)
 
+  /** Per-band collision-density census — [[LshIndex.density]]'s generic
+    * body over this family's grid.
+    */
+  def density(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = LshIndex.densityOf(spark, path)
+
+  /** Index-resident accidental-match dashboard: what fraction of the
+    * grid's band collisions are ALSO within Hamming `d`, for every
+    * `d ≤ maxDist` — the number that decides whether a given screening
+    * `maxDist` is safe on THIS corpus, learned from the index instead of
+    * from a postmortem. dHash space is dense on near-uniform rasters
+    * (a measured 34% hamming≤2 accidental-match rate at 4M random flat
+    * images) and sparse on differentiated ones; only the index knows
+    * which corpus it holds.
+    *
+    * Estimator: every (band, sig) bucket is sampled to at most
+    * `perBucketCap` rows (deterministic xxhash64 rank — reproducible
+    * across runs), the within-bucket sampled pairs get their TRUE
+    * Hamming distance from the stored full hashes (this family's rows
+    * carry `h0..h3`, so no corpus read), and each sampled pair is
+    * weighted by `n_b·(n_b−1) / (s_b·(s_b−1))` so heavy buckets keep
+    * their quadratic pair mass in the estimate. With `perBucketCap` at
+    * least the largest bucket the estimate is EXACT (all weights 1).
+    *
+    * One row per `d ∈ 0..maxDist`:
+    *   - `collision_pairs` — exact same-band-signature pair incidences
+    *     (a pair colliding in two bands counts twice, matching the
+    *     candidate-join work it causes);
+    *   - `sampled_pairs` — pairs actually measured (total, same every
+    *     row; equals `collision_pairs` when the cap covers every bucket);
+    *   - `p_match_given_collision` — estimated P(Hamming ≤ d | band
+    *     collision), pair-incidence weighted;
+    *   - `implied_matches_per_probe` — expected candidates within `d`
+    *     that a corpus-drawn probe pulls (union bound over bands,
+    *     = 2·Σ weighted matching pairs / n).
+    *
+    * Cost: one grid scan + a capped self-join (≤ C(cap,2) pairs per
+    * bucket) + a ≤65-row distance histogram folded on the driver.
+    */
+  def densityByDist(spark: org.apache.spark.sql.SparkSession, path: String,
+      perBucketCap: Int = 8, maxDist: Int = 4): DataFrame = {
+    require(perBucketCap >= 2, s"perBucketCap must be >= 2, got $perBucketCap")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist must be in 0..64, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val rows = LshIndex.signaturesOf(spark, path,
+      Seq("mh_id", "band", "sig", "h0", "h1", "h2", "h3"), None)
+    val bucket = Window.partitionBy(col("band"), col("sig"))
+    val ranked = rows
+      .withColumn("nb", count(lit(1)).over(bucket))
+      .withColumn("rk", row_number().over(bucket.orderBy(
+        xxhash64(col("mh_id"), col("band"), col("sig")), col("mh_id"))))
+    val samp = ranked.filter(col("rk") <= perBucketCap)
+      .withColumn("sn", least(col("nb"), lit(perBucketCap.toLong)))
+    val a = samp.select(col("band"), col("sig"), col("nb"), col("sn"),
+      col("rk").as("rk_a"), col("h0").as("a0"), col("h1").as("a1"),
+      col("h2").as("a2"), col("h3").as("a3"))
+    val b = samp.select(col("band").as("band_b"), col("sig").as("sig_b"),
+      col("rk").as("rk_b"), col("h0").as("b0"), col("h1").as("b1"),
+      col("h2").as("b2"), col("h3").as("b3"))
+    // ≤65 distinct distances after the aggregate — bounded by contract
+    val hist = a.join(b, col("band") === col("band_b") &&
+        col("sig") === col("sig_b") && col("rk_a") < col("rk_b"))
+      .withColumn("d",
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2"))) +
+          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("int"))
+      .withColumn("w", col("nb") * (col("nb") - 1)
+        / (col("sn") * (col("sn") - lit(1.0))))
+      .groupBy(col("d"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("pairs"))
+      .collect()
+    val census = rows.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("nb"))
+      .agg(sum(col("nb") * (col("nb") - 1)).as("cp2"),
+        (sum(col("nb")) / 4).cast("long").as("n"))
+      .collect()(0)
+    // per-bucket Σw over rk_a<rk_b pairs telescopes to n_b·(n_b−1)/2, so
+    // the weighted sums below are already in UNORDERED-pair units
+    val collisionPairs = if (census.isNullAt(0)) 0L else census.getLong(0) / 2
+    val n = if (census.isNullAt(1)) 0L else census.getLong(1)
+    val sampled = hist.map(_.getLong(2)).sum
+    import spark.implicits._
+    (0 to maxDist).map { k =>
+      val m = hist.filter(_.getInt(0) <= k).map(_.getDouble(1)).sum
+      (k, collisionPairs, sampled,
+        if (collisionPairs > 0)
+          BigDecimal(m / collisionPairs).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0,
+        if (n > 0)
+          BigDecimal(2.0 * m / n).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0)
+    }.toDF("max_dist", "collision_pairs", "sampled_pairs",
+      "p_match_given_collision", "implied_matches_per_probe")
+  }
+
+  /** Learn the largest SAFE screening `maxDist` from the index itself:
+    * the biggest `d ≤ 3` (the banding-recall ceiling) whose
+    * [[densityByDist]] `implied_matches_per_probe` stays within the
+    * caller's accidental-match budget. `None` means even exact-hash
+    * screening (`d = 0`) exceeds the budget — the corpus is degenerate
+    * (a flat-raster class pairs quadratically) and the remedy is
+    * upstream, not a smaller radius: exact-dedup the flat class or cap
+    * its buckets before screening in anger.
+    */
+  def safeMaxDist(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxImpliedPerProbe: Double, perBucketCap: Int = 8): Option[Int] = {
+    val rates = densityByDist(spark, path, perBucketCap, maxDist = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    // rates are cumulative in d, so the safe set is a prefix of 0..3
+    (0 to 3).takeWhile(rates(_) <= maxImpliedPerProbe).lastOption
+  }
+
   /** GDPR/forget: remove the given image ids' hash rows — content-derived
     * fingerprints participate in the erasure story ([[LshIndex.forget]]'s
     * contract and generic body; staged rewrite + swap, folds ingest

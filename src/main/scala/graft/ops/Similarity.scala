@@ -1195,6 +1195,41 @@ object Similarity {
         round(min(col("csim")), 6).as("min_csim"))
   }
 
+  /** Collision-density summary of a persisted IVF-family index — the
+    * cell-grid analog of [[LshIndex.density]]: how much same-cell pair
+    * mass the layout implies, which is exactly the exhaustive-distance
+    * work an `nprobe = 1` query pays inside its own cell. One row:
+    *
+    *   - `n` vectors, `cells` occupied cells;
+    *   - `collision_pairs` = Σ_c n_c·(n_c−1)/2 — same-cell pairs;
+    *   - `collision_prob` = collision_pairs / C(n,2) — P(two random
+    *     vectors share a cell); a collapsed (drifted) index saturates
+    *     toward 1, a balanced nlist-cell grid sits near 1/nlist;
+    *   - `exp_scanned_per_probe` = Σ_c n_c·(n_c−1)/n — distance
+    *     computations a corpus-drawn probe pays at nprobe = 1.
+    *
+    * Same inputs as [[ivfIndexHealth]] (cells ∪ ingest side area), one
+    * census aggregate.
+    */
+  def ivfIndexDensity(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val g = snapshotGeometry(spark, path)
+    val base = spark.read.parquet(g.cells).select(col("vec_id"), col("cell"))
+    val cells = ingestCells(spark, path)
+      .map(i => base.unionByName(i.select(col("vec_id"), col("cell"))))
+      .getOrElse(base)
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc")).as("n"),
+        count(lit(1)).as("cells"),
+        (sum(col("nc") * (col("nc") - 1)) / 2).cast("long")
+          .as("collision_pairs"))
+      .withColumn("collision_prob",
+        when(col("n") > 1, round(col("collision_pairs") * lit(2.0)
+          / (col("n") * (col("n") - lit(1))), 9)).otherwise(lit(0.0)))
+      .withColumn("exp_scanned_per_probe",
+        round(col("collision_pairs") * lit(2.0) / col("n"), 9))
+  }
+
   /** The recluster trigger: true when the index has drifted past the
     * caller's fences — a cell holds more than `maxSkew`× the mean
     * occupancy (probe work skews to hot cells), or any cell's mean

@@ -146,5 +146,21 @@ object SqlOps {
     tvf("ivf_index_health", Seq(1)) { es =>
       Similarity.ivfIndexHealth(spark, asStr(es(0), "ivf_index_health", 0))
     }
+
+    // collision-density dashboards — the accidental-candidate-mass twin
+    // of the health census (LshIndex.density Scaladoc for the math)
+    tvf("lsh_index_density", Seq(1)) { es =>
+      LshIndex.density(spark, asStr(es(0), "lsh_index_density", 0))
+    }
+    tvf("phash_index_density", Seq(1, 3)) { es =>
+      val path = asStr(es(0), "phash_index_density", 0)
+      if (es.length == 1) PhashIndex.density(spark, path)
+      else PhashIndex.densityByDist(spark, path,
+        asInt(es(1), "phash_index_density", 1),
+        asInt(es(2), "phash_index_density", 2))
+    }
+    tvf("ivf_index_density", Seq(1)) { es =>
+      Similarity.ivfIndexDensity(spark, asStr(es(0), "ivf_index_density", 0))
+    }
   }
 }
