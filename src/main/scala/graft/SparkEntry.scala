@@ -1285,6 +1285,27 @@ object SparkEntry {
       ops.Similarity.ivfIndexHealth(s, idx)
     }),
 
+    // ── similarity: IVF collision DENSITY — e14's layout summarized as
+    //    same-cell pair mass: the exhaustive-distance work an nprobe=1
+    //    probe pays inside its own cell, and how close the grid is to
+    //    collapse (collision_prob → 1). Same build+append fixture as e14;
+    //    ratios re-derived from the exact integer census in both engines.
+    "e19_ivf_density" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte19")
+      val cents = ops.Similarity.defaultCentroids(emb, "vec_id", "embedding", 8)
+      ops.Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, centroids = Some(cents))
+      ops.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      ops.Similarity.ivfIndexDensity(s, idx).select(col("n"), col("cells"),
+        col("collision_pairs"),
+        round(col("collision_pairs") * lit(2.0)
+          / (col("n") * (col("n") - lit(1))), 6).as("collision_prob"),
+        round(col("collision_pairs") * lit(2.0) / col("n"), 6)
+          .as("exp_scanned_per_probe"))
+    }),
+
     // ── similarity: ANN quality — recall@k of SRP-LSH vs exact ────────────
     "e4_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1469,6 +1490,24 @@ object SparkEntry {
       val idx = tempLogDir("graftd19")
       ops.LshIndex.build(docs, "doc_id", "text", idx, sigBuckets = 16)
       ops.LshIndex.health(s, idx, topK = 20)
+    }),
+
+    // ── dedup: LSH-index collision DENSITY — d19's census completed into
+    //    the accidental-candidate-mass dashboard: per band, how many
+    //    same-signature pairs the grid holds and what candidate volume a
+    //    corpus-drawn probe implies (the safe-radius / cap-decision input,
+    //    learned from the index instead of a postmortem). The float ratios
+    //    are re-derived from the exact integer census in BOTH engines.
+    "d20_lsh_density" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = tempLogDir("graftd20")
+      ops.LshIndex.build(docs, "doc_id", "text", idx, sigBuckets = 16)
+      ops.LshIndex.density(s, idx).select(col("band"), col("n"),
+        col("buckets"), col("collision_pairs"),
+        round(col("collision_pairs") * lit(2.0)
+          / (col("n") * (col("n") - lit(1))), 6).as("collision_prob"),
+        round(col("collision_pairs") * lit(2.0) / col("n"), 6)
+          .as("exp_candidates_per_probe"))
     }),
 
     // ── text: PII screening + typed redaction (email / phone / IPv4) ──────
@@ -1851,6 +1890,56 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
           .select((col("doc_id") + 30000).as("doc_id"), col("text")))
       ops.PhashIndex.screen(s, idx, img(batch), "img_id", "img", maxDist = 3)
+    }),
+
+    // ── multimodal: phash-index collision DENSITY by Hamming radius — the
+    //    accidental-match dashboard (the "34% at 4M flat rasters" number,
+    //    learned from the index BEFORE screening in anger): per d ≤ 4,
+    //    P(hamming ≤ d | band collision) and the implied matches a
+    //    corpus-drawn probe pulls. The cap exceeds every bucket at this
+    //    fixture, so the sampled estimator must be EXACT — the oracle
+    //    re-derives every hash from source bytes and measures ALL
+    //    within-bucket pair incidences.
+    "mm18_phash_density" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def img(df: DataFrame) = ops.Multimodal.synthImages(
+          ops.Multimodal.pack(df, "doc_id", "text", "raw"))
+        .select(col("media_id").as("img_id"), col("img"))
+      val idx = tempLogDir("graftmm18")
+      ops.PhashIndex.build(img(docs.filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))),
+        "img_id", "img", idx, sigBuckets = 8)
+      ops.PhashIndex.densityByDist(s, idx, perBucketCap = 256, maxDist = 4)
+        .select(col("max_dist"), col("collision_pairs"), col("sampled_pairs"),
+          round(col("p_match_given_collision"), 6)
+            .as("p_match_given_collision"),
+          round(col("implied_matches_per_probe"), 6)
+            .as("implied_matches_per_probe"))
+    }),
+
+    // ── multimodal: DENSITY-GATED screen — the dashboard made
+    //    load-bearing: the screening radius is LEARNED from the index
+    //    (largest d ≤ 3 whose implied accidental-match rate fits the 0.5
+    //    budget) and travels with the verdicts as max_dist; the oracle
+    //    re-derives the radius decision from source bytes and screens at
+    //    exactly it, so a wrong learned radius breaks the hash.
+    "mm19_density_gated_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def img(df: DataFrame) = ops.Multimodal.synthImages(
+          ops.Multimodal.pack(df, "doc_id", "text", "raw"))
+        .select(col("media_id").as("img_id"), col("img"))
+      val base = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val idx = tempLogDir("graftmm19")
+      ops.PhashIndex.build(img(base), "img_id", "img", idx, sigBuckets = 8)
+      val batch = base.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      ops.PhashIndex.screenAuto(s, idx, img(batch), "img_id", "img",
+        maxImpliedPerProbe = 0.5, perBucketCap = 256)
     }),
 
     // ── multimodal: CROSS-MODAL contamination — video frames screened
@@ -3104,6 +3193,29 @@ object SparkEntry {
         |       round(min(csim), 6) AS min_csim
         |FROM assign WHERE crn = 1 GROUP BY cell""".stripMargin,
 
+    // e14's assignment summarized as same-cell pair mass — the nprobe=1
+    // scan cost and the collapse indicator, from the exact integer census
+    "e19_ivf_density" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |assign AS (SELECT vec_id, cent_id AS cell,
+        |                  row_number() OVER (PARTITION BY vec_id
+        |                    ORDER BY csim DESC, cent_id) AS crn
+        |           FROM (SELECT e.vec_id, c.cent_id,
+        |                        round(list_cosine_similarity(e.v, c.cent), 6) AS csim
+        |                 FROM e CROSS JOIN cents c)),
+        |b AS (SELECT cell, count(*)::BIGINT AS nc FROM assign WHERE crn = 1
+        |      GROUP BY cell)
+        |SELECT sum(nc)::BIGINT AS n, count(*)::BIGINT AS cells,
+        |       (sum(nc*(nc-1)) // 2)::BIGINT AS collision_pairs,
+        |       round(sum(nc*(nc-1))::DOUBLE
+        |             / (sum(nc)::BIGINT * (sum(nc)::BIGINT - 1))::DOUBLE, 6)
+        |         AS collision_prob,
+        |       round(sum(nc*(nc-1))::DOUBLE / sum(nc)::DOUBLE, 6)
+        |         AS exp_scanned_per_probe
+        |FROM b""".stripMargin,
+
     // e13: e11's IVF structure with e12's PQ arithmetic — codebooks seeded
     // from the EVEN half only (the build side; the freeze contract under
     // test), coarse cells from the shared first-8 centroids, candidates the
@@ -3749,6 +3861,40 @@ object SparkEntry {
         |SELECT band, sig, n FROM b
         |ORDER BY n DESC, band, sig LIMIT 20""".stripMargin,
 
+    // d19's census completed into the per-band collision-density dashboard:
+    // the float ratios derive from the exact integer pair masses in both
+    // engines (one division + one round each — no chained rounding)
+    "d20_lsh_density" ->
+      """WITH tok AS (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id),
+        |mh AS (SELECT doc_id, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, 3, sig3 FROM mh0),
+        |b AS (SELECT band, sig, count(*)::BIGINT AS nb FROM mh GROUP BY band, sig)
+        |SELECT band, sum(nb)::BIGINT AS n, count(*)::BIGINT AS buckets,
+        |       (sum(nb*(nb-1)) // 2)::BIGINT AS collision_pairs,
+        |       round(sum(nb*(nb-1))::DOUBLE
+        |             / (sum(nb)::BIGINT * (sum(nb)::BIGINT - 1))::DOUBLE, 6)
+        |         AS collision_prob,
+        |       round(sum(nb*(nb-1))::DOUBLE / sum(nb)::DOUBLE, 6)
+        |         AS exp_candidates_per_probe
+        |FROM b GROUP BY band""".stripMargin,
+
     // the exact scan over the SURVIVORS (vec_id % 3 != 0): full probe +
     // exhaustive rerank over the forgotten index must reproduce it
     "e18_ivf_forget" ->
@@ -4058,6 +4204,88 @@ object SparkEntry {
         |        GROUP BY 1)
         |SELECT t.media_id AS img_id, v.match_id IS NULL AS is_new, v.match_id
         |FROM (SELECT media_id FROM dh WHERE is_b = 1) t
+        |LEFT JOIN ver v ON v.b_id = t.media_id""".stripMargin),
+
+    // density truth: every hash re-derived from source bytes, EVERY
+    // within-bucket pair incidence measured at its true 64-bit hamming —
+    // the capped estimator must land exactly on this (cap > any bucket)
+    "mm18_phash_density" -> ("WITH " + mmGridCteBody(
+      """SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |             octet_length(text::BLOB) AS n
+        |      FROM documents WHERE doc_id < 200""".stripMargin,
+      Seq("media_id"), "i % n") +
+      """,
+        |mh AS (SELECT media_id, 0 AS band, d0 AS sig FROM dh
+        |       UNION ALL SELECT media_id, 1, d1 FROM dh
+        |       UNION ALL SELECT media_id, 2, d2 FROM dh
+        |       UNION ALL SELECT media_id, 3, d3 FROM dh),
+        |bu AS (SELECT band, sig, count(*)::BIGINT AS nb FROM mh
+        |       GROUP BY band, sig),
+        |tot AS (SELECT (sum(nb*(nb-1)) // 2)::BIGINT AS cp,
+        |               (sum(nb) // 4)::BIGINT AS nn FROM bu),
+        |pr AS (SELECT bit_count(xor(a.d0, c.d0)) + bit_count(xor(a.d1, c.d1))
+        |            + bit_count(xor(a.d2, c.d2)) + bit_count(xor(a.d3, c.d3)) AS d
+        |       FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig
+        |                          AND x.media_id < y.media_id
+        |       JOIN dh a ON a.media_id = x.media_id
+        |       JOIN dh c ON c.media_id = y.media_id),
+        |m AS (SELECT k.max_dist,
+        |             (count(*) FILTER (WHERE pr.d <= k.max_dist))::BIGINT AS m
+        |      FROM (SELECT unnest(range(5)) AS max_dist) k LEFT JOIN pr ON true
+        |      GROUP BY 1)
+        |SELECT m.max_dist::INTEGER AS max_dist, tot.cp AS collision_pairs,
+        |       tot.cp AS sampled_pairs,
+        |       round(coalesce(m.m::DOUBLE / nullif(tot.cp, 0)::DOUBLE, 0), 6)
+        |         AS p_match_given_collision,
+        |       round(2.0 * m.m::DOUBLE / tot.nn::DOUBLE, 6)
+        |         AS implied_matches_per_probe
+        |FROM m CROSS JOIN tot""".stripMargin),
+
+    // the gated screen's truth: derive the implied rates from CORPUS
+    // source bytes (is_b = 0), pick the radius the budget allows, then
+    // screen the batch at exactly that radius — the mm12 verdict shape
+    // plus the learned max_dist column
+    "mm19_density_gated_screen" -> ("WITH " + mmGridCteBody(
+      """SELECT media_id, is_b, hex(t::BLOB) AS hx, octet_length(t::BLOB) AS n
+        |      FROM (SELECT doc_id AS media_id, 0 AS is_b, text AS t
+        |            FROM documents WHERE doc_id < 200
+        |            UNION ALL SELECT doc_id + 10000, 1, text
+        |            FROM documents WHERE doc_id < 60
+        |            UNION ALL SELECT doc_id + 20000, 1, translate(text, 'e', 'f')
+        |            FROM documents WHERE doc_id >= 60 AND doc_id < 120
+        |            UNION ALL SELECT doc_id + 30000, 1, text
+        |            FROM documents WHERE doc_id >= 200 AND doc_id < 260) src""".stripMargin,
+      Seq("media_id", "is_b"), "i % n") +
+      """,
+        |mh AS (SELECT media_id, 0 AS band, d0 AS sig FROM dh WHERE is_b = 0
+        |       UNION ALL SELECT media_id, 1, d1 FROM dh WHERE is_b = 0
+        |       UNION ALL SELECT media_id, 2, d2 FROM dh WHERE is_b = 0
+        |       UNION ALL SELECT media_id, 3, d3 FROM dh WHERE is_b = 0),
+        |bu AS (SELECT band, sig, count(*)::BIGINT AS nb FROM mh
+        |       GROUP BY band, sig),
+        |tot AS (SELECT (sum(nb) // 4)::BIGINT AS nn FROM bu),
+        |pr AS (SELECT bit_count(xor(a.d0, c.d0)) + bit_count(xor(a.d1, c.d1))
+        |            + bit_count(xor(a.d2, c.d2)) + bit_count(xor(a.d3, c.d3)) AS d
+        |       FROM mh x JOIN mh y ON x.band = y.band AND x.sig = y.sig
+        |                          AND x.media_id < y.media_id
+        |       JOIN dh a ON a.media_id = x.media_id AND a.is_b = 0
+        |       JOIN dh c ON c.media_id = y.media_id AND c.is_b = 0),
+        |m AS (SELECT k.max_dist,
+        |             (count(*) FILTER (WHERE pr.d <= k.max_dist))::BIGINT AS m
+        |      FROM (SELECT unnest(range(4)) AS max_dist) k LEFT JOIN pr ON true
+        |      GROUP BY 1),
+        |rad AS (SELECT max(m.max_dist)::INTEGER AS r FROM m CROSS JOIN tot
+        |        WHERE 2.0 * m.m::DOUBLE / tot.nn::DOUBLE <= 0.5),
+        |ver AS (SELECT b.media_id AS b_id, min(c.media_id) AS match_id
+        |        FROM dh b JOIN dh c ON b.is_b = 1 AND c.is_b = 0
+        |        CROSS JOIN rad
+        |        WHERE bit_count(xor(b.d0, c.d0)) + bit_count(xor(b.d1, c.d1))
+        |            + bit_count(xor(b.d2, c.d2)) + bit_count(xor(b.d3, c.d3))
+        |              <= rad.r
+        |        GROUP BY 1)
+        |SELECT t.media_id AS img_id, v.match_id IS NULL AS is_new, v.match_id,
+        |       rad.r AS max_dist
+        |FROM (SELECT media_id FROM dh WHERE is_b = 1) t CROSS JOIN rad
         |LEFT JOIN ver v ON v.b_id = t.media_id""".stripMargin),
 
     // cross-modal truth: frame f of a video and a standalone image share

@@ -260,17 +260,36 @@ object PhashIndex {
     import spark.implicits._
     (0 to maxDist).map { k =>
       val m = hist.filter(_.getInt(0) <= k).map(_.getDouble(1)).sum
+      // raw quotients (no rounding): with the cap covering every bucket
+      // both are EXACT ratios of integer pair masses, and consumers that
+      // need display rounding round ONCE (double-rounding is a real
+      // oracle-mismatch hazard at the 6-decimal compare)
       (k, collisionPairs, sampled,
-        if (collisionPairs > 0)
-          BigDecimal(m / collisionPairs).setScale(9,
-            BigDecimal.RoundingMode.HALF_UP).toDouble
-        else 0.0,
-        if (n > 0)
-          BigDecimal(2.0 * m / n).setScale(9,
-            BigDecimal.RoundingMode.HALF_UP).toDouble
-        else 0.0)
+        if (collisionPairs > 0) m / collisionPairs else 0.0,
+        if (n > 0) 2.0 * m / n else 0.0)
     }.toDF("max_dist", "collision_pairs", "sampled_pairs",
       "p_match_given_collision", "implied_matches_per_probe")
+  }
+
+  /** [[screen]] with the radius LEARNED from the index: picks
+    * [[safeMaxDist]] under the caller's accidental-match budget and
+    * refuses loudly when no radius is safe — the density probe made
+    * load-bearing, so "screened at an unsafe radius" stops being a
+    * reachable operator mistake. The chosen radius travels as a
+    * `max_dist` column (the decision is observable and auditable).
+    */
+  def screenAuto(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, imgCol: String,
+      maxImpliedPerProbe: Double = 0.5, perBucketCap: Int = 8): DataFrame = {
+    val d = safeMaxDist(spark, path, maxImpliedPerProbe, perBucketCap)
+      .getOrElse(throw new IllegalStateException(
+        s"phash index at $path: even exact-hash screening implies more " +
+          s"than $maxImpliedPerProbe accidental matches per probe — the " +
+          "corpus holds a flat/boilerplate raster class that pairs " +
+          "quadratically; exact-dedup or cap it upstream before screening " +
+          "(inspect with PhashIndex.densityByDist)"))
+    screen(spark, path, batch, idCol, imgCol, maxDist = d)
+      .withColumn("max_dist", lit(d))
   }
 
   /** Learn the largest SAFE screening `maxDist` from the index itself:

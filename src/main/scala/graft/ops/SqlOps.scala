@@ -125,6 +125,17 @@ object SqlOps {
         asInt(es(4), "phash_screen", 4))
     }
 
+    // density-gated screen: the radius is learned from the index under
+    // the caller's accidental-match budget (PhashIndex.screenAuto) — an
+    // unsafe corpus refuses loudly through SQL too
+    tvf("phash_screen_auto", Seq(5)) { es =>
+      PhashIndex.screenAuto(spark, asStr(es(0), "phash_screen_auto", 0),
+        spark.table(asStr(es(1), "phash_screen_auto", 1)),
+        asStr(es(2), "phash_screen_auto", 2),
+        asStr(es(3), "phash_screen_auto", 3),
+        asDouble(es(4), "phash_screen_auto", 4))
+    }
+
     // the verified pairs alone (plan-inspectable pruning from SQL)
     tvf("phash_candidates", Seq(5)) { es =>
       PhashIndex.candidates(spark, asStr(es(0), "phash_candidates", 0),

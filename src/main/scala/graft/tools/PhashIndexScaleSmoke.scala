@@ -111,6 +111,21 @@ object PhashIndexScaleSmoke {
       PhashIndex.health(spark, idx, topK = 5).collect().toSeq
     }
     println(s"PHSCALE heaviest buckets: ${top.mkString(", ")}")
+    // the accidental-match dashboard at tier scale: the sampled estimator
+    // must agree with the measured novel-probe accidental rate (the r14
+    // postmortem number, now index-resident) within estimator noise
+    val (dens, _) = time("densityByDist (cap 8, d<=2)") {
+      PhashIndex.densityByDist(spark, idx, perBucketCap = 8, maxDist = 2)
+        .collect().toSeq
+    }
+    dens.foreach(r => println(f"PHSCALE density d<=${r.getInt(0)}: " +
+      f"p|coll=${r.getDouble(3)}%.6f implied/probe=${r.getDouble(4)}%.6f"))
+    val measuredRate = accidental.toDouble / (nProbe - expDup)
+    val implied2 = dens.last.getDouble(4)
+    println(f"PHSCALE measured novel-probe accidental rate: $measuredRate%.4f " +
+      f"vs index-implied d<=2 rate: $implied2%.4f")
+    val safe = PhashIndex.safeMaxDist(spark, idx, maxImpliedPerProbe = 0.5)
+    println(s"PHSCALE safeMaxDist(budget 0.5/probe): $safe")
 
     import spark.implicits._
     val (removed, _) = time("forget 10k sliver (staged rewrite + swap)") {

@@ -133,6 +133,44 @@ class IndexDensitySpec extends AnyFunSuite {
       .toSeq.sorted, "rates are cumulative in d")
   }
 
+  test("screenAuto learns the radius and refuses an unsafe corpus loudly; SQL leg identical") {
+    val s = spark
+    import s.implicits._
+    // safe corpus: differentiated rasters → learned radius = 3
+    val corpus = (0L until 20L).map(i => (i, longText(i.toInt)))
+    val idx = Files.createTempDirectory("phauto").toFile.getAbsolutePath
+    PhashIndex.build(imagesOf(corpus), "img_id", "img", idx, sigBuckets = 8)
+    val batch = (0L until 3L).map(i => (100L + i, longText(i.toInt))) ++
+      (0L until 3L).map(i => (200L + i, longText(500 + i.toInt)))
+    val auto = PhashIndex.screenAuto(s, idx, imagesOf(batch), "img_id", "img",
+      maxImpliedPerProbe = 0.5, perBucketCap = 64)
+    assert(auto.select("max_dist").distinct().collect().map(_.getInt(0))
+      .toSeq === Seq(3), "a differentiated corpus earns the full radius")
+    val manual = PhashIndex.screen(s, idx, imagesOf(batch), "img_id", "img",
+      maxDist = 3).withColumn("max_dist", lit(3))
+    assert(auto.collect().sortBy(_.getLong(0)).toSeq ===
+      manual.collect().sortBy(_.getLong(0)).toSeq,
+      "screenAuto IS screen at the learned radius")
+    // SQL leg: same verdicts through the TVF
+    SqlOps.register(s)
+    imagesOf(batch).createOrReplaceTempView("auto_batch")
+    assert(s.sql(s"SELECT * FROM phash_screen_auto('$idx', 'auto_batch', " +
+        "'img_id', 'img', 0.5D)").collect().sortBy(_.getLong(0)).toSeq ===
+      auto.collect().sortBy(_.getLong(0)).toSeq)
+
+    // unsafe corpus: a 12-copy flat class floods even d=0 at budget 0.1
+    val flat = (0L until 12L).map(i => (i, longText(3))) ++
+      (100L until 104L).map(i => (i, longText(i.toInt)))
+    val fIdx = Files.createTempDirectory("phautoflat").toFile.getAbsolutePath
+    PhashIndex.build(imagesOf(flat), "img_id", "img", fIdx, sigBuckets = 8)
+    val e = intercept[IllegalStateException] {
+      PhashIndex.screenAuto(s, fIdx, imagesOf(batch), "img_id", "img",
+        maxImpliedPerProbe = 0.1, perBucketCap = 64)
+    }
+    assert(e.getMessage.contains("exact-dedup or cap it upstream"),
+      s"the refusal must name the remedy, got: ${e.getMessage}")
+  }
+
   test("lsh family density: a planted duplicate class dominates collision mass; unique texts read near zero") {
     val s = spark
     import s.implicits._

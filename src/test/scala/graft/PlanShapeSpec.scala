@@ -206,6 +206,17 @@ class PlanShapeSpec extends AnyFunSuite {
       // d19: one grid-keyed aggregate over the signature scan (TakeOrdered
       // caps the top-k, no range exchange)
       "d19_lsh_health" -> 1,
+      // d20: bucket census agg + band rollup agg + the 4-row band sort
+      "d20_lsh_density" -> 3,
+      // e19: one cell-keyed census agg; the one-row summary is a
+      // SinglePartition exchange (not counted, q19's note)
+      "e19_ivf_density" -> 1,
+      // mm18: the estimator folds its ≤65-row distance histogram on the
+      // driver (bounded by contract); the returned frame is a local table
+      "mm18_phash_density" -> 0,
+      // mm19: the radius decision executes eagerly (densityByDist's
+      // bounded driver fold); the returned frame is mm12's screen plan
+      "mm19_density_gated_screen" -> 2,
       // d13: dup-window min-struct agg (skew-proof, map-side combined),
       // covered-position distinct (duplicated occurrences × k only), doc
       // reassembly agg; the dup-window and drop-position joins broadcast at
