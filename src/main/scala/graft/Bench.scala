@@ -101,8 +101,14 @@ object Bench {
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => jq(k) + ":" + jq(m) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // locale-independent formatting (f"" uses the JVM default locale — a
+    // comma-decimal LANG would emit invalid JSON) and a finite guard (a
+    // 0-ns min repeat would make the ratio Infinity, also invalid JSON)
     val sp = spreads.toSeq.sortBy(_._1)
-      .map { case (k, v) => jq(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val r = if (v.isFinite) math.rint(v * 100) / 100 else 9999.0
+        jq(k) + ":" + r
+      }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"repeat_spread_gt1p5":$sp,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir","commit":${jq(commit)},"boot_id":${jq(bootId)},"calibration_sec":$calibration,"cpus":${jq(cpus)},"repeats":$repeats}"""
     println(line)
     // The driver captures only a truncated stdout tail (loses ~15 of 78 queries

@@ -15,13 +15,51 @@ import org.apache.spark.sql.graftbridge.Bridge
   * release explicit at the points where the engine KNOWS a checkpointed
   * frame's consumers are done — no GC required.
   *
-  * CONTRACT: a released frame must never execute again. A localCheckpoint
-  * cannot recompute (its lineage is gone) — releasing a frame that a
-  * still-lazy consumer references turns that consumer's next action into
-  * a missing-block error. Scope these helpers around the LAST action that
-  * consumes the frame.
+  * OWNERSHIP: [[release]] may be handed a COMPOSITE frame (e.g. screen
+  * verdicts) and walks its plan to free the scratch checkpoints the engine
+  * created while building it — but a caller's own `localCheckpoint()`ed
+  * input can be embedded in the same plan, and freeing it would turn the
+  * caller's next use into an unrecoverable missing-block error (a
+  * localCheckpoint cannot recompute; its lineage is gone). So the engine
+  * registers every checkpoint it mints (all engine code routes through
+  * [[checkpoint]] / the `.checkpointOwned()` syntax) and [[release]] frees
+  * ONLY registered ids: frames checkpointed outside this object survive
+  * any release walk untouched.
+  *
+  * CONTRACT: a released frame must never execute again. Scope these
+  * helpers around the LAST action that consumes the frame.
   */
 object Checkpoints {
+
+  /** Ids of the engine-minted checkpoint RDDs that are still live.
+    * Entries are removed as [[release]] frees them; an engine checkpoint
+    * that is never released (a bench query body's scratch) leaves one
+    * boxed Int behind for the session's lifetime — negligible next to the
+    * blocks themselves, which the ContextCleaner still reclaims on GC
+    * exactly as before.
+    */
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  /** `ds.localCheckpoint()` plus ownership registration — the form ALL
+    * engine code uses (via [[Ownable.checkpointOwned]]), so a later
+    * [[release]] walk may free it.
+    */
+  def checkpoint[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val cp = ds.localCheckpoint()
+    Bridge.checkpointRddIds(cp.toDF()).foreach(id => owned.add(Int.box(id)): Unit)
+    cp
+  }
+
+  /** Engine-side syntax: `frame.checkpointOwned()` reads like
+    * `localCheckpoint()` at ~50 call sites while routing through the
+    * ownership registry.
+    */
+  implicit class Ownable[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def checkpointOwned(): org.apache.spark.sql.Dataset[T] =
+      Checkpoints.checkpoint(ds)
+  }
 
   /** Checkpoint `df`, hand the materialized frame to `body`, release its
     * blocks on exit (including on exception). `body` must EXECUTE every
@@ -29,9 +67,9 @@ object Checkpoints {
     * still references it violates the contract above.
     */
   def withCheckpointed[A](df: DataFrame)(body: DataFrame => A): A = {
-    val cp = df.localCheckpoint()
+    val cp = checkpoint(df)
     try body(cp)
-    finally Bridge.unpersistCheckpoint(cp)
+    finally release(cp)
   }
 
   /** Loop-iteration handoff: checkpoint `next` (an eager action — by the
@@ -41,18 +79,19 @@ object Checkpoints {
     * frame in block storage instead of all of them.
     */
   def advance(prev: DataFrame, next: DataFrame): DataFrame = {
-    val cp = next.localCheckpoint()
-    Bridge.unpersistCheckpoint(prev)
+    val cp = checkpoint(next)
+    release(prev)
     cp
   }
 
-  /** Release the blocks behind every checkpointed frame in `frames`'
-    * plans, for frames whose last consumer has already run. Walks each
-    * frame's analyzed plan, so passing a PRE-checkpoint frame releases
-    * the interior scratch checkpoints its builder created (the
-    * screen-then-append micro-batch shape). No-op on frames without
-    * checkpoints.
+  /** Release the ENGINE-OWNED checkpoint blocks reachable from each
+    * frame's plan, for frames whose last consumer has already run. Walks
+    * each frame's analyzed plan, so passing a composite result frame
+    * (screen verdicts, component labels) releases the interior scratch
+    * checkpoints its builder created — while a caller's own
+    * `localCheckpoint()`ed input embedded in the same plan is NOT owned
+    * and survives. No-op on frames without owned checkpoints.
     */
   def release(frames: DataFrame*): Unit =
-    frames.foreach(Bridge.unpersistCheckpoint)
+    frames.foreach(Bridge.unpersistOwned(_, owned))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -986,7 +987,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // one materialized tokenize→shingle pass feeds LSH and verification
-      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").localCheckpoint()
+      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").checkpointOwned()
       ops.Dedup.jaccardVerifyFromSets(sets,
         ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
     }),
@@ -1012,10 +1013,10 @@ object SparkEntry {
     // FULL recursive-closure recompute over the whole pair graph ───────────
     "d16_incremental_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").localCheckpoint()
+      val sets = ops.Dedup.shingleSets(docs, "doc_id", "text").checkpointOwned()
       val pairs = ops.Dedup.jaccardVerifyFromSets(sets,
           ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")).checkpointOwned()
       def isBatch(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 1
       val corpusPairs = pairs.filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
       val newPairs = pairs.filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
@@ -1027,7 +1028,7 @@ object SparkEntry {
       // checkpointing is the in-query stand-in (it is consumed 3× inside
       // incrementalComponents: touched semi, affected semi, anti pass)
       val existing = ops.Dedup.connectedComponents(corpusNodes, corpusPairs)
-        .localCheckpoint()
+        .checkpointOwned()
       ops.Dedup.incrementalComponents(existing, batchNodes, newPairs)
         .select(col("node").as("doc_id"), col("label").as("component"),
           (col("node") === col("label")).as("is_survivor"))
@@ -1783,7 +1784,7 @@ object SparkEntry {
     // ── multimodal: image-dedup SURVIVORS — exact components over the
     // hamming-banded pair graph, gated by the d15 recursive-closure truth ─
     "mm7_image_survivors" -> ((s, dir) => {
-      val hashed = mmPlantedHashes(s, dir).localCheckpoint()
+      val hashed = mmPlantedHashes(s, dir).checkpointOwned()
       val pairs = ops.Multimodal.phashNearDupPairs(hashed, maxDist = 3)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       ops.Dedup.connectedComponents(
@@ -1988,8 +1989,8 @@ object SparkEntry {
           translate(col("text"), "e", "f").as("text")))
         .unionByName(base.select((col("doc_id") + 30000).as("doc_id"),
           concat(col("text"), lit(" appended alpha beta gamma tokens")).as("text")))
-        .localCheckpoint() // consumed 3×: text sets, image hashes, nodes
-      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").localCheckpoint()
+        .checkpointOwned() // consumed 3×: text sets, image hashes, nodes
+      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").checkpointOwned()
       val textPairs = ops.Dedup.jaccardVerifyFromSets(sets,
           ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
         .select(col("doc_a"), col("doc_b"))
@@ -2060,14 +2061,14 @@ object SparkEntry {
           translate(col("text"), "e", "f").as("text")))
         .unionByName(base.select((col("doc_id") + 30000).as("doc_id"),
           concat(col("text"), lit(" appended alpha beta gamma tokens")).as("text")))
-        .localCheckpoint() // consumed 4×: text sets, packed media, nodes
-      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").localCheckpoint()
+        .checkpointOwned() // consumed 4×: text sets, packed media, nodes
+      val sets = ops.Dedup.shingleSets(slice, "doc_id", "text").checkpointOwned()
       val textPairs = ops.Dedup.jaccardVerifyFromSets(sets,
           ops.Dedup.lshCandidatePairsFromSets(sets), threshold = 0.2)
         .select(col("doc_a"), col("doc_b"))
       // ONE pack feeds all three media synthesizers (decode-once shape)
       val packed = ops.Multimodal.pack(slice, "doc_id", "text", "raw")
-        .localCheckpoint()
+        .checkpointOwned()
       val imgPairs = ops.Multimodal.phashNearDupPairs(
           ops.Multimodal.perceptualHash(ops.Multimodal.synthImages(packed)),
           maxDist = 3)

@@ -1,5 +1,6 @@
 package graft.log
 
+import graft.Checkpoints.Ownable
 import graft.Checkpoints
 import graft.core.{EventSchema, EventRow, SnapshotRow, Ulid}
 import graft.functions.Fnv1a32
@@ -593,7 +594,7 @@ class EventLog(
             kind, body, discFn(d), new Timestamp(ts), 0, false)
         }
       }
-    val imported = phase("import: checkpoint rows")(minted.localCheckpoint())
+    val imported = phase("import: checkpoint rows")(minted.checkpointOwned())
     val n = phase("import: count")(imported.count())
     if (n > 0) commitMode match {
       case CommitMode.Lock => writeEventsDF(imported.toDF())
@@ -781,7 +782,7 @@ class EventLog(
               kind, body, discFn(d), new Timestamp(t), 0, false)
           }
         }
-        .localCheckpoint()
+        .checkpointOwned()
         .toDF()
       commitMode match {
         case CommitMode.Lock =>
@@ -1144,7 +1145,7 @@ class EventLog(
               p.copy(rows = fence +: copies)
             }
           }
-          .localCheckpoint())
+          .checkpointOwned())
 
         // emptiness falls out of the bucket-set collect below — no separate
         // isEmpty job
@@ -1426,7 +1427,7 @@ class EventLog(
                 kind, noOp, "{}", disc, new Timestamp(t), 0, false)
             }
           }
-          .localCheckpoint() // cut lineage off the files the append lands next to
+          .checkpointOwned() // cut lineage off the files the append lands next to
       }
       commitMode match {
         case CommitMode.Lock =>
@@ -1526,7 +1527,7 @@ class EventLog(
       case Some(bs) => eventsWithBucket.filter(col("bucket").isin(bs: _*))
       case None => eventsWithBucket
     }
-    val all = scoped.localCheckpoint() // materialize before overwriting source files
+    val all = scoped.checkpointOwned() // materialize before overwriting source files
     val arranged = layout match {
       case CompactionLayout.IdSort =>
         all.repartition(numBuckets, col("bucket"))
@@ -1576,7 +1577,7 @@ class EventLog(
       val heads = snapshots
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("aggregate_id").as("p_id"), col("aggregate_version").as("p_v"))
-        .localCheckpoint() // consumed by the rewrite below
+        .checkpointOwned() // consumed by the rewrite below
       val bound = Ulid.timeOnly(beforeMs)
       val keep: DataFrame => DataFrame = { df =>
         df.join(heads, df("aggregate_id") === heads("p_id"), "left")
@@ -1767,7 +1768,7 @@ class EventLog(
     val latest = spark.read.schema(addBucket(snSchema)).parquet(snapshotsPath)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint()
+      .checkpointOwned()
     latest
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("id"))
@@ -1952,7 +1953,7 @@ class EventLog(
     val claim = claimed.getOrElse(
       throw new IllegalStateException(s"bucket $bucket rewrite lost $attempts claim races"))
     val cur = spark.read.schema(schema).parquet(inputs: _*)
-    val out = f(cur).localCheckpoint() // materialize before any deletes
+    val out = f(cur).checkpointOwned() // materialize before any deletes
     if (!out.isEmpty) {
       val tmpDir = s"$tablePath/.commit-tmp/c${claim.n}"
       val arranged = layout match {
@@ -1989,7 +1990,7 @@ class EventLog(
       .drop("bucket")
     val out = f(cur)
       .withColumn("bucket", pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
-      .localCheckpoint() // materialize before overwriting the source files
+      .checkpointOwned() // materialize before overwriting the source files
     val writtenBuckets = out.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val conf = spark.sessionState.newHadoopConf()
@@ -2014,7 +2015,7 @@ class EventLog(
     val cur = spark.read.schema(addBucket(schema)).parquet(tablePath)
       .filter(col("bucket") === bucket)
       .drop("bucket")
-    val out = f(cur).localCheckpoint() // materialize before overwriting the source files
+    val out = f(cur).checkpointOwned() // materialize before overwriting the source files
     if (out.isEmpty) {
       // Dynamic partition overwrite never touches partitions absent from the
       // written data, so an emptied bucket must be removed explicitly.

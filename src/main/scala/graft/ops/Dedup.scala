@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -156,7 +157,7 @@ object Dedup {
     val kept = maxBucketSize match {
       case None => buckets
       case Some(cap) =>
-        val b = buckets.localCheckpoint() // consumed twice: count + expand
+        val b = buckets.checkpointOwned() // consumed twice: count + expand
         val dropped = b.filter(size(col("ids")) > cap)
           .agg(count(lit(1)), sum(size(col("ids")))).collect()(0)
         if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
@@ -186,7 +187,7 @@ object Dedup {
     // shingle sets — without the checkpoint the whole tokenize+shingle
     // subplan runs twice
     jaccardVerifyFromSets(
-      shingleSets(df, idCol, textCol, shingleSize).localCheckpoint(),
+      shingleSets(df, idCol, textCol, shingleSize).checkpointOwned(),
       candidates, threshold)
 
   /** Verification against pre-built (normally checkpointed) shingle sets.
@@ -289,14 +290,14 @@ object Dedup {
       materializeSets: Boolean = true,
       exact: Boolean = false): DataFrame = {
     val (pairs0, scratch) = if (materializeSets) {
-      val sets = shingleSets(df, idCol, textCol, shingleSize).localCheckpoint()
+      val sets = shingleSets(df, idCol, textCol, shingleSize).checkpointOwned()
       (jaccardVerifyFromSets(sets,
         lshCandidatePairsFromSets(sets, maxBucketSize = maxBucketSize),
         threshold), Seq(sets))
     } else {
       val cand = lshCandidatePairs(df, idCol, textCol, shingleSize = shingleSize,
           maxBucketSize = maxBucketSize)
-        .localCheckpoint() // consumed twice: candidate-doc prune + verify join
+        .checkpointOwned() // consumed twice: candidate-doc prune + verify join
       val candIds = cand.select(col("doc_a").as(idCol))
         .union(cand.select(col("doc_b"))).distinct()
       (jaccardVerifyFromSets(
@@ -347,7 +348,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .localCheckpoint() // consumed once per round
+      .checkpointOwned() // consumed once per round
     // Labels seed as the identity on touched nodes, so round 1 collapses to
     // ONE aggregation: label₁(src) = least(src, min(dst)). Fusing it in
     // skips both the seed-distinct shuffle and round 1's join (~15% of d6
@@ -373,7 +374,7 @@ object Dedup {
       if (r % 4 == 0 && r < rounds) {
         labels = prevCut match {
           case Some(p) => Checkpoints.advance(p, labels)
-          case None => labels.localCheckpoint()
+          case None => labels.checkpointOwned()
         }
         prevCut = Some(labels)
       }
@@ -382,7 +383,7 @@ object Dedup {
     // so the singleton back-join sees exact sizes and broadcasts instead of
     // sort-merge-shuffling the full corpus id set. Once it materializes,
     // the edge set and any mid-loop cut are dead — release them.
-    val converged = labels.localCheckpoint()
+    val converged = labels.checkpointOwned()
     Checkpoints.release(edges +: prevCut.toSeq: _*)
     nodes.join(converged, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
@@ -458,7 +459,7 @@ object Dedup {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().checkpointOwned()
     // The input edges are not canonically oriented, so a signature of the
     // initial set can never legitimately match round 1's output — start
     // from a sentinel and save the extra aggregation job.
@@ -491,7 +492,7 @@ object Dedup {
     val labels = e.select(col("u").as("node"), col("v").as("label"))
       .union(e.select(col("v").as("node"), col("v").as("label")))
       .distinct()
-      .localCheckpoint()
+      .checkpointOwned()
     Checkpoints.release(e) // labels materialized above; the star forest is dead
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
@@ -526,7 +527,7 @@ object Dedup {
       .distinct()
     val touchedLabels = existing.join(touched, Seq("node"), "semi")
       .select(col("label")).distinct()
-      .localCheckpoint() // consumed twice (semi + anti); sliver-sized
+      .checkpointOwned() // consumed twice (semi + anti); sliver-sized
     val affected = existing.join(touchedLabels, Seq("label"), "semi")
     val starEdges = affected.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_a"), col("label").as("doc_b"))
@@ -573,7 +574,7 @@ object Dedup {
       val over = bands.groupBy(col("band"), col("word"))
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") > c)
-        .localCheckpoint() // consumed twice: report + anti-join
+        .checkpointOwned() // consumed twice: report + anti-join
       val dropped = over.agg(count(lit(1)), sum(col("__n"))).collect()(0)
       if (!dropped.isNullAt(0) && dropped.getLong(0) > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -590,7 +591,7 @@ object Dedup {
     // (simhash >> 16k) & 0xffff extracts word k identically under arithmetic
     // or logical shift — the mask covers only real fingerprint bits
     val bands = capWordBuckets(
-      simhash64(df, idCol, textCol).localCheckpoint()
+      simhash64(df, idCol, textCol).checkpointOwned()
         .select(col("sh_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("word", expr("shiftright(simhash, band * 16)").bitwiseAND(65535)),
       maxBucketSize, "simhashPairs")
@@ -628,7 +629,7 @@ object Dedup {
         .select(col(outId),
           explode(array_distinct(shinglesFromTokens(col("__ws"), shingleSize)))
             .as("shingle"))
-    val ps = shingleRows(probes, "probe_id").localCheckpoint() // tiny; read twice
+    val ps = shingleRows(probes, "probe_id").checkpointOwned() // tiny; read twice
     val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("probe_n"))
     shingleRows(corpus, "corpus_id").join(broadcast(ps), Seq("shingle"))
       .filter(col("corpus_id") =!= col("probe_id"))
@@ -664,7 +665,7 @@ object Dedup {
         .select(col(outId),
           explode(array_distinct(shinglesFromTokens(col("__ws"), shingleSize)))
             .as("shingle"))
-    val ps = shingleRows(probes, "probe_id").localCheckpoint() // read 3×
+    val ps = shingleRows(probes, "probe_id").checkpointOwned() // read 3×
     val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("probe_n"))
     val bloom = graft.functions.bloom_of(ps, col("shingle"), expectedShingles)
     shingleRows(corpus, "corpus_id")
@@ -828,7 +829,7 @@ object Dedup {
     // docs via a semi-join; nothing corpus-sized is ever checkpointed.
     val cSetsAll =
       if (materializeCorpusSets)
-        Some(shingleSets(corpus, idCol, textCol, shingleSize).localCheckpoint())
+        Some(shingleSets(corpus, idCol, textCol, shingleSize).checkpointOwned())
       else None
     val cSigs = cSetsAll match {
       case Some(s) => minhashSignaturesFromSets(s, bands)
@@ -866,12 +867,12 @@ object Dedup {
   def incrementalPairsPresigned(corpus: DataFrame, corpusSigs: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
       bands: Int = 4, shingleSize: Int = 3): DataFrame = {
-    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
-    val bSigs = minhashSignaturesFromSets(bSets, bands).localCheckpoint()
+    val bSets = shingleSets(batch, idCol, textCol, shingleSize).checkpointOwned()
+    val bSigs = minhashSignaturesFromSets(bSets, bands).checkpointOwned()
     val candBC = bSigs.withColumnRenamed("mh_id", "b_id")
       .join(corpusSigs.withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
       .select(col("b_id"), col("c_id")).distinct()
-      .localCheckpoint() // consumed twice: corpus-set prune + verify join
+      .checkpointOwned() // consumed twice: corpus-set prune + verify join
     val candBB = bSigs.select(col("mh_id").as("x"), col("band"), col("sig"))
       .join(bSigs.select(col("mh_id").as("y"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -899,12 +900,12 @@ object Dedup {
       cSetsAll: Option[DataFrame], batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, bands: Int,
       shingleSize: Int): DataFrame = {
-    val bSets = shingleSets(batch, idCol, textCol, shingleSize).localCheckpoint()
+    val bSets = shingleSets(batch, idCol, textCol, shingleSize).checkpointOwned()
     val cand = minhashSignaturesFromSets(bSets, bands)
       .withColumnRenamed("mh_id", "b_id")
       .join(cSigs.withColumnRenamed("mh_id", "c_id"), Seq("band", "sig"))
       .select(col("b_id"), col("c_id")).distinct()
-      .localCheckpoint() // consumed twice: semi-join prune + verify join
+      .checkpointOwned() // consumed twice: semi-join prune + verify join
     val cSets = cSetsAll.getOrElse(shingleSets(
       corpus.join(cand.select(col("c_id").as(idCol)).distinct(), Seq(idCol),
         "semi"),

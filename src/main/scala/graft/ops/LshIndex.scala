@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -656,12 +657,12 @@ object LshIndex {
       excludeBatch: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
     val (bands, shingleSize, sigBuckets) = meta(spark, path)
     val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleSize)
-      .localCheckpoint()
+      .checkpointOwned()
     val bSigs = Dedup.minhashSignaturesFromSets(bSets, bands)
       .withColumn("sb", pmod(col("sig"), lit(sigBuckets.toLong)).cast("int"))
     val cand = candidatesFromSigs(spark, path, bSigs, bands * sigBuckets,
         excludeBatch)
-      .localCheckpoint() // consumed twice: corpus-sliver prune + verify join
+      .checkpointOwned() // consumed twice: corpus-sliver prune + verify join
     // every batch-derived frame here is small BY CONSTRUCTION (screening
     // batches are bounded; pairs only exist inside colliding buckets), so
     // each joins the corpus-sized side as an explicit broadcast: the

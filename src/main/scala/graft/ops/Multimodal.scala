@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -929,6 +930,13 @@ object Multimodal {
         var codec: String = null
         def walk(start: Int, end: Int): Unit = {
           var p = start
+          // an interleaved AVI may list its audio strl BEFORE the video one
+          // (legal RIFF ordering): the biCompression read is only meaningful
+          // for the VIDEO stream's strf, so gate it on the preceding strh's
+          // fccType — an audio strf's bytes at +16 are nBlockAlign/
+          // wBitsPerSample, which would sniff as a garbage fourcc and
+          // quarantine a perfectly decodable video
+          var vids = false
           while (p + 8 <= end && (avih == null || codec == null)) {
             val id = tag(p); val sz = le32(p + 4)
             require(sz >= 0 && p + 8 + sz <= b.length, s"chunk '$id' truncated")
@@ -937,7 +945,9 @@ object Multimodal {
             else if (id == "avih") {
               require(sz >= 40, "avih too short")
               avih = Seq[Any](le32(p + 8 + 32), le32(p + 8 + 36), le32(p + 8 + 16))
-            } else if (id == "strf" && codec == null && sz >= 20)
+            } else if (id == "strh" && sz >= 4)
+              vids = tag(p + 8) == "vids"
+            else if (id == "strf" && vids && codec == null && sz >= 20)
               codec = le32(p + 8 + 16) match {
                 case 0 => "dib"
                 case MjpgFourcc => "mjpg"
@@ -980,7 +990,7 @@ object Multimodal {
     // decode+hash lineage, silently doubling the one-decode-per-image
     // cost model this API exists for
     val h = hashed.select(col("media_id"), col("dh0"), col("dh1"),
-      col("dh2"), col("dh3")).localCheckpoint()
+      col("dh2"), col("dh3")).checkpointOwned()
     // maxBucketSize: the flat-image/boilerplate skew guard — see
     // Dedup.capWordBuckets (one blank-image class is a single bucket
     // pairing completely, quadratic in the class size; opt-in, loud)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -211,8 +212,11 @@ object PhashIndex {
     *     that a corpus-drawn probe pulls (union bound over bands,
     *     = 2·Σ weighted matching pairs / n).
     *
-    * Cost: one grid scan + a capped self-join (≤ C(cap,2) pairs per
-    * bucket) + a ≤65-row distance histogram folded on the driver.
+    * Cost: two grid scans — the windowed sampling pass (one shuffle by
+    * (band, sig)) and the exact bucket census (a plain aggregate; cheaper
+    * than checkpointing the windowed frame to share one scan) — plus a
+    * capped self-join (≤ C(cap,2) pairs per bucket) and a ≤65-row
+    * distance histogram folded on the driver.
     */
   def densityByDist(spark: org.apache.spark.sql.SparkSession, path: String,
       perBucketCap: Int = 8, maxDist: Int = 4): DataFrame = {
@@ -491,7 +495,7 @@ object PhashIndex {
       path: String, hashed: DataFrame, idCol: String,
       wordCols: Seq[String], sigBuckets: Int): DataFrame =
     signWords(hashed, idCol, wordCols, sigBuckets)
-      .withColumnRenamed("mh_id", "b_id").localCheckpoint()
+      .withColumnRenamed("mh_id", "b_id").checkpointOwned()
 
   private def candidateJoinOf(spark: org.apache.spark.sql.SparkSession,
       path: String, bSigs: DataFrame, sigBuckets: Int,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1155,7 +1156,7 @@ object Similarity {
       val g = snapshotGeometry(spark, path)
       val full = spark.read.parquet(g.cells)
       val cents = spark.read.parquet(g.centroids)
-        .localCheckpoint() // staged copy below must not lazily re-read live dirs
+        .checkpointOwned() // staged copy below must not lazily re-read live dirs
       val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
       val before = full.count()
       publishGeometry(spark, path) { next =>
@@ -1293,7 +1294,7 @@ object Similarity {
     // assignment is one broadcast pass, cheaper to recompute per consumer
     // than to cache corpus-sized state (the same trade as
     // incrementalDedup's materializeCorpusSets).
-    val cells = if (materializeCells) cells0.localCheckpoint() else cells0
+    val cells = if (materializeCells) cells0.checkpointOwned() else cells0
     val pairs = cells.select(col("sd_id").as("doc_a"), col("sv").as("va"), col("cell"))
       .join(cells.select(col("sd_id").as("doc_b"), col("sv").as("vb"), col("cell")),
         Seq("cell"))
@@ -1349,7 +1350,7 @@ object Similarity {
       nlist: Int): DataFrame = {
     var cents = corpus.orderBy(col(idCol)).limit(1)
       .select(col(idCol).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cent"))
-      .localCheckpoint()
+      .checkpointOwned()
     (2 to nlist).foreach { _ =>
       // per-row max-similarity via the codegen'd kernel (the winner's
       // rounded csim IS the max over chosen centroids — same per-pair
@@ -1363,7 +1364,7 @@ object Similarity {
           graft.functions.nearest_centroid(col("v"), mat).getField("csim"))
         .orderBy(col("maxsim").asc, col("cid").asc).limit(1)
         .select(col("cid").as("cent_id"), col("v").as("cent"))
-      cents = cents.union(next).localCheckpoint()
+      cents = cents.union(next).checkpointOwned()
     }
     cents
   }
@@ -1444,7 +1445,7 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cent"))
-        .localCheckpoint() // broadcast next round / by the caller
+        .checkpointOwned() // broadcast next round / by the caller
     }
     cents
   }

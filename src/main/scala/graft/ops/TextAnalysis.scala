@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -243,7 +244,7 @@ object TextAnalysis {
     require(k > 0, "smoothing k must be > 0")
     val bc = docBigrams(docs, idCol, textCol)
       .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("__b"))
-      .localCheckpoint() // vocab-sized; feeds the window, V, and the join
+      .checkpointOwned() // vocab-sized; feeds the window, V, and the join
     val v = bc.agg(
       countDistinct(substring_index(col("bigram"), " ", -1)).cast("double").as("__v"))
     val ctx = Window.partitionBy(substring_index(col("bigram"), " ", 1))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoints.Ownable
 import graft.core.Ulid
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -70,7 +71,7 @@ class CheckpointStore(spark: SparkSession, path: String) {
     val latest = spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint()
+      .checkpointOwned()
     latest.coalesce(1).write.mode(SaveMode.Append).parquet(path)
     val horizon = System.currentTimeMillis() - gcRetentionMs
     snapshot.filter(_.getModificationTime < horizon)

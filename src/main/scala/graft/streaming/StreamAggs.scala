@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoints.Ownable
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -141,7 +142,7 @@ object StreamAggs {
   def screenLmAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
       textCol: String, k: Double = 0.1)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val m = model.localCheckpoint() // resolved once, reused by every batch
+    val m = model.checkpointOwned() // resolved once, reused by every batch
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       sink(graft.ops.TextAnalysis.lmScore(batch.toDF(), idCol, textCol, k,
         model = Some(m)), batchId)
@@ -319,9 +320,9 @@ object StreamAggs {
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val spark = corpus.sparkSession
     val cSets = graft.ops.Dedup.shingleSets(corpus, idCol, textCol, shingleSize)
-      .localCheckpoint() // one corpus shingle pass: seed pairs + signatures
+      .checkpointOwned() // one corpus shingle pass: seed pairs + signatures
     val cSigs = graft.ops.Dedup.minhashSignaturesFromSets(cSets, bands)
-      .localCheckpoint() // signed once, reused by every micro-batch
+      .checkpointOwned() // signed once, reused by every micro-batch
 
     // (batchId, path, complete) — complete = OUR commit marker exists
     // (written here after the parquet write returns), falling back to
@@ -368,7 +369,7 @@ object StreamAggs {
           graft.ops.Dedup.lshCandidatePairsFromSets(cSets, bands), threshold)
         .select(col("doc_a"), col("doc_b"))
       graft.ops.Dedup.connectedComponents(
-        corpus.select(col(idCol).as("node")), pairs).localCheckpoint()
+        corpus.select(col(idCol).as("node")), pairs).checkpointOwned()
     }
     // only checkpoints THIS call created may be unpersisted — a caller's
     // `initial` frame (and its cache) belongs to the caller
@@ -398,7 +399,7 @@ object StreamAggs {
           // is unpersisted as soon as the write lands, so steady-state
           // executor storage stays flat.
           val conflicts = versions(dir).exists(_._1 == batchId)
-          val staged = if (conflicts) folded.localCheckpoint() else folded
+          val staged = if (conflicts) folded.checkpointOwned() else folded
           staged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
           // own commit marker, created only after the write RETURNED — the
           // completeness signal versions() trusts regardless of the
@@ -416,7 +417,7 @@ object StreamAggs {
           versions(dir).filter(_._1 != batchId)
             .foreach { case (_, p, _) => fs.delete(p, true) }
           current
-        case None => folded.localCheckpoint()
+        case None => folded.checkpointOwned()
       }
       // the superseded checkpoint's blocks are dead: the new state is
       // materialized (written or eagerly checkpointed) above
@@ -502,7 +503,7 @@ object StreamAggs {
         val verdicts = graft.ops.Similarity.semScreen(s, idxPath,
             batch.toDF(), idCol, vecCol, threshold, nprobe, rerank,
             excludeBatch = Some(batchId))
-          .localCheckpoint() // consumed twice: sink + accepted semi-join
+          .checkpointOwned() // consumed twice: sink + accepted semi-join
         sink(verdicts, batchId)
         val accepted = batch.toDF().join(
           verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
@@ -545,16 +546,21 @@ object StreamAggs {
         // Scoped lifetime: the verdicts (consumed twice — sink + accepted
         // semi-join) and the screen's interior scratch release when the
         // batch's appends land; a long-running stream holds ONE batch's
-        // blocks, never an unbounded accumulation awaiting GC.
-        graft.Checkpoints.withCheckpointed(raw) { verdicts =>
+        // blocks, never an unbounded accumulation awaiting GC. The scratch
+        // release sits in a finally: a sink/append failure replays the
+        // batch, and the retry must not stack a second scratch set on a
+        // leaked first. NOTE the sink receives the verdicts frame for THIS
+        // invocation only — its blocks free when the call returns, so a
+        // sink that retains the frame past the batch violates the
+        // [[graft.Checkpoints]] contract (write it out inside the call).
+        try graft.Checkpoints.withCheckpointed(raw) { verdicts =>
           sink(verdicts, batchId)
           val accepted = batch.toDF().join(
             verdicts.filter(org.apache.spark.sql.functions.col("is_new"))
               .select(idCol), Seq(idCol), "semi")
           graft.ops.LshIndex.appendBatch(s, idxPath, accepted, idCol, textCol,
             batchId, owner)
-        }
-        graft.Checkpoints.release(scratch: _*)
+        } finally graft.Checkpoints.release(scratch: _*)
       }
     }
 
@@ -576,15 +582,16 @@ object StreamAggs {
         val (raw, scratch) = graft.ops.PhashIndex.screenWithScratch(s, idxPath,
           batch.toDF(), idCol, imgCol, maxDist, excludeBatch = Some(batchId))
         // Same scoped lifetime as [[dedupAtIngest]] — verdict and probe
-        // blocks release when this batch's appends land, not at some GC.
-        graft.Checkpoints.withCheckpointed(raw) { verdicts =>
+        // blocks release when this batch's appends land, not at some GC
+        // (and the scratch release survives a sink/append failure, so a
+        // replayed batch never stacks scratch sets).
+        try graft.Checkpoints.withCheckpointed(raw) { verdicts =>
           sink(verdicts, batchId)
           val accepted = batch.toDF().join(
             verdicts.filter(col("is_new")).select(idCol), Seq(idCol), "semi")
           graft.ops.PhashIndex.appendBatch(s, idxPath, accepted, idCol, imgCol,
             batchId, owner)
-        }
-        graft.Checkpoints.release(scratch: _*)
+        } finally graft.Checkpoints.release(scratch: _*)
       }
     }
 
@@ -593,7 +600,7 @@ object StreamAggs {
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val cSigs = graft.ops.Dedup
       .minhashSignatures(corpus, idCol, textCol, bands, shingleSize)
-      .localCheckpoint() // signed once, reused by every micro-batch
+      .checkpointOwned() // signed once, reused by every micro-batch
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       sink(graft.ops.Dedup.incrementalDedupPresigned(corpus, cSigs,
         batch.toDF(), idCol, textCol, threshold, bands, shingleSize), batchId)

@@ -29,6 +29,8 @@ object PhashBuildLinearitySmoke {
 
     val tiers = sys.env.getOrElse("PH_TIERS", "400000,4000000")
       .split(",").map(_.trim.toInt).toSeq
+    require(tiers.size >= 2 && tiers.last > tiers.head,
+      s"linearity needs at least two increasing tiers, got PH_TIERS=$tiers")
     val root = java.nio.file.Files.createTempDirectory("phlin").toFile
       .getAbsolutePath
 
@@ -73,9 +75,13 @@ object PhashBuildLinearitySmoke {
     val decades = math.log10(tiers.last.toDouble / tiers.head)
     val ratioPerDecade = math.pow(
       perImage.last._3 / perImage.head._3, 1.0 / decades)
+    // locale-independent number formatting (f"" would emit comma decimals
+    // under a comma-decimal LANG — invalid JSON)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     println("PHLIN " + perImage.map { case (n, wall, us) =>
-      s""""n_$n":{"wall_sec":${f"$wall%.2f"},"per_image_us":${f"$us%.3f"}}"""
-    }.mkString("{", ",", s""","per_image_ratio_per_decade":${f"$ratioPerDecade%.3f"}}"""))
+      s""""n_$n":{"wall_sec":${r3(wall)},"per_image_us":${r3(us)}}"""
+    }.mkString("{", ",",
+      s""","per_image_ratio_per_decade":${r3(ratioPerDecade)}}"""))
     require(ratioPerDecade <= 1.5,
       f"per-image build cost must be flat across the decade, " +
         f"got $ratioPerDecade%.3f×/decade")

@@ -50,13 +50,48 @@ object Bridge {
     * A localCheckpoint materializes its RDD into block-manager storage with
     * no public handle to release it; long-running iterative state (one new
     * checkpoint per micro-batch) would otherwise accumulate superseded
-    * block sets without bound. No-op for frames that aren't checkpoints.
+    * block sets without bound. No-op for frames without checkpoints in
+    * their plan. NOTE: walks the WHOLE analyzed plan and frees EVERY
+    * checkpoint it finds — only for frames whose every embedded checkpoint
+    * the caller owns (a frame returned by `localCheckpoint()` itself is
+    * always safe: its plan is one lineage-truncated LogicalRDD).
+    * [[graft.Checkpoints.release]] is the ownership-aware form.
     */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
+  /** The RDD ids of every checkpointed (LogicalRDD) node in the frame's
+    * analyzed plan — for a frame just returned by `localCheckpoint()`,
+    * exactly its own materialized RDD.
+    */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => b += lr.rdd.id
+        case _ => ()
+      }
+    b.result()
+  }
+
+  /** Ownership-gated release: walk the frame's analyzed plan and unpersist
+    * only the LogicalRDDs whose ids `owned` contains, removing each freed
+    * id — checkpoints the caller did NOT create (a user's own
+    * `localCheckpoint()`ed input embedded in an engine-built frame)
+    * survive the walk untouched.
+    */
+  def unpersistOwned(df: org.apache.spark.sql.DataFrame,
+      owned: java.util.Set[Integer]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          if (owned.remove(Int.box(lr.rdd.id)))
+            lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
 }

@@ -21,7 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * operator (screen verdicts, component labels) necessarily keeps its
   * interior checkpoints alive until the caller's last action; after that
   * action `Checkpoints.release(frame)` walks the plan and frees every
-  * engine-created scratch checkpoint inside it.
+  * ENGINE-OWNED scratch checkpoint inside it — while a checkpoint the
+  * CALLER minted (their own `localCheckpoint()`ed corpus embedded in the
+  * same plan) is not owned and must survive the walk (the ownership test
+  * below: freeing it would turn the caller's next use into an
+  * unrecoverable missing-block error).
   */
 class CheckpointLifetimeSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
@@ -73,6 +77,35 @@ class CheckpointLifetimeSpec extends AnyFunSuite {
     assertClean("forget")(
       LshIndex.forget(s, idx, Seq(3L).toDF("doc_id"), "doc_id"))
     assertClean("reshard")(LshIndex.reshard(s, idx, newSigBuckets = 4))
+  }
+
+  test("release frees only ENGINE-owned checkpoints — a caller's own survives the walk and stays usable") {
+    val s = spark
+    import s.implicits._
+    val idx = Files.createTempDirectory("ckown").toFile.getAbsolutePath
+    LshIndex.build(corpusDf(30), "doc_id", "text", idx, sigBuckets = 8)
+    // the caller checkpoints their OWN corpus frame (outside the library)
+    val userCorpus = corpusDf(30).localCheckpoint()
+    val userIds = liveIds
+    val batch = (100L to 104L).map(i => (i, fam(i % 5, "caller batch")))
+      .toDF("doc_id", "text")
+    // the verdicts plan embeds userCorpus (the verify's semi-join side);
+    // releasing the verdicts must free the screen's interior scratch but
+    // NOT the caller's blocks
+    val v = LshIndex.screen(s, idx, userCorpus, batch, "doc_id", "text", 0.5)
+    assert(v.count() == 5)
+    Checkpoints.release(v)
+    assert((userIds -- liveIds).isEmpty,
+      "release(verdicts) must not unpersist a caller-minted checkpoint")
+    // and the caller's frame still executes (its blocks are intact)
+    assert(userCorpus.count() == 30)
+    // second screen over the SAME caller checkpoint still works end to end
+    val v2 = LshIndex.screen(s, idx, userCorpus, batch, "doc_id", "text", 0.5)
+    assert(v2.count() == 5)
+    Checkpoints.release(v2, userCorpus)
+    // releasing the user frame directly is also a no-op (not owned): the
+    // explicit-lifetime API can never be turned against foreign blocks
+    assert(userCorpus.count() == 30)
   }
 
   test("PhashIndex lifecycle phases are block-clean without System.gc()") {

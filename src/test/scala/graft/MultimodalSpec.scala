@@ -521,6 +521,35 @@ class MultimodalSpec extends AnyFunSuite {
       Seq[Any]("wav", null, null, null, 1, 8000, 64, "ulaw"))
     assert(Multimodal.sniffOne(wavBytes(6, 64)).last === "alaw")
     assert(Multimodal.sniffOne(wavBytes(1, 64)).last === "pcm")
+    // an interleaved AVI may list its AUDIO strl before the video one
+    // (legal RIFF ordering): the codec must come from the VIDEO stream's
+    // strf — reading the first strf would land on WAVEFORMATEX bytes and
+    // quarantine a perfectly decodable DIB video
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(kind: String, inner: Array[Byte]) =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + inner.length) ++
+        kind.getBytes("US-ASCII") ++ inner
+    val avihData = new Array[Byte](40)
+    System.arraycopy(le32(7), 0, avihData, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(36), 0, avihData, 32, 4) // dwWidth
+    System.arraycopy(le32(32), 0, avihData, 36, 4) // dwHeight
+    val audioStrl = list("strl",
+      chunk("strh", "auds".getBytes("US-ASCII") ++ new Array[Byte](52)) ++
+        chunk("strf", le16(0x55) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+          le16(0x4a4d) ++ le16(0x5047) ++ le16(4) ++ le32(0))) // 22-byte WAVEFORMATEX
+    val videoStrl = list("strl",
+      chunk("strh", "vids".getBytes("US-ASCII") ++ new Array[Byte](52)) ++
+        chunk("strf", le32(40) ++ le32(36) ++ le32(32) ++ le16(1) ++ le16(8) ++
+          le32(0) ++ new Array[Byte](16))) // biCompression = 0 (DIB)
+    val hdrl = list("hdrl", chunk("avih", avihData) ++ audioStrl ++ videoStrl)
+    val audioFirstAvi = "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+    assert(Multimodal.sniffOne(audioFirstAvi) ===
+      Seq[Any]("avi", 36, 32, 7, null, null, null, "dib"),
+      "audio-first AVI must report the VIDEO stream's codec")
+
     // AVI codec surfaces the same way
     val rows = (0L until 2L).map(i => (i, longText(700 + i.toInt)))
     assert(Multimodal.sniffMeta(Multimodal.synthVideo(packed(rows)), "video")
