@@ -120,10 +120,13 @@ object PhashIndexScaleSmoke {
     }
     dens.foreach(r => println(f"PHSCALE density d<=${r.getInt(0)}: " +
       f"p|coll=${r.getDouble(3)}%.6f implied/probe=${r.getDouble(4)}%.6f"))
+    // different units by design: the probe experiment measures P(>=1
+    // match) per novel probe; the index implies E[matched candidates] per
+    // probe (clustered dup classes push E far above P(>=1))
     val measuredRate = accidental.toDouble / (nProbe - expDup)
     val implied2 = dens.last.getDouble(4)
-    println(f"PHSCALE measured novel-probe accidental rate: $measuredRate%.4f " +
-      f"vs index-implied d<=2 rate: $implied2%.4f")
+    println(f"PHSCALE novel-probe P(>=1 accidental match): $measuredRate%.4f; " +
+      f"index-implied E[matches<=d2]/probe: $implied2%.4f")
     val safe = PhashIndex.safeMaxDist(spark, idx, maxImpliedPerProbe = 0.5)
     println(s"PHSCALE safeMaxDist(budget 0.5/probe): $safe")
 
