@@ -202,6 +202,30 @@ class IndexDensitySpec extends AnyFunSuite {
       "distinct texts must carry near-zero collision mass")
   }
 
+  test("density is fingerprint-agnostic: an audio-fingerprint index reads through the same dashboard") {
+    val s = spark
+    import s.implicits._
+    // 8-copy audio dup class (identical clips -> identical energy-contour
+    // fingerprints) + 8 differentiated clips
+    val rows = (0L until 8L).map(i => (i, longText(5))) ++
+      (100L until 108L).map(i => (i, longText(i.toInt)))
+    val fp = Multimodal.audioFingerprint(Multimodal.synthAudio(
+      Multimodal.pack(rows.toDF("doc_id", "text"), "doc_id", "text", "raw")))
+    val idx = Files.createTempDirectory("afdens").toFile.getAbsolutePath
+    PhashIndex.buildHashed(fp, "media_id", Seq("af0", "af1", "af2", "af3"),
+      idx, sigBuckets = 8)
+    val bands = PhashIndex.density(s, idx).collect()
+    assert(bands.length === 4)
+    assert(bands.map(_.getLong(3)).min >= 28L,
+      "the 8-copy clip class is >= C(8,2) pairs in every band")
+    val d0 = PhashIndex.densityByDist(s, idx, perBucketCap = 64,
+      maxDist = 0).collect()(0)
+    assert(d0.getDouble(4) >= 2.0 * 4 * 28 / 16.0 - 1e-9,
+      "the flat clip class's d=0 mass must surface for audio exactly as for images")
+    assert(PhashIndex.safeMaxDist(s, idx, maxImpliedPerProbe = 1.0).isEmpty,
+      "a corpus of identical clips has no safe screening radius")
+  }
+
   test("ivf density: collapsed index saturates toward 1, balanced grid sits near 1/nlist; TVFs equal the APIs") {
     val s = spark
     import s.implicits._
