@@ -1586,6 +1586,24 @@ object SparkEntry {
     "t14_gopher_rules" -> ((s, dir) =>
       ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── text: markup strip — the boilerplate-extraction pass over scraped
+    //    HTML (tags → word boundaries, entities decoded with &amp; LAST,
+    //    whitespace normalized). The corpus is plain text, so each doc is
+    //    wrapped in a deterministic markup shell the SAME way on both
+    //    sides — the strip must recover the payload exactly, and the
+    //    per-mille markup-density quality signal rides along ──────────────
+    "t17_markup_strip" -> ((s, dir) => {
+      val raw = concat(lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1>\n<p class=\"body\">"), col("text"),
+        lit("</p>\n<br/>&quot;tail&quot; &amp;lt; &#39;end&#39;&nbsp;</body></html>"))
+      val clean = ops.TextAnalysis.stripMarkup(raw)
+      t(s, dir, "documents").select(col("doc_id"),
+        length(raw).cast("long").as("raw_len"),
+        length(clean).cast("long").as("clean_len"),
+        ops.TextAnalysis.markupDensityPerMille(raw).as("markup_pm"),
+        md5(clean).as("clean_md5"))
+    }),
+
     // ── composed pipeline, oracle-gated end to end: quality gate from the
     //    gopher COUNTS (thresholds re-tuned for this corpus without a
     //    re-scan — the reason the counts are first-class columns) → exact
@@ -1855,6 +1873,43 @@ object SparkEntry {
         .select(col("media_id"), col("fmt"), col("width"), col("height"),
           col("n_frames"), col("n_channels"), col("sample_rate"),
           col("n_samples"))
+    }),
+
+    // ── multimodal: the INTAKE ROUTER — sniff verdict → decode-leg route,
+    // over a mixed planted corpus spanning every verdict class: lossless
+    // images (png/bmp), REAL lossy JPEG + REAL GIF (new codec legs), PCM
+    // audio, µ-law audio (the overlay patches the synth's fmt tag to 7 —
+    // same header geometry, a payload class the decode legs refuse), DIB
+    // and MJPG video, truncated headers, and plain text. Routing is a pure
+    // Column policy over the sniff fields — zero exchanges; the oracle is
+    // the plant itself (the mm11 principle, extended to the DECISION) ─────
+    "mm20_intake_route" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def slab(lo: Int, hi: Int) = ops.Multimodal.pack(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "raw")
+      def blob(df: DataFrame, c: String) =
+        df.select(col("media_id"), col(c).as("blob"))
+      val img = blob(ops.Multimodal.synthImages(slab(0, 100)), "img")
+      val jpg = blob(ops.Multimodal.synthImages(slab(100, 140), format = "jpg"), "img")
+      val gif = blob(ops.Multimodal.synthImages(slab(140, 180), format = "gif"), "img")
+      val wav = blob(ops.Multimodal.synthAudio(slab(180, 230)), "audio")
+      val ulaw = ops.Multimodal.synthAudio(slab(230, 260))
+        .select(col("media_id"),
+          overlay(col("audio"), lit(Array[Byte](7, 0)), lit(21)).as("blob"))
+      val avi = blob(ops.Multimodal.synthVideo(slab(260, 300)), "video")
+      val mjpg = blob(ops.Multimodal.synthVideo(slab(300, 330), codec = "MJPG"), "video")
+      val corrupt = img.filter(col("media_id") < 10)
+        .select((col("media_id") + 1000).as("media_id"),
+          substring(col("blob"), 1, 14).as("blob"))
+      val unknown = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000).as("media_id"),
+          col("text").cast("binary").as("blob"))
+      ops.Multimodal.routeIntake(
+          img.unionByName(jpg).unionByName(gif).unionByName(wav)
+            .unionByName(ulaw).unionByName(avi).unionByName(mjpg)
+            .unionByName(corrupt).unionByName(unknown), "blob")
+        .select(col("media_id"), col("fmt"), col("codec"), col("route"))
     }),
 
     // ── multimodal: persisted PERCEPTUAL-HASH index — the image twin of
@@ -3972,6 +4027,30 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS red_md5
         |FROM aug""".stripMargin,
 
+    // the markup shell is planted identically on both sides; the oracle
+    // then runs the SAME strip pipeline (tag → space, entity decode with
+    // &amp; last, blank-run collapse, trim) through DuckDB's RE2 — the
+    // patterns are deliberately engine-portable (the PII-pattern rule)
+    "t17_markup_strip" ->
+      """WITH raw AS (SELECT doc_id,
+        |  '<html><body><h1>Doc ' || doc_id::VARCHAR || '</h1>' || chr(10) ||
+        |  '<p class="body">' || text || '</p>' || chr(10) ||
+        |  '<br/>&quot;tail&quot; &amp;lt; &#39;end&#39;&nbsp;</body></html>' AS r
+        |  FROM documents),
+        |c AS (SELECT doc_id, r,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(r, '</?[A-Za-z!?][^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, length(r)::BIGINT AS raw_len,
+        |       length(clean)::BIGINT AS clean_len,
+        |       (1000 * (length(r) - length(clean)) // length(r))::BIGINT AS markup_pm,
+        |       md5(clean) AS clean_md5
+        |FROM c""".stripMargin,
+
     "x5_domain_cap" ->
       """WITH b AS (SELECT doc_id, source,
         |  (((md5_number('cap' || doc_id::VARCHAR) % 4294967296) + 4294967296)
@@ -4181,6 +4260,36 @@ object SparkEntry {
         |       NULL, NULL, NULL, NULL, NULL, NULL
         |FROM documents WHERE doc_id < 10
         |UNION ALL SELECT doc_id + 2000, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // the router's decision is re-stated from the plant: every slab's
+    // format AND codec are construction parameters (the µ-law slab is the
+    // PCM synth with its fmt tag overlaid to 7 — same header geometry),
+    // so a match proves sniff pulled the true codec out of real bytes AND
+    // the policy sent every verdict class to its decode leg
+    "mm20_intake_route" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'rgb' END AS codec,
+        |       'image' AS route
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, 'jpeg', 'jpeg-baseline', 'image'
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 140
+        |UNION ALL SELECT doc_id, 'gif', 'lzw', 'image'
+        |FROM documents WHERE doc_id >= 140 AND doc_id < 180
+        |UNION ALL SELECT doc_id, 'wav', 'pcm', 'audio'
+        |FROM documents WHERE doc_id >= 180 AND doc_id < 230
+        |UNION ALL SELECT doc_id, 'wav', 'ulaw', 'quarantine:wav-ulaw'
+        |FROM documents WHERE doc_id >= 230 AND doc_id < 260
+        |UNION ALL SELECT doc_id, 'avi', 'dib', 'video'
+        |FROM documents WHERE doc_id >= 260 AND doc_id < 300
+        |UNION ALL SELECT doc_id, 'avi', 'mjpg', 'video'
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 330
+        |UNION ALL SELECT doc_id + 1000,
+        |       'corrupt:' || CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END,
+        |       NULL, 'corrupt'
+        |FROM documents WHERE doc_id < 10
+        |UNION ALL SELECT doc_id + 2000, 'unknown', NULL, 'unknown'
         |FROM documents WHERE doc_id < 10""".stripMargin,
 
     // identical to the d17 principle for IMAGES: the persisted index is

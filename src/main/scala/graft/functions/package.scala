@@ -147,6 +147,8 @@ package object functions {
     macro1("distinct_ratio", TextAnalysis.distinctRatio)
     macro1("doc_fingerprint", TextAnalysis.fingerprint)
     macro1("token_hash32", TextAnalysis.tokenHash32)
+    macro1("strip_markup", TextAnalysis.stripMarkup)
+    macro1("markup_density_pm", TextAnalysis.markupDensityPerMille)
     // zorder_key(dim1, dim2, …): Morton interleave of all arguments at the
     // widest per-dim width that fits a signed long (16 bits up to 3 dims,
     // 63/n beyond) — same codegen'd shift/mask/add tree as the Scala API.

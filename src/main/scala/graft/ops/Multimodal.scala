@@ -198,6 +198,10 @@ object Multimodal {
     * BMP encoder. `format = "mixed"` alternates by media_id parity — both
     * decoders then exercise in one pass, and since both codecs are lossless
     * for this raster the downstream hashes are format-invariant (spec'd).
+    * `"gif"` writes through the JDK GIF encoder (indexed gray palette —
+    * also lossless for this raster); `"jpg"` writes REAL baseline JPEG
+    * (LOSSY — sniff/route geometry stays exact, but hash oracles that
+    * re-derive pixels from source bytes do not transfer to this leg).
     *
     * The pixel rule is deliberately a pure integer function of the source
     * bytes: everything downstream of the DECODE is then re-derivable by an
@@ -236,13 +240,35 @@ object Multimodal {
 
   private def encodeGray(pix: Array[Int], w: Int, h: Int,
       fmt: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, pix(y * w + x) * 0x010101); x += 1 }
-      y += 1
+    val img = if (fmt == "gif") {
+      // GIF leg: an EXPLICIT identity 256-gray palette, samples written
+      // straight into the raster. TYPE_BYTE_GRAY + setRGB would round-trip
+      // through the linear-gray ↔ sRGB colorspace conversion (silent value
+      // drift); an indexed image whose palette entry i is (i, i, i) keeps
+      // the GIF leg bit-lossless, so the mm5/mm6 round-trip gates extend
+      // to it unchanged.
+      val ramp = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val ras = bi.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { ras.setSample(x, y, 0, pix(y * w + x)); x += 1 }
+        y += 1
+      }
+      bi
+    } else {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bi.setRGB(x, y, pix(y * w + x) * 0x010101); x += 1 }
+        y += 1
+      }
+      bi
     }
     val baos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, fmt, baos), s"no ImageIO writer: $fmt")
@@ -837,6 +863,13 @@ object Multimodal {
     *    `data` chunk's size over the block align = sample count.
     *  - RIFF/AVI: the `avih` header's width/height/total-frame count (a
     *    chunk-tree walk like [[parseAvi]]'s, but header-only).
+    *  - JPEG: marker-segment walk to the SOFn frame header (big-endian
+    *    dims; the SOF code — baseline/progressive/arithmetic — is the
+    *    codec verdict).
+    *  - GIF: logical-screen dims from the header; frame count by a
+    *    length-byte block walk (sub-block skips, no LZW decode — the one
+    *    verdict here that is O(file) rather than O(header), because an
+    *    animated GIF's record count is itself an intake signal).
     *
     * Failure policy is DATA, not exceptions: an unrecognized magic yields
     * `fmt = "unknown"`, and a recognized magic whose header then fails to
@@ -964,8 +997,137 @@ object Multimodal {
         require(avih != null, "no avih header")
         Seq[Any]("avi", avih(0), avih(1), avih(2), null, null, null, codec)
       } catch { case scala.util.control.NonFatal(_) => "corrupt:avi" +: nulls }
+    } else if (u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
+      try {
+        // JPEG: walk the marker segments to the frame header (SOFn) and
+        // read its big-endian dims. Between SOI and SOS every marker
+        // carries a 2-byte length (standalone RSTn appear only inside
+        // entropy-coded scan data, which the walk never enters), so this
+        // is a pure header skip — no entropy decode. The SOF code is the
+        // codec verdict: ImageIO's reader takes baseline/extended/
+        // progressive Huffman; the arithmetic/hierarchical codes route
+        // to quarantine like compressed WAV fmt tags do.
+        var p = 2
+        var res: Seq[Any] = null
+        while (res == null) {
+          require(p + 1 < b.length && u8(p) == 0xff, "bad marker stream")
+          while (p + 1 < b.length && u8(p + 1) == 0xff) p += 1 // fill bytes
+          val m = u8(p + 1)
+          require(m != 0xd9 && m != 0xda, "no frame header before SOS/EOI")
+          require(p + 4 <= b.length, "marker truncated")
+          val len = (u8(p + 2) << 8) | u8(p + 3)
+          require(len >= 2 && p + 2 + len <= b.length, "segment truncated")
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            require(len >= 8, "SOF too short")
+            val ih = (u8(p + 5) << 8) | u8(p + 6)
+            val iw = (u8(p + 7) << 8) | u8(p + 8)
+            require(iw > 0 && ih > 0, "bad dims")
+            val codec = m match {
+              case 0xc0 => "jpeg-baseline"
+              case 0xc1 => "jpeg-extended"
+              case 0xc2 => "jpeg-progressive"
+              case n => s"jpeg-sof${n & 0x0f}"
+            }
+            res = Seq[Any]("jpeg", iw, ih, 1, null, null, null, codec)
+          } else p += 2 + len
+        }
+        res
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:jpeg" +: nulls }
+    } else if (tag(0) == "GIF8" && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      try {
+        // GIF: logical-screen dims are header-only; the FRAME COUNT walks
+        // the block stream (extensions, per-frame descriptors, LZW data
+        // sub-blocks) by LENGTH BYTES alone — O(file) skips, never an LZW
+        // decode. Animated GIFs are the one format here whose record
+        // count is an intake signal (a 400-frame "image" is not an image).
+        val w = le16(6); val h = le16(8)
+        require(w > 0 && h > 0, "bad dims")
+        def skipSub(start: Int): Int = {
+          var q = start
+          while ({ require(q < b.length, "sub-blocks truncated"); u8(q) != 0 })
+            q += 1 + u8(q)
+          q + 1
+        }
+        var p = 13 + (if ((u8(10) & 0x80) != 0) 3 << ((u8(10) & 7) + 1) else 0)
+        var frames = 0
+        var done = false
+        while (!done) {
+          require(p < b.length, "missing trailer")
+          u8(p) match {
+            case 0x3b => done = true
+            case 0x21 => // extension: label byte, then data sub-blocks
+              p = skipSub(p + 2)
+            case 0x2c => // image descriptor (+ optional local color table)
+              require(p + 10 <= b.length, "image descriptor truncated")
+              val flags = u8(p + 9)
+              p += 10
+              if ((flags & 0x80) != 0) p += 3 << ((flags & 7) + 1)
+              require(p < b.length, "local color table truncated")
+              p = skipSub(p + 1) // LZW min-code-size byte, then sub-blocks
+              frames += 1
+            case x => throw new IllegalArgumentException(
+              s"unknown block 0x${x.toHexString}")
+          }
+        }
+        require(frames > 0, "no image descriptor")
+        Seq[Any]("gif", w, h, frames, null, null, null, "lzw")
+      } catch { case scala.util.control.NonFatal(_) => "corrupt:gif" +: nulls }
     } else "unknown" +: nulls
   }
+
+  /** Sniff + ROUTE: the decision column a 100 TB intake's first pass
+    * splits on. [[sniffMeta]]'s verdict mapped onto the engine's decode
+    * legs by [[routeOf]]: blobs a JDK decode kernel accepts route to
+    * their modality (`image` / `audio` / `video`); recognized formats
+    * whose CODEC the decode legs refuse route to a NAMED quarantine
+    * (`quarantine:wav-ulaw`, `quarantine:avi-h264`, …) so compressed
+    * media lands in a re-routable bucket at sniff time instead of an
+    * executor exception mid-decode; malformed headers route `corrupt`,
+    * unrecognized magics `unknown`. Everything downstream is a partition-
+    * local filter on `route` — the router itself adds ZERO exchanges.
+    */
+  def routeIntake(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame =
+    sniffMeta(df, contentCol, batchSize).withColumn("route",
+      routeOf(col("fmt"), col("codec"), col("n_channels")))
+
+  /** The routing policy as a pure `Column` expression over the sniff
+    * verdict (codegen-friendly, oracle-expressible — no UDF):
+    *
+    *  - `png`/`jpeg`/`gif` → `image` (ImageIO reads all three; sniff has
+    *    already demoted arithmetic/hierarchical JPEGs to their SOF codec
+    *    name, which falls through to quarantine).
+    *  - `bmp` → `image` for the codecs the JDK BMP reader takes
+    *    (`rgb`/`rle8`/`rle4`/`bitfields`); anything else quarantines.
+    *  - `wav` → `audio` only for MONO linear `pcm` — the
+    *    [[audioFeatures]]/[[audioFingerprint]] contract; companded or
+    *    multichannel audio quarantines with the reason in the route.
+    *    (Bit-depth enforcement stays with the decode kernels' own loud
+    *    `require`s — the sniff fmt chunk is necessary, not sufficient.)
+    *  - `avi` → `video` for `dib`/`mjpg` ([[parseAvi]]'s two legs);
+    *    other fourccs quarantine (the honest JNI slot).
+    *  - `corrupt:*` → `corrupt`, everything else → `unknown`.
+    */
+  def routeOf(fmt: org.apache.spark.sql.Column, codec: org.apache.spark.sql.Column,
+      nChannels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(fmt.isin("png", "gif"), lit("image"))
+      .when(fmt === "jpeg",
+        when(codec.isin("jpeg-baseline", "jpeg-extended", "jpeg-progressive"),
+          lit("image"))
+          .otherwise(concat(lit("quarantine:"), codec)))
+      .when(fmt === "bmp",
+        when(codec.isin("rgb", "rle8", "rle4", "bitfields"), lit("image"))
+          .otherwise(concat(lit("quarantine:bmp-"), codec)))
+      .when(fmt === "wav",
+        when(codec === "pcm" && nChannels === 1, lit("audio"))
+          .when(codec === "pcm", lit("quarantine:wav-multichannel"))
+          .otherwise(concat(lit("quarantine:wav-"), codec)))
+      .when(fmt === "avi",
+        when(codec.isin("dib", "mjpg"), lit("video"))
+          .otherwise(concat(lit("quarantine:avi-"),
+            coalesce(codec, lit("none")))))
+      .when(fmt.startsWith("corrupt:"), lit("corrupt"))
+      .otherwise(lit("unknown"))
 
   /** Image near-duplicate pairs by pigeonhole banding on the dHash's four
     * 16-bit words — [[Dedup.simhashPairs]]'s machinery pointed at decoded

@@ -380,4 +380,47 @@ object TextAnalysis {
         regexp_replace(text, EmailPattern, "[EMAIL]"),
         PhonePattern, "[PHONE]"),
       Ipv4Pattern, "[IP]")
+
+  // ── markup strip: the boilerplate-extraction first pass over scraped
+  //    HTML-ish text — tags out, core entities decoded, whitespace
+  //    normalized. Pure regexp_replace chain (codegen, RE2-compatible
+  //    patterns like the PII set), so the DuckDB oracle runs the SAME
+  //    pipeline verbatim. ───────────────────────────────────────────────
+
+  /** The five core character entities, decode order pinned: `&amp;` LAST,
+    * so `&amp;lt;` yields the LITERAL text `&lt;` (HTML semantics), never
+    * a second-round `<`.
+    */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Extracted text of a markup document: every tag becomes a space (a
+    * tag boundary is a word boundary — deleting it outright would weld
+    * `...</td><td>...` cell texts together), entities decode in
+    * [[MarkupEntities]] order, runs of blank characters collapse to one
+    * space, ends trimmed. A tag opens only with `<` + letter / `/` / `!`
+    * / `?` — the HTML tokenizer's rule — so comparison text like
+    * `3 < 5 and x > 2` is content and survives (a bare `<[^>]*>` would
+    * eat the span between the operators). Same verdict in RE2 and
+    * java.util.regex, so the oracle transfers.
+    */
+  def stripMarkup(text: Column): Column = {
+    val decoded = MarkupEntities.foldLeft(
+      regexp_replace(text, "</?[A-Za-z!?][^>]*>", " ")) { case (c, (e, v)) =>
+        regexp_replace(c, e, v)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** Markup mass per mille: `1000·(len(raw) − len(stripped)) / len(raw)`,
+    * integer-exact — the boilerplate-density quality signal (a page that
+    * is 95% tags is navigation chrome, not a document).
+    */
+  def markupDensityPerMille(text: Column): Column = {
+    val stripped = stripMarkup(text)
+    when(length(text) === 0, lit(0L)).otherwise(
+      (lit(1000) * (length(text) - length(stripped)) / length(text))
+        .cast("long"))
+  }
 }

@@ -572,4 +572,105 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioFeatures(routed).count() === 2,
       "sniff-routed decode must process exactly the linear-PCM rows")
   }
+
+  test("JPEG + GIF legs: real ImageIO bytes, sniffed geometry, GIF lossless round-trip") {
+    val rows = (0L until 4L).map(i => (i, longText(900 + i.toInt)))
+    val png = Multimodal.synthImages(packed(rows), format = "png")
+      .select("media_id", "img").collect().map(r =>
+        r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val gif = Multimodal.synthImages(packed(rows), format = "gif")
+      .select("media_id", "img").collect().map(r =>
+        r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val jpg = Multimodal.synthImages(packed(rows), format = "jpg")
+      .select("media_id", "img").collect().map(r =>
+        r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { case (id, _) =>
+      // genuine container magics
+      assert(new String(gif(id), 0, 6, "US-ASCII").matches("GIF8[79]a"))
+      assert((jpg(id)(0) & 0xff) == 0xff && (jpg(id)(1) & 0xff) == 0xd8)
+      // sniff pulls the true geometry out of the real bytes
+      assert(Multimodal.sniffOne(gif(id)) ===
+        Seq[Any]("gif", 36, 32, 1, null, null, null, "lzw"))
+      assert(Multimodal.sniffOne(jpg(id)) ===
+        Seq[Any]("jpeg", 36, 32, 1, null, null, null, "jpeg-baseline"))
+      // GIF is LOSSLESS for the gray raster (identity palette — no
+      // colorspace round-trip): luma equals the PNG leg's bit-for-bit
+      val (gw, gh, glum) = Multimodal.decodeLuma(gif(id))
+      val (_, _, plum) = Multimodal.decodeLuma(png(id))
+      assert(gw == 36 && gh == 32 && glum.sameElements(plum),
+        "GIF decode must equal the lossless PNG leg exactly")
+      // JPEG is lossy by contract: geometry exact, decode real
+      val (jw, jh, jlum) = Multimodal.decodeLuma(jpg(id))
+      assert(jw == 36 && jh == 32 && jlum.length == 36 * 32)
+    }
+  }
+
+  test("GIF block walk: hand-built 2-frame GIF counts frames; truncations quarantine") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // GIF89a, 3x2 logical screen, NO global color table, one GCE
+    // extension, TWO image descriptors (fake 1-byte LZW payloads — the
+    // sniffer walks sub-block LENGTHS, never decodes), trailer
+    def frame() = Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(3) ++
+      le16(2) ++ Array[Byte](0x00, 2, 1, 0x00, 0)
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val two = "GIF89a".getBytes("US-ASCII") ++ le16(3) ++ le16(2) ++
+      Array[Byte](0, 0, 0) ++ gce ++ frame() ++ frame() ++ Array[Byte](0x3b)
+    assert(Multimodal.sniffOne(two) ===
+      Seq[Any]("gif", 3, 2, 2, null, null, null, "lzw"),
+      "an animated GIF's record count is an intake signal")
+    // missing trailer / truncated sub-blocks -> corrupt, as DATA
+    assert(Multimodal.sniffOne(two.dropRight(1)).head === "corrupt:gif")
+    assert(Multimodal.sniffOne(two.take(16)).head === "corrupt:gif")
+    // a JPEG cut mid-segment quarantines the same way
+    val jpgHead = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0, 16) ++ new Array[Byte](8)
+    assert(Multimodal.sniffOne(jpgHead).head === "corrupt:jpeg")
+  }
+
+  test("routeIntake: every sniff verdict class lands on its decode leg") {
+    val s = spark
+    import s.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16v(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wavBytes(fmtTag: Int, n: Int): Array[Byte] = {
+      val data = Array.tabulate(n)(i => (i * 7 % 256).toByte)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16v(fmtTag) ++ le16v(1) ++ le32(8000) ++ le32(8000) ++ le16v(1) ++ le16v(8) ++
+        "data".getBytes("US-ASCII") ++ le32(n) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val rows = Seq((0L, longText(31)))
+    def one(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).head.getAs[Array[Byte]](0)
+    val blobs = Seq(
+      1L -> one(Multimodal.synthImages(packed(rows), format = "png"), "img"),
+      2L -> one(Multimodal.synthImages(packed(rows), format = "gif"), "img"),
+      3L -> one(Multimodal.synthImages(packed(rows), format = "jpg"), "img"),
+      4L -> one(Multimodal.synthAudio(packed(rows), nSamples = 64), "audio"),
+      5L -> wavBytes(7, 64), // ulaw
+      6L -> one(Multimodal.synthVideo(packed(rows)), "video"),
+      7L -> one(Multimodal.synthVideo(packed(rows), codec = "MJPG"), "video"),
+      8L -> one(Multimodal.synthImages(packed(rows), format = "png"), "img").take(14),
+      9L -> "just text bytes, no container".getBytes("UTF-8"))
+    val routed = Multimodal.routeIntake(
+        blobs.toDF("media_id", "content"), "content")
+      .select("media_id", "route").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(routed === Map(
+      1L -> "image", 2L -> "image", 3L -> "image", 4L -> "audio",
+      5L -> "quarantine:wav-ulaw", 6L -> "video", 7L -> "video",
+      8L -> "corrupt", 9L -> "unknown"))
+    // policy edges without container fixtures: unsupported fourccs and
+    // exotic JPEG SOFs quarantine by NAME (re-routable, never an ambush)
+    val pol = Seq(("x")).toDF("x").select(
+      Multimodal.routeOf(lit("avi"), lit("h264"), lit(null)).as("a"),
+      Multimodal.routeOf(lit("jpeg"), lit("jpeg-sof9"), lit(null)).as("b"),
+      Multimodal.routeOf(lit("wav"), lit("pcm"), lit(2)).as("c"),
+      Multimodal.routeOf(lit("bmp"), lit("rle8"), lit(null)).as("d")).head
+    assert(pol.getString(0) === "quarantine:avi-h264")
+    assert(pol.getString(1) === "quarantine:jpeg-sof9")
+    assert(pol.getString(2) === "quarantine:wav-multichannel")
+    assert(pol.getString(3) === "image")
+  }
 }

@@ -144,6 +144,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // reads the CHECKPOINTED probe signatures — one tiny exchange over
       // ≤4·|probe| rows bought the removal of a full probe re-decode)
       "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 2,
+      // mm20: sniff + a pure-Column route policy over unioned
+      // mapPartitions synth slabs — the router adds ZERO exchanges
+      "mm20_intake_route" -> 0,
       "mm13_cross_modal" -> 2,
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
@@ -239,6 +242,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "x7_approx_quantiles" -> 1,
       // t14/t15: pure integer-count projections, shuffle-free by construction
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
+      // t17: a regexp_replace chain — pure projection, no exchange
+      "t17_markup_strip" -> 0,
       // z1: the Morton key is shift/mask/add arithmetic — a pure projection
       "z1_zorder_key" -> 0,
       // e10: centroid assignment is the codegen'd kernel over a collected

@@ -1165,4 +1165,42 @@ class SkewTextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "gopher rules must be shuffle-free")
   }
+
+  test("stripMarkup: tags are word boundaries, entity order is pinned, whitespace normalizes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "<html><body><p>alpha</p><p>beta</p></body></html>"),
+      // a tag boundary is a WORD boundary: deleting tags outright would
+      // weld adjacent cell texts into "alphabeta"
+      (2L, "<td>alpha</td><td>beta</td>"),
+      // &amp;lt; is the LITERAL text "&lt;" (entity decode order: &amp;
+      // last) -- a naive order would emit "<" and re-create markup
+      (3L, "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (4L, "  spaced\t\tout\r\nlines  "),
+      // unmatched < with no closing > is content, not markup
+      (5L, "3 < 5 and x > 2"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.stripMarkup(col("text")).as("clean"),
+      TextAnalysis.markupDensityPerMille(col("text")).as("pm"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "alpha beta")
+    assert(out(1).getString(1) === "alpha beta")
+    // tags strip BEFORE entities decode, so entity-encoded markup
+    // (&lt;tag&gt;) is literal TEXT and survives — the HTML semantics
+    assert(out(2).getString(1) === "a &lt; b <tag> \"q\" 's' end")
+    assert(out(3).getString(1) === "spaced out lines")
+    assert(out(4).getString(1) === "3 < 5 and x > 2",
+      "an unmatched < must survive as content")
+    // density: row 1 is mostly chrome, row 5 has none
+    assert(out(0).getLong(2) > 700L && out(4).getLong(2) === 0L)
+    // the SQL macro expands to the same expression tree
+    graft.functions.registerAll(s)
+    assert(s.sql(
+      "SELECT strip_markup('<b>x</b> &amp; y') AS c, " +
+      "markup_density_pm('<b>x</b>') AS p").head match {
+        case r => r.getString(0) == "x & y" && r.getLong(1) > 0L
+      })
+  }
 }
