@@ -1385,6 +1385,15 @@ object SparkEntry {
           round(col("__p95"), 6).as("p95"))
     }),
 
+    // ── sampling/census: the per-(source, lang) DATA CARD — the census a
+    //    corpus release ships, as ONE aggregation over ONE scan (doc count,
+    //    token/char mass, length quantiles, corpus distinct-token ratio,
+    //    PII incidence). Ratio-of-sums on exact longs, quantiles by the
+    //    x2 interpolation-parity rule — every column oracle-exact ─────────
+    "x12_data_card" -> ((s, dir) =>
+      ops.TextAnalysis.dataCard(t(s, dir, "documents"), "text",
+        Seq("source", "lang"))),
+
     // ── text: top-3 salient terms per doc (linear TF-IDF, df over corpus) ─
     "t9_tfidf" -> ((s, dir) =>
       ops.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -3555,6 +3564,28 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the census re-derived column by column: token arrays by the t1/t2
+    // split rule, quantiles by the x2 quantile_cont parity, the ratio as
+    // ONE division over exact integer sums, PII by the t12 patterns
+    "x12_data_card" ->
+      """WITH w AS (SELECT source, lang, text, length(text) AS n,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents)
+        |SELECT source, lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(len(ws))::BIGINT AS n_tokens,
+        |  sum(n)::BIGINT AS n_chars,
+        |  round(quantile_cont(n, 0.5), 2) AS p50_chars,
+        |  round(quantile_cont(n, 0.95), 2) AS p95_chars,
+        |  round(sum(len(list_distinct(ws))) * 1.0
+        |        / greatest(sum(len(ws)), 1), 6) AS distinct_token_ratio,
+        |  sum(CASE WHEN
+        |        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS pii_docs
+        |FROM w GROUP BY source, lang""".stripMargin,
     "t11_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3

@@ -423,4 +423,32 @@ object TextAnalysis {
       (lit(1000) * (length(text) - length(stripped)) / length(text))
         .cast("long"))
   }
+
+  /** One-pass corpus DATA CARD: the per-group census every corpus release
+    * ships — doc count, token/char mass, length quantiles, corpus-level
+    * distinct-token ratio, PII incidence — as ONE aggregation over ONE
+    * scan (at 100 TB the scan is the cost; a census that reads the corpus
+    * once per statistic is wrong by construction). Integer-exact except
+    * the two interpolated quantiles and one final division, both
+    * engine-portable (the x2 parity rule). Deliberately ratio-of-sums,
+    * not mean-of-ratios: a single division on exact longs is
+    * deterministic across engines and weighs documents by their token
+    * mass; an average of per-doc rounded doubles is neither.
+    */
+  def dataCard(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("n_tokens"),
+      sum(length(t).cast("long")).as("n_chars"),
+      round(percentile(length(t), lit(0.5)), 2).as("p50_chars"),
+      round(percentile(length(t), lit(0.95)), 2).as("p95_chars"),
+      round(sum(size(array_distinct(toks)).cast("long")) /
+        greatest(sum(size(toks).cast("long")), lit(1L)), 6)
+        .as("distinct_token_ratio"),
+      sum(when(piiEmailCount(t) + piiPhoneCount(t) + piiIpCount(t) > 0, 1L)
+        .otherwise(0L)).as("pii_docs"))
+  }
 }

@@ -127,6 +127,24 @@ object StreamAggs {
         col("quality") >= minQuality && col("rep_frac") <= maxRepetition)
   }
 
+  /** Streaming intake ROUTER: [[graft.ops.Multimodal.routeIntake]] applied
+    * per micro-batch through `foreachBatch` (the sniff kernel is an RDD
+    * transform, so the stream crosses into it batch-wise — the
+    * [[screenLmAtIngest]] shape). Stateless, so batch == streaming
+    * row-for-row (spec'd); exactly-once delivery of route verdicts is the
+    * caller's query checkpoint (batchId-idempotent sinks, the T5 pattern).
+    * This is the 100 TB intake's FIRST streaming stage: everything
+    * downstream filters on `route`, so undecodable blobs divert before
+    * any decode kernel can throw.
+    */
+  def routeAtIngest(stream: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.Multimodal.routeIntake(batch.toDF(), contentCol,
+        batchSize), batchId)
+    }
+
   /** Streaming LM quality screen: score every micro-batch of incoming
     * documents against a FIXED bigram model (trained once on a reference
     * corpus via [[graft.ops.TextAnalysis.bigramLm]] — at 100 TB the model is

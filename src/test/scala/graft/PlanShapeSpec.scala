@@ -244,6 +244,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // t17: a regexp_replace chain — pure projection, no exchange
       "t17_markup_strip" -> 0,
+      // x12: the one-pass census — a single grouped aggregate (the
+      // quantiles ride the same ObjectHashAggregate), one exchange
+      "x12_data_card" -> 1,
       // z1: the Morton key is shift/mask/add arithmetic — a pure projection
       "z1_zorder_key" -> 0,
       // e10: centroid assignment is the codegen'd kernel over a collected

@@ -1203,4 +1203,26 @@ class SkewTextOpsSpec extends AnyFunSuite {
         case r => r.getString(0) == "x & y" && r.getLong(1) > 0L
       })
   }
+
+  test("dataCard: the one-pass census is integer-exact and weighs by token mass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("web", 1L, "alpha beta beta"),            // 3 tokens, 2 distinct
+      ("web", 2L, "alpha alpha alpha alpha"),    // 4 tokens, 1 distinct
+      ("book", 3L, "one two three mail a@b.example.org"))
+      .toDF("source", "id", "text")
+    val out = TextAnalysis.dataCard(df, "text", Seq("source"))
+      .orderBy("source").collect()
+    // book: 5 tokens (the email is one whitespace token), 5 distinct, pii
+    assert(out(0).getString(0) === "book" && out(0).getLong(1) === 1L &&
+      out(0).getLong(2) === 5L && out(0).getLong(7) === 1L)
+    // web: ratio-of-sums = (2+1)/(3+4) NOT mean-of-ratios (0.667+0.25)/2
+    assert(out(1).getString(0) === "web" && out(1).getLong(1) === 2L &&
+      out(1).getLong(2) === 7L && out(1).getLong(7) === 0L)
+    assert(math.abs(out(1).getDouble(6) - 3.0 / 7.0) < 5e-7,
+      "distinct_token_ratio must be the token-mass-weighted ratio of sums")
+    // p50 of the two web lengths interpolates between 15 and 23
+    assert(out(1).getDouble(4) === 19.0)
+  }
 }

@@ -193,6 +193,51 @@ class StreamAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("route-at-ingest: the streaming router equals the batch router row-for-row") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("routeingest").toFile.getAbsolutePath
+
+    // a mixed intake: real PNG bytes, a hand-built ulaw WAV, plain text
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val ulaw = {
+      val body = "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        le32(16) ++ le16(7) ++ le16(1) ++ le32(8000) ++ le32(8000) ++
+        le16(1) ++ le16(8) ++ "data".getBytes("US-ASCII") ++ le32(8) ++
+        new Array[Byte](8)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val png = graft.ops.Multimodal.synthImages(graft.ops.Multimodal.pack(
+        Seq((0L, "alpha bravo charlie delta echo " * 40)).toDF("doc_id", "text"),
+        "doc_id", "text", "raw"), format = "png")
+      .select("img").head.getAs[Array[Byte]](0)
+    Seq((1L, png), (2L, ulaw), (3L, "no container".getBytes("UTF-8")))
+      .toDF("media_id", "content").write.parquet(s"$dir/in")
+
+    val expected = graft.ops.Multimodal.routeIntake(
+        spark.read.parquet(s"$dir/in"), "content")
+      .select("media_id", "fmt", "route").collect().map(_.toString).sorted.toSeq
+
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = StreamAggs.routeAtIngest(
+        spark.readStream.schema("media_id long, content binary")
+          .parquet(s"$dir/in"), "content") { (res, _) =>
+        got.synchronized {
+          got ++= res.select("media_id", "fmt", "route").collect().map(_.toString)
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === expected,
+        "the streaming router must issue exactly the batch router's verdicts")
+      assert(expected.exists(_.contains("quarantine:wav-ulaw")),
+        "the quarantine verdict must flow through the stream")
+    } finally q.stop()
+  }
+
   test("streaming near-dup screen equals the batch incremental dedup, batch by batch") {
     val s = spark
     import s.implicits._
