@@ -1921,6 +1921,56 @@ object SparkEntry {
         .select(col("media_id"), col("fmt"), col("codec"), col("route"))
     }),
 
+    // ── multimodal FLAGSHIP: the routed intake PIPELINE — one mixed blob
+    // table (png/bmp, GIF, PCM audio, DIB video, µ-law) → route → each
+    // modality's decode leg → ONE unified fingerprint table. Quarantined
+    // rows surface as verdict rows (nothing drops silently); every
+    // decoded hash is re-derived by the oracle from SOURCE bytes — the
+    // GIF rows are the first oracle-exact hashes through the GIF codec
+    // (lossless by the identity-palette construction). The routed frame
+    // is checkpointed: four consumers, one synth+sniff execution ─────────
+    "mm21_routed_fingerprints" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def slab(lo: Int, hi: Int) = ops.Multimodal.pack(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "raw")
+      def blob(df: DataFrame, c: String) =
+        df.select(col("media_id"), col(c).as("blob"))
+      val mixed = blob(ops.Multimodal.synthImages(slab(0, 80)), "img")
+        .unionByName(blob(ops.Multimodal.synthImages(slab(80, 120), format = "gif"), "img"))
+        .unionByName(blob(ops.Multimodal.synthAudio(slab(120, 160)), "audio"))
+        .unionByName(blob(ops.Multimodal.synthVideo(slab(160, 200)), "video"))
+        .unionByName(ops.Multimodal.synthAudio(slab(200, 220))
+          .select(col("media_id"),
+            overlay(col("audio"), lit(Array[Byte](7, 0)), lit(21)).as("blob")))
+      val routed = ops.Multimodal.routeIntake(mixed, "blob")
+        .select(col("media_id"), col("blob"), col("route")).checkpointOwned()
+      def words(pre: String) = Seq(
+        col(pre + "0").as("w0"), col(pre + "1").as("w1"),
+        col(pre + "2").as("w2"), col(pre + "3").as("w3"))
+      val imgs = ops.Multimodal.perceptualHash(
+          routed.filter(col("route") === "image")
+            .select(col("media_id"), col("blob").as("img")))
+        .select(col("media_id") +: lit("image").as("modality") +:
+          lit(0).as("item_no") +: words("dh"): _*)
+      val auds = ops.Multimodal.audioFingerprint(
+          routed.filter(col("route") === "audio")
+            .select(col("media_id"), col("blob").as("audio")))
+        .select(col("media_id") +: lit("audio").as("modality") +:
+          lit(0).as("item_no") +: words("af"): _*)
+      val vids = ops.Multimodal.perceptualHash(ops.Multimodal.videoFrames(
+          routed.filter(col("route") === "video")
+            .select(col("media_id"), col("blob").as("video"))))
+        .select(col("media_id") +: lit("video").as("modality") +:
+          col("frame_no").cast("int").as("item_no") +: words("dh"): _*)
+      val held = routed.filter(!col("route").isin("image", "audio", "video"))
+        .select(col("media_id"), col("route").as("modality"),
+          lit(0).as("item_no"), lit(null).cast("int").as("w0"),
+          lit(null).cast("int").as("w1"), lit(null).cast("int").as("w2"),
+          lit(null).cast("int").as("w3"))
+      imgs.unionByName(auds).unionByName(vids).unionByName(held)
+    }),
+
     // ── multimodal: persisted PERCEPTUAL-HASH index — the image twin of
     // d17 (third IndexLifecycle family). Full lifecycle (build + append +
     // streaming ingest + compact + pending ingest), then a screen whose
@@ -4322,6 +4372,32 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 10
         |UNION ALL SELECT doc_id + 2000, 'unknown', NULL, 'unknown'
         |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // the whole routed pipeline collapses to source-byte re-derivations:
+    // the image grid (png/bmp AND gif rows — the gif leg is lossless, so
+    // the same cyclic-raster CTE covers it), the video grid per frame,
+    // the audio energy contour, and the µ-law rows as verdict literals
+    "mm21_routed_fingerprints" -> ("WITH " + mmGridCteBody(
+      """SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |             octet_length(text::BLOB) AS n
+        |      FROM documents WHERE doc_id < 120""".stripMargin,
+      Seq("media_id"), "i % n") + ",\n" + mmGridCteBody(
+      """SELECT media_id, unnest(range(4)) AS f, hx, n
+        |      FROM (SELECT doc_id AS media_id, hex(text::BLOB) AS hx,
+        |                   octet_length(text::BLOB) AS n FROM documents
+        |            WHERE doc_id >= 160 AND doc_id < 200) hh""".stripMargin,
+      Seq("media_id", "f"), "(f*1152 + i) % n", prefix = "v") + ",\n" +
+      audioFpCteOver(
+        "(SELECT doc_id AS media_id, text FROM documents " +
+          "WHERE doc_id >= 120 AND doc_id < 160)") +
+      """
+        |SELECT media_id, 'image' AS modality, 0::INTEGER AS item_no,
+        |       d0 AS w0, d1 AS w1, d2 AS w2, d3 AS w3 FROM dh
+        |UNION ALL SELECT media_id, 'audio', 0::INTEGER, a0, a1, a2, a3 FROM af
+        |UNION ALL SELECT media_id, 'video', f::INTEGER, d0, d1, d2, d3 FROM vdh
+        |UNION ALL SELECT doc_id, 'quarantine:wav-ulaw', 0::INTEGER,
+        |       NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::INTEGER
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 220""".stripMargin),
 
     // identical to the d17 principle for IMAGES: the persisted index is
     // semantically the corpus hash table, so the whole lifecycle must

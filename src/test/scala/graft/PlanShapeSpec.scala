@@ -147,6 +147,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm20: sniff + a pure-Column route policy over unioned
       // mapPartitions synth slabs — the router adds ZERO exchanges
       "mm20_intake_route" -> 0,
+      // mm21: routed pipeline over a checkpointed frame — filters and
+      // mapPartitions decode kernels only, zero exchanges
+      "mm21_routed_fingerprints" -> 0,
       "mm13_cross_modal" -> 2,
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
