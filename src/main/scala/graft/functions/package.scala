@@ -149,6 +149,22 @@ package object functions {
     macro1("token_hash32", TextAnalysis.tokenHash32)
     macro1("strip_markup", TextAnalysis.stripMarkup)
     macro1("markup_density_pm", TextAnalysis.markupDensityPerMille)
+    // route_of(fmt, codec, n_channels): the intake routing policy as the
+    // same codegen'd Column tree routeIntake plans — the SQL deployment
+    // routes a pre-sniffed manifest without touching the Scala API
+    reg.createOrReplaceTempFunction("route_of",
+      es => {
+        if (es.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "route_of",
+              "expectedNum" -> "3", "actualNum" -> es.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        ExpressionUtils.resolvedExpression(spark,
+          graft.ops.Multimodal.routeOf(ExpressionUtils.column(es(0)),
+            ExpressionUtils.column(es(1)), ExpressionUtils.column(es(2))))
+      },
+      "internal")
     // zorder_key(dim1, dim2, …): Morton interleave of all arguments at the
     // widest per-dim width that fits a signed long (16 bits up to 3 dims,
     // 63/n beyond) — same codegen'd shift/mask/add tree as the Scala API.

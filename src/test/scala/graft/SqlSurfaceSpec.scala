@@ -65,6 +65,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val plan = spark.sql("SELECT pii_redact('z') AS x").queryExecution
       .executedPlan.toString
     assert(!plan.contains("UDF"), plan)
+    // round-15 macros: markup strip + the intake routing policy
+    val r2 = spark.sql(
+      """SELECT strip_markup('<p>a</p><p>b</p> &amp;lt;') AS cl,
+        |       markup_density_pm('<nav>x</nav>') AS pm,
+        |       route_of('wav', 'ulaw', 1) AS q,
+        |       route_of('png', 'deflate', CAST(NULL AS INT)) AS img
+        |""".stripMargin).head()
+    assert(r2.getString(0) == "a b &lt;")
+    assert(r2.getLong(1) > 0L)
+    assert(r2.getString(2) == "quarantine:wav-ulaw")
+    assert(r2.getString(3) == "image")
   }
 
   test("table-valued SQL surface: LSH screen and layout-routed ANN probe from spark.sql only") {
