@@ -673,4 +673,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pol.getString(2) === "quarantine:wav-multichannel")
     assert(pol.getString(3) === "image")
   }
+
+  test("sniff fuzz: every truncation, bit-flip and garbage blob yields a verdict, never a throw") {
+    // at 100 TB malformed bytes are an EXPECTED input class: the sniffer's
+    // contract is a total function into routable verdicts. Systematic
+    // adversaries, deterministic seed — no flaky coverage:
+    //  1. every prefix-truncation of one valid container per format,
+    //  2. 2000 single-bit flips per format (seeded positions),
+    //  3. 4000 random blobs, half with valid magics prepended.
+    val rows = Seq((0L, longText(777)))
+    def one(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).head.getAs[Array[Byte]](0)
+    val valids: Seq[Array[Byte]] = Seq(
+      one(Multimodal.synthImages(packed(rows), format = "png"), "img"),
+      one(Multimodal.synthImages(packed(rows), format = "bmp"), "img"),
+      one(Multimodal.synthImages(packed(rows), format = "gif"), "img"),
+      one(Multimodal.synthImages(packed(rows), format = "jpg"), "img"),
+      one(Multimodal.synthAudio(packed(rows), nSamples = 256), "audio"),
+      one(Multimodal.synthVideo(packed(rows), nFrames = 2), "video"))
+    val okFmt = Set("png", "bmp", "gif", "jpeg", "wav", "avi", "unknown")
+    def verdict(b: Array[Byte]): String = {
+      val v = Multimodal.sniffOne(b) // a throw here fails the test
+      assert(v.length === 8, s"verdict arity must be the sniff schema")
+      val f = v.head.asInstanceOf[String]
+      assert(okFmt.contains(f) || f.startsWith("corrupt:"),
+        s"fmt must be a routable class, got $f")
+      f
+    }
+    // 1. every truncation of every format (header boundaries included)
+    valids.foreach { b =>
+      (0 to b.length).foreach(k => verdict(java.util.Arrays.copyOf(b, k)))
+    }
+    // 2. seeded single-bit flips — headers AND deep payload positions
+    val rnd = new scala.util.Random(151)
+    valids.foreach { b =>
+      (0 until 2000).foreach { _ =>
+        val m = b.clone()
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        verdict(m)
+      }
+    }
+    // 3. random garbage, half wearing a valid magic
+    val magics = Seq(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "BM".getBytes("US-ASCII"), "RIFF".getBytes("US-ASCII"),
+      "GIF89a".getBytes("US-ASCII"), Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    (0 until 4000).foreach { i =>
+      val body = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(body)
+      verdict(if (i % 2 == 0) body else magics(rnd.nextInt(magics.length)) ++ body)
+    }
+    // and the ROUTE is total over whatever the fuzz produced: every
+    // verdict class lands in a known route family (no null, no leak of
+    // raw codec strings outside the quarantine namespace)
+    val s2 = spark
+    import s2.implicits._
+    val fuzzBlobs = valids.zipWithIndex.flatMap { case (b, fi) =>
+      (0 until 50).map { k =>
+        val m = b.clone(); val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ 0x40).toByte
+        (fi * 50L + k, m)
+      }
+    }
+    val routes = Multimodal.routeIntake(fuzzBlobs.toDF("media_id", "content"),
+        "content").select("route").distinct().collect().map(_.getString(0))
+    routes.foreach { r =>
+      assert(Set("image", "audio", "video", "corrupt", "unknown").contains(r)
+        || r.startsWith("quarantine:"), s"route must be a known family: $r")
+    }
+  }
 }
