@@ -1069,6 +1069,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ── similarity: MATRYOSHKA truncation-depth dashboard — exact
+    //    recall@k of prefix-truncated cosine against the full-dim truth,
+    //    per depth (the MRL decision table: how many leading components
+    //    the corpus can afford to store). Exact arithmetic end to end ─────
+    "e20_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32))
+    }),
+
     // ── similarity: seeded-SRP LSH bucketed ANN top-k (multi-probe) ───────
     "e2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3059,6 +3069,38 @@ object SparkEntry {
         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    // full-dim truth and every truncated candidate set re-derived with the
+    // e1 parity rules (rounded sims, ties by id; DuckDB's 1-based list
+    // slice == Spark's slice(vec, 1, d)); recall is ONE division over
+    // exact integer counts
+    "e20_matryoshka_recall" -> {
+      def topkCte(name: String, sliceExpr: String => String): String =
+        s"""$name AS (SELECT qid, vec_id FROM (
+          |  SELECT qid, e.vec_id,
+          |         row_number() OVER (PARTITION BY qid ORDER BY
+          |           round(list_cosine_similarity(${sliceExpr("qe")},
+          |             ${sliceExpr("e.embedding::DOUBLE[]")}), 6) DESC,
+          |           e.vec_id) AS rn
+          |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid) WHERE rn <= 5)""".stripMargin
+      val truncs = Seq(8, 16, 32).map(d =>
+        topkCte(s"t$d", v => s"($v)[1:$d]")).mkString(",\n")
+      val unions = Seq(8, 16, 32)
+        .map(d => s"SELECT $d AS dims, qid, vec_id FROM t$d")
+        .mkString("\n       UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |${topkCte("full_r", identity)},
+        |$truncs,
+        |tr AS ($unions)
+        |SELECT dims,
+        |       sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |       count(*)::BIGINT AS n_candidates,
+        |       round(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS recall
+        |FROM tr LEFT JOIN full_r f ON f.qid = tr.qid AND f.vec_id = tr.vec_id
+        |GROUP BY dims""".stripMargin
+    },
 
     "e2_lsh_ann" -> {
       val signs = ops.Similarity.srpSigns(ops.Similarity.SrpSeed, 1, 8, 64)

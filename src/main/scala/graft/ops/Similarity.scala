@@ -56,6 +56,39 @@ object Similarity {
       .select("qid", "vec_id", "sim", "rn")
   }
 
+  /** Matryoshka truncation-depth dashboard (MRL-style embeddings, public
+    * technique): exact recall@k of PREFIX-truncated cosine ANN against the
+    * full-dimension exact top-k, per candidate depth — the decision table
+    * for "how many leading components can this corpus afford to store".
+    * Cosine self-normalizes, so truncation is a pure `slice` (no re-norm
+    * column needed) and the whole dashboard is exact arithmetic the oracle
+    * replays (the e1 parity: rounded sims, ties broken by id).
+    *
+    * Fully declarative — per depth one corpus scan (the honest cost of an
+    * EXACT dashboard; run it on sampled queries), one left join against
+    * the full-dim truth, one grouped census. At 100 TB: queries broadcast
+    * (the cosineTopK shape), the join key set is |queries|·k rows.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "dims must be positive")
+    val full = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val truncated = dims.map { d =>
+      cosineTopK(
+          corpus.withColumn(vecCol, slice(col(vecCol), 1, d)),
+          queries.withColumn(vecCol, slice(col(vecCol), 1, d)),
+          idCol, vecCol, k)
+        .select(lit(d).as("dims"), col("qid"), col("vec_id"))
+    }.reduce(_.unionByName(_))
+    truncated.join(broadcast(full), Seq("qid", "vec_id"), "left")
+      .groupBy(col("dims"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("dims"), col("n_hits"), col("n_candidates"),
+        round(col("n_hits") / col("n_candidates"), 6).as("recall"))
+  }
+
   /** Per-dimension [min, max] of a corpus — the SQ8 codebook (FAISS-style
     * scalar quantization, public technique). One aggregation: posexplode is
     * map-side combined down to `dims` rows per partition before the shuffle,

@@ -182,4 +182,29 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
   }
+
+  test("matryoshkaRecall: full-depth truncation is the identity (recall 1), census is exact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(emb, emb.filter($"vec_id" < 6),
+        "vec_id", "embedding", k = 4, dims = Seq(2, 16))
+      .orderBy("dims").collect()
+    assert(out.length == 2)
+    // census arithmetic: k * nq candidates per depth, hits bounded by it
+    out.foreach { r =>
+      assert(r.getLong(2) === 24L, "n_candidates must be k * n_queries")
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 24L)
+      assert(math.abs(r.getDouble(3) - r.getLong(1).toDouble / 24.0) < 5e-7,
+        "recall is the exact ratio, rounded to 6 decimals by contract")
+    }
+    // truncating at the FULL dimension is the identity: recall exactly 1
+    assert(out(1).getInt(0) === 16 && out(1).getDouble(3) === 1.0,
+      "full-depth truncation must reproduce the full-dim top-k exactly")
+    // a 2-of-16 prefix throws away information on a gaussian corpus
+    assert(out(0).getDouble(3) < 1.0,
+      "a tiny prefix must not accidentally be the identity on this fixture")
+  }
 }

@@ -109,6 +109,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // e3: the corpus-side cell assignment is now a zero-shuffle packed
       // argmax fold — what remains is the probe side's window exchanges
       "e1_cosine_topk" -> 1, "e2_lsh_ann" -> 1, "e3_ivf_ann" -> 2,
+      // e20: four exact top-k windows (full + three truncation depths,
+      // one qid exchange each) + the final per-depth census aggregate;
+      // the truth join broadcasts
+      "e20_matryoshka_recall" -> 5,
       // e6: the persisted-index probe — query-assign window exchange + the
       // final top-k window; the cell scan itself is pruned, never shuffled
       "e6_indexed_ann" -> 3,
