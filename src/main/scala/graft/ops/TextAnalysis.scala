@@ -435,16 +435,28 @@ object TextAnalysis {
     * deterministic across engines and weighs documents by their token
     * mass; an average of per-doc rounded doubles is neither.
     */
+  /** `exactQuantiles = true` (default) uses exact interpolated
+    * `percentile` — oracle-checkable, but its aggregation buffer holds
+    * every group value, so it is for oracle gates and bounded groups.
+    * `false` switches the two quantile columns to `percentile_approx`
+    * (GK sketch, bounded memory at any group size) — the 100 TB setting,
+    * spec-gated within the sketch's rank-error bound against the exact
+    * twin (the x7 pattern). Every other column is a constant-space
+    * aggregate either way.
+    */
   def dataCard(docs: DataFrame, textCol: String,
-      groupCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], exactQuantiles: Boolean = true): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
+    def pct(p: Double) =
+      if (exactQuantiles) percentile(length(t), lit(p))
+      else percentile_approx(length(t), lit(p), lit(10000)).cast("double")
     docs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("n_tokens"),
       sum(length(t).cast("long")).as("n_chars"),
-      round(percentile(length(t), lit(0.5)), 2).as("p50_chars"),
-      round(percentile(length(t), lit(0.95)), 2).as("p95_chars"),
+      round(pct(0.5), 2).as("p50_chars"),
+      round(pct(0.95), 2).as("p95_chars"),
       round(sum(size(array_distinct(toks)).cast("long")) /
         greatest(sum(size(toks).cast("long")), lit(1L)), 6)
         .as("distinct_token_ratio"),

@@ -1224,5 +1224,19 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "distinct_token_ratio must be the token-mass-weighted ratio of sums")
     // p50 of the two web lengths interpolates between 15 and 23
     assert(out(1).getDouble(4) === 19.0)
+    // the 100 TB quantile path: percentile_approx holds a bounded sketch
+    // instead of every group value — same schema, values within the
+    // sketch's rank-error bound of the exact twin on a 1..100 fixture
+    val big = (1 to 100).map(i => ("s", i.toLong, "x" * i)).toDF("source", "id", "text")
+    val ex = TextAnalysis.dataCard(big, "text", Seq("source")).head
+    val ap = TextAnalysis.dataCard(big, "text", Seq("source"),
+      exactQuantiles = false).head
+    assert(ap.schema == ex.schema, "both quantile paths share one schema")
+    assert(math.abs(ap.getDouble(4) - ex.getDouble(4)) <= 1.0 &&
+      math.abs(ap.getDouble(5) - ex.getDouble(5)) <= 1.0,
+      "approx quantiles must sit within the rank-error bound of exact")
+    // non-quantile columns are identical: one aggregate family, two knobs
+    assert((0 to 3).forall(i => ap.get(i) == ex.get(i)) &&
+      (6 to 7).forall(i => ap.get(i) == ex.get(i)))
   }
 }
