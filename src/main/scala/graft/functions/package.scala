@@ -149,20 +149,27 @@ package object functions {
     macro1("token_hash32", TextAnalysis.tokenHash32)
     macro1("strip_markup", TextAnalysis.stripMarkup)
     macro1("markup_density_pm", TextAnalysis.markupDensityPerMille)
-    // route_of(fmt, codec, n_channels): the intake routing policy as the
-    // same codegen'd Column tree routeIntake plans — the SQL deployment
-    // routes a pre-sniffed manifest without touching the Scala API
+    // route_of(fmt, codec, n_channels[, n_frames]): the intake routing
+    // policy as the same codegen'd Column tree routeIntake plans — the SQL
+    // deployment routes a pre-sniffed manifest without touching the Scala
+    // API. The 3-arg legacy form routes with the frame count UNKNOWN, so a
+    // gif verdict honestly lands in quarantine:gif-unknown-frames instead
+    // of guessing single-frame (policy v2's animated-GIF split).
     reg.createOrReplaceTempFunction("route_of",
       es => {
-        if (es.length != 3)
+        if (es.length < 3 || es.length > 4)
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
             messageParameters = Map("functionName" -> "route_of",
-              "expectedNum" -> "3", "actualNum" -> es.length.toString,
+              "expectedNum" -> "3 or 4", "actualNum" -> es.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
+        val nFrames =
+          if (es.length == 4) ExpressionUtils.column(es(3))
+          else org.apache.spark.sql.functions.lit(null)
         ExpressionUtils.resolvedExpression(spark,
           graft.ops.Multimodal.routeOf(ExpressionUtils.column(es(0)),
-            ExpressionUtils.column(es(1)), ExpressionUtils.column(es(2))))
+            ExpressionUtils.column(es(1)), ExpressionUtils.column(es(2)),
+            nFrames))
       },
       "internal")
     // zorder_key(dim1, dim2, …): Morton interleave of all arguments at the

@@ -1000,13 +1000,15 @@ object Multimodal {
     } else if (u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
       try {
         // JPEG: walk the marker segments to the frame header (SOFn) and
-        // read its big-endian dims. Between SOI and SOS every marker
-        // carries a 2-byte length (standalone RSTn appear only inside
-        // entropy-coded scan data, which the walk never enters), so this
-        // is a pure header skip — no entropy decode. The SOF code is the
-        // codec verdict: ImageIO's reader takes baseline/extended/
-        // progressive Huffman; the arithmetic/hierarchical codes route
-        // to quarantine like compressed WAV fmt tags do.
+        // read its big-endian dims. Between SOI and SOS markers carry a
+        // 2-byte length EXCEPT the spec's standalone codes — TEM (0x01)
+        // and RSTn (0xd0–0xd7), which are legal (if exotic) before SOS
+        // and would misparse as length-bearing segments — so those skip
+        // as zero-length (ADVICE r15). A pure header skip — no entropy
+        // decode. The SOF code is the codec verdict: ImageIO's reader
+        // takes baseline/extended/progressive Huffman; the arithmetic/
+        // hierarchical codes route to quarantine like compressed WAV fmt
+        // tags do.
         var p = 2
         var res: Seq[Any] = null
         while (res == null) {
@@ -1014,6 +1016,8 @@ object Multimodal {
           while (p + 1 < b.length && u8(p + 1) == 0xff) p += 1 // fill bytes
           val m = u8(p + 1)
           require(m != 0xd9 && m != 0xda, "no frame header before SOS/EOI")
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
+          else {
           require(p + 4 <= b.length, "marker truncated")
           val len = (u8(p + 2) << 8) | u8(p + 3)
           require(len >= 2 && p + 2 + len <= b.length, "segment truncated")
@@ -1030,6 +1034,7 @@ object Multimodal {
             }
             res = Seq[Any]("jpeg", iw, ih, 1, null, null, null, codec)
           } else p += 2 + len
+          }
         }
         res
       } catch { case scala.util.control.NonFatal(_) => "corrupt:jpeg" +: nulls }
@@ -1088,20 +1093,53 @@ object Multimodal {
     */
   def routeIntake(df: DataFrame, contentCol: String = "content",
       batchSize: Int = 64): DataFrame =
-    sniffMeta(df, contentCol, batchSize).withColumn("route",
-      routeOf(col("fmt"), col("codec"), col("n_channels")))
+    sniffMeta(df, contentCol, batchSize)
+      .withColumn("route",
+        routeOf(col("fmt"), col("codec"), col("n_channels"), col("n_frames")))
+      .withColumn("route_policy", lit(RoutePolicyVersion))
+
+  /** The routing policy's VERSION — bumped whenever [[routeOf]]'s legs
+    * change, persisted next to every verdict ([[routeIntake]] stamps it)
+    * so a stored manifest knows which policy decided each row and
+    * [[reRoutePersisted]] can re-sniff exactly the rows a newer policy
+    * could decide differently. History:
+    *  - v1: png/jpeg/gif/bmp/wav/avi legs, gif frame count ignored.
+    *  - v2: animated GIFs (n_frames > 1) divert to `quarantine:
+    *    gif-animated` (the decode leg is first-frame-only — routing them
+    *    to `image` was silent frame loss); null-channel `pcm` and
+    *    null-frame `gif` verdicts gain honest unknown-field quarantines.
+    */
+  val RoutePolicyVersion: Int = 2
+
+  /** The last policy version that changed the DECIDED legs (`image` /
+    * `audio` / `video`) — verdicts recorded at or after this version keep
+    * their decided routes under any later bump, because later bumps only
+    * widen quarantine legs; verdicts from before it must fully re-sniff
+    * (v2 SPLIT the decided gif class into single-frame `image` vs
+    * animated quarantine, so a v1 `image` verdict is not trustworthy).
+    */
+  val DecidedLegsVersion: Int = 2
 
   /** The routing policy as a pure `Column` expression over the sniff
     * verdict (codegen-friendly, oracle-expressible — no UDF):
     *
-    *  - `png`/`jpeg`/`gif` → `image` (ImageIO reads all three; sniff has
-    *    already demoted arithmetic/hierarchical JPEGs to their SOF codec
-    *    name, which falls through to quarantine).
+    *  - `png`/`jpeg` → `image` (sniff has already demoted arithmetic/
+    *    hierarchical JPEGs to their SOF codec name, which falls through
+    *    to quarantine).
+    *  - `gif` → `image` only for SINGLE-FRAME files: the decode leg is
+    *    ImageIO's first-frame read, so an animated GIF routed to `image`
+    *    would silently lose every frame but the first — it diverts to
+    *    `quarantine:gif-animated` (a future frames-as-video leg's
+    *    re-route bucket); an unknown frame count (a pre-sniffed manifest
+    *    with the field null) quarantines rather than guessing.
     *  - `bmp` → `image` for the codecs the JDK BMP reader takes
     *    (`rgb`/`rle8`/`rle4`/`bitfields`); anything else quarantines.
     *  - `wav` → `audio` only for MONO linear `pcm` — the
     *    [[audioFeatures]]/[[audioFingerprint]] contract; companded or
-    *    multichannel audio quarantines with the reason in the route.
+    *    multichannel audio quarantines with the reason in the route, and
+    *    a null channel count (reachable via the `route_of` SQL macro
+    *    over a manifest the sniffer didn't fill) is its own named
+    *    verdict, not a misleading "multichannel".
     *    (Bit-depth enforcement stays with the decode kernels' own loud
     *    `require`s — the sniff fmt chunk is necessary, not sufficient.)
     *  - `avi` → `video` for `dib`/`mjpg` ([[parseAvi]]'s two legs);
@@ -1109,8 +1147,13 @@ object Multimodal {
     *  - `corrupt:*` → `corrupt`, everything else → `unknown`.
     */
   def routeOf(fmt: org.apache.spark.sql.Column, codec: org.apache.spark.sql.Column,
-      nChannels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(fmt.isin("png", "gif"), lit("image"))
+      nChannels: org.apache.spark.sql.Column,
+      nFrames: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(fmt === "png", lit("image"))
+      .when(fmt === "gif",
+        when(nFrames === 1, lit("image"))
+          .when(nFrames > 1, lit("quarantine:gif-animated"))
+          .otherwise(lit("quarantine:gif-unknown-frames")))
       .when(fmt === "jpeg",
         when(codec.isin("jpeg-baseline", "jpeg-extended", "jpeg-progressive"),
           lit("image"))
@@ -1120,6 +1163,8 @@ object Multimodal {
           .otherwise(concat(lit("quarantine:bmp-"), codec)))
       .when(fmt === "wav",
         when(codec === "pcm" && nChannels === 1, lit("audio"))
+          .when(codec === "pcm" && nChannels.isNull,
+            lit("quarantine:wav-unknown-channels"))
           .when(codec === "pcm", lit("quarantine:wav-multichannel"))
           .otherwise(concat(lit("quarantine:wav-"), codec)))
       .when(fmt === "avi",

@@ -119,6 +119,12 @@ object RouteScaleSmoke {
     require(ratioPerDecade <= 1.5,
       f"per-blob route cost must be flat across the tier step, " +
         f"got $ratioPerDecade%.3f×/decade")
+    // the per-tier matPaths are deleted in the loop; remove the (now
+    // empty) createTempDirectory root too — one leaked dir per run
+    // otherwise (ADVICE r15)
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(s"file://$root"),
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true): Unit
     println("ROUTE OK")
     spark.stop()
   }

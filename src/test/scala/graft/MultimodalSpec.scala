@@ -664,14 +664,66 @@ class MultimodalSpec extends AnyFunSuite {
     // policy edges without container fixtures: unsupported fourccs and
     // exotic JPEG SOFs quarantine by NAME (re-routable, never an ambush)
     val pol = Seq(("x")).toDF("x").select(
-      Multimodal.routeOf(lit("avi"), lit("h264"), lit(null)).as("a"),
-      Multimodal.routeOf(lit("jpeg"), lit("jpeg-sof9"), lit(null)).as("b"),
-      Multimodal.routeOf(lit("wav"), lit("pcm"), lit(2)).as("c"),
-      Multimodal.routeOf(lit("bmp"), lit("rle8"), lit(null)).as("d")).head
+      Multimodal.routeOf(lit("avi"), lit("h264"), lit(null), lit(null)).as("a"),
+      Multimodal.routeOf(lit("jpeg"), lit("jpeg-sof9"), lit(null), lit(null)).as("b"),
+      Multimodal.routeOf(lit("wav"), lit("pcm"), lit(2), lit(null)).as("c"),
+      Multimodal.routeOf(lit("bmp"), lit("rle8"), lit(null), lit(null)).as("d"),
+      // null-field honesty (ADVICE r15 + policy v2): a pre-sniffed
+      // manifest with the gating field NULL gets its own named verdict,
+      // never a misleading sibling label or a silent decode leg
+      Multimodal.routeOf(lit("wav"), lit("pcm"),
+        lit(null).cast("int"), lit(null)).as("e"),
+      Multimodal.routeOf(lit("gif"), lit("lzw"), lit(null),
+        lit(null).cast("int")).as("f")).head
     assert(pol.getString(0) === "quarantine:avi-h264")
     assert(pol.getString(1) === "quarantine:jpeg-sof9")
     assert(pol.getString(2) === "quarantine:wav-multichannel")
     assert(pol.getString(3) === "image")
+    assert(pol.getString(4) === "quarantine:wav-unknown-channels")
+    assert(pol.getString(5) === "quarantine:gif-unknown-frames")
+  }
+
+  test("routeIntake: animated GIFs divert loudly; single-frame GIFs decode (policy v2)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, longText(31)))
+    def one(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).head.getAs[Array[Byte]](0)
+    val single = one(Multimodal.synthImages(packed(rows), format = "gif"), "img")
+    // a hand-built two-frame GIF (the sniff spec's construction): two
+    // image descriptors before the trailer — a genuinely animated stream
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def frame() = Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(3) ++
+      le16(2) ++ Array[Byte](0x00, 2, 1, 0x00, 0)
+    val animated = "GIF89a".getBytes("US-ASCII") ++ le16(3) ++ le16(2) ++
+      Array[Byte](0, 0, 0) ++ frame() ++ frame() ++ Array[Byte](0x3b)
+    val routed = Multimodal.routeIntake(
+        Seq(1L -> single, 2L -> animated).toDF("media_id", "content"), "content")
+      .select("media_id", "n_frames", "route", "route_policy").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getInt(3)))).toMap
+    assert(routed(1L) === ((1, "image", Multimodal.RoutePolicyVersion)))
+    assert(routed(2L) === ((2, "quarantine:gif-animated",
+      Multimodal.RoutePolicyVersion)))
+    // and the single-frame leg actually DECODES (the honesty claim's other
+    // half: nothing routed to `image` is frame-lossy)
+    val hashed = Multimodal.perceptualHash(
+      Seq(1L -> single).toDF("media_id", "img"))
+    assert(hashed.count() === 1L)
+  }
+
+  test("sniffOne: spec-legal standalone JPEG markers (TEM) before SOS parse, not quarantine") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, longText(31)))
+    val jpg = Multimodal.synthImages(packed(rows), format = "jpg")
+      .select(col("img")).head.getAs[Array[Byte]](0)
+    // splice a standalone TEM (FF 01) right after SOI — zero-length by
+    // spec; a length-bearing parse would read garbage and demote the
+    // file to corrupt:jpeg (ADVICE r15)
+    val withTem = jpg.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ jpg.drop(2)
+    val v = Multimodal.sniffOne(withTem)
+    assert(v.head === "jpeg", s"TEM must not corrupt the walk: got ${v.head}")
+    assert(v(7) === "jpeg-baseline")
   }
 
   test("sniff fuzz: every truncation, bit-flip and garbage blob yields a verdict, never a throw") {
