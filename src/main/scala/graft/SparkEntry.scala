@@ -1400,9 +1400,11 @@ object SparkEntry {
     //    token/char mass, length quantiles, corpus distinct-token ratio,
     //    PII incidence). Ratio-of-sums on exact longs, quantiles by the
     //    x2 interpolation-parity rule — every column oracle-exact ─────────
+    // (exactQuantiles = true explicitly: the ORACLE twin wants exact
+    // interpolated percentiles; the API default is the bounded sketch)
     "x12_data_card" -> ((s, dir) =>
       ops.TextAnalysis.dataCard(t(s, dir, "documents"), "text",
-        Seq("source", "lang"))),
+        Seq("source", "lang"), exactQuantiles = true)),
 
     // ── text: top-3 salient terms per doc (linear TF-IDF, df over corpus) ─
     "t9_tfidf" -> ((s, dir) =>

@@ -435,17 +435,18 @@ object TextAnalysis {
     * deterministic across engines and weighs documents by their token
     * mass; an average of per-doc rounded doubles is neither.
     */
-  /** `exactQuantiles = true` (default) uses exact interpolated
-    * `percentile` — oracle-checkable, but its aggregation buffer holds
-    * every group value, so it is for oracle gates and bounded groups.
-    * `false` switches the two quantile columns to `percentile_approx`
-    * (GK sketch, bounded memory at any group size) — the 100 TB setting,
+  /** `exactQuantiles = false` (the DEFAULT — bounded-by-default at
+    * 100 TB, VERDICT r15 #4) computes the two quantile columns with
+    * `percentile_approx` (GK sketch, bounded memory at ANY group size),
     * spec-gated within the sketch's rank-error bound against the exact
-    * twin (the x7 pattern). Every other column is a constant-space
-    * aggregate either way.
+    * twin (the x7 pattern). `true` switches to exact interpolated
+    * `percentile` — oracle-checkable, but its aggregation buffer holds
+    * every group value, so it is for oracle gates and groups KNOWN
+    * bounded; callers opt into the unbounded buffer, never fall into it.
+    * Every other column is a constant-space aggregate either way.
     */
   def dataCard(docs: DataFrame, textCol: String,
-      groupCols: Seq[String], exactQuantiles: Boolean = true): DataFrame = {
+      groupCols: Seq[String], exactQuantiles: Boolean = false): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     def pct(p: Double) =

@@ -1212,7 +1212,8 @@ class SkewTextOpsSpec extends AnyFunSuite {
       ("web", 2L, "alpha alpha alpha alpha"),    // 4 tokens, 1 distinct
       ("book", 3L, "one two three mail a@b.example.org"))
       .toDF("source", "id", "text")
-    val out = TextAnalysis.dataCard(df, "text", Seq("source"))
+    val out = TextAnalysis.dataCard(df, "text", Seq("source"),
+        exactQuantiles = true)
       .orderBy("source").collect()
     // book: 5 tokens (the email is one whitespace token), 5 distinct, pii
     assert(out(0).getString(0) === "book" && out(0).getLong(1) === 1L &&
@@ -1224,13 +1225,14 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "distinct_token_ratio must be the token-mass-weighted ratio of sums")
     // p50 of the two web lengths interpolates between 15 and 23
     assert(out(1).getDouble(4) === 19.0)
-    // the 100 TB quantile path: percentile_approx holds a bounded sketch
-    // instead of every group value — same schema, values within the
-    // sketch's rank-error bound of the exact twin on a 1..100 fixture
+    // the 100 TB quantile path — percentile_approx holds a bounded sketch
+    // instead of every group value — is the DEFAULT (bounded-by-default,
+    // VERDICT r15 #4; exact is the explicit opt-in for oracle gates):
+    // same schema, values within the sketch's rank-error bound of exact
     val big = (1 to 100).map(i => ("s", i.toLong, "x" * i)).toDF("source", "id", "text")
-    val ex = TextAnalysis.dataCard(big, "text", Seq("source")).head
-    val ap = TextAnalysis.dataCard(big, "text", Seq("source"),
-      exactQuantiles = false).head
+    val ex = TextAnalysis.dataCard(big, "text", Seq("source"),
+      exactQuantiles = true).head
+    val ap = TextAnalysis.dataCard(big, "text", Seq("source")).head
     assert(ap.schema == ex.schema, "both quantile paths share one schema")
     assert(math.abs(ap.getDouble(4) - ex.getDouble(4)) <= 1.0 &&
       math.abs(ap.getDouble(5) - ex.getDouble(5)) <= 1.0,
