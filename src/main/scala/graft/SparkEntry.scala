@@ -1983,6 +1983,49 @@ object SparkEntry {
       imgs.unionByName(auds).unionByName(vids).unionByName(held)
     }),
 
+    // ── multimodal: INCREMENTAL RE-ROUTE after a policy upgrade — the
+    // routed corpus persists PARTITIONED BY route with each verdict's
+    // policy version; a version bump re-sniffs ONLY the undecided
+    // partitions (quarantine/corrupt/unknown — partition-pruned, the
+    // decided blobs' bytes never re-read), decided verdicts keep the
+    // version that made them. The census over (route, re_routed) is the
+    // upgrade's audit trail: exactly the undecided slice carries the new
+    // version, and the total re-routed count rides every row ───────────────
+    "mm22_incremental_reroute" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def slab(lo: Int, hi: Int) = ops.Multimodal.pack(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "raw")
+      def blob(df: DataFrame, c: String) =
+        df.select(col("media_id"), col(c).as("blob"))
+      val mixed = blob(ops.Multimodal.synthImages(slab(0, 100)), "img")
+        .unionByName(blob(ops.Multimodal.synthImages(slab(100, 140), format = "jpg"), "img"))
+        .unionByName(blob(ops.Multimodal.synthImages(slab(140, 180), format = "gif"), "img"))
+        .unionByName(blob(ops.Multimodal.synthAudio(slab(180, 230)), "audio"))
+        .unionByName(ops.Multimodal.synthAudio(slab(230, 260))
+          .select(col("media_id"),
+            overlay(col("audio"), lit(Array[Byte](7, 0)), lit(21)).as("blob")))
+        .unionByName(blob(ops.Multimodal.synthVideo(slab(260, 300)), "video"))
+        .unionByName(blob(ops.Multimodal.synthVideo(slab(300, 330), codec = "MJPG"), "video"))
+        .unionByName(blob(ops.Multimodal.synthImages(slab(0, 10)), "img")
+          .select((col("media_id") + 1000).as("media_id"),
+            substring(col("blob"), 1, 14).as("blob")))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 2000).as("media_id"),
+            col("text").cast("binary").as("blob")))
+      val idx = tempLogDir("graftmm22")
+      ops.Multimodal.persistRouted(
+        ops.Multimodal.routeIntake(mixed, "blob"), idx)
+      val n = ops.Multimodal.reRoutePersisted(s, idx, "blob",
+        currentVersion = ops.Multimodal.RoutePolicyVersion + 1)
+      s.read.parquet(idx)
+        .groupBy(col("route"),
+          (col("route_policy") === ops.Multimodal.RoutePolicyVersion + 1)
+            .as("re_routed"))
+        .agg(count(lit(1)).as("n_blobs"))
+        .withColumn("n_rerouted_total", lit(n))
+    }),
+
     // ── multimodal: persisted PERCEPTUAL-HASH index — the image twin of
     // d17 (third IndexLifecycle family). Full lifecycle (build + append +
     // streaming ingest + compact + pending ingest), then a screen whose
@@ -4416,6 +4459,28 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 10
         |UNION ALL SELECT doc_id + 2000, 'unknown', NULL, 'unknown'
         |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // the upgrade's audit trail re-stated from the plant: decided classes
+    // keep their verdicts un-re-sniffed (re_routed = false), exactly the
+    // undecided slice (µ-law + corrupt + unknown) re-sniffs at the bumped
+    // version, and the total re-routed count is that slice's size
+    "mm22_incremental_reroute" ->
+      """WITH census(route, re_routed, n_blobs) AS (
+        |  SELECT 'image', false, count(*) FROM documents WHERE doc_id < 180
+        |  UNION ALL SELECT 'audio', false, count(*)
+        |    FROM documents WHERE doc_id >= 180 AND doc_id < 230
+        |  UNION ALL SELECT 'quarantine:wav-ulaw', true, count(*)
+        |    FROM documents WHERE doc_id >= 230 AND doc_id < 260
+        |  UNION ALL SELECT 'video', false, count(*)
+        |    FROM documents WHERE doc_id >= 260 AND doc_id < 330
+        |  UNION ALL SELECT 'corrupt', true, count(*)
+        |    FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT 'unknown', true, count(*)
+        |    FROM documents WHERE doc_id < 10)
+        |SELECT route, re_routed, n_blobs::BIGINT AS n_blobs,
+        |       (SELECT sum(n_blobs) FROM census WHERE re_routed)::BIGINT
+        |         AS n_rerouted_total
+        |FROM census""".stripMargin,
 
     // the whole routed pipeline collapses to source-byte re-derivations:
     // the image grid (png/bmp AND gif rows — the gif leg is lossless, so

@@ -1174,6 +1174,162 @@ object Multimodal {
       .when(fmt.startsWith("corrupt:"), lit("corrupt"))
       .otherwise(lit("unknown"))
 
+  // ── incremental re-route of a persisted routed corpus ─────────────────
+
+  /** The three routes a decode leg OWNS — everything else (`quarantine:*`,
+    * `corrupt`, `unknown`) is an undecided bucket a future policy may
+    * decide differently.
+    */
+  private[graft] val DecidedRoutes = Seq("image", "audio", "video")
+
+  /** Persist a [[routeIntake]]'d blob table PARTITIONED BY `route` — the
+    * intake's landing layout: each modality's consumers read exactly their
+    * partition, and a policy upgrade re-reads ONLY the undecided
+    * partitions ([[reRoutePersisted]]) — partition pruning makes the
+    * re-sniff cost proportional to the quarantine slice, not the corpus.
+    */
+  def persistRouted(routed: DataFrame, path: String): Unit =
+    routed.write.mode("overwrite").partitionBy("route").parquet(path)
+
+  /** Incrementally RE-ROUTE a persisted routed corpus after a policy
+    * upgrade — the 100 TB answer to "a new codec leg landed": re-sniffing
+    * the whole corpus is the naive plan; the decided classes are immutable
+    * under a bump that only WIDENS legs, so only the undecided partitions
+    * (`quarantine:*` / `corrupt` / `unknown`) re-sniff. Returns the number
+    * of rows re-routed.
+    *
+    *  - Cost model: the undecided partitions' bytes are the only content
+    *    read (partition pruning on `route`); the decided partitions pay
+    *    one narrow `route_policy` column scan for the trust check below —
+    *    blob bytes never.
+    *  - Trust check: a decided verdict is only immutable if it was made at
+    *    or after [[DecidedLegsVersion]] (the last bump that changed a
+    *    DECIDED leg — v2 split gif into image vs animated-quarantine).
+    *    Any decided row older than `decidedLegsVersion` REFUSES loudly:
+    *    that manifest needs a full re-sniff ([[routeIntake]] over the
+    *    corpus), and silently keeping its verdicts would be wrong-by-
+    *    construction data routing.
+    *  - Re-sniffed rows land at `currentVersion`; kept rows keep the
+    *    version that actually decided them — the census over
+    *    `(route, route_policy)` is the upgrade's audit trail.
+    *  - Crash safety: staged-swap under the same mutation fence as the
+    *    index families ([[Similarity.withIndexMutation]]). The staged
+    *    verdicts write to `.reroute/data`, a `_COMMIT` marker (listing the
+    *    source partitions) makes the swap mandatory, `_SWEPT` separates
+    *    the source-partition retirement from the staged-file move (so
+    *    recovery never re-deletes a partition the move already refilled),
+    *    and uuid part-filenames make the move idempotent. A crash at ANY
+    *    point either rolls back (no `_COMMIT`) or completes on the next
+    *    call ([[recoverReroute]] runs first).
+    */
+  def reRoutePersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, contentCol: String = "content",
+      currentVersion: Int = RoutePolicyVersion,
+      decidedLegsVersion: Int = DecidedLegsVersion,
+      batchSize: Int = 64): Long =
+    Similarity.withIndexMutation(spark, path, "reRoutePersisted") {
+      val fs = LshIndex.fsOf(spark, path)
+      val work = new org.apache.hadoop.fs.Path(s"$path/.reroute")
+      recoverReroute(fs, path, work)
+      val t = spark.read.parquet(path)
+      // trust check: narrow column scan of the decided partitions only
+      val stale = t.filter(col("route").isin(DecidedRoutes: _*) &&
+        col("route_policy") < decidedLegsVersion).limit(1).count()
+      require(stale == 0L,
+        s"routed corpus at $path holds decided verdicts older than the " +
+          s"decided-legs version $decidedLegsVersion — a later policy " +
+          "changed what the decode legs accept, so those routes cannot be " +
+          "trusted; re-route is a FULL re-sniff here (routeIntake over the " +
+          "corpus), not an incremental pass")
+      // the undecided partitions, from the LISTING (no data scan)
+      val undecided = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("route="))
+        .filterNot(d => DecidedRoutes.contains(unescapePart(d.stripPrefix("route="))))
+        .sorted
+      if (undecided.isEmpty) 0L
+      else {
+        // re-sniff ONLY the undecided slice: the partition filter prunes
+        // every decided partition's files out of the scan
+        val src = t.filter(!col("route").isin(DecidedRoutes: _*))
+          .drop(sniffFields.map(_.name) :+ "route" :+ "route_policy": _*)
+        val fresh = routeIntake(src, contentCol, batchSize)
+          .withColumn("route_policy", lit(currentVersion))
+        fresh.write.mode("overwrite").partitionBy("route")
+          .parquet(s"$work/data")
+        val n = spark.read.parquet(s"$work/data").count()
+        writeRerouteMarker(fs, new org.apache.hadoop.fs.Path(s"$work/_COMMIT"),
+          undecided.mkString("\n"))
+        sweepAndMove(fs, path, work)
+        n
+      }
+    }
+
+  /** Complete (or roll back) a crashed [[reRoutePersisted]] swap. Runs
+    * automatically at the start of every re-route; callable directly for
+    * a read path that wants the table settled first.
+    */
+  def recoverReroute(fs: org.apache.hadoop.fs.FileSystem, table: String,
+      work: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(work)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(work, "_COMMIT")))
+        sweepAndMove(fs, table, work) // committed: the swap must finish
+      else
+        fs.delete(work, true): Unit // staged-only garbage: restart cleanly
+    }
+
+  private def unescapePart(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
+
+  private def writeRerouteMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The committed swap: retire the source partitions into `trash/`
+    * (phase gate `_SWEPT` — after it, moves may have refilled a
+    * same-named partition, so retirement NEVER re-runs), then move the
+    * staged part-files in (uuid names: idempotent under re-run), then
+    * drop the working dir. Every phase is re-entrant; the `_COMMIT` /
+    * `_SWEPT` / `_MOVED` markers pin exactly where a crash left off.
+    */
+  private def sweepAndMove(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, work: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sweptM = new Path(work, "_SWEPT")
+    val movedM = new Path(work, "_MOVED")
+    if (!fs.exists(sweptM)) {
+      val in = fs.open(new Path(work, "_COMMIT"))
+      val sources = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      fs.mkdirs(new Path(work, "trash"))
+      sources.foreach { d =>
+        val live = new Path(s"$table/$d")
+        if (fs.exists(live)) {
+          fs.rename(live, new Path(s"$work/trash/$d")): Unit
+        }
+      }
+      writeRerouteMarker(fs, sweptM, "")
+    }
+    if (!fs.exists(movedM)) {
+      val data = new Path(work, "data")
+      if (fs.exists(data)) fs.listStatus(data)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("route="))
+        .foreach { pd =>
+          val target = new Path(s"$table/${pd.getPath.getName}")
+          fs.mkdirs(target)
+          fs.listStatus(pd.getPath)
+            .map(_.getPath)
+            .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+            .foreach(f => fs.rename(f, new Path(target, f.getName)): Unit)
+        }
+      writeRerouteMarker(fs, movedM, "")
+    }
+    fs.delete(work, true): Unit
+  }
+
   /** Image near-duplicate pairs by pigeonhole banding on the dHash's four
     * 16-bit words — [[Dedup.simhashPairs]]'s machinery pointed at decoded
     * pixels: two hashes within Hamming distance 3 must collide in at least

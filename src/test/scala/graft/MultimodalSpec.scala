@@ -726,6 +726,135 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v(7) === "jpeg-baseline")
   }
 
+  test("reRoutePersisted: only the undecided partitions re-sniff; decided files untouched") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 6L).map(i => (i, longText(40 + i.toInt)))
+    def one(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).head.getAs[Array[Byte]](0)
+    val png = one(Multimodal.synthImages(packed(rows.take(1)), format = "png"), "img")
+    val wav = one(Multimodal.synthAudio(packed(rows.take(1)), nSamples = 64), "audio")
+    val ulaw = { val w = wav.clone(); w(20) = 7; w } // fmt tag -> µ-law
+    val blobs = Seq(
+      1L -> png, 2L -> png, 3L -> wav,     // decided
+      4L -> ulaw, 5L -> png.take(14),      // quarantine + corrupt
+      6L -> "no container".getBytes("UTF-8")).toDF("media_id", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graftreroute").toString
+    Multimodal.persistRouted(Multimodal.routeIntake(blobs, "content"), dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(s"file://$dir"),
+      s.sparkContext.hadoopConfiguration)
+    def filesOf(part: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$part"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1).toSeq
+    val imageBefore = filesOf("route=image")
+    val audioBefore = filesOf("route=audio")
+    // the exact pruning predicate the re-route scans with must read only
+    // the undecided partitions' files (the cost-model claim) — proven by
+    // the executed scan's numFiles metric, not the plan text
+    val prunedDf = s.read.parquet(dir)
+      .filter(!col("route").isin(Multimodal.DecidedRoutes: _*))
+    prunedDf.collect()
+    val scan = prunedDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val undecidedParts = Seq("route=quarantine", "route=corrupt", "route=unknown")
+    val undecidedFileCount = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && undecidedParts.exists(p =>
+        st.getPath.getName.startsWith(p)))
+      .map(st => fs.listStatus(st.getPath)
+        .count(f => !f.getPath.getName.startsWith("_"))).sum
+    assert(undecidedFileCount > 0)
+    assert(scan.metrics("numFiles").value === undecidedFileCount.toLong,
+      "undecided-slice scan must list exactly the undecided partitions' files")
+    val v = Multimodal.RoutePolicyVersion
+    val n = Multimodal.reRoutePersisted(s, dir, "content", currentVersion = v + 1)
+    assert(n === 3L, "exactly the undecided slice re-routes")
+    // decided partitions: same files, same mtimes — never rewritten
+    assert(filesOf("route=image") === imageBefore)
+    assert(filesOf("route=audio") === audioBefore)
+    val after = s.read.parquet(dir)
+      .select("media_id", "route", "route_policy").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(after(1L) === (("image", v)) && after(3L) === (("audio", v)),
+      "kept verdicts keep the version that decided them")
+    assert(after(4L) === (("quarantine:wav-ulaw", v + 1)))
+    assert(after(5L) === (("corrupt", v + 1)))
+    assert(after(6L) === (("unknown", v + 1)))
+    // idempotent: a second pass at the same version re-routes the (still
+    // undecided) slice again but changes nothing material
+    assert(Multimodal.reRoutePersisted(s, dir, "content",
+      currentVersion = v + 1) === 3L)
+    assert(s.read.parquet(dir).count() === 6L)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("reRoutePersisted: decided verdicts older than the decided-legs version refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, longText(40)))
+    val png = Multimodal.synthImages(packed(rows), format = "png")
+      .select(col("img")).head.getAs[Array[Byte]](0)
+    val dir = java.nio.file.Files.createTempDirectory("graftrerouteold").toString
+    Multimodal.persistRouted(
+      Multimodal.routeIntake(Seq(1L -> png).toDF("media_id", "content"), "content")
+        .withColumn("route_policy", lit(Multimodal.DecidedLegsVersion - 1)), dir)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.reRoutePersisted(s, dir, "content",
+        currentVersion = Multimodal.RoutePolicyVersion + 1)
+    }
+    assert(e.getMessage.contains("FULL re-sniff"),
+      s"refusal must name the remedy: ${e.getMessage}")
+  }
+
+  test("reRoutePersisted: a crash after _COMMIT completes on the next call; before it rolls back") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, longText(40)))
+    val png = Multimodal.synthImages(packed(rows), format = "png")
+      .select(col("img")).head.getAs[Array[Byte]](0)
+    val blobs = Seq(1L -> png, 2L -> "garbage".getBytes("UTF-8"))
+      .toDF("media_id", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graftreroutecrash").toString
+    Multimodal.persistRouted(Multimodal.routeIntake(blobs, "content"), dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(s"file://$dir"),
+      s.sparkContext.hadoopConfiguration)
+    val v = Multimodal.RoutePolicyVersion
+    // simulate a run that staged its re-sniff and crashed right after
+    // writing _COMMIT (before retiring sources / moving files in)
+    val staged = Multimodal.routeIntake(
+        s.read.parquet(dir).filter(col("route") === "unknown")
+          .select("media_id", "content"), "content")
+      .withColumn("route_policy", lit(v + 1))
+    staged.write.mode("overwrite").partitionBy("route")
+      .parquet(s"$dir/.reroute/data")
+    val commit = fs.create(new org.apache.hadoop.fs.Path(s"$dir/.reroute/_COMMIT"), false)
+    commit.write("route=unknown".getBytes("UTF-8")); commit.close()
+    // next call recovers the pending swap FIRST, then runs its own pass
+    assert(Multimodal.reRoutePersisted(s, dir, "content",
+      currentVersion = v + 2) === 1L)
+    val after = s.read.parquet(dir)
+      .select("media_id", "route", "route_policy").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(after(1L) === (("image", v)), "decided row untouched by recovery")
+    assert(after(2L) === (("unknown", v + 2)),
+      "recovered swap landed, then the new pass re-stamped the slice")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.reroute")),
+      "working dir cleaned up")
+    // staged WITHOUT _COMMIT is pre-decision garbage: rolled back wholesale
+    // (rebuilt from a fresh read — the recovery above replaced the files
+    // the first staged plan had listed)
+    Multimodal.routeIntake(
+        s.read.parquet(dir).filter(col("route") === "unknown")
+          .select("media_id", "content"), "content")
+      .withColumn("route_policy", lit(v + 1))
+      .write.mode("overwrite").partitionBy("route")
+      .parquet(s"$dir/.reroute/data")
+    assert(Multimodal.reRoutePersisted(s, dir, "content",
+      currentVersion = v + 2) === 1L)
+    assert(s.read.parquet(dir).count() === 2L, "no duplicate rows after rollback")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("sniff fuzz: every truncation, bit-flip and garbage blob yields a verdict, never a throw") {
     // at 100 TB malformed bytes are an EXPECTED input class: the sniffer's
     // contract is a total function into routable verdicts. Systematic

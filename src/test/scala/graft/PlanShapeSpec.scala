@@ -154,6 +154,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm21: routed pipeline over a checkpointed frame — filters and
       // mapPartitions decode kernels only, zero exchanges
       "mm21_routed_fingerprints" -> 0,
+      // mm22: the persist + staged re-route run eagerly as side effects;
+      // the returned plan is one census aggregate over the routed table
+      "mm22_incremental_reroute" -> 1,
       "mm13_cross_modal" -> 2,
       // mm14: the pair machinery executes eagerly behind localCheckpoints
       // (d15's shape); the final plan is the component back-join
