@@ -1093,6 +1093,20 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
     }),
 
+    // ── similarity: auto-nprobe ANN — the probe width chosen from the
+    //    index's cell-occupancy census under a scanned-rows budget (the
+    //    skew gate on the embedding family: worst-case cost = the nprobe
+    //    largest cells). The chosen nprobe rides every row; the oracle
+    //    re-derives census, prefix sums, nprobe and the probe itself ──────
+    "e22_auto_nprobe_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte22")
+      ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 8)
+      ops.Similarity.ivfTopKIndexedAuto(s, idx,
+        emb.filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 3, maxScannedPerProbe = emb.count() / 2)
+    }),
+
     // ── similarity: persisted IVF index roundtrip (build → append → load →
     //    probe). Centroids come from the full corpus (production: trained on
     //    a sample), the index is BUILT on even ids and incrementally
@@ -1530,6 +1544,45 @@ object SparkEntry {
           / (col("n") * (col("n") - lit(1))), 6).as("collision_prob"),
         round(col("collision_pairs") * lit(2.0) / col("n"), 6)
           .as("exp_candidates_per_probe"))
+    }),
+
+    // ── dedup: density-GATED screen — the boilerplate-skew cap chosen
+    //    from the index's own bucket census instead of by operator guess
+    //    (d20's dashboard made load-bearing, the mm19/phash principle on
+    //    the text family). The plant: a 40-copy boilerplate class (pairs
+    //    quadratically — must fall OUTSIDE the cap) and 3-copy duplicate
+    //    classes (real dup structure — must stay INSIDE it). The chosen
+    //    cap rides every row; the oracle re-derives census, cap, capped
+    //    candidate join and exact-Jaccard verify from source text ────────
+    "d21_auto_capped_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+      val boilerText = docs.filter(col("doc_id") === 0)
+        .select(col("text").as("__bt"))
+      val boiler = base.filter(col("doc_id") < 40)
+        .crossJoin(broadcast(boilerText))
+        .select((col("doc_id") + 10000).as("doc_id"), col("__bt").as("text"))
+      val midSrc = base.filter(pmod(col("doc_id"), lit(10)) === 0 &&
+        col("doc_id").between(10, 100))
+      // checkpoint the planted union: at 100 TB the corpus is ONE table,
+      // and without the collapse the screen's semi-join prune re-executes
+      // its candidate-id distinct once per union leg
+      val corpus = base.filter(col("doc_id") < 400)
+        .unionByName(boiler)
+        .unionByName(midSrc.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .unionByName(midSrc.select((col("doc_id") + 21000).as("doc_id"), col("text")))
+        .checkpointOwned()
+      val probeText = docs.filter(col("doc_id") === 10)
+        .select(col("text").as("__pt"))
+      val batch = base.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+        .unionByName(boilerText.select(lit(30000L).as("doc_id"),
+          col("__bt").as("text")))
+        .unionByName(probeText.select(lit(30010L).as("doc_id"),
+          col("__pt").as("text")))
+      val idx = tempLogDir("graftd21")
+      ops.LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 16)
+      ops.LshIndex.screenAuto(s, idx, corpus, batch, "doc_id", "text",
+        threshold = 0.2, maxCandidatesPerProbe = 4.0)
     }),
 
     // ── text: PII screening + typed redaction (email / phone / IPv4) ──────
@@ -3203,6 +3256,41 @@ object SparkEntry {
     // from the one-shot assignment the oracle computes
     "e6_indexed_ann" -> ivfOracleSql,
 
+    // e22 = the ivf oracle with nprobe DERIVED, not given: cell census →
+    // occupancy-descending prefix sums → largest nprobe whose worst-case
+    // scanned rows fit half the corpus — then the probe at that width
+    "e22_auto_nprobe_ann" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        |               FROM embeddings ORDER BY vec_id LIMIT 8),
+        |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |cassign AS (SELECT vec_id, ce, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT vec_id, ce, cent_id,
+        |                         round(list_cosine_similarity(ce, cent), 6) AS csim
+        |                  FROM corpus CROSS JOIN cents)),
+        |ccells AS (SELECT vec_id, ce, cell FROM cassign WHERE crn = 1),
+        |cs AS (SELECT cell, count(*) AS m FROM ccells GROUP BY 1),
+        |ps AS (SELECT m, row_number() OVER (ORDER BY m DESC, cell) AS r,
+        |              sum(m) OVER (ORDER BY m DESC, cell
+        |                           ROWS UNBOUNDED PRECEDING) AS pre
+        |       FROM cs),
+        |np AS (SELECT max(r)::INT AS np FROM ps
+        |       WHERE pre <= (SELECT count(*) // 2 FROM embeddings)),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        |      WHERE vec_id BETWEEN 100 AND 109),
+        |qassign AS (SELECT qid, qe, cent_id AS cell,
+        |                   row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS crn
+        |            FROM (SELECT qid, qe, cent_id,
+        |                         round(list_cosine_similarity(qe, cent), 6) AS csim
+        |                  FROM q CROSS JOIN cents)),
+        |qcells AS (SELECT qid, qe, cell FROM qassign
+        |           WHERE crn <= (SELECT np FROM np)),
+        |c AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, ce), 6) AS sim
+        |      FROM ccells JOIN qcells USING (cell) WHERE vec_id != qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM c)
+        |SELECT qid, vec_id, sim, rn, (SELECT np FROM np) AS nprobe
+        |FROM r WHERE rn <= 3""".stripMargin,
+
     "e7_semdedup" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
         |               FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -4171,6 +4259,70 @@ object SparkEntry {
         |        GROUP BY b_id)
         |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id
         |FROM (SELECT doc_id FROM b WHERE bucket < 2000) t
+        |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
+
+    // the density gate re-derived end to end: same minhash machinery as
+    // d17, plus the corpus-side bucket census, the size histogram, the
+    // cumulative implied-candidate mass, the cap (largest size whose mass
+    // fits 4.0 candidates/probe), the CAPPED candidate join, and the
+    // exact-Jaccard verify — the 40-copy boilerplate class must fall
+    // outside the cap (its probe stays is_new), the 3-copy classes inside
+    "d21_auto_capped_screen" ->
+      """WITH src(doc_id, text, is_batch) AS (
+        |  SELECT doc_id, text, false FROM documents WHERE doc_id < 400
+        |  UNION ALL SELECT doc_id + 10000,
+        |    (SELECT text FROM documents WHERE doc_id = 0), false
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 20000, text, false FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id BETWEEN 10 AND 100
+        |  UNION ALL SELECT doc_id + 21000, text, false FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id BETWEEN 10 AND 100
+        |  UNION ALL SELECT doc_id, text, true FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 450
+        |  UNION ALL SELECT 30000, (SELECT text FROM documents WHERE doc_id = 0), true
+        |  UNION ALL SELECT 30010, (SELECT text FROM documents WHERE doc_id = 10), true),
+        |tok AS (SELECT doc_id, is_batch,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') ws FROM src),
+        |sh AS (SELECT doc_id, is_batch, unnest(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+        |       FROM tok WHERE len(ws) >= 3),
+        |xs AS (SELECT doc_id, is_batch,
+        |              (((md5_number(shingle) % 4294967296) + 4294967296) % 4294967296)
+        |                % 2147483647 AS x
+        |       FROM sh),
+        |mh0 AS (SELECT doc_id, is_batch,
+        |               min((1299721*x + 104729) % 2147483647) AS sig0,
+        |               min((50331653*x + 15485863) % 2147483647) AS sig1,
+        |               min((2750159*x + 32452843) % 2147483647) AS sig2,
+        |               min((198491317*x + 982451653) % 2147483647) AS sig3
+        |        FROM xs GROUP BY doc_id, is_batch),
+        |mh AS (SELECT doc_id, is_batch, 0 AS band, sig0 AS sig FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 1, sig1 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 2, sig2 FROM mh0
+        |       UNION ALL SELECT doc_id, is_batch, 3, sig3 FROM mh0),
+        |bc AS (SELECT band, sig, count(*) AS nb FROM mh
+        |       WHERE NOT is_batch GROUP BY 1, 2),
+        |hist AS (SELECT nb, count(*) AS k FROM bc WHERE nb >= 2 GROUP BY 1),
+        |caps AS (SELECT nb, sum(nb*(nb-1)*k) OVER (ORDER BY nb) AS cum FROM hist),
+        |cap AS (SELECT max(nb)::INT AS c FROM caps WHERE cum <= 4.0 *
+        |        (SELECT count(*) FROM mh0 WHERE NOT is_batch)),
+        |cand AS (SELECT DISTINCT bm.doc_id AS b_id, cm.doc_id AS c_id
+        |         FROM mh bm JOIN mh cm ON bm.band = cm.band AND bm.sig = cm.sig
+        |         JOIN bc ON bc.band = cm.band AND bc.sig = cm.sig
+        |         WHERE bm.is_batch AND NOT cm.is_batch
+        |           AND bc.nb <= (SELECT c FROM cap)),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |         FROM tok WHERE len(ws) >= 3),
+        |ver AS (SELECT b_id, min(c_id) AS match_id
+        |        FROM cand JOIN sets sb ON sb.doc_id = b_id
+        |                  JOIN sets sc ON sc.doc_id = c_id
+        |        WHERE round(len(list_intersect(sb.sh, sc.sh)) * 1.0
+        |              / len(list_distinct(sb.sh || sc.sh)), 4) >= 0.2
+        |        GROUP BY b_id)
+        |SELECT t.doc_id, v.match_id IS NULL AS is_new, v.match_id,
+        |       (SELECT c FROM cap) AS bucket_cap
+        |FROM (SELECT doc_id FROM src WHERE is_batch) t
         |LEFT JOIN ver v ON v.b_id = t.doc_id""".stripMargin,
 
     "t12_pii_redact" ->

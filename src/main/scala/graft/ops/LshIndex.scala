@@ -394,6 +394,78 @@ object LshIndex {
       .orderBy(col("band"))
   }
 
+  /** Bucket-SIZE histogram of the stored grid — `(nb, k)` = k buckets of
+    * size nb. The distinct-size count is tiny at any corpus scale (it
+    * cannot exceed the largest bucket's size, and realistically reads in
+    * the dozens), so the collect feeding [[safeBucketCap]] is bounded.
+    */
+  def bucketSizeHistogram(spark: org.apache.spark.sql.SparkSession,
+      path: String, excludeBatch: Option[Long] = None): DataFrame =
+    signaturesOf(spark, path, Seq("mh_id", "band", "sig"), excludeBatch)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("nb"))
+      .groupBy(col("nb")).agg(count(lit(1)).as("k"))
+
+  /** Learn the largest SAFE per-bucket cap from the index itself — the
+    * text family's [[PhashIndex.safeMaxDist]]: a corpus-drawn probe
+    * landing in a bucket of size nb pulls nb−1 candidates from it, so
+    * buckets of size ≤ c imply `Σ_{nb ≤ c} nb·(nb−1)·k / n` expected
+    * candidates per probe (union-bounded over bands, exact integer pair
+    * mass over one final division — engine-portable). The cap is the
+    * largest bucket size whose cumulative implied-candidate mass stays
+    * within the caller's budget; candidates in larger buckets are the
+    * boilerplate/flat-class skew that pairs quadratically — the guard
+    * [[Dedup.capWordBuckets]] asks the OPERATOR to size, chosen here
+    * from the census instead.
+    *
+    * `None` means even the size-2 buckets alone exceed the budget — the
+    * corpus is degenerate (a near-identical class dominates) and the
+    * remedy is upstream (exact-dedup the class), not a cap: a cap of 1
+    * would silently screen nothing. `Some(2)` on a collision-free grid
+    * (nothing to cap; any cap is vacuous).
+    */
+  def safeBucketCap(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxCandidatesPerProbe: Double,
+      excludeBatch: Option[Long] = None): Option[Int] = {
+    val hist = bucketSizeHistogram(spark, path, excludeBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (bands, _, _) = meta(spark, path)
+    val n = hist.map { case (nb, k) => nb * k }.sum / bands
+    val colliding = hist.filter(_._1 >= 2)
+    if (n == 0 || colliding.isEmpty) Some(2)
+    else {
+      val cums = colliding.scanLeft(0L) {
+        case (c, (nb, k)) => c + nb * (nb - 1) * k
+      }.tail
+      colliding.zip(cums)
+        .takeWhile(_._2 <= maxCandidatesPerProbe * n)
+        .lastOption.map(_._1._1.toInt)
+    }
+  }
+
+  /** [[screen]] with the boilerplate-skew cap LEARNED from the index:
+    * picks [[safeBucketCap]] under the caller's candidate budget, refuses
+    * loudly when no cap is safe, and screens with candidates from buckets
+    * above the cap DROPPED (recall loss confined to the near-identical
+    * classes an exact-dedup pass owns — the [[Dedup.capWordBuckets]]
+    * contract, decided before the fact). The chosen cap travels as a
+    * `bucket_cap` column: the decision is observable and auditable.
+    */
+  def screenAuto(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxCandidatesPerProbe: Double = 16.0,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val cap = safeBucketCap(spark, path, maxCandidatesPerProbe, excludeBatch)
+      .getOrElse(throw new IllegalStateException(
+        s"lsh index at $path: even size-2 buckets alone imply more than " +
+          s"$maxCandidatesPerProbe candidates per probe — the corpus is " +
+          "dominated by a near-identical class that pairs quadratically; " +
+          "exact-dedup it upstream before screening in anger (inspect " +
+          "with LshIndex.bucketSizeHistogram / density)"))
+    screenWithScratch(spark, path, corpus, batch, idCol, textCol, threshold,
+      excludeBatch, maxBucket = Some(cap))._1
+      .withColumn("bucket_cap", lit(cap))
+  }
+
   /** Re-shard the partition grid to `newSigBuckets` — the maintenance verb
     * for an index whose corpus outgrew its build-time grid (`sb` is a pure
     * function of `sig`, so this is ONE deterministic rewrite; no
@@ -578,9 +650,9 @@ object LshIndex {
 
   private def candidatesFromSigs(spark: org.apache.spark.sql.SparkSession,
       path: String, bSigs: DataFrame, fullGrid: Int,
-      excludeBatch: Option[Long]): DataFrame =
+      excludeBatch: Option[Long], maxBucket: Option[Int] = None): DataFrame =
     candidatesJoin(spark, path, bSigs.withColumnRenamed("mh_id", "b_id"),
-      Seq("mh_id", "band", "sig", "sb"), fullGrid, excludeBatch)
+      Seq("mh_id", "band", "sig", "sb"), fullGrid, excludeBatch, maxBucket)
       .select(col("b_id"), col("c_id")).distinct()
 
   /** The layout-generic pruned candidate join: the probe's touched
@@ -599,7 +671,7 @@ object LshIndex {
     */
   private[ops] def candidatesJoin(spark: org.apache.spark.sql.SparkSession,
       path: String, bSigs: DataFrame, dataCols: Seq[String], fullGrid: Int,
-      excludeBatch: Option[Long]): DataFrame = {
+      excludeBatch: Option[Long], maxBucket: Option[Int] = None): DataFrame = {
     // collecting past min(fullGrid, cap) is pointless: the touched set is
     // bounded by the grid itself, and a probe that reaches every bucket
     // gains nothing from a filter that names every partition
@@ -624,7 +696,21 @@ object LshIndex {
       } else idx.where(
         touched.map(r => col("band") === r.getInt(0) && col("sb") === r.getInt(1))
           .reduce(_ || _))
-    pruned.join(broadcast(bSigs), Seq("band", "sb", "sig"))
+    // maxBucket (screenAuto's census-derived skew cap): drop candidates
+    // from buckets larger than the cap. The bucket count runs over the
+    // PRUNED sliver — pruning keeps whole (band, sb) partitions, so every
+    // surviving bucket is complete and the windowed count is its TRUE
+    // size; the extra window shuffle is over the probe-touched sliver
+    // only, and the uncapped (None) plan is byte-identical to before.
+    val capped = maxBucket match {
+      case None => pruned
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        pruned.withColumn("__nb", count(lit(1)).over(w))
+          .filter(col("__nb") <= c).drop("__nb")
+    }
+    capped.join(broadcast(bSigs), Seq("band", "sb", "sig"))
   }
 
   /** Screen a batch against the index: for each batch doc, `is_new` plus
@@ -654,14 +740,15 @@ object LshIndex {
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      excludeBatch: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
+      excludeBatch: Option[Long] = None,
+      maxBucket: Option[Int] = None): (DataFrame, Seq[DataFrame]) = {
     val (bands, shingleSize, sigBuckets) = meta(spark, path)
     val bSets = Dedup.shingleSets(batch, idCol, textCol, shingleSize)
       .checkpointOwned()
     val bSigs = Dedup.minhashSignaturesFromSets(bSets, bands)
       .withColumn("sb", pmod(col("sig"), lit(sigBuckets.toLong)).cast("int"))
     val cand = candidatesFromSigs(spark, path, bSigs, bands * sigBuckets,
-        excludeBatch)
+        excludeBatch, maxBucket)
       .checkpointOwned() // consumed twice: corpus-sliver prune + verify join
     // every batch-derived frame here is small BY CONSTRUCTION (screening
     // batches are bounded; pairs only exist inside colliding buckets), so

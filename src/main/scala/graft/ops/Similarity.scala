@@ -948,6 +948,63 @@ object Similarity {
     } else None
   }
 
+  /** Learn the largest SAFE `nprobe` from the index's cell-occupancy
+    * census — the IVF twin of [[graft.ops.LshIndex.safeBucketCap]] /
+    * [[graft.ops.PhashIndex.safeMaxDist]]: probing p cells costs at worst
+    * the p LARGEST cells' populations (a query's probe set is data-
+    * dependent, so the worst case is the honest bound under skew), and
+    * the census knows that bound before any probe runs. Returns the
+    * largest `nprobe` whose worst-case scanned rows stay within the
+    * caller's budget; `None` means the single largest cell alone exceeds
+    * it — the clustering is degenerate for this budget and the remedy is
+    * [[reclusterIvfIndex]] (see [[shouldRecluster]]), not a smaller
+    * probe. The census is one grouped count over `cells ∪ ingest`
+    * (nlist-bounded collect).
+    */
+  def ivfNprobeAuto(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxScannedPerProbe: Long,
+      excludeBatch: Option[Long] = None): Option[Int] = {
+    val g = snapshotGeometry(spark, path)
+    val base = spark.read.parquet(g.cells)
+      .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+    val census = ingestCells(spark, path, excludeBatch) match {
+      case None => base
+      case Some(i) => base
+        .unionByName(i.groupBy(col("cell")).agg(count(lit(1)).as("m")))
+        .groupBy(col("cell")).agg(sum(col("m")).as("m"))
+    }
+    val sizes = census.collect().map(_.getLong(1)).sortBy(-_)
+    if (sizes.isEmpty) Some(1)
+    else {
+      val np = sizes.scanLeft(0L)(_ + _).tail
+        .count(_ <= maxScannedPerProbe)
+      if (np == 0) None else Some(np)
+    }
+  }
+
+  /** [[ivfTopKIndexed]] with `nprobe` LEARNED from the index: picks
+    * [[ivfNprobeAuto]] under the caller's scanned-rows budget and refuses
+    * loudly when even one cell blows it — the cell-occupancy census made
+    * load-bearing, so "probed a skew-degenerate index at a cost nobody
+    * chose" stops being a reachable operator mistake. The chosen probe
+    * width travels as an `nprobe` column (observable, auditable).
+    */
+  def ivfTopKIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxScannedPerProbe: Long,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val np = ivfNprobeAuto(spark, path, maxScannedPerProbe, excludeBatch)
+      .getOrElse(throw new IllegalStateException(
+        s"IVF index at $path: the largest cell alone exceeds " +
+          s"$maxScannedPerProbe scanned rows per probe — the clustering " +
+          "is degenerate under this budget (one cell swallowed the " +
+          "corpus); recluster first (Similarity.reclusterIvfIndex; " +
+          "shouldRecluster quantifies the drift) instead of probing at " +
+          "a cost nobody chose"))
+    ivfTopKIndexed(spark, path, queries, idCol, vecCol, k, np, excludeBatch)
+      .withColumn("nprobe", lit(np))
+  }
+
   /** ANN top-k against a persisted IVF-SQ8 index: queries assign to their
     * `nprobe` cells and quantize against the persisted scale; probed cells
     * are scanned in the COMPRESSED domain (int8 codes only — the narrow

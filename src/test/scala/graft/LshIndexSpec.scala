@@ -65,6 +65,61 @@ class LshIndexSpec extends AnyFunSuite {
         plan.take(2000))
   }
 
+  test("screenAuto: the census cap drops only the boilerplate class; degenerate corpora refuse") {
+    val s = spark
+    import s.implicits._
+    val boilerText = "terms of service apply to all users of this site always"
+    val midText = fam(7, "accepted corpus body here")
+    // 30 distinct docs + a 20-copy boilerplate class + a 3-copy dup class
+    // (ids 7, 2000, 2001 share midText)
+    val corpus = ((0L until 30L).map(i => (i, fam(i, "accepted corpus body here"))) ++
+        (0L until 20L).map(j => (1000L + j, boilerText)) ++
+        Seq((2000L, midText), (2001L, midText)))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("lshauto").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 16)
+    // the census: 3-copy classes fit a 2-candidates/probe budget, the
+    // 20-copy class cannot — cap lands strictly between
+    val cap = LshIndex.safeBucketCap(s, idx, maxCandidatesPerProbe = 2.0)
+    assert(cap.exists(c => c >= 3 && c < 20), s"expected cap in [3, 20), got $cap")
+    val batch = Seq((5000L, boilerText), (5001L, midText),
+      (5002L, "totally novel content unlike anything stored here at all"))
+      .toDF("doc_id", "text")
+    val got = LshIndex.screenAuto(s, idx, corpus, batch, "doc_id", "text",
+        threshold = 0.5, maxCandidatesPerProbe = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)), r.getInt(3)))).toMap
+    assert(got(5000L)._1 === true,
+      "the boilerplate probe's candidates were capped away — is_new is the " +
+        "documented recall trade (exact-dedup owns that class)")
+    assert(got(5001L) === ((false, Some(7L), cap.get)),
+      "the small dup class screens normally and the cap rides the row")
+    assert(got(5002L)._1 === true)
+    // pass-through: on a differentiated corpus the auto screen equals the
+    // plain screen row-for-row (the vacuous cap caps nothing)
+    val clean = corpusDf(30)
+    val idx2 = Files.createTempDirectory("lshauto2").toFile.getAbsolutePath
+    LshIndex.build(clean, "doc_id", "text", idx2, sigBuckets = 16)
+    val b2 = batchDf(0L until 10L)
+    assert(rows(LshIndex.screenAuto(s, idx2, clean, b2, "doc_id", "text", 0.5,
+        maxCandidatesPerProbe = 2.0).drop("bucket_cap")) ===
+      rows(LshIndex.screen(s, idx2, clean, b2, "doc_id", "text", 0.5)))
+    // refusal: a corpus that is ONE near-identical class — even its
+    // smallest colliding buckets blow any sane budget; the gate refuses
+    // before the quadratic join, naming the upstream remedy
+    val dense = (0L until 30L)
+      .map(i => (i, "same text every single time forever and ever amen"))
+      .toDF("doc_id", "text")
+    val idx3 = Files.createTempDirectory("lshauto3").toFile.getAbsolutePath
+    LshIndex.build(dense, "doc_id", "text", idx3, sigBuckets = 16)
+    assert(LshIndex.safeBucketCap(s, idx3, 2.0).isEmpty)
+    val e = intercept[IllegalStateException] {
+      LshIndex.screenAuto(s, idx3, dense, batch, "doc_id", "text", 0.5,
+        maxCandidatesPerProbe = 2.0)
+    }
+    assert(e.getMessage.contains("exact-dedup"), e.getMessage)
+  }
+
   test("full lifecycle (build + append + ingest + compact + ingest) screens like a one-shot build") {
     val s = spark
     val corpus = corpusDf(40)

@@ -116,6 +116,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // e6: the persisted-index probe — query-assign window exchange + the
       // final top-k window; the cell scan itself is pruned, never shuffled
       "e6_indexed_ann" -> 3,
+      // e22: e6's probe shape (the census + nprobe choice run eagerly
+      // before the returned plan; nprobe rides as a literal)
+      "e22_auto_nprobe_ann" -> 3,
       // recall metrics join the exact and approx top-k subplans; their SMJ is
       // the left join of two tiny rank outputs (AQE broadcasts at runtime)
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,
@@ -216,6 +219,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // d18: d17's screen plan over the post-forget index (the forget
       // rewrite runs eagerly before the returned frame)
       "d18_lsh_forget" -> 2,
+      // d21: d17's screen plan — the census/cap choice and the capped
+      // candidate join run eagerly behind the checkpoint; the cap rides
+      // as a literal
+      "d21_auto_capped_screen" -> 2,
       // d19: one grid-keyed aggregate over the signature scan (TakeOrdered
       // caps the top-k, no range exchange)
       "d19_lsh_health" -> 1,

@@ -729,6 +729,50 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "the probe must prune cell partitions dynamically:\n" + plan.take(2000))
   }
 
+  test("IVF auto-nprobe: the occupancy census picks the width; a swallowed-corpus cell refuses") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // DIFFERENTIATED corpus: gaussian vectors spread over 6 cells — the
+    // auto gate passes through with a census-chosen width, and the probe
+    // at that width equals the explicit-nprobe probe exactly
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graftivfauto")
+      .toFile.getAbsolutePath
+    graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 6)
+    val np = graft.ops.Similarity.ivfNprobeAuto(s, idx, maxScannedPerProbe = 100L)
+    assert(np.exists(p => p >= 1 && p < 6), s"census width, got $np")
+    // the budget rule itself: prefix sums of occupancy descending
+    val sizes = s.read.parquet(s"$idx/cells").groupBy("cell").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val want = sizes.scanLeft(0L)(_ + _).tail.count(_ <= 100L)
+    assert(np === Some(want))
+    val auto = graft.ops.Similarity.ivfTopKIndexedAuto(s, idx, queries,
+      "vec_id", "embedding", k = 4, maxScannedPerProbe = 100L)
+    assert(auto.select("nprobe").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(want))
+    val explicit = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 4, nprobe = want)
+    assert(auto.drop("nprobe").orderBy("qid", "rn").collect().toSeq ===
+      explicit.orderBy("qid", "rn").collect().toSeq)
+    // DEGENERATE corpus: every vector identical → one cell swallows it →
+    // even nprobe = 1 blows the budget → the gate refuses BEFORE the
+    // probe, naming the recluster remedy
+    val dense = (0L until 200L).map(i =>
+      (i, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val idx2 = java.nio.file.Files.createTempDirectory("graftivfdense")
+      .toFile.getAbsolutePath
+    graft.ops.Similarity.buildIvfIndex(dense, "vec_id", "embedding", idx2, nlist = 6)
+    assert(graft.ops.Similarity.ivfNprobeAuto(s, idx2, 100L).isEmpty)
+    val e = intercept[IllegalStateException] {
+      graft.ops.Similarity.ivfTopKIndexedAuto(s, idx2, dense.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 2, maxScannedPerProbe = 100L)
+    }
+    assert(e.getMessage.contains("recluster"), e.getMessage)
+  }
+
   test("IVF-SQ8 index: exhaustive rerank equals the float probe; scans stay pruned") {
     val s = spark
     import s.implicits._
