@@ -1093,6 +1093,36 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
     }),
 
+    // ── similarity: MATRYOSHKA depth made load-bearing — the e20 decision
+    //    table's chosen depth (16 of 64) feeds the PERSISTED index build:
+    //    vectors and centroids store only the prefix (4× smaller), appends
+    //    and probes auto-truncate to the stored dimensionality, and the
+    //    full-cell probe re-derives the dashboard's exact recall@5 against
+    //    full-dim truth ON THE REAL ARTIFACT — the e20 promise, verified
+    //    on what actually persisted ──────────────────────────────────────
+    "e21_mrl_indexed_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = tempLogDir("grafte21")
+      ops.Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 8, depth = Some(16))
+      ops.Similarity.appendToIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 20)
+      // full-cell probe: every vector is in exactly one cell, so the only
+      // approximation left IS the truncation — recall isolates the depth
+      val approx = ops.Similarity.ivfTopKIndexed(s, idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      val truth = ops.Similarity.cosineTopK(emb, queries,
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      approx.select(col("qid"), col("vec_id"))
+        .join(broadcast(truth), Seq("qid", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+          count(lit(1)).as("n_candidates"))
+        .select(lit(16).as("depth"), col("n_hits"), col("n_candidates"),
+          round(col("n_hits") / col("n_candidates"), 6).as("recall"))
+    }),
+
     // ── similarity: auto-nprobe ANN — the probe width chosen from the
     //    index's cell-occupancy census under a scanned-rows budget (the
     //    skew gate on the embedding family: worst-case cost = the nprobe
@@ -3255,6 +3285,33 @@ object SparkEntry {
     // (build on evens, append odds, load, probe) must be indistinguishable
     // from the one-shot assignment the oracle computes
     "e6_indexed_ann" -> ivfOracleSql,
+
+    // e21 = e20's dims=16 row re-derived against the PERSISTED artifact:
+    // a full-cell probe of the depth-16 index is exactly the truncated
+    // exact top-k (every vector in exactly one cell, every cell probed),
+    // so recall vs full-dim truth must equal the dashboard's promise
+    "e21_mrl_indexed_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |full_r AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, e.vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY
+        |           round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) DESC,
+        |           e.vec_id) AS rn
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid) WHERE rn <= 5),
+        |t16 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, e.vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY
+        |           round(list_cosine_similarity((qe)[1:16],
+        |             (e.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |           e.vec_id) AS rn
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid) WHERE rn <= 5)
+        |SELECT 16 AS depth,
+        |       sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |       count(*)::BIGINT AS n_candidates,
+        |       round(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS recall
+        |FROM t16 LEFT JOIN full_r f ON f.qid = t16.qid AND f.vec_id = t16.vec_id""".stripMargin,
 
     // e22 = the ivf oracle with nprobe DERIVED, not given: cell census →
     // occupancy-descending prefix sums → largest nprobe whose worst-case

@@ -310,16 +310,25 @@ object Similarity {
     */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
+    // every vector entering an assignment TRUNCATES to the centroid
+    // dimensionality: an index built at a matryoshka depth
+    // ([[buildIvfIndex]]'s `depth`) then auto-truncates every append and
+    // probe to the stored prefix — the depth is carried by the centroid
+    // geometry itself, no side metadata to drift. On a full-dim index the
+    // slice is the identity.
     if (nCells == 1) {
       val (ids, mat) = collectCentroids(cents)
-      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+      df.select(col(idCol).as(outId),
+          asDouble(slice(col(vecCol), 1, mat(0).length)).as(outVec))
         .select(col(outId), col(outVec),
           element_at(ids, graft.functions.nearest_centroid(col(outVec), mat)
             .getField("idx") + 1).as("cell"))
     } else {
+      val d = cents.select(size(col("cent"))).head.getInt(0)
       val w = Window.partitionBy(col(outId))
         .orderBy(col("csim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec))
+      df.select(col(idCol).as(outId),
+          asDouble(slice(col(vecCol), 1, d)).as(outVec))
         .join(broadcast(cents), lit(true))
         .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
         .withColumn("crn", row_number().over(w))
@@ -590,16 +599,31 @@ object Similarity {
     * the deterministic first-nlist seed; pass [[kmeansCentroids]] (trained
     * on a sample) for refined cells.
     */
+  /** `depth` (matryoshka/MRL truncation — the [[matryoshkaRecall]] e20
+    * decision table's consumer): store only each vector's leading `depth`
+    * components. Centroids and cell rows persist truncated — a depth-16
+    * index over 64-dim embeddings is 4× smaller and its probes score 4×
+    * fewer multiplies — and the depth travels as the CENTROID
+    * dimensionality itself, so every probe and append auto-truncates its
+    * vectors to the stored prefix (no side metadata). Cosine
+    * self-normalizes per prefix, so truncation is a pure slice.
+    */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 8,
-      centroids: Option[DataFrame] = None): Unit =
+      centroids: Option[DataFrame] = None,
+      depth: Option[Int] = None): Unit =
     withIndexMutation(corpus.sparkSession, path, "buildIvfIndex") {
+      depth.foreach(d => require(d > 0, s"depth must be positive, got $d"))
       IndexLifecycle.beginBuild(corpus.sparkSession, path)
       IndexLifecycle.clearIngestState(corpus.sparkSession, path)
       clearGeometryVersions(corpus.sparkSession, path)
-      val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+      val src = depth.fold(corpus)(d =>
+        corpus.withColumn(vecCol, slice(col(vecCol), 1, d)))
+      val cents0 = centroids.getOrElse(defaultCentroids(src, idCol, vecCol, nlist))
+      val cents = depth.fold(cents0)(d =>
+        cents0.withColumn("cent", slice(col("cent"), 1, d)))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
-      assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1)
+      assignCells(src, idCol, vecCol, cents, "vec_id", "ce", 1)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       IndexLifecycle.endBuild(corpus.sparkSession, path)
     }

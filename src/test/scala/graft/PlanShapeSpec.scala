@@ -119,6 +119,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // e22: e6's probe shape (the census + nprobe choice run eagerly
       // before the returned plan; nprobe rides as a literal)
       "e22_auto_nprobe_ann" -> 3,
+      // e21: the full-cell probe (e6's 3) + the full-dim truth's top-k
+      // window + the single-row recall census; the truth side broadcasts
+      // into the hit join
+      "e21_mrl_indexed_recall" -> 5,
       // recall metrics join the exact and approx top-k subplans; their SMJ is
       // the left join of two tiny rank outputs (AQE broadcasts at runtime)
       "e4_ann_recall" -> 5, "e5_multitable_recall" -> 6,

@@ -729,6 +729,59 @@ class SkewTextOpsSpec extends AnyFunSuite {
       "the probe must prune cell partitions dynamically:\n" + plan.take(2000))
   }
 
+  test("matryoshka depth feeds the index build: e20's chosen depth holds its recall on the persisted artifact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // MRL-style fixture: leading components carry most of the signal
+    // (decaying scale), so the decision table picks a real prefix
+    val dims = 32
+    val emb = (0L until 300L).map { i =>
+      (i, Array.tabulate(dims)(j =>
+        (rnd.nextGaussian() / math.sqrt(1.0 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    // the e20 dashboard: recall per candidate depth against full-dim truth
+    val table = graft.ops.Similarity.matryoshkaRecall(emb, queries,
+        "vec_id", "embedding", k = 5, dims = Seq(4, 8, 16))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    // choose the smallest depth whose dashboard recall clears 0.6 — the
+    // decision a release would make from e20's output
+    val depth = Seq(4, 8, 16).find(table(_) >= 0.6).get
+    val idx = java.nio.file.Files.createTempDirectory("graftmrl")
+      .toFile.getAbsolutePath
+    graft.ops.Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, nlist = 6, depth = Some(depth))
+    // appends AUTO-truncate to the stored dimensionality (the depth rides
+    // the centroid geometry — no side metadata)
+    graft.ops.Similarity.appendToIvfIndex(s, idx,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    // the storage claim: every persisted row (build AND append) holds
+    // exactly the prefix, and so do the centroids
+    val storedLens = s.read.parquet(s"$idx/cells")
+      .select(size(col("ce"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(storedLens === Seq(depth), s"stored vectors must hold exactly $depth dims")
+    assert(s.read.parquet(s"$idx/centroids").select(size(col("cent")))
+      .distinct().collect().map(_.getInt(0)).toSeq === Seq(depth))
+    // the recall claim, verified on the ARTIFACT: a full-cell probe of the
+    // truncated index is exactly the truncated exact top-k, so its recall
+    // against full-dim truth must equal the dashboard's number
+    val truth = graft.ops.Similarity.cosineTopK(emb, queries,
+        "vec_id", "embedding", 5)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val approx = graft.ops.Similarity.ivfTopKIndexed(s, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 6)
+    val recall = approx.select(col("qid"), col("vec_id"))
+      .join(broadcast(truth), Seq("qid", "vec_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+      .head.getDouble(0)
+    assert(math.abs(recall - table(depth)) < 1e-9,
+      s"persisted-index recall $recall must equal the e20 dashboard's ${table(depth)}")
+    // and the dashboard's monotone story holds on this fixture (sanity
+    // that the chosen depth was a real decision, not the full dimension)
+    assert(depth < dims && table(4) <= table(16) + 1e-9)
+  }
+
   test("IVF auto-nprobe: the occupancy census picks the width; a swallowed-corpus cell refuses") {
     val s = spark
     import s.implicits._
