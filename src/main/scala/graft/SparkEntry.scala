@@ -1708,6 +1708,31 @@ object SparkEntry {
         md5(clean).as("clean_md5"))
     }),
 
+    // ── REAL BPE, round 0: the adjacent-character-pair census over the
+    //    distinct-word table — the oracle-expressible half of the trainer
+    //    (the argmax of this census IS the first learned merge). Corpus
+    //    read once; the census aggregate runs over vocabulary-sized data ──
+    "t18_bpe_pair_census" -> ((s, dir) => {
+      ops.TextAnalysis.bpePairCensus(t(s, dir, "documents"), "text")
+        .orderBy(desc("pair_count"), col("lhs"), col("rhs"))
+        .limit(20)
+        .select(col("lhs"), col("rhs"), col("pair_count"))
+    }),
+
+    // ── REAL BPE, trained + applied: one merge learned from the corpus
+    //    (census argmax, deterministic tiebreak), then per-document token
+    //    counts under it. A single merge over character symbols equals
+    //    leftmost-nonoverlapping string replacement, which SQL's replace()
+    //    implements exactly — so the oracle re-learns the merge AND
+    //    re-counts every document independently; a hash match gates the
+    //    trainer's argmax, the encoder's greedy merge, and the
+    //    vocabulary-join shape all at once ─────────────────────────────────
+    "t19_bpe_token_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = ops.TextAnalysis.bpeTrain(docs, "text", nMerges = 1)
+      ops.TextAnalysis.bpeTokenCount(docs, "doc_id", "text", merges)
+    }),
+
     // ── composed pipeline, oracle-gated end to end: quality gate from the
     //    gopher COUNTS (thresholds re-tuned for this corpus without a
     //    re-scan — the reason the counts are first-class columns) → exact
@@ -2107,6 +2132,38 @@ object SparkEntry {
             .as("re_routed"))
         .agg(count(lit(1)).as("n_blobs"))
         .withColumn("n_rerouted_total", lit(n))
+    }),
+
+    // ── multimodal: the FRAMES-AS-VIDEO GIF leg lands + the policy-v3
+    // upgrade arc in one region — a corpus routed under policy v2 (animated
+    // GIFs in the promised `quarantine:gif-animated` re-route bucket)
+    // persists partitioned by route; reRoutePersisted carries it across the
+    // v3 widening (re-sniffing ONLY the quarantine slice — the AVI rows'
+    // bytes never re-read, their verdicts keep policy 2); then BOTH video
+    // containers decode through one videoFrames leg (AVI record walk; GIF
+    // LZW + compositor) into identical per-frame hashes. The oracle is ONE
+    // grid CTE over both slabs: gif and avi frames share the planted pixel
+    // rule, so a hash match proves the GIF chain (ImageIO LZW encode →
+    // parseGif composite → BMP re-encode) lossless end to end, and the
+    // policy column pins which rows the upgrade re-decided ──────────────────
+    "mm23_gif_video_upgrade" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def slab(lo: Int, hi: Int) = ops.Multimodal.pack(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "raw")
+      def blob(df: DataFrame) =
+        df.select(col("media_id"), col("video").as("blob"))
+      val gifs = blob(ops.Multimodal.synthAnimGif(slab(0, 40)))
+      val avis = blob(ops.Multimodal.synthVideo(slab(40, 80)))
+      val idx = tempLogDir("graftmm23")
+      ops.Multimodal.persistRouted(ops.Multimodal.routeIntake(
+        gifs.unionByName(avis), "blob", policyVersion = 2), idx)
+      ops.Multimodal.reRoutePersisted(s, idx, "blob")
+      ops.Multimodal.perceptualHash(ops.Multimodal.videoFrames(
+          s.read.parquet(idx).filter(col("route") === "video")
+            .select(col("media_id"), col("route_policy"), col("blob").as("video"))))
+        .select(col("media_id"), col("route_policy"), col("frame_no"),
+          col("dhash"), col("ahash"))
     }),
 
     // ── multimodal: persisted PERCEPTUAL-HASH index — the image twin of
@@ -4428,6 +4485,46 @@ object SparkEntry {
         |       md5(clean) AS clean_md5
         |FROM c""".stripMargin,
 
+    // BPE round 0 re-derived: word census → char-pair census, weighted by
+    // word frequency. ASCII corpus, so DuckDB's codepoint substring equals
+    // Spark's UTF-16 split
+    "t18_bpe_pair_census" ->
+      """WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |wd AS (SELECT unnest(ws) AS w FROM tok),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wd
+        |       WHERE length(w) > 0 GROUP BY w),
+        |pc AS (SELECT substring(w, i+1, 1) AS lhs, substring(w, i+2, 1) AS rhs, cnt
+        |       FROM (SELECT w, cnt, unnest(range(length(w)-1)) AS i
+        |             FROM wc WHERE length(w) >= 2))
+        |SELECT lhs, rhs, (sum(cnt))::BIGINT AS pair_count FROM pc GROUP BY 1, 2
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 20""".stripMargin,
+
+    // the oracle RE-LEARNS the merge (census argmax, same tiebreak) and
+    // re-counts independently: one merge over char symbols = leftmost-
+    // nonoverlapping replacement, which replace() implements exactly —
+    // tokens after = length - occurrences
+    "t19_bpe_token_count" ->
+      """WITH tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |wd AS (SELECT unnest(ws) AS w FROM tok),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wd
+        |       WHERE length(w) > 0 GROUP BY w),
+        |pc AS (SELECT substring(w, i+1, 1) AS lhs, substring(w, i+2, 1) AS rhs, cnt
+        |       FROM (SELECT w, cnt, unnest(range(length(w)-1)) AS i
+        |             FROM wc WHERE length(w) >= 2)),
+        |census AS (SELECT lhs, rhs, sum(cnt) AS pair_count FROM pc GROUP BY 1, 2),
+        |top AS (SELECT lhs || rhs AS pair FROM census
+        |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |dw AS (SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |       FROM documents)
+        |SELECT doc_id,
+        |       (sum(length(w)
+        |          - (length(w) - length(replace(w, (SELECT pair FROM top), ''))) // 2
+        |        ))::BIGINT AS n_bpe_tokens
+        |FROM dw WHERE length(w) > 0 GROUP BY doc_id""".stripMargin,
+
     "x5_domain_cap" ->
       """WITH b AS (SELECT doc_id, source,
         |  (((md5_number('cap' || doc_id::VARCHAR) % 4294967296) + 4294967296)
@@ -4716,6 +4813,20 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 'quarantine:wav-ulaw', 0::INTEGER,
         |       NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::INTEGER
         |FROM documents WHERE doc_id >= 200 AND doc_id < 220""".stripMargin),
+
+    // one grid CTE re-derives BOTH containers' frame hashes (gif and avi
+    // share the planted pixel rule), never touching either container; the
+    // policy column is the upgrade plant itself — gif rows re-decided at
+    // v3, avi rows' v2 verdicts carried (their bytes never re-read)
+    "mm23_gif_video_upgrade" -> ("WITH " + mmVideoCteBody(
+      "SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 80", 4) +
+      """
+        |SELECT media_id,
+        |       CASE WHEN media_id < 40 THEN 3 ELSE 2 END AS route_policy,
+        |       f AS frame_no,
+        |       printf('%04x%04x%04x%04x', d0, d1, d2, d3) AS dhash,
+        |       printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS ahash
+        |FROM dh JOIN ah USING (media_id, f)""".stripMargin),
 
     // identical to the d17 principle for IMAGES: the persisted index is
     // semantically the corpus hash table, so the whole lifecycle must

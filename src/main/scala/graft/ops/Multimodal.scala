@@ -697,6 +697,178 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ── REAL animated-GIF container: the frames-as-video leg ───────────────
+  // Policy v2 quarantined animated GIFs because the image decode leg was
+  // first-frame-only (routing them to `image` was silent frame loss). This
+  // leg closes that gap the way the quarantine doc promised: an animated
+  // GIF IS a video — its frames enter the SAME perceptualHash / rollup
+  // machinery as AVI frames ([[videoFrames]] dispatches on the container
+  // magic). Write side mirrors the single-frame GIF leg's bit-lossless
+  // identity-gray-palette construction; read side is a REAL compositor
+  // (logical screen canvas, per-frame offsets, disposal methods) — the part
+  // a first-frame `ImageIO.read` silently skips.
+
+  /** Assemble a REAL animated GIF through the JDK ImageIO sequence writer:
+    * every frame is a full-logical-screen raster in the identity 256-gray
+    * palette (the [[synthImages]] GIF leg's bit-lossless construction), so
+    * the decode side re-derives every planted pixel exactly.
+    */
+  private[graft] def buildGif(frames: Array[Array[Int]], w: Int,
+      h: Int): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null) // stream metadata inferred from frame 0
+      frames.foreach { pix =>
+        val bi = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val ras = bi.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { ras.setSample(x, y, 0, pix(y * w + x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** [[synthVideo]]'s twin with an animated-GIF container: same frame pixel
+    * rule (pixel `i` of frame `f` = content byte `((f·w·h + i) mod n)`), so
+    * the mm9 oracle CTE re-derives GIF frame hashes UNCHANGED — a match
+    * proves the LZW encode → decode → composite chain lossless end to end.
+    * Adds a `video` binary column (the router sends these to the video leg).
+    */
+  def synthAnimGif(df: DataFrame, w: Int = 36, h: Int = 32, nFrames: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0, "gif params must be positive")
+    val schema = StructType(df.schema.fields :+
+      StructField("video", BinaryType, nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val n = if (bytes == null) 0 else bytes.length
+          val frames = Array.tabulate(nFrames) { f =>
+            Array.tabulate(w * h)(i =>
+              if (n == 0) 0 else bytes((f * w * h + i) % n) & 0xff)
+          }
+          Row.fromSeq(r.toSeq :+ buildGif(frames, w, h))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** REAL animated-GIF decode WITH compositing — the work the first-frame
+    * read skips. Frames in a GIF are deltas: each image descriptor carries
+    * its own (left, top, w, h) window onto the logical screen, transparent
+    * pixels leave the canvas through, and the GraphicControlExtension's
+    * disposal method says what survives into the next frame (`none`/
+    * `doNotDispose` keep the composite; `restoreToBackgroundColor` clears
+    * the frame's rectangle; `restoreToPrevious` reverts the whole canvas).
+    * Emits one FULL logical-screen luma raster per frame — what a viewer
+    * shows, which is what a perceptual hash must fingerprint. Canvas ground
+    * is opaque black (luma 0): GIF leaves the background color to the
+    * viewer, and a deterministic ground keeps the hashes reproducible.
+    * Refuses loudly on zero frames or undecodable bytes — the router only
+    * sends sniff-verified GIFs here; genuinely corrupt data quarantines at
+    * sniff time, so an exception here is a protocol bug, not a data state.
+    */
+  private[graft] def parseGif(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no ImageIO reader recognizes these GIF bytes")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, false) // seekForwardOnly=false: metadata kept
+      val n = reader.getNumImages(true)
+      require(n > 0, "GIF container holds no frames")
+      def firstElem(node: org.w3c.dom.Node,
+          name: String): Option[org.w3c.dom.Element] = {
+        var c = node.getFirstChild
+        while (c != null && c.getNodeName != name) c = c.getNextSibling
+        Option(c.asInstanceOf[org.w3c.dom.Element])
+      }
+      val lsd = firstElem(
+        reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0"),
+        "LogicalScreenDescriptor")
+        .getOrElse(sys.error("GIF stream metadata lacks LogicalScreenDescriptor"))
+      val w = lsd.getAttribute("logicalScreenWidth").toInt
+      val h = lsd.getAttribute("logicalScreenHeight").toInt
+      require(w > 0 && h > 0, s"GIF logical screen is ${w}x$h")
+      val canvas = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      g.setColor(java.awt.Color.BLACK)
+      g.fillRect(0, 0, w, h)
+      val out = Seq.newBuilder[Array[Int]]
+      var i = 0
+      while (i < n) {
+        val frame = reader.read(i)
+        val imd = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        val desc = firstElem(imd, "ImageDescriptor")
+          .getOrElse(sys.error(s"GIF frame $i lacks ImageDescriptor"))
+        val left = desc.getAttribute("imageLeftPosition").toInt
+        val top = desc.getAttribute("imageTopPosition").toInt
+        val disposal = firstElem(imd, "GraphicControlExtension")
+          .map(_.getAttribute("disposalMethod")).getOrElse("none")
+        val prev =
+          if (disposal == "restoreToPrevious")
+            canvas.getRGB(0, 0, w, h, null, 0, w)
+          else null
+        g.drawImage(frame, left, top, null) // SRC_OVER: transparency composites
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = canvas.getRGB(x, y)
+            lum(y * w + x) = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        out += lum
+        disposal match {
+          case "restoreToBackgroundColor" =>
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Src)
+            g.setColor(java.awt.Color.BLACK)
+            g.fillRect(left, top, frame.getWidth, frame.getHeight)
+            g.setComposite(comp)
+          case "restoreToPrevious" =>
+            canvas.setRGB(0, 0, w, h, prev, 0, w)
+          case _ => () // none / doNotDispose: composite persists
+        }
+        i += 1
+      }
+      g.dispose()
+      (w, h, out.result())
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Container dispatch for the video decode leg: RIFF → [[parseAvi]],
+    * GIF8xa → [[parseGif]]. The router's `video` route now covers both
+    * containers, so the decode leg must too.
+    */
+  private[graft] def parseVideoContainer(
+      bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    require(bytes != null && bytes.length >= 12, "video blob too short")
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') parseGif(bytes)
+    else parseAvi(bytes)
+  }
+
   /** REAL container parse, record level: walk the RIFF chunk tree (no JDK
     * helper exists — this IS the codec work), read the stream's
     * BITMAPINFOHEADER from `strf`, pull each `00db`/`00dc` record out of
@@ -798,8 +970,9 @@ object Multimodal {
     * codec as an `img` column — so [[perceptualHash]] and
     * [[phashNearDupPairs]] consume video frames exactly as they consume
     * images (the frame-hash-overlap near-dup path). Adds
-    * `(frame_no, vid_w, vid_h, img)`; the container parse is
-    * [[parseAvi]] — real RIFF work, loud on truncation.
+    * `(frame_no, vid_w, vid_h, img)`; the container parse dispatches on
+    * the magic ([[parseVideoContainer]]): RIFF/AVI records or animated-GIF
+    * composited frames — real byte work either way, loud on truncation.
     */
   def videoFrames(df: DataFrame, videoCol: String = "video",
       batchSize: Int = 64): DataFrame = {
@@ -812,7 +985,7 @@ object Multimodal {
     val out = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          val (w, h, rasters) = parseAvi(r.getAs[Array[Byte]](vidIdx))
+          val (w, h, rasters) = parseVideoContainer(r.getAs[Array[Byte]](vidIdx))
           rasters.iterator.zipWithIndex.map { case (pix, f) =>
             Row.fromSeq(r.toSeq ++ Seq(f, w, h, encodeGray(pix, w, h, "bmp")))
           }
@@ -1092,24 +1265,34 @@ object Multimodal {
     * local filter on `route` — the router itself adds ZERO exchanges.
     */
   def routeIntake(df: DataFrame, contentCol: String = "content",
-      batchSize: Int = 64): DataFrame =
+      batchSize: Int = 64,
+      policyVersion: Int = RoutePolicyVersion): DataFrame =
     sniffMeta(df, contentCol, batchSize)
       .withColumn("route",
-        routeOf(col("fmt"), col("codec"), col("n_channels"), col("n_frames")))
-      .withColumn("route_policy", lit(RoutePolicyVersion))
+        routeOf(col("fmt"), col("codec"), col("n_channels"), col("n_frames"),
+          policyVersion))
+      .withColumn("route_policy", lit(policyVersion))
 
   /** The routing policy's VERSION — bumped whenever [[routeOf]]'s legs
     * change, persisted next to every verdict ([[routeIntake]] stamps it)
     * so a stored manifest knows which policy decided each row and
     * [[reRoutePersisted]] can re-sniff exactly the rows a newer policy
-    * could decide differently. History:
+    * could decide differently. Historical policies stay RUNNABLE
+    * ([[routeOf]]'s `policyVersion` param) so a stored manifest's verdicts
+    * are reproducible byte-for-byte. History:
     *  - v1: png/jpeg/gif/bmp/wav/avi legs, gif frame count ignored.
     *  - v2: animated GIFs (n_frames > 1) divert to `quarantine:
-    *    gif-animated` (the decode leg is first-frame-only — routing them
+    *    gif-animated` (the decode leg was first-frame-only — routing them
     *    to `image` was silent frame loss); null-channel `pcm` and
     *    null-frame `gif` verdicts gain honest unknown-field quarantines.
+    *  - v3: the promised frames-as-video GIF leg landed ([[parseGif]]
+    *    compositor via [[videoFrames]]): animated GIFs are DECIDED
+    *    `video`; a zero-frame GIF gains its own named quarantine (v2
+    *    lumped it with unknown-frame-count). A pure WIDENING bump — every
+    *    v2 decided verdict is unchanged, so [[DecidedLegsVersion]] stays 2
+    *    and [[reRoutePersisted]] carries a v2 corpus across incrementally.
     */
-  val RoutePolicyVersion: Int = 2
+  val RoutePolicyVersion: Int = 3
 
   /** The last policy version that changed the DECIDED legs (`image` /
     * `audio` / `video`) — verdicts recorded at or after this version keep
@@ -1126,12 +1309,13 @@ object Multimodal {
     *  - `png`/`jpeg` → `image` (sniff has already demoted arithmetic/
     *    hierarchical JPEGs to their SOF codec name, which falls through
     *    to quarantine).
-    *  - `gif` → `image` only for SINGLE-FRAME files: the decode leg is
-    *    ImageIO's first-frame read, so an animated GIF routed to `image`
-    *    would silently lose every frame but the first — it diverts to
-    *    `quarantine:gif-animated` (a future frames-as-video leg's
-    *    re-route bucket); an unknown frame count (a pre-sniffed manifest
-    *    with the field null) quarantines rather than guessing.
+    *  - `gif` → `image` for SINGLE-FRAME files; ANIMATED GIFs (v3) are
+    *    `video` — [[videoFrames]] composites every frame through
+    *    [[parseGif]], so nothing is frame-lossy (under v2, before that
+    *    leg existed, they quarantined as `quarantine:gif-animated`); an
+    *    unknown frame count (a pre-sniffed manifest with the field null)
+    *    quarantines rather than guessing, and a zero-frame container is
+    *    its own named verdict.
     *  - `bmp` → `image` for the codecs the JDK BMP reader takes
     *    (`rgb`/`rle8`/`rle4`/`bitfields`); anything else quarantines.
     *  - `wav` → `audio` only for MONO linear `pcm` — the
@@ -1148,12 +1332,27 @@ object Multimodal {
     */
   def routeOf(fmt: org.apache.spark.sql.Column, codec: org.apache.spark.sql.Column,
       nChannels: org.apache.spark.sql.Column,
-      nFrames: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(fmt === "png", lit("image"))
-      .when(fmt === "gif",
+      nFrames: org.apache.spark.sql.Column,
+      policyVersion: Int = RoutePolicyVersion): org.apache.spark.sql.Column = {
+    // v1 (frame-count-blind) is NOT reproducible here on purpose: its gif
+    // leg was silent frame loss, and no stored v1 manifest survives the
+    // DecidedLegsVersion=2 trust check anyway. Versions beyond the newest
+    // known policy route with the newest legs (upgrade rehearsals stamp
+    // their intended version; the legs can't come from the future).
+    require(policyVersion >= 2,
+      s"routeOf reproduces policies 2..${RoutePolicyVersion}, got $policyVersion")
+    val gifLeg =
+      if (policyVersion >= 3)
+        when(nFrames === 1, lit("image"))
+          .when(nFrames > 1, lit("video"))
+          .when(nFrames === 0, lit("quarantine:gif-no-frames"))
+          .otherwise(lit("quarantine:gif-unknown-frames"))
+      else
         when(nFrames === 1, lit("image"))
           .when(nFrames > 1, lit("quarantine:gif-animated"))
-          .otherwise(lit("quarantine:gif-unknown-frames")))
+          .otherwise(lit("quarantine:gif-unknown-frames"))
+    when(fmt === "png", lit("image"))
+      .when(fmt === "gif", gifLeg)
       .when(fmt === "jpeg",
         when(codec.isin("jpeg-baseline", "jpeg-extended", "jpeg-progressive"),
           lit("image"))
@@ -1173,6 +1372,7 @@ object Multimodal {
             coalesce(codec, lit("none")))))
       .when(fmt.startsWith("corrupt:"), lit("corrupt"))
       .otherwise(lit("unknown"))
+  }
 
   // ── incremental re-route of a persisted routed corpus ─────────────────
 
@@ -1253,8 +1453,8 @@ object Multimodal {
         // every decided partition's files out of the scan
         val src = t.filter(!col("route").isin(DecidedRoutes: _*))
           .drop(sniffFields.map(_.name) :+ "route" :+ "route_policy": _*)
-        val fresh = routeIntake(src, contentCol, batchSize)
-          .withColumn("route_policy", lit(currentVersion))
+        val fresh = routeIntake(src, contentCol, batchSize,
+          policyVersion = currentVersion)
         fresh.write.mode("overwrite").partitionBy("route")
           .parquet(s"$work/data")
         val n = spark.read.parquet(s"$work/data").count()

@@ -330,6 +330,177 @@ object TextAnalysis {
         floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("bin"))
   }
 
+  // ── REAL BPE: learned subword merges, Spark-native ─────────────────────
+  // bpeishTokenCount is a regex proxy; training pipelines need the real
+  // thing — token counts under a LEARNED merge table (the published
+  // byte-pair-encoding subword algorithm: Sennrich, Haddow & Birch, ACL
+  // 2016). The Spark shape exploits the algorithm's own scale split: the
+  // corpus is read ONCE (word census); every training round then runs over
+  // the distinct-word-SHAPE table, which is vocabulary-sized (millions of
+  // rows at 100 TB, not trillions), so the merge loop costs O(vocab) per
+  // round regardless of corpus size. Encoding reuses the same split:
+  // distinct words encode once, documents join the encoded vocabulary.
+
+  /** The distinct word shapes with counts — BPE training's working set.
+    * Symbols start as single characters (`(?!^)` splits between every
+    * char without an empty head). ASCII/BMP text only as written: Spark
+    * splits UTF-16 code units while char-level oracles count codepoints —
+    * identical up to the basic plane.
+    */
+  private def wordShapes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // `(?!^)(?=.)`: between-character positions only — Spark's split
+      // keeps trailing empties (limit -1), so the end-of-string position
+      // must not match
+      .select(col("cnt"), split(col("word"), "(?!^)(?=.)").as("syms"))
+
+  /** Adjacent-symbol-pair census over word shapes: one row per distinct
+    * (lhs, rhs) with its corpus-weighted occurrence count. Round 0 of BPE
+    * training (symbols = characters), exposed because it is the
+    * oracle-expressible half of the trainer — and a useful corpus
+    * dashboard (character bigram structure) by itself.
+    */
+  def bpePairCensus(docs: DataFrame, textCol: String): DataFrame =
+    pairCensus(wordShapes(docs, textCol))
+
+  private def pairCensus(shapes: DataFrame): DataFrame =
+    shapes.select(col("cnt"), explode(
+        when(size(col("syms")) >= 2,
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Merge every leftmost-first non-overlapping adjacent (l, r) inside a
+    * symbol array — the BPE merge step as a pure Column fold (no UDF):
+    * carry the pending symbol; emit `l+r` when it completes the pair,
+    * otherwise flush it and carry the current symbol.
+    */
+  private def mergePairCol(syms: Column, l: String, r: String): Column = {
+    val empty = array().cast("array<string>")
+    aggregate(syms,
+      struct(empty.as("acc"), lit(null).cast("string").as("pend")),
+      (st, s) =>
+        when(st.getField("pend").isNull,
+          struct(st.getField("acc").as("acc"), s.as("pend")))
+          .when(st.getField("pend") === lit(l) && s === lit(r),
+            struct(concat(st.getField("acc"), array(lit(l + r))).as("acc"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(
+            struct(concat(st.getField("acc"), array(st.getField("pend"))).as("acc"),
+              s.as("pend"))),
+      st => when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+  }
+
+  /** Train a BPE merge table: `nMerges` rounds of (pair census → argmax →
+    * merge everywhere). Deterministic tiebreak: count DESC, then (lhs,
+    * rhs) ASC. Returns (rank, lhs, rhs, merged, pair_count) — `rank` is
+    * the merge priority the encoder applies in order. Stops early when no
+    * word holds two symbols. The per-round argmax is a ONE-row driver
+    * fetch; lineage over the shape table is cut every 4 rounds through the
+    * checkpoint ownership registry (the CC-loop cadence) and every block
+    * is released before returning.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0 && nMerges <= 4096, s"nMerges in 1..4096, got $nMerges")
+    val spark = docs.sparkSession
+    var shapes = wordShapes(docs, textCol).checkpointOwned()
+    var prevCut = shapes // earlier cuts are freed by each advance()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var dry = false
+    while (rank < nMerges && !dry) {
+      val top = pairCensus(shapes)
+        .orderBy(desc("pair_count"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        shapes = shapes.select(col("cnt"), mergePairCol(col("syms"), l, r).as("syms"))
+        rank += 1
+        if (rank % 4 == 0 && rank < nMerges) {
+          shapes = graft.Checkpoints.advance(prevCut, shapes)
+          prevCut = shapes
+        }
+      }
+    }
+    graft.Checkpoints.release(prevCut)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
+
+  /** Greedy BPE encode of one word under a rank map: repeatedly merge ALL
+    * leftmost-first occurrences of the lowest-rank adjacent pair present —
+    * exactly the training semantics, so encoding the training corpus
+    * reproduces the trained shapes.
+    */
+  private[graft] def bpeEncodeWord(word: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    var syms = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) best = rk
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Per-document token count under a trained merge table. The corpus-scale
+    * shape: explode words (scan-speed), encode only the DISTINCT words
+    * (vocabulary-sized mapPartitions — the merge table rides the closure,
+    * it is `nMerges` rows by construction), join back, sum per document.
+    * Three exchanges (vocab distinct, word join, doc sum); the join's word
+    * side reuses the distinct's hash partitioning. Documents with no words
+    * contribute no row (consistent with the census ops).
+    */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ranked = merges.select("rank", "lhs", "rhs").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select("word").distinct()
+    val enc = vocab.mapPartitions { it =>
+      it.map(row => {
+        val w = row.getString(0)
+        (w, bpeEncodeWord(w, ranked).length.toLong)
+      })
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("word", "n_word_tokens")
+    words.join(enc, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_word_tokens")).as("n_bpe_tokens"))
+  }
+
   /** 32-bit token hash: little-endian reading of the first 4 md5 bytes.
     * Chosen because it is reproducible everywhere — equal to DuckDB's
     * `md5_number(t) % 2^32` (made non-negative) and trivially portable.

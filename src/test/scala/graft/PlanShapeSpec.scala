@@ -161,6 +161,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // mm21: routed pipeline over a checkpointed frame — filters and
       // mapPartitions decode kernels only, zero exchanges
       "mm21_routed_fingerprints" -> 0,
+      // mm23: persist + re-route are side effects; the returned frame is a
+      // partition-pruned video-route scan → decode → hash — zero exchanges
+      "mm23_gif_video_upgrade" -> 0,
       // mm22: the persist + staged re-route run eagerly as side effects;
       // the returned plan is one census aggregate over the routed table
       "mm22_incremental_reroute" -> 1,
@@ -265,6 +268,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // t17: a regexp_replace chain — pure projection, no exchange
       "t17_markup_strip" -> 0,
+      // t18: word census + pair census aggregates (vocab-sized after the
+      // first); the global top-20 is TakeOrdered, not an exchange
+      "t18_bpe_pair_census" -> 2,
+      // t19: the train loop runs eagerly (driver argmax); the returned
+      // count plan is vocab distinct + the word join's two sides + the
+      // per-doc sum
+      "t19_bpe_token_count" -> 4,
       // x12: the one-pass census — a single grouped aggregate (the
       // quantiles ride the same ObjectHashAggregate), one exchange
       "x12_data_card" -> 1,
