@@ -1733,6 +1733,33 @@ object SparkEntry {
       ops.TextAnalysis.bpeTokenCount(docs, "doc_id", "text", merges)
     }),
 
+    // ── learned quality filter, closed form: add-k Naive Bayes trained on
+    //    a deterministic 3/4 slice (label = the corpus's own `lang = 'en'`
+    //    flag — the fastText-classifier call shape), scoring the held-out
+    //    quarter. The held-out docs DO hit unseen words, so the oracle
+    //    match gates the smoothing floors and the prior, not just the
+    //    census join ─────────────────────────────────────────────────────
+    "t20_nb_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = ops.TextAnalysis.nbTrain(
+        docs.filter(col("doc_id") % 4 =!= 0)
+          .withColumn("__pos", col("lang") === "en"),
+        "text", "__pos")
+      ops.TextAnalysis.nbScore(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", model)
+    }),
+
+    // ── DSIR importance weights: tilt the non-English pool toward the
+    //    English slice. Hashed-unigram censuses (1024 buckets, md5-parity
+    //    hash) → one log-ratio table → per-doc sums; the oracle re-derives
+    //    both distributions and every weight from scratch ────────────────
+    "t21_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.TextAnalysis.dsirWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+    }),
+
     // ── composed pipeline, oracle-gated end to end: quality gate from the
     //    gopher COUNTS (thresholds re-tuned for this corpus without a
     //    re-scan — the reason the counts are first-class columns) → exact
@@ -4524,6 +4551,63 @@ object SparkEntry {
         |          - (length(w) - length(replace(w, (SELECT pair FROM top), ''))) // 2
         |        ))::BIGINT AS n_bpe_tokens
         |FROM dw WHERE length(w) > 0 GROUP BY doc_id""".stripMargin,
+
+    // the oracle retrains the whole NB model (shared-vocabulary census,
+    // add-0.5 conditionals, doc-count prior) and re-scores every held-out
+    // doc, floors included — LEFT JOIN + coalesce mirrors the engine's
+    // unseen-word path exactly
+    "t20_nb_quality" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |       FROM documents),
+        |trw AS (SELECT (lang = 'en') AS pos, unnest(ws) AS w FROM tok
+        |        WHERE doc_id % 4 <> 0),
+        |wc AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS cp,
+        |              sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS cn
+        |       FROM trw WHERE length(w) > 0 GROUP BY w),
+        |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*)::DOUBLE AS v FROM wc),
+        |pri AS (SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+        |             / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::DOUBLE) AS prior
+        |        FROM documents WHERE doc_id % 4 <> 0),
+        |dw AS (SELECT doc_id, unnest(ws) AS w FROM tok WHERE doc_id % 4 = 0),
+        |sc AS (SELECT doc_id,
+        |         coalesce(ln((wc.cp + 0.5) / (tot.np + 0.5 * tot.v)),
+        |                  ln(0.5 / (tot.np + 0.5 * tot.v)))
+        |       - coalesce(ln((wc.cn + 0.5) / (tot.nn + 0.5 * tot.v)),
+        |                  ln(0.5 / (tot.nn + 0.5 * tot.v))) AS l
+        |       FROM dw LEFT JOIN wc ON dw.w = wc.w CROSS JOIN tot
+        |       WHERE length(dw.w) > 0)
+        |SELECT doc_id, round(max(pri.prior) + sum(l), 6) AS nb_logit,
+        |       count(*)::BIGINT AS n_words,
+        |       (max(pri.prior) + sum(l)) > 0 AS nb_pred
+        |FROM sc CROSS JOIN pri GROUP BY doc_id""".stripMargin,
+
+    // both hashed-bucket distributions and every log-ratio re-derived;
+    // md5_number % 2^32 % 1024 is the engine's tokenHash32 bucket exactly
+    "t21_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |       FROM documents),
+        |feat AS (SELECT doc_id, lang,
+        |           ((((md5_number(w) % 4294967296) + 4294967296) % 4294967296)
+        |            % 1024)::BIGINT AS bucket
+        |         FROM (SELECT doc_id, lang, unnest(ws) AS w FROM tok)
+        |         WHERE length(w) > 0),
+        |ct AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat
+        |       WHERE lang = 'en' GROUP BY bucket),
+        |cr AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat
+        |       WHERE lang <> 'en' GROUP BY bucket),
+        |j AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+        |        coalesce(ct.c, 0) AS ctc, coalesce(cr.c, 0) AS crc
+        |      FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket),
+        |tot AS (SELECT sum(ctc) AS nt, sum(crc) AS nr FROM j),
+        |m AS (SELECT bucket, ln((ctc + 0.5) / (nt + 0.5 * 1024))
+        |             - ln((crc + 0.5) / (nr + 0.5 * 1024)) AS lr
+        |      FROM j CROSS JOIN tot)
+        |SELECT doc_id, round(sum(lr), 6) AS dsir_logw,
+        |       count(*)::BIGINT AS n_feats
+        |FROM feat JOIN m USING (bucket) WHERE lang <> 'en'
+        |GROUP BY doc_id""".stripMargin,
 
     "x5_domain_cap" ->
       """WITH b AS (SELECT doc_id, source,

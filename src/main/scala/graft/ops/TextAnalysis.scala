@@ -635,4 +635,129 @@ object TextAnalysis {
       sum(when(piiEmailCount(t) + piiPhoneCount(t) + piiIpCount(t) > 0, 1L)
         .otherwise(0L)).as("pii_docs"))
   }
+
+  // ── learned quality models: Naive Bayes classifier + DSIR weights ──────
+  // The two CLOSED-FORM members of the learned-filter family (the
+  // fastText-quality-classifier and importance-resampling steps of a
+  // pretraining pipeline). Both are pure count aggregates — no gradient
+  // loop, so the whole model is oracle-re-derivable and the Spark shape is
+  // exactly the [[bigramLm]] one: one corpus-scan census down to a
+  // vocabulary/bucket-sized model table, then a broadcast join back onto
+  // the document token stream. Nothing iterative, nothing driver-side.
+
+  /** Train a binary add-k Naive Bayes word classifier — the closed form of
+    * the fastText-style quality filter (label high/low-quality seed docs,
+    * score the crawl). `labelCol` is a BOOLEAN column on `docs` (true =
+    * positive class). Returns one row per observed word:
+    * `(word, lp_pos, lp_neg)` with the self-contained constants the scorer
+    * needs carried on every row (the [[bigramLm]] persisted-model pattern):
+    * unseen-word floors `__floor_pos`/`__floor_neg` = `ln(k / (N_c + k·V))`
+    * and the document-count prior logit `__prior` = `ln(D_pos / D_neg)`.
+    * V = distinct words across BOTH classes (one shared vocabulary, so the
+    * two conditionals are smoothed over the same event space). Refuses
+    * loudly when either class has no documents — a one-class "classifier"
+    * would silently score everything with ±∞.
+    *
+    * Scale shape: ONE token-census aggregate (map-side combined, lands
+    * vocabulary-sized — Zipf-bounded), two 1-row broadcast frames for the
+    * totals and prior. The census conditional-count trick (`sum(when)`)
+    * needs no pivot and no second pass.
+    */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, "smoothing k must be > 0")
+    val wc = docs
+      .select(col(labelCol).as("__pos"), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(sum(when(col("__pos"), 1d).otherwise(0d)).as("__cp"),
+        sum(when(col("__pos"), 0d).otherwise(1d)).as("__cn"))
+    val tot = wc.agg(sum(col("__cp")).as("__np"), sum(col("__cn")).as("__nn"),
+      count(lit(1)).cast("double").as("__v"))
+    val pri = docs.agg(
+      sum(when(col(labelCol), 1d).otherwise(0d)).as("__dp"),
+      sum(when(col(labelCol), 0d).otherwise(1d)).as("__dn"))
+      .select(when(col("__dp") * col("__dn") === 0d,
+        raise_error(lit("nbTrain: both classes must hold at least one document")))
+        .otherwise(log(col("__dp") / col("__dn"))).as("__prior"))
+    wc.crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
+      .select(col("word"),
+        log((col("__cp") + lit(k)) / (col("__np") + lit(k) * col("__v"))).as("lp_pos"),
+        log((col("__cn") + lit(k)) / (col("__nn") + lit(k) * col("__v"))).as("lp_neg"),
+        log(lit(k) / (col("__np") + lit(k) * col("__v"))).as("__floor_pos"),
+        log(lit(k) / (col("__nn") + lit(k) * col("__v"))).as("__floor_neg"),
+        col("__prior"))
+  }
+
+  /** Score documents under a [[nbTrain]] model: per-doc log-odds
+    * `__prior + Σ_w (lp_pos(w) − lp_neg(w))` with unseen words taking the
+    * model's smoothing floors, plus the boolean verdict (`logit > 0`).
+    * Documents with zero words contribute no row (no evidence either way —
+    * screen them by [[tokenCount]], the [[lmScore]] convention). Pass a
+    * model loaded from parquet to score a new batch against a fixed seed.
+    *
+    * Plan shape: token stream ⋈ broadcast(vocab-sized model) → one per-doc
+    * aggregation. At 100 TB the model stays broadcast-able by construction
+    * (it is the training corpus's vocabulary, not its rows).
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val consts = model.agg(max(col("__floor_pos")).as("__fp"),
+      max(col("__floor_neg")).as("__fn"), max(col("__prior")).as("__pr"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.select("word", "lp_pos", "lp_neg")), Seq("word"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__pr")) +
+          sum(coalesce(col("lp_pos"), col("__fp")) -
+            coalesce(col("lp_neg"), col("__fn"))), 6).as("nb_logit"),
+        count(lit(1)).as("n_words"))
+      .withColumn("nb_pred", col("nb_logit") > 0d)
+  }
+
+  /** DSIR importance weights (data selection via importance resampling,
+    * Xie et al. 2023): per-document `ln(p_target(doc) / p_raw(doc))` under
+    * add-k-smoothed HASHED-unigram bag models of a target corpus (the
+    * distribution you want more of — e.g. curated reference text) and the
+    * raw pool being selected from. Features are [[tokenHash32]] buckets
+    * (mod `buckets`), so the two "models" are fixed-size count tables —
+    * `buckets` rows, NOT vocabulary-sized — and the feature space is
+    * identical across any two corpora by construction. Returns one row per
+    * raw document: `(id, dsir_logw, n_feats)`; resample by `dsir_logw`
+    * (e.g. Gumbel top-k) to tilt the pool toward the target. Identical
+    * corpora get exactly 0 everywhere — the census ratios cancel term by
+    * term, a property the spec pins.
+    *
+    * Scale shape: ONE bucket census over the tagged union of both corpora
+    * (map-side combined to ≤ `buckets` rows — the conditional-count trick,
+    * no census-vs-census join exists), broadcast onto the raw token
+    * stream, one per-doc sum. The model build cost is independent of
+    * vocabulary growth — the reason DSIR hashes in the first place.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(k > 0, "smoothing k must be > 0")
+    def side(df: DataFrame, isTarget: Boolean) = df
+      .select(lit(isTarget).as("__t"), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("__t"), pmod(tokenHash32(col("word")), lit(buckets.toLong)).as("bucket"))
+    val joined = side(target, isTarget = true)
+      .unionByName(side(raw, isTarget = false))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1d).otherwise(0d)).as("__ct"),
+        sum(when(col("__t"), 0d).otherwise(1d)).as("__cr"))
+    val tot = joined.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+    val model = joined.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("__ct") + lit(k)) / (col("__nt") + lit(k) * buckets)) -
+          log((col("__cr") + lit(k)) / (col("__nr") + lit(k) * buckets))).as("lr"))
+    raw.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col(idCol), pmod(tokenHash32(col("word")), lit(buckets.toLong)).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lr")), 6).as("dsir_logw"), count(lit(1)).as("n_feats"))
+  }
 }

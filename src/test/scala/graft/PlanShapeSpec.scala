@@ -268,6 +268,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // t17: a regexp_replace chain — pure projection, no exchange
       "t17_markup_strip" -> 0,
+      // t20: NB train census (vocab hash) + three 1-row single-partition
+      // aggs (totals, prior, scorer constants) + the per-doc sum; the
+      // model joins are broadcasts (QualityModelSpec's plan fence)
+      "t20_nb_quality" -> 5,
+      // t21: ONE tagged-union bucket census (no census-vs-census join
+      // exists) + the totals single + the per-doc sum
+      "t21_dsir_weights" -> 3,
       // t18: word census + pair census aggregates (vocab-sized after the
       // first); the global top-20 is TakeOrdered, not an exchange
       "t18_bpe_pair_census" -> 2,
