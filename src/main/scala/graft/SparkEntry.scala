@@ -1733,6 +1733,33 @@ object SparkEntry {
       ops.TextAnalysis.bpeTokenCount(docs, "doc_id", "text", merges)
     }),
 
+    // ── REAL BPE, production output: documents encoded to token-ID
+    //    sequences under the trained merge table + deterministic vocabulary
+    //    (alphabet lexicographic, merges appended by rank). Exploded
+    //    (word_no, sub_no) keeps every value scalar and the order total;
+    //    the oracle re-learns the merge, rebuilds the vocabulary, and
+    //    re-tokenizes every word via the leftmost-nonoverlapping
+    //    replace-with-sentinel trick ─────────────────────────────────────
+    "t22_bpe_encode_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = ops.TextAnalysis.bpeTrain(docs, "text", nMerges = 1)
+      val vocab = ops.TextAnalysis.bpeVocab(docs, "text", merges)
+      ops.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges, vocab)
+    }),
+
+    // ── the tokenizer feeding the packer: context-window bins from REAL
+    //    BPE counts instead of the whitespace proxy — bpeTrain →
+    //    bpeTokenCount → packSequencesBy composed end to end under one
+    //    oracle (the merge, every count, and every bin re-derived) ────────
+    "t23_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = ops.TextAnalysis.bpeTrain(docs, "text", nMerges = 1)
+      val counts = ops.TextAnalysis.bpeTokenCount(docs, "doc_id", "text", merges)
+      ops.TextAnalysis.packSequencesBy(
+        counts.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", "source", "n_bpe_tokens", budgetTokens = 256)
+    }),
+
     // ── learned quality filter, closed form: add-k Naive Bayes trained on
     //    a deterministic 3/4 slice (label = the corpus's own `lang = 'en'`
     //    flag — the fastText-classifier call shape), scoring the held-out
@@ -4551,6 +4578,73 @@ object SparkEntry {
         |          - (length(w) - length(replace(w, (SELECT pair FROM top), ''))) // 2
         |        ))::BIGINT AS n_bpe_tokens
         |FROM dw WHERE length(w) > 0 GROUP BY doc_id""".stripMargin,
+
+    // the tokenizer end to end in SQL: merge re-learned (t19's CTEs),
+    // vocabulary rebuilt (distinct chars lexicographic + merge appended),
+    // every word re-tokenized by replace-with-sentinel (replace() IS
+    // leftmost-nonoverlapping — the merge semantics), ids re-joined
+    "t22_bpe_encode_ids" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |wd AS (SELECT unnest(ws) AS w FROM tok),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wd
+        |       WHERE length(w) > 0 GROUP BY w),
+        |pc AS (SELECT substring(w, i+1, 1) AS lhs, substring(w, i+2, 1) AS rhs, cnt
+        |       FROM (SELECT w, cnt, unnest(range(length(w)-1)) AS i
+        |             FROM wc WHERE length(w) >= 2)),
+        |census AS (SELECT lhs, rhs, sum(cnt) AS pair_count FROM pc GROUP BY 1, 2),
+        |top AS (SELECT lhs || rhs AS pair FROM census
+        |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |chars AS (SELECT DISTINCT substring(w, i+1, 1) AS token
+        |          FROM (SELECT w, unnest(range(length(w))) AS i FROM wc)),
+        |vocab AS (SELECT token, (row_number() OVER (ORDER BY token) - 1)::BIGINT AS token_id
+        |          FROM chars
+        |          UNION ALL
+        |          SELECT pair AS token, (SELECT count(*) FROM chars)::BIGINT AS token_id
+        |          FROM top),
+        |dw AS (SELECT doc_id, i::BIGINT AS word_no, ws[i+1] AS w
+        |       FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM tok)
+        |       WHERE length(ws[i+1]) > 0),
+        |et AS (SELECT doc_id, word_no,
+        |         replace(w, (SELECT pair FROM top), chr(1)) AS tw FROM dw),
+        |sub AS (SELECT doc_id, word_no, j::BIGINT AS sub_no,
+        |          CASE WHEN substring(tw, j+1, 1) = chr(1)
+        |               THEN (SELECT pair FROM top)
+        |               ELSE substring(tw, j+1, 1) END AS token
+        |        FROM (SELECT doc_id, word_no, tw, unnest(range(length(tw))) AS j
+        |              FROM et))
+        |SELECT doc_id, word_no, sub_no, token, token_id
+        |FROM sub JOIN vocab USING (token)""".stripMargin,
+
+    // t19's count re-derivation composed with w6's exclusive-running-sum
+    // packing — the whole tokenizer→packer chain gated as one artifact
+    "t23_bpe_pack" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |             FROM documents),
+        |wd AS (SELECT unnest(ws) AS w FROM tok),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM wd
+        |       WHERE length(w) > 0 GROUP BY w),
+        |pc AS (SELECT substring(w, i+1, 1) AS lhs, substring(w, i+2, 1) AS rhs, cnt
+        |       FROM (SELECT w, cnt, unnest(range(length(w)-1)) AS i
+        |             FROM wc WHERE length(w) >= 2)),
+        |census AS (SELECT lhs, rhs, sum(cnt) AS pair_count FROM pc GROUP BY 1, 2),
+        |top AS (SELECT lhs || rhs AS pair FROM census
+        |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |dwords AS (SELECT doc_id,
+        |             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |           FROM documents),
+        |n AS (SELECT doc_id,
+        |        (sum(length(w)
+        |           - (length(w) - length(replace(w, (SELECT pair FROM top), ''))) // 2
+        |         ))::BIGINT AS n_bpe_tokens
+        |      FROM dwords WHERE length(w) > 0 GROUP BY doc_id),
+        |c AS (SELECT n.doc_id, d.source, n.n_bpe_tokens,
+        |        sum(n.n_bpe_tokens) OVER (PARTITION BY d.source ORDER BY n.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM n JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, n_bpe_tokens,
+        |       ((cum - n_bpe_tokens) // 256)::BIGINT AS bin
+        |FROM c""".stripMargin,
 
     // the oracle retrains the whole NB model (shared-vocabulary census,
     // add-0.5 conditionals, doc-count prior) and re-scores every held-out

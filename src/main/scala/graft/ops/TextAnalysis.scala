@@ -501,6 +501,82 @@ object TextAnalysis {
       .agg(sum(col("n_word_tokens")).as("n_bpe_tokens"))
   }
 
+  /** The trained tokenizer's vocabulary: one row per token with a
+    * deterministic id. Base alphabet = every distinct single character of
+    * the corpus's words (pre-merge, so characters that only survive inside
+    * merged tokens still get ids), ids 0..|A|−1 in lexicographic order;
+    * merged tokens follow at `|A| + rank`. The lexicographic window runs
+    * over the ALPHABET (at most a few thousand rows for any real corpus) —
+    * bounded by construction, like the merge table itself.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val chars = wordShapes(docs, textCol)
+      .select(explode(col("syms")).as("token")).distinct()
+    val base = chars.select(col("token"),
+      (row_number().over(Window.orderBy(col("token"))) - 1).cast("long")
+        .as("token_id"))
+    val nBase = base.agg(count(lit(1)).as("__n"))
+    base.unionByName(merges.crossJoin(broadcast(nBase))
+      .select(col("merged").as("token"),
+        (col("__n") + col("rank")).cast("long").as("token_id")))
+  }
+
+  /** Encode documents to token-id sequences under a trained merge table +
+    * [[bpeVocab]] vocabulary — the tokenizer's production output (what
+    * [[packSequencesBy]] packs and a training loop consumes). One row per
+    * token occurrence, ordered by `(word_no, sub_no)` within each document:
+    * `(id, word_no, sub_no, token, token_id)` — the exploded form keeps
+    * every value scalar and the order total without a per-doc array
+    * rebuild. A token absent from the vocabulary encodes as −1 (can only
+    * happen when scoring a LATER batch whose alphabet outgrew the training
+    * corpus — the caller's cue to retrain, not a silent drop).
+    *
+    * Scale shape: same vocabulary split as [[bpeTokenCount]] — only
+    * DISTINCT words run the greedy encoder (merge table and vocabulary
+    * ride the closure; both are bounded by `|A| + nMerges` rows by
+    * construction), documents join the encoded vocabulary.
+    */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, vocab: DataFrame): DataFrame = {
+    val ranked = merges.select("rank", "lhs", "rhs").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val vmap = vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("word_no", "word")))
+      .filter(length(col("word")) > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = words.select("word").distinct().mapPartitions { it =>
+      it.map { row =>
+        val w = row.getString(0)
+        val toks = bpeEncodeWord(w, ranked).toSeq
+        (w, toks, toks.map(t => vmap.getOrElse(t, -1L)))
+      }
+    }.toDF("word", "__toks", "__ids")
+    words.join(enc, Seq("word"))
+      .select(col(idCol), col("word_no").cast("long").as("word_no"),
+        posexplode(arrays_zip(col("__toks"), col("__ids")))
+          .as(Seq("sub_no", "__z")))
+      .select(col(idCol), col("word_no"), col("sub_no").cast("long").as("sub_no"),
+        col("__z.__toks").as("token"), col("__z.__ids").as("token_id"))
+  }
+
+  /** [[packSequences]] over a PRECOMPUTED per-document count column — the
+    * packer under real tokenizer counts ([[bpeTokenCount]]) instead of the
+    * whitespace proxy, or any other cost metric (chars, bytes, frames).
+    * Same greedy exclusive-running-sum bins, same one-window shuffle.
+    */
+  def packSequencesBy(counted: DataFrame, idCol: String, groupCol: String,
+      countCol: String, budgetTokens: Int = 2048): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted.withColumn("__cum", sum(col(countCol)).over(w))
+      .select(col(idCol), col(groupCol), col(countCol),
+        floor((col("__cum") - col(countCol)) / budgetTokens).cast("long").as("bin"))
+  }
+
   /** 32-bit token hash: little-endian reading of the first 4 md5 bytes.
     * Chosen because it is reproducible everywhere — equal to DuckDB's
     * `md5_number(t) % 2^32` (made non-negative) and trivially portable.

@@ -172,6 +172,82 @@ class BpeSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("vocab ids are deterministic: alphabet lexicographic, merges appended by rank") {
+    val s = spark
+    import s.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "text", 5)
+    val vocab = TextAnalysis.bpeVocab(df, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alphabet = corpusWords(docs.map(_._2)).keys
+      .flatMap(_.map(_.toString)).toSeq.distinct.sorted
+    alphabet.zipWithIndex.foreach { case (c, i) =>
+      assert(vocab(c) === i.toLong, s"char '$c'")
+    }
+    val ms = merges.orderBy("rank").collect()
+    ms.foreach(m => assert(vocab(m.getString(3)) ===
+      alphabet.size.toLong + m.getInt(0)))
+    assert(vocab.size === alphabet.size + ms.length)
+    assert(vocab.values.toSeq.distinct.size === vocab.size, "ids collide")
+  }
+
+  test("encodeIds reproduces the greedy encoder word for word, ids included") {
+    val s = spark
+    import s.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "text", 6)
+    val vocab = TextAnalysis.bpeVocab(df, "text", merges)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rank = merges.collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val got = TextAnalysis.bpeEncodeIds(df, "doc_id", "text", merges, vocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getString(3), r.getLong(4))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      ws.zipWithIndex.foreach { case (w, wi) =>
+        val toks = TextAnalysis.bpeEncodeWord(w, rank)
+        toks.zipWithIndex.foreach { case (tk, si) =>
+          assert(got((id, wi.toLong, si.toLong)) === ((tk, vmap(tk))),
+            s"doc $id word $wi sub $si")
+        }
+      }
+    }
+    // total size agrees with the count op — same tokenizer, two views
+    val counts = TextAnalysis.bpeTokenCount(df, "doc_id", "text", merges)
+      .agg(sum("n_bpe_tokens")).head.getLong(0)
+    assert(got.size.toLong === counts)
+  }
+
+  test("a token outside the vocabulary encodes as -1, never silently drops") {
+    val s = spark
+    import s.implicits._
+    val trainDf = Seq(0L -> "ab ab ab").toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(trainDf, "text", 1)
+    val vocab = TextAnalysis.bpeVocab(trainDf, "text", merges)
+    val later = Seq(1L -> "ab zq").toDF("doc_id", "text") // z,q unseen
+    val rows = TextAnalysis.bpeEncodeIds(later, "doc_id", "text", merges, vocab)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(rows.toSet === Set(("ab", 2L), ("z", -1L), ("q", -1L)))
+  }
+
+  test("packSequencesBy equals packSequences under the whitespace count") {
+    val s = spark
+    import s.implicits._
+    val df = docs.toDF("doc_id", "text").withColumn("source",
+      (col("doc_id") % 2).cast("string"))
+    val counted = df.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val a = TextAnalysis.packSequences(df, "doc_id", "text", "source", 7)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.packSequencesBy(counted, "doc_id", "source",
+        "n_tokens", 7)
+      .collect().map(_.toSeq).toSet
+    assert(a === b, "the precomputed-count packer is the same packer")
+  }
+
   test("trainer leaves zero engine-owned checkpoint blocks behind") {
     val s = spark
     import s.implicits._

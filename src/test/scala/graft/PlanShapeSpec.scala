@@ -268,6 +268,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // t17: a regexp_replace chain — pure projection, no exchange
       "t17_markup_strip" -> 0,
+      // t22: the vocab window/count run eagerly at build (driver maps);
+      // the returned plan is word-distinct + a join that reuses its hash
+      // partitioning — one exchange
+      "t22_bpe_encode_ids" -> 1,
+      // t23: count plan's vocab distinct + per-doc sum + the pack window
+      // on source (the source join broadcasts)
+      "t23_bpe_pack" -> 3,
       // t20: NB train census (vocab hash) + three 1-row single-partition
       // aggs (totals, prior, scorer constants) + the per-doc sum; the
       // model joins are broadcasts (QualityModelSpec's plan fence)
