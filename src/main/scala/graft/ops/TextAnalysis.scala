@@ -812,27 +812,56 @@ object TextAnalysis {
     * vocabulary growth — the reason DSIR hashes in the first place.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+      textCol: String, buckets: Int = 4096, k: Double = 0.5): DataFrame =
+    dsirScore(raw, idCol, textCol, dsirModel(raw, target, textCol, buckets, k))
+
+  /** The DSIR log-ratio table alone — persist it, then [[dsirScore]] later
+    * batches (the production split: model from reference snapshots, score
+    * the stream). TOTAL over the bucket domain: one row for EVERY bucket
+    * `0..buckets−1`, so a later batch whose tokens hash to buckets neither
+    * training corpus touched still scores (it gets the both-unseen
+    * smoothing ratio, not a dropped token). `__buckets` rides every row —
+    * the persisted model is self-contained like the [[nbTrain]] one.
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 4096, k: Double = 0.5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(k > 0, "smoothing k must be > 0")
     def side(df: DataFrame, isTarget: Boolean) = df
       .select(lit(isTarget).as("__t"), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(col("__t"), pmod(tokenHash32(col("word")), lit(buckets.toLong)).as("bucket"))
-    val joined = side(target, isTarget = true)
+    val census = side(target, isTarget = true)
       .unionByName(side(raw, isTarget = false))
       .groupBy(col("bucket"))
       .agg(sum(when(col("__t"), 1d).otherwise(0d)).as("__ct"),
         sum(when(col("__t"), 0d).otherwise(1d)).as("__cr"))
-    val tot = joined.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
-    val model = joined.crossJoin(broadcast(tot))
+    val domain = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val full = domain.join(census, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__ct"), lit(0d)).as("__ct"),
+        coalesce(col("__cr"), lit(0d)).as("__cr"))
+    val tot = full.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+    full.crossJoin(broadcast(tot))
       .select(col("bucket"),
         (log((col("__ct") + lit(k)) / (col("__nt") + lit(k) * buckets)) -
-          log((col("__cr") + lit(k)) / (col("__nr") + lit(k) * buckets))).as("lr"))
-    raw.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+          log((col("__cr") + lit(k)) / (col("__nr") + lit(k) * buckets))).as("lr"),
+        lit(buckets.toLong).as("__buckets"))
+  }
+
+  /** Score documents under a [[dsirModel]] (fresh or loaded from parquet):
+    * per-doc sum of bucket log-ratios. The bucket width comes off the
+    * model itself, and the model is total over its domain, so the join is
+    * inner AND lossless for any input batch. Broadcast join + one per-doc
+    * aggregation per call — the same shape at ingest as in batch.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val consts = model.agg(max(col("__buckets")).as("__b"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-      .select(col(idCol), pmod(tokenHash32(col("word")), lit(buckets.toLong)).as("bucket"))
-      .join(broadcast(model), Seq("bucket"))
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), pmod(tokenHash32(col("word")), col("__b")).as("bucket"))
+      .join(broadcast(model.select("bucket", "lr")), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(round(sum(col("lr")), 6).as("dsir_logw"), count(lit(1)).as("n_feats"))
   }

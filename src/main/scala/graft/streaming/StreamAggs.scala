@@ -167,6 +167,41 @@ object StreamAggs {
     }
   }
 
+  /** The learned-classifier twin of [[screenLmAtIngest]]: score each
+    * micro-batch under a TRAINED [[graft.ops.TextAnalysis.nbTrain]] model
+    * (persisted parquet in production — the fastText-quality-filter shape
+    * at the front door). The model is vocabulary-sized and broadcast; per
+    * batch the cost is one broadcast join + one per-doc aggregation, and
+    * unseen words take the model's own smoothing floors — a batch from a
+    * new distribution scores, never errors.
+    */
+  def screenNbAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
+      textCol: String)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val m = model.checkpointOwned() // resolved once, reused by every batch
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.TextAnalysis.nbScore(batch.toDF(), idCol, textCol, m),
+        batchId)
+    }
+  }
+
+  /** DSIR importance weights at ingest: each micro-batch scored under a
+    * [[graft.ops.TextAnalysis.dsirModel]] log-ratio table. The model is
+    * `buckets`-row bounded and TOTAL over its hash domain, so any batch —
+    * including vocabulary the training corpora never saw — scores through
+    * the same inner join. This is the resampling front door: persist the
+    * weights next to the corpus and Gumbel-top-k at mixture time.
+    */
+  def screenDsirAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
+      textCol: String)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val m = model.checkpointOwned() // resolved once, reused by every batch
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.ops.TextAnalysis.dsirScore(batch.toDF(), idCol, textCol, m),
+        batchId)
+    }
+  }
+
   /** Per-key RUNNING fold held in the STATE STORE — the streaming A1 via
     * `flatMapGroupsWithState`. Each micro-batch's events fold into the
     * key's held state (ordered by `seqCol` within the batch — Structured

@@ -159,6 +159,61 @@ class QualityModelSpec extends AnyFunSuite {
       "p_target ≡ p_raw ⇒ every log-ratio is exactly 0, not merely small")
   }
 
+  test("dsirModel is total over its bucket domain; a persisted model scores unseen vocabulary") {
+    val s = spark
+    import s.implicits._
+    val model = TextAnalysis.dsirModel(
+      train.map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      heldOut.toDF("doc_id", "text"), "text", buckets = 128)
+    assert(model.count() === 128L, "one row per bucket, observed or not")
+    val dir = java.nio.file.Files.createTempDirectory("graftdsir").toString
+    model.write.mode("overwrite").parquet(dir)
+    // a later batch whose words neither corpus contains still scores —
+    // every token lands in SOME bucket and the model covers them all
+    val novel = Seq((50L, "xylophone quixotic jabberwock")).toDF("doc_id", "text")
+    val scored = TextAnalysis.dsirScore(novel, "doc_id", "text",
+      s.read.parquet(dir)).collect()
+    assert(scored.length === 1 && scored(0).getLong(2) === 3L,
+      "three novel tokens, three scored features, zero dropped")
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(s"file://$dir"),
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("ingest screens: streaming batches score exactly like the batch ops") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftscreens").toString
+    val nbModel = TextAnalysis.nbTrain(
+      train.toDF("doc_id", "text", "pos"), "text", "pos")
+    val dsModel = TextAnalysis.dsirModel(
+      train.filter(!_._3).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      train.filter(_._3).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      "text", buckets = 128)
+    heldOut.toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val wantNb = TextAnalysis.nbScore(s.read.parquet(s"$dir/in"),
+      "doc_id", "text", nbModel).collect().map(_.toString).sorted.toSeq
+    val wantDs = TextAnalysis.dsirScore(s.read.parquet(s"$dir/in"),
+      "doc_id", "text", dsModel).collect().map(_.toString).sorted.toSeq
+    def drive(mk: org.apache.spark.sql.DataFrame =>
+        ((org.apache.spark.sql.DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row],
+        chk: String): Seq[String] = {
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      val q = mk(s.readStream.schema("doc_id long, text string")
+          .parquet(s"$dir/in")) { (res, _) =>
+          got.synchronized { got ++= res.collect().map(_.toString); () }
+        }.option("checkpointLocation", s"$dir/$chk").start()
+      try q.processAllAvailable() finally q.stop()
+      got.sorted.toSeq
+    }
+    assert(drive(st => graft.streaming.StreamAggs.screenNbAtIngest(
+      st, nbModel, "doc_id", "text"), "chkNb") === wantNb)
+    assert(drive(st => graft.streaming.StreamAggs.screenDsirAtIngest(
+      st, dsModel, "doc_id", "text"), "chkDs") === wantDs)
+  }
+
   test("both model joins broadcast (vocab/bucket-sized build sides)") {
     val s = spark
     import s.implicits._
