@@ -1890,6 +1890,22 @@ object SparkEntry {
         groupCols = Seq("source"), salt = "es")
     }),
 
+    // ── DSIR made load-bearing: importance RESAMPLING — the weights drive
+    //    the Efraimidis–Spirakis sampler (key ∝ w ⇒ draws without
+    //    replacement ∝ importance), per-source, fully deterministic. The
+    //    oracle re-derives weights AND keys AND ranks — the whole
+    //    model→weight→selection chain under one hash gate ─────────────────
+    "x13_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = ops.TextAnalysis.dsirWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+      ops.Sampling.weightedSample(
+        w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", exp(col("dsir_logw")), k = 3,
+        groupCols = Seq("source"), salt = "dsir")
+    }),
+
     // ── skew: salted two-phase aggregation (== plain aggregate) ───────────
     "w4_salted_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -4765,6 +4781,42 @@ object SparkEntry {
         |                 ORDER BY es_key DESC, doc_id) AS es_rank FROM k)
         |SELECT doc_id, source, quality, es_key, es_rank::BIGINT AS es_rank
         |FROM r WHERE es_rank <= 5""".stripMargin,
+
+    // t21's weight re-derivation composed with x10's sampler key: the
+    // importance weight (exp of the rounded log-weight) IS the ES weight
+    "x13_dsir_resample" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |       FROM documents),
+        |feat AS (SELECT doc_id, lang,
+        |           ((((md5_number(w) % 4294967296) + 4294967296) % 4294967296)
+        |            % 1024)::BIGINT AS bucket
+        |         FROM (SELECT doc_id, lang, unnest(ws) AS w FROM tok)
+        |         WHERE length(w) > 0),
+        |ct AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat
+        |       WHERE lang = 'en' GROUP BY bucket),
+        |cr AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat
+        |       WHERE lang <> 'en' GROUP BY bucket),
+        |j AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+        |        coalesce(ct.c, 0) AS ctc, coalesce(cr.c, 0) AS crc
+        |      FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket),
+        |tot AS (SELECT sum(ctc) AS nt, sum(crc) AS nr FROM j),
+        |m AS (SELECT bucket, ln((ctc + 0.5) / (nt + 0.5 * 1024))
+        |             - ln((crc + 0.5) / (nr + 0.5 * 1024)) AS lr
+        |      FROM j CROSS JOIN tot),
+        |ww AS (SELECT doc_id, round(sum(lr), 6) AS dsir_logw,
+        |         count(*)::BIGINT AS n_feats
+        |       FROM feat JOIN m USING (bucket) WHERE lang <> 'en'
+        |       GROUP BY doc_id),
+        |kk AS (SELECT ww.doc_id, ww.dsir_logw, ww.n_feats, d.source,
+        |         round(ln((((md5_number('dsir' || ww.doc_id::VARCHAR) % 4294967296)
+        |                    + 4294967296) % 4294967296 + 0.5) / 4294967296)
+        |               / greatest(exp(ww.dsir_logw), 0.000000001), 6) AS es_key
+        |       FROM ww JOIN documents d USING (doc_id)),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                  ORDER BY es_key DESC, doc_id) AS rk FROM kk)
+        |SELECT doc_id, dsir_logw, n_feats, source, es_key, rk::BIGINT AS es_rank
+        |FROM rr WHERE rk <= 3""".stripMargin,
 
     "w4_salted_agg" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,

@@ -268,6 +268,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t14_gopher_rules" -> 0, "t15_encoding_qc" -> 0, "t16_script_mix" -> 0,
       // t17: a regexp_replace chain — pure projection, no exchange
       "t17_markup_strip" -> 0,
+      // x13: t21's three (bucket census + totals single + per-doc sum)
+      // plus the per-source sampler window; the source join broadcasts
+      "x13_dsir_resample" -> 4,
       // t22: the vocab window/count run eagerly at build (driver maps);
       // the returned plan is word-distinct + a join that reuses its hash
       // partitioning — one exchange
