@@ -2272,6 +2272,47 @@ object SparkEntry {
       ops.PhashIndex.screen(s, idx, img(batch), "img_id", "img", maxDist = 3)
     }),
 
+    // ── multimodal: the AUDIO tenant of the banded-hash index family,
+    //    oracle-promoted — the mm12 lifecycle (build + append + streaming
+    //    ingest + compact + pending ingest, then an index-resident screen)
+    //    run entirely through the fingerprint-AGNOSTIC entry points on
+    //    audioFingerprint words. Same collapse principle as d17/mm12: the
+    //    whole persisted lifecycle must equal one exact re-derivation of
+    //    every fingerprint from source bytes (banding recall total at
+    //    hamming 3), so one hash gates the agnostic signer, the fold
+    //    protocol, and the energy-contour codec together ──────────────────
+    "mm24_audio_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val afCols = Seq("af0", "af1", "af2", "af3")
+      def fp(df: DataFrame) = ops.Multimodal.audioFingerprint(
+          ops.Multimodal.synthAudio(
+            ops.Multimodal.pack(df, "doc_id", "text", "raw")))
+        .select(col("media_id").as("aud_id") +: afCols.map(col): _*)
+      val base = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val idx = tempLogDir("graftmm24")
+      ops.PhashIndex.buildHashed(fp(base.filter(col("doc_id") < 100)),
+        "aud_id", afCols, idx, sigBuckets = 8)
+      ops.PhashIndex.appendHashed(s, idx,
+        fp(base.filter(col("doc_id") >= 100 && col("doc_id") < 140)),
+        "aud_id", afCols)
+      ops.PhashIndex.appendBatchHashed(s, idx,
+        fp(base.filter(col("doc_id") >= 140 && col("doc_id") < 170)),
+        "aud_id", afCols, batchId = 1)
+      ops.PhashIndex.compactIngest(s, idx) // batch 1 folds into sigs/
+      ops.PhashIndex.appendBatchHashed(s, idx,
+        fp(base.filter(col("doc_id") >= 170)),
+        "aud_id", afCols, batchId = 2) // pending: screen reads the union
+      val batch = base.filter(col("doc_id") < 60)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            translate(col("text"), "e", "f").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      ops.PhashIndex.screenHashed(s, idx, fp(batch), "aud_id", afCols,
+        maxDist = 3)
+    }),
+
     // ── multimodal: phash-index collision DENSITY by Hamming radius — the
     //    accidental-match dashboard (the "34% at 4M flat rasters" number,
     //    learned from the index BEFORE screening in anger): per d ≤ 4,
@@ -5080,6 +5121,28 @@ object SparkEntry {
         |        GROUP BY 1)
         |SELECT t.media_id AS img_id, v.match_id IS NULL AS is_new, v.match_id
         |FROM (SELECT media_id FROM dh WHERE is_b = 1) t
+        |LEFT JOIN ver v ON v.b_id = t.media_id""".stripMargin),
+
+    // the mm12 principle on the audio family: every energy-contour
+    // fingerprint re-derived from source TEXT bytes, the screen collapsed
+    // to the full probe-vs-corpus hamming join (banding recall total at 3)
+    "mm24_audio_index" -> ("WITH " + audioFpCteOver(
+      """(SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200
+        |       UNION ALL SELECT doc_id + 10000, text
+        |       FROM documents WHERE doc_id < 60
+        |       UNION ALL SELECT doc_id + 20000, translate(text, 'e', 'f')
+        |       FROM documents WHERE doc_id >= 60 AND doc_id < 120
+        |       UNION ALL SELECT doc_id + 30000, text
+        |       FROM documents WHERE doc_id >= 200 AND doc_id < 260) src""".stripMargin) +
+      """,
+        |ver AS (SELECT b.media_id AS b_id, min(c.media_id) AS match_id
+        |        FROM af b JOIN af c
+        |          ON b.media_id >= 10000 AND c.media_id < 10000
+        |        WHERE bit_count(xor(b.a0, c.a0)) + bit_count(xor(b.a1, c.a1))
+        |            + bit_count(xor(b.a2, c.a2)) + bit_count(xor(b.a3, c.a3)) <= 3
+        |        GROUP BY 1)
+        |SELECT t.media_id AS aud_id, v.match_id IS NULL AS is_new, v.match_id
+        |FROM (SELECT media_id FROM af WHERE media_id >= 10000) t
         |LEFT JOIN ver v ON v.b_id = t.media_id""".stripMargin),
 
     // density truth: every hash re-derived from source bytes, EVERY

@@ -155,6 +155,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // reads the CHECKPOINTED probe signatures — one tiny exchange over
       // ≤4·|probe| rows bought the removal of a full probe re-decode)
       "mm11_sniff_meta" -> 0, "mm12_phash_index" -> 2,
+      // mm24: mm12's screen shape through the agnostic entries — same
+      // budget (verdict-id distinct + the candidate-join side over the
+      // checkpointed probe signatures)
+      "mm24_audio_index" -> 2,
       // mm20: sniff + a pure-Column route policy over unioned
       // mapPartitions synth slabs — the router adds ZERO exchanges
       "mm20_intake_route" -> 0,
