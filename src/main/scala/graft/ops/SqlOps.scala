@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM sem_screen('/idx', 'batch_v', 'vec_id', 'embedding', 0.9, 2, 4)
   *   SELECT * FROM lsh_index_health('/idx', 20)
   *   SELECT * FROM ivf_index_health('/idx')
+  *   SELECT * FROM nb_score('model_v', 'docs_v', 'doc_id', 'text')
+  *   SELECT * FROM bpe_token_count('merges_v', 'docs_v', 'doc_id', 'text')
   * }}}
   *
   * Each function is registered in the session's TABLE-function registry and
@@ -172,6 +174,55 @@ object SqlOps {
     }
     tvf("ivf_index_density", Seq(1)) { es =>
       Similarity.ivfIndexDensity(spark, asStr(es(0), "ivf_index_density", 0))
+    }
+
+    // ── learned quality filters + tokenizer: train AND score are reads
+    // (a model/merge table is a DataFrame, persisting it is the caller's
+    // write) — so the whole family belongs on the SQL surface. Training
+    // TVFs run their driver-side work (BPE's merge loop, the collected
+    // rank/vocab maps) during plan expansion; pure-SQL pipelines persist
+    // the result once and score through the *_score twins thereafter.
+    tvf("nb_train", Seq(3, 4)) { es =>
+      TextAnalysis.nbTrain(spark.table(asStr(es(0), "nb_train", 0)),
+        asStr(es(1), "nb_train", 1), asStr(es(2), "nb_train", 2),
+        if (es.length > 3) asDouble(es(3), "nb_train", 3) else 0.5)
+    }
+    tvf("nb_score", Seq(4)) { es =>
+      TextAnalysis.nbScore(spark.table(asStr(es(1), "nb_score", 1)),
+        asStr(es(2), "nb_score", 2), asStr(es(3), "nb_score", 3),
+        spark.table(asStr(es(0), "nb_score", 0)))
+    }
+    tvf("dsir_model", Seq(3, 4, 5)) { es =>
+      TextAnalysis.dsirModel(spark.table(asStr(es(0), "dsir_model", 0)),
+        spark.table(asStr(es(1), "dsir_model", 1)),
+        asStr(es(2), "dsir_model", 2),
+        if (es.length > 3) asInt(es(3), "dsir_model", 3) else 4096,
+        if (es.length > 4) asDouble(es(4), "dsir_model", 4) else 0.5)
+    }
+    tvf("dsir_score", Seq(4)) { es =>
+      TextAnalysis.dsirScore(spark.table(asStr(es(1), "dsir_score", 1)),
+        asStr(es(2), "dsir_score", 2), asStr(es(3), "dsir_score", 3),
+        spark.table(asStr(es(0), "dsir_score", 0)))
+    }
+    tvf("bpe_train", Seq(3)) { es =>
+      TextAnalysis.bpeTrain(spark.table(asStr(es(0), "bpe_train", 0)),
+        asStr(es(1), "bpe_train", 1), asInt(es(2), "bpe_train", 2))
+    }
+    tvf("bpe_vocab", Seq(3)) { es =>
+      TextAnalysis.bpeVocab(spark.table(asStr(es(0), "bpe_vocab", 0)),
+        asStr(es(1), "bpe_vocab", 1),
+        spark.table(asStr(es(2), "bpe_vocab", 2)))
+    }
+    tvf("bpe_token_count", Seq(4)) { es =>
+      TextAnalysis.bpeTokenCount(spark.table(asStr(es(1), "bpe_token_count", 1)),
+        asStr(es(2), "bpe_token_count", 2), asStr(es(3), "bpe_token_count", 3),
+        spark.table(asStr(es(0), "bpe_token_count", 0)))
+    }
+    tvf("bpe_encode", Seq(5)) { es =>
+      TextAnalysis.bpeEncodeIds(spark.table(asStr(es(2), "bpe_encode", 2)),
+        asStr(es(3), "bpe_encode", 3), asStr(es(4), "bpe_encode", 4),
+        spark.table(asStr(es(0), "bpe_encode", 0)),
+        spark.table(asStr(es(1), "bpe_encode", 1)))
     }
   }
 }

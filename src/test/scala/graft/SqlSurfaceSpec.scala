@@ -328,4 +328,68 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(!plan.contains("UDF"), plan)
   }
+
+  test("learned-filter + tokenizer TVFs: the SQL route equals the Scala API") {
+    val s = spark
+    import s.implicits._
+    graft.ops.SqlOps.register(s)
+    val train = Seq(
+      (0L, "clean good prose table data", true),
+      (1L, "well formed clean text data", true),
+      (2L, "spam click buy now spam", false),
+      (3L, "buy spam click now buy", false)).toDF("doc_id", "text", "pos")
+    val batch = Seq((10L, "clean data table"), (11L, "spam buy click"))
+      .toDF("doc_id", "text")
+    train.createOrReplaceTempView("sqlq_train")
+    batch.createOrReplaceTempView("sqlq_batch")
+    train.filter($"pos").createOrReplaceTempView("sqlq_target")
+    train.filter(!$"pos").createOrReplaceTempView("sqlq_raw")
+
+    // NB: train in SQL, persist nothing, score in SQL — == the Scala chain
+    s.sql("SELECT * FROM nb_train('sqlq_train', 'text', 'pos')")
+      .createOrReplaceTempView("sqlq_nb_model")
+    val sqlNb = s.sql(
+      "SELECT * FROM nb_score('sqlq_nb_model', 'sqlq_batch', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiNb = graft.ops.TextAnalysis.nbScore(batch, "doc_id", "text",
+        graft.ops.TextAnalysis.nbTrain(train, "text", "pos"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlNb === apiNb)
+
+    // DSIR model + score TVFs
+    s.sql("SELECT * FROM dsir_model('sqlq_raw', 'sqlq_target', 'text', 64)")
+      .createOrReplaceTempView("sqlq_ds_model")
+    val sqlDs = s.sql(
+      "SELECT * FROM dsir_score('sqlq_ds_model', 'sqlq_batch', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiDs = graft.ops.TextAnalysis.dsirScore(batch, "doc_id", "text",
+        graft.ops.TextAnalysis.dsirModel(train.filter(!$"pos"),
+          train.filter($"pos"), "text", buckets = 64))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlDs === apiDs)
+
+    // BPE: train → vocab → counts → ids, every leg through SQL
+    s.sql("SELECT * FROM bpe_train('sqlq_train', 'text', 4)")
+      .createOrReplaceTempView("sqlq_merges")
+    s.sql("SELECT * FROM bpe_vocab('sqlq_train', 'text', 'sqlq_merges')")
+      .createOrReplaceTempView("sqlq_vocab")
+    val merges = graft.ops.TextAnalysis.bpeTrain(train, "text", 4)
+    assert(s.sql("SELECT * FROM sqlq_merges ORDER BY rank")
+        .collect().map(_.toString).toSeq ===
+      merges.orderBy("rank").collect().map(_.toString).toSeq)
+    val sqlCnt = s.sql(
+      "SELECT * FROM bpe_token_count('sqlq_merges', 'sqlq_batch', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiCnt = graft.ops.TextAnalysis.bpeTokenCount(batch, "doc_id", "text",
+      merges).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(sqlCnt === apiCnt)
+    val sqlIds = s.sql(
+      """SELECT * FROM bpe_encode('sqlq_merges', 'sqlq_vocab', 'sqlq_batch',
+        |'doc_id', 'text') ORDER BY doc_id, word_no, sub_no""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val apiIds = graft.ops.TextAnalysis.bpeEncodeIds(batch, "doc_id", "text",
+        merges, graft.ops.TextAnalysis.bpeVocab(train, "text", merges))
+      .orderBy("doc_id", "word_no", "sub_no").collect().map(_.toString).toSeq
+    assert(sqlIds === apiIds)
+  }
 }
