@@ -778,16 +778,23 @@ object TextAnalysis {
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    val consts = model.agg(max(col("__floor_pos")).as("__fp"),
-      max(col("__floor_neg")).as("__fn"), max(col("__prior")).as("__pr"))
+    // the model's constants resolve DRIVER-SIDE (one 1-row aggregate over a
+    // vocabulary-bounded frame — the bpeTokenCount convention) and refuse
+    // loudly on an empty model. In-plan guards are NOT equivalent here:
+    // AQE's empty-relation pruning can collapse the score join before any
+    // guard column evaluates, turning a bad model path into silent empties.
+    val c = model.agg(max(col("__floor_pos")), max(col("__floor_neg")),
+      max(col("__prior"))).head
+    require(!c.isNullAt(0) && !c.isNullAt(1) && !c.isNullAt(2),
+      "nbScore: model is empty or lacks its floor/prior constants")
+    val (fp, fn, pr) = (c.getDouble(0), c.getDouble(1), c.getDouble(2))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(model.select("word", "lp_pos", "lp_neg")), Seq("word"), "left")
-      .crossJoin(broadcast(consts))
       .groupBy(col(idCol))
-      .agg(round(max(col("__pr")) +
-          sum(coalesce(col("lp_pos"), col("__fp")) -
-            coalesce(col("lp_neg"), col("__fn"))), 6).as("nb_logit"),
+      .agg(round(lit(pr) +
+          sum(coalesce(col("lp_pos"), lit(fp)) -
+            coalesce(col("lp_neg"), lit(fn))), 6).as("nb_logit"),
         count(lit(1)).as("n_words"))
       .withColumn("nb_pred", col("nb_logit") > 0d)
   }
@@ -856,11 +863,16 @@ object TextAnalysis {
     */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    val consts = model.agg(max(col("__buckets")).as("__b"))
+    // bucket width resolves DRIVER-SIDE with the same empty-model refusal
+    // as [[nbScore]] (and for the same AQE reason: an empty build side
+    // prunes the inner join to an empty relation before any in-plan guard
+    // runs — the batch would silently vanish instead of erroring)
+    val b = model.agg(max(col("__buckets"))).head
+    require(!b.isNullAt(0), "dsirScore: model is empty or lacks __buckets")
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-      .crossJoin(broadcast(consts))
-      .select(col(idCol), pmod(tokenHash32(col("word")), col("__b")).as("bucket"))
+      .select(col(idCol),
+        pmod(tokenHash32(col("word")), lit(b.getLong(0))).as("bucket"))
       .join(broadcast(model.select("bucket", "lr")), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(round(sum(col("lr")), 6).as("dsir_logw"), count(lit(1)).as("n_feats"))

@@ -282,10 +282,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // t23: count plan's vocab distinct + per-doc sum + the pack window
       // on source (the source join broadcasts)
       "t23_bpe_pack" -> 3,
-      // t20: NB train census (vocab hash) + three 1-row single-partition
-      // aggs (totals, prior, scorer constants) + the per-doc sum; the
-      // model joins are broadcasts (QualityModelSpec's plan fence)
-      "t20_nb_quality" -> 5,
+      // t20: NB train census (vocab hash) + two 1-row single-partition
+      // aggs (totals, prior) + the per-doc sum; the scorer constants
+      // resolve driver-side and the model joins are broadcasts
+      // (QualityModelSpec's plan fence)
+      "t20_nb_quality" -> 3,
       // t21: ONE tagged-union bucket census (no census-vs-census join
       // exists) + the totals single + the per-doc sum
       "t21_dsir_weights" -> 3,

@@ -214,6 +214,27 @@ class QualityModelSpec extends AnyFunSuite {
       st, dsModel, "doc_id", "text"), "chkDs") === wantDs)
   }
 
+  test("an empty persisted model refuses loudly instead of silently nulling scores") {
+    val s = spark
+    import s.implicits._
+    val docs = heldOut.toDF("doc_id", "text")
+    val nbModel = TextAnalysis.nbTrain(train.toDF("doc_id", "text", "pos"),
+      "text", "pos")
+    val dsModel = TextAnalysis.dsirModel(docs, docs, "text", buckets = 32)
+    def msgOf(e: Throwable): String = {
+      var t = e; var m = Option(t.getMessage).getOrElse("")
+      while (t.getCause != null) { t = t.getCause
+        m += " " + Option(t.getMessage).getOrElse("") }
+      m
+    }
+    val e1 = intercept[Exception](TextAnalysis.nbScore(docs, "doc_id", "text",
+      nbModel.filter(lit(false))).collect())
+    assert(msgOf(e1).contains("model is empty"))
+    val e2 = intercept[Exception](TextAnalysis.dsirScore(docs, "doc_id", "text",
+      dsModel.filter(lit(false))).collect())
+    assert(msgOf(e2).contains("model is empty"))
+  }
+
   test("both model joins broadcast (vocab/bucket-sized build sides)") {
     val s = spark
     import s.implicits._
