@@ -160,11 +160,49 @@ object StreamAggs {
   def screenLmAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
       textCol: String, k: Double = 0.1)
       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val m = model.checkpointOwned() // resolved once, reused by every batch
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.ops.TextAnalysis.lmScore(batch.toDF(), idCol, textCol, k,
-        model = Some(m)), batchId)
+    modelScreen(stream, model) { (batch, m) =>
+      graft.ops.TextAnalysis.lmScore(batch, idCol, textCol, k,
+        model = Some(m))
+    }(sink)
+  }
+
+  /** The shared lifetime discipline of the model-screen family: the model
+    * resolves ONCE (checkpointOwned — per-batch re-resolution would re-run
+    * a chained trainer's corpus aggregate every trigger) and its block is
+    * RELEASED when the query terminates, through a self-removing
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] keyed by
+    * the writer's generated query name. Without the release, every screen
+    * START leaks one stream-lifetime block into a long-lived driver — the
+    * exact class CheckpointLifetimeSpec polices elsewhere. A caller that
+    * overrides `queryName` keeps the block for the JVM's life (the
+    * pre-release behavior); a stopped screen must be re-created, not
+    * re-started (its model lineage is gone by design).
+    */
+  private def modelScreen(stream: DataFrame, model: DataFrame)
+      (score: (DataFrame, DataFrame) => DataFrame)
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val m = model.checkpointOwned()
+    val name = s"graft-model-screen-${java.util.UUID.randomUUID()}"
+    val spark = model.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      @volatile private var myId: java.util.UUID = null
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == name) myId = e.id
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (myId != null && e.id == myId) {
+          graft.Checkpoints.release(m)
+          spark.streams.removeListener(this)
+        }
     }
+    spark.streams.addListener(listener)
+    stream.writeStream.queryName(name)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(score(batch.toDF(), m), batchId)
+      }
   }
 
   /** The learned-classifier twin of [[screenLmAtIngest]]: score each
@@ -177,13 +215,10 @@ object StreamAggs {
     */
   def screenNbAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
       textCol: String)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val m = model.checkpointOwned() // resolved once, reused by every batch
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.ops.TextAnalysis.nbScore(batch.toDF(), idCol, textCol, m),
-        batchId)
-    }
-  }
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    modelScreen(stream, model) { (batch, m) =>
+      graft.ops.TextAnalysis.nbScore(batch, idCol, textCol, m)
+    }(sink)
 
   /** DSIR importance weights at ingest: each micro-batch scored under a
     * [[graft.ops.TextAnalysis.dsirModel]] log-ratio table. The model is
@@ -194,13 +229,10 @@ object StreamAggs {
     */
   def screenDsirAtIngest(stream: DataFrame, model: DataFrame, idCol: String,
       textCol: String)
-      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val m = model.checkpointOwned() // resolved once, reused by every batch
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      sink(graft.ops.TextAnalysis.dsirScore(batch.toDF(), idCol, textCol, m),
-        batchId)
-    }
-  }
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    modelScreen(stream, model) { (batch, m) =>
+      graft.ops.TextAnalysis.dsirScore(batch, idCol, textCol, m)
+    }(sink)
 
   /** Per-key RUNNING fold held in the STATE STORE — the streaming A1 via
     * `flatMapGroupsWithState`. Each micro-batch's events fold into the

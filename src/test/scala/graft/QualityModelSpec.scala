@@ -214,6 +214,37 @@ class QualityModelSpec extends AnyFunSuite {
       st, dsModel, "doc_id", "text"), "chkDs") === wantDs)
   }
 
+  test("a stopped ingest screen releases its model block (no per-screen leak)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val model = TextAnalysis.nbTrain(
+      train.toDF("doc_id", "text", "pos"), "text", "pos")
+    val dir = java.nio.file.Files.createTempDirectory("graftscreenrel").toString
+    val base = s.sparkContext.getPersistentRDDs.size
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamAggs.screenNbAtIngest(
+        in.toDF().toDF("doc_id", "text"), model, "doc_id", "text") { (r, _) =>
+        r.count(): Unit
+      }
+      .option("checkpointLocation", s"$dir/chk").start()
+    try {
+      (0 until 3).foreach { b =>
+        in.addData((10L + b, "clean data"), (20L + b, "spam buy"))
+        q.processAllAvailable()
+        assert(s.sparkContext.getPersistentRDDs.size === base + 1,
+          s"batch $b: exactly the model's block, flat — never per-batch growth")
+      }
+    } finally q.stop()
+    // the termination listener fires on the async listener bus — poll
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (s.sparkContext.getPersistentRDDs.size > base &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(s.sparkContext.getPersistentRDDs.size === base,
+      "query termination must release the model block — a long-lived " +
+        "driver cycling screens would otherwise leak one block per start")
+  }
+
   test("an empty persisted model refuses loudly instead of silently nulling scores") {
     val s = spark
     import s.implicits._
