@@ -594,8 +594,13 @@ class EventLog(
             kind, body, discFn(d), new Timestamp(ts), 0, false)
         }
       }
-    val imported = phase("import: checkpoint rows")(minted.checkpointOwned())
-    val n = phase("import: count")(imported.count())
+    // the batch row count rides an `observe` tap on the checkpoint pass —
+    // the former separate count() was a second full pass over the minted
+    // batch (cached, but a pass and a job per import nonetheless; r16 opt)
+    val obsN = org.apache.spark.sql.Observation()
+    val imported = phase("import: checkpoint rows")(
+      minted.observe(obsN, count(lit(1)).as("n")).checkpointOwned())
+    val n = phase("import: count")(obsN.get("n").asInstanceOf[Long])
     if (n > 0) commitMode match {
       case CommitMode.Lock => writeEventsDF(imported.toDF())
       case CommitMode.Manifest =>
@@ -1516,11 +1521,17 @@ class EventLog(
       layout: CompactionLayout = CompactionLayout.IdSort): Unit = withLogLock(path) {
     if (!exists(eventsPath)) return
     if (commitMode == CommitMode.Manifest) {
-      // incremental, append-safe form: one file-level rewrite claim per
-      // bucket (identity transform + layout arrangement), exactly the
-      // maintenance-window-free cadence a 100 TB log needs
-      buckets.getOrElse((0 until numBuckets).toSeq)
-        .foreach(b => rewriteBucketManifest(eventsPath, evSchema, b, layout)(df => df))
+      // incremental, append-safe form: file-level rewrite claims — a
+      // single-bucket call keeps the per-bucket maintenance cadence a
+      // 100 TB log schedules (and the rival-compactor no-op semantics);
+      // a multi-bucket call batches the set under ONE claim / read /
+      // partitioned write instead of numBuckets independent
+      // read-rewrite-commit cycles (r16 opt: a full compact was ~3 jobs
+      // × numBuckets, now ~3 total)
+      val bs = buckets.getOrElse((0 until numBuckets).toSeq)
+      if (bs.size == 1)
+        rewriteBucketManifest(eventsPath, evSchema, bs.head, layout)(df => df)
+      else rewriteBucketsManifest(eventsPath, evSchema, bs, layout)(df => df)
       return
     }
     val scoped = buckets match {
@@ -1604,9 +1615,10 @@ class EventLog(
         val affected = droppedByBucket.keys.toSeq.sorted
         if (commitMode == CommitMode.Lock)
           rewriteBucketsOverwrite(eventsPath, evSchema, affected)(keep)
+        else if (affected.size == 1)
+          rewriteBucketManifest(eventsPath, evSchema, affected.head)(keep)
         else
-          affected.foreach(b =>
-            rewriteBucket(eventsPath, evSchema, b)(keep))
+          rewriteBucketsManifest(eventsPath, evSchema, affected)(keep)
       }
       Checkpoints.release(heads) // every rewrite consuming it has run
       dropped
@@ -1757,11 +1769,10 @@ class EventLog(
     val w = Window.partitionBy(col("aggregate_id")).orderBy(col("id").desc)
     if (commitMode == CommitMode.Manifest) {
       // bucket-local latest-per-key IS global latest-per-key (aggregate_id
-      // determines the bucket) — per-bucket rewrite claims, append-race-safe
-      (0 until numBuckets).foreach { b =>
-        rewriteBucketManifest(snapshotsPath, snSchema, b) { df =>
-          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-        }
+      // determines the bucket) — one batched rewrite claim over the bucket
+      // set (append-race-safe exactly as the per-bucket form; r16 opt)
+      rewriteBucketsManifest(snapshotsPath, snSchema, (0 until numBuckets)) { df =>
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       }
       return
     }
@@ -1969,6 +1980,95 @@ class EventLog(
         hfs.rename(fi.getPath,
           new org.apache.hadoop.fs.Path(bdir, s"c${claim.n}-${fi.getPath.getName}")): Unit
       }
+      hfs.delete(tmp, true)
+    }
+    manifest.markDone(claim.n) // atomic visibility switch; GC is separate
+    Checkpoints.release(out) // rewrite landed; drop the materialized blocks
+  }
+
+  /** Multi-bucket manifest rewrite under ONE claim: the same live-file
+    * input rules, staged token write and atomic done-flip as
+    * [[rewriteBucketManifest]], but one claim / one read / one partitioned
+    * write covers the whole bucket set (r16 opt). A full-log compact was
+    * previously numBuckets independent claims — numBuckets read-rewrite-
+    * commit cycles (3+ jobs each) where one suffices; per-bucket cadence
+    * remains available to maintenance schedulers by passing single-bucket
+    * sets (the rival-compactor no-op semantics of the single-bucket form
+    * are preserved there). The bucket column is re-derived from
+    * `aggregate_id` (both tables bucket by its FNV hash), so rows land
+    * back in their own directories.
+    */
+  private def rewriteBucketsManifest(tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, buckets: Seq[Int],
+      layout: CompactionLayout = CompactionLayout.IdSort)
+      (f: DataFrame => DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hfs = new org.apache.hadoop.fs.Path(tablePath).getFileSystem(conf)
+    var claimed: Option[CommitClaim] = None
+    var attempts = 0
+    var inputs: Seq[String] = Seq.empty
+    while (claimed.isEmpty && attempts < 100) {
+      val tip = manifest.refresh()
+      val chain = manifest.cachedClaims()
+      val staleNames = manifest.replacedRelnames()
+      val pendingRewrites = chain.filterNot(_.done)
+      val pendingTokens = pendingRewrites.map(c => s"c${c.n}-")
+      val pendingReplaced = pendingRewrites
+        .filter(_.kind == CommitClaim.KindRewrite)
+        .flatMap(_.replaced).map(ManifestCommitLog.relname).toSet
+      inputs = buckets.flatMap { b =>
+        val bdir = new org.apache.hadoop.fs.Path(s"$tablePath/bucket=$b")
+        if (!hfs.exists(bdir)) Seq.empty
+        else hfs.listStatus(bdir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filterNot { fi =>
+            val rel = ManifestCommitLog.relname(fi.getPath.toString)
+            staleNames.contains(rel) || pendingReplaced.contains(rel) ||
+              pendingTokens.exists(fi.getPath.getName.startsWith)
+          }
+          .map(_.getPath.toString)
+      }.sorted
+      if (inputs.isEmpty) return
+      val c = CommitClaim(tip + 1, Map.empty, Seq.empty, writerId,
+        System.currentTimeMillis(), done = false, CommitClaim.KindRewrite, inputs)
+      if (manifest.tryClaim(c)) claimed = Some(c) else attempts += 1
+    }
+    val claim = claimed.getOrElse(throw new IllegalStateException(
+      s"buckets ${buckets.mkString(",")} rewrite lost $attempts claim races"))
+    val cur = spark.read.schema(schema).parquet(inputs: _*)
+    val out = f(cur)
+      .withColumn("bucket",
+        pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(numBuckets)))
+      .checkpointOwned() // materialize before any deletes
+    if (!out.isEmpty) {
+      val tmpDir = s"$tablePath/.commit-tmp/c${claim.n}"
+      val arranged = layout match {
+        case CompactionLayout.IdSort =>
+          out.repartition(numBuckets, col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("id"))
+        case CompactionLayout.ZOrder(dims, bits, files) =>
+          out.withColumn("__zkey", graft.ops.Layout.zorderKey(dims, bits))
+            .repartitionByRange(numBuckets * files, col("bucket"), col("__zkey"))
+            .sortWithinPartitions(col("bucket"), col("__zkey"))
+            .drop("__zkey")
+      }
+      arranged
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .option("compression", EventLog.Compression).parquet(tmpDir)
+      val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+      hfs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .foreach { bdirS =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$tablePath/${bdirS.getPath.getName}")
+          hfs.mkdirs(dest)
+          hfs.listStatus(bdirS.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { fi =>
+              hfs.rename(fi.getPath, new org.apache.hadoop.fs.Path(dest,
+                s"c${claim.n}-${fi.getPath.getName}")): Unit
+            }
+        }
       hfs.delete(tmp, true)
     }
     manifest.markDone(claim.n) // atomic visibility switch; GC is separate

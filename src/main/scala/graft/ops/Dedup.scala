@@ -429,12 +429,15 @@ object Dedup {
       val nbr = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
       val mins = nbr.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
       // only larger neighbors are emitted — filter BEFORE the join so half
-      // the neighbor rows never shuffle into it
+      // the neighbor rows never shuffle into it. NO terminal distinct: the
+      // round's set barrier is small-star's distinct (set-equal output);
+      // deduplicating here costs a full (u,v) exchange per round for rows
+      // small-star's aggregate absorbs anyway (r16 opt: one exchange less
+      // per round, plan-verified, oracle-identical).
       nbr.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
     // Small-star: every node links itself and its SMALLER neighbors to the
     // minimum, canonicalizing each edge to child(>)→parent(<).
@@ -452,11 +455,18 @@ object Dedup {
     // (count, Σ xxhash64(u,v)) — an order-insensitive set signature; valid
     // because the edge orientation is canonical after small-star. The sum
     // runs in decimal(38,0): long sums of 64-bit hashes overflow under ANSI.
-    def signature(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)).as("n"),
+    // The signature rides an `observe` node ON the round's checkpoint pass
+    // (CollectMetrics is a streaming pass-through — no extra exchange, no
+    // plan change below it), so convergence detection costs ZERO extra
+    // jobs: the former per-round signature aggregation was a second full
+    // pass over the edge set, every round (r16 opt: one job and one edge
+    // pass fewer per round).
+    def signatureObs(): (org.apache.spark.sql.Observation,
+        DataFrame => DataFrame) = {
+      val obs = org.apache.spark.sql.Observation()
+      (obs, df => df.observe(obs, count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("h")).head()
-      (r.getLong(0), String.valueOf(r.get(1)))
+          lit(0).cast("decimal(38,0)")).as("h")))
     }
     var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().checkpointOwned()
@@ -467,14 +477,16 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // Checkpoint each round (the convergence probe is an action anyway,
-      // and the next round must not re-derive a growing lineage) and
-      // RELEASE the superseded round's blocks explicitly — the contraction
-      // holds one round's edge set in block storage, not all of them
-      // (Checkpoints contract: the new checkpoint is eager, so the old
+      // Checkpoint each round (the convergence probe's metrics fire on this
+      // same action, and the next round must not re-derive a growing
+      // lineage) and RELEASE the superseded round's blocks explicitly — the
+      // contraction holds one round's edge set in block storage, not all of
+      // them (Checkpoints contract: the new checkpoint is eager, so the old
       // frame is fully consumed by the time advance releases it).
-      e = Checkpoints.advance(e, smallStar(largeStar(e)))
-      val next = signature(e)
+      val (obs, tap) = signatureObs()
+      e = Checkpoints.advance(e, tap(smallStar(largeStar(e))))
+      val m = obs.get
+      val next = (m("n").asInstanceOf[Long], String.valueOf(m("h")))
       converged = next == sig
       sig = next
       round += 1

@@ -572,15 +572,24 @@ object LshIndex {
       compactIngestFenced(spark, path)
       val victims = ids.select(col(idCol).as("mh_id")).distinct()
       val full = spark.read.parquet(live.toString)
-      val before = full.count()
-      full.join(broadcast(victims), Seq("mh_id"), "left_anti")
+      // before/after row counts ride `observe` taps ON the staged rewrite
+      // itself (CollectMetrics is a pass-through): the rewrite is the ONE
+      // full scan this verb fundamentally needs — the former separate
+      // count() before and re-read count() after the swap were two more
+      // full index passes per forget (r16 opt; at 100 TB the erase-must-
+      // rewrite pass dominates, so this is 3 passes → 1).
+      val obsBefore = org.apache.spark.sql.Observation()
+      val obsAfter = org.apache.spark.sql.Observation()
+      full.observe(obsBefore, count(lit(1)).as("n"))
+        .join(broadcast(victims), Seq("mh_id"), "left_anti")
+        .observe(obsAfter, count(lit(1)).as("n"))
         .repartition(col("band"), col("sb"))
         .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(staged.toString)
       writeGrid(fs, staged, gridBuckets) // grid unchanged by forget
       if (!fs.delete(live, true) || !fs.rename(staged, live))
         throw new java.io.IOException(s"index forget swap failed at $path")
-      before - spark.read.parquet(live.toString).count()
+      obsBefore.get("n").asInstanceOf[Long] - obsAfter.get("n").asInstanceOf[Long]
     }
 
   /** The index's signature frame: `sigs ∪ ingest` (each side keeps its own

@@ -1272,14 +1272,21 @@ object Similarity {
       val cents = spark.read.parquet(g.centroids)
         .checkpointOwned() // staged copy below must not lazily re-read live dirs
       val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-      val before = full.count()
+      // before/after counts ride `observe` taps on the staged rewrite (the
+      // one full scan the verb needs) instead of a separate count() before
+      // and a re-read count() after the publish — 3 full cell-table passes
+      // → 1 (r16 opt, the LshIndex.forgetRows twin).
+      val obsBefore = org.apache.spark.sql.Observation()
+      val obsAfter = org.apache.spark.sql.Observation()
       publishGeometry(spark, path) { next =>
         cents.write.mode("overwrite").parquet(s"$path/centroids@$next")
-        full.join(broadcast(victims), Seq("vec_id"), "left_anti")
+        full.observe(obsBefore, count(lit(1)).as("n"))
+          .join(broadcast(victims), Seq("vec_id"), "left_anti")
+          .observe(obsAfter, count(lit(1)).as("n"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$path/cells@$next")
       }
-      before - spark.read.parquet(snapshotGeometry(spark, path).cells).count()
+      obsBefore.get("n").asInstanceOf[Long] - obsAfter.get("n").asInstanceOf[Long]
     }
 
   /** Per-cell health of a persisted IVF-family index (plain, SQ8, or PQ —

@@ -94,4 +94,10 @@ object Bridge {
             lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
+
+  /** Drain the listener bus — lets measurement tools attribute listener
+    * events to the query that produced them (dev tooling only).
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
