@@ -70,7 +70,10 @@ object LshIndex {
     // hashed silently match nothing. Refuse instead (IndexLifecycle parity
     // with the IVF snapshotGeometry check).
     IndexLifecycle.assertNoPendingBuild(spark, path)
-    val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
+    // fixed writer-controlled schema: stating it skips the footer-read
+    // schema-inference job every meta read pays (r16 opt)
+    val r = spark.read.schema("bands INT, shingle_size INT, sig_buckets INT")
+      .parquet(s"$path/lsh_meta").collect()(0)
     val sb = r.getInt(r.fieldIndex("sig_buckets"))
     val fs = fsOf(spark, path)
     gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>
@@ -483,7 +486,9 @@ object LshIndex {
       Seq("mh_id", "band", "sig"), () => {
         // raw parameter read (no grid cross-check): reshard is the REPAIR
         // for a meta/grid mismatch, so it must be callable while one exists
-        val r0 = spark.read.parquet(s"$path/lsh_meta").collect()(0)
+        val r0 = spark.read
+          .schema("bands INT, shingle_size INT, sig_buckets INT")
+          .parquet(s"$path/lsh_meta").collect()(0)
         Seq((r0.getInt(r0.fieldIndex("bands")),
             r0.getInt(r0.fieldIndex("shingle_size")), newSigBuckets))
           .toDF("bands", "shingle_size", "sig_buckets")

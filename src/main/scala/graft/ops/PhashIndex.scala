@@ -48,7 +48,9 @@ object PhashIndex {
   private def meta(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     IndexLifecycle.assertNoPendingBuild(spark, path)
-    val r = spark.read.parquet(s"$path/phash_meta").collect()(0)
+    // fixed writer-controlled schema — skips the schema-inference job
+    val r = spark.read.schema("sig_buckets INT")
+      .parquet(s"$path/phash_meta").collect()(0)
     val sb = r.getInt(r.fieldIndex("sig_buckets"))
     val fs = LshIndex.fsOf(spark, path)
     LshIndex.gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>

@@ -271,6 +271,19 @@ object Similarity {
       assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
   }
 
+
+  /** Read a small unpartitioned metadata table (centroid frames) with its
+    * schema taken from one footer on the driver — skips the per-read
+    * schema-inference JOB `spark.read.parquet` pays (r16 opt; the id
+    * column's type follows the caller's corpus, so it cannot be a literal
+    * schema like `sq_scale`'s).
+    */
+  private def readSmall(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(
+      org.apache.spark.sql.graftbridge.Bridge.parquetSchemaOf(spark, path))
+      .parquet(path)
+
   /** The deterministic first-`nlist` centroid seed (the e3 oracle's form). */
   def defaultCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): DataFrame =
@@ -324,12 +337,15 @@ object Similarity {
           element_at(ids, graft.functions.nearest_centroid(col(outVec), mat)
             .getField("idx") + 1).as("cell"))
     } else {
-      val d = cents.select(size(col("cent"))).head.getInt(0)
+      // the matryoshka truncation depth is size(cent), read per-row from
+      // the broadcast centroid (all centroids share the dims) instead of a
+      // separate `.head` job just to fetch the dimension — one fewer
+      // driver round trip per probe (r16 opt); per-row values identical
       val w = Window.partitionBy(col(outId))
         .orderBy(col("csim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId),
-          asDouble(slice(col(vecCol), 1, d)).as(outVec))
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as("__full"))
         .join(broadcast(cents), lit(true))
+        .withColumn(outVec, slice(col("__full"), lit(1), size(col("cent"))))
         .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= nCells)
@@ -637,7 +653,7 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfIndex") {
       val g = snapshotGeometry(spark, path)
-      val cents = spark.read.parquet(g.centroids)
+      val cents = readSmall(spark, g.centroids)
       assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
         .write.mode("append").partitionBy("cell").parquet(g.cells)
     }
@@ -652,7 +668,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2, excludeBatch: Option[Long] = None): DataFrame = {
     val g = snapshotGeometry(spark, path)
-    val cents = spark.read.parquet(g.centroids)
+    val cents = readSmall(spark, g.centroids)
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)
     val base = spark.read.parquet(g.cells)
       .select(col("vec_id"), col("ce"), col("cell"))
@@ -692,7 +708,7 @@ object Similarity {
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
-        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
+        val cents = readSmall(spark, snapshotGeometry(spark, path).centroids)
         assignCells(batch, idCol, vecCol, cents, "vec_id", "ce", 1)
           .withColumn("b", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -765,7 +781,7 @@ object Similarity {
         .parquet(s"$path/sq_meta")
       // read the scale back: the persisted row is the single source of truth
       // the append/probe paths will read, so the build assigns from it too
-      val scale = spark.read.parquet(s"$path/sq_scale")
+      val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
       assignCellsSq(c, idCol, vecCol, cents, scale)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       IndexLifecycle.endBuild(spark, path)
@@ -783,7 +799,9 @@ object Similarity {
       path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/sq_meta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && spark.read.parquet(p.toString)
+    // fixed writer-controlled schema: stating it skips the footer-read
+    // schema-inference job every read of this one-row table pays (r16 opt)
+    fs.exists(p) && spark.read.schema("normalized BOOLEAN").parquet(p.toString)
       .collect().headOption.exists(_.getBoolean(0))
   }
 
@@ -797,8 +815,8 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfSqIndex") {
       val g = snapshotGeometry(spark, path)
-      val cents = spark.read.parquet(g.centroids)
-      val scale = spark.read.parquet(s"$path/sq_scale")
+      val cents = readSmall(spark, g.centroids)
+      val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
       val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
       assignCellsSq(b, idCol, vecCol, cents, scale)
         .write.mode("append").partitionBy("cell").parquet(g.cells)
@@ -825,8 +843,8 @@ object Similarity {
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
-        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
-        val scale = spark.read.parquet(s"$path/sq_scale")
+        val cents = readSmall(spark, snapshotGeometry(spark, path).centroids)
+        val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
         val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
         assignCellsSq(b, idCol, vecCol, cents, scale)
           .withColumn("b", lit(batchId))
@@ -1050,8 +1068,8 @@ object Similarity {
       excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
     val g = snapshotGeometry(spark, path)
-    val cents = spark.read.parquet(g.centroids)
-    val scale = spark.read.parquet(s"$path/sq_scale")
+    val cents = readSmall(spark, g.centroids)
+    val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
     // a normalized index quantizes normalized queries (the persisted flag,
     // set once at build); cosine rescoring below is norm-invariant, so the
     // flag only affects the compressed-domain pre-rank
@@ -1269,7 +1287,7 @@ object Similarity {
       compactIvfIngestFenced(spark, path)
       val g = snapshotGeometry(spark, path)
       val full = spark.read.parquet(g.cells)
-      val cents = spark.read.parquet(g.centroids)
+      val cents = readSmall(spark, g.centroids)
         .checkpointOwned() // staged copy below must not lazily re-read live dirs
       val victims = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
       // before/after counts ride `observe` taps on the staged rewrite (the
@@ -1303,7 +1321,7 @@ object Similarity {
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val g = snapshotGeometry(spark, path)
-    val cents = spark.read.parquet(g.centroids)
+    val cents = readSmall(spark, g.centroids)
     val base = spark.read.parquet(g.cells)
       .select(col("vec_id"), col("ce"), col("cell"))
     val cells = ingestCells(spark, path)
@@ -1469,25 +1487,33 @@ object Similarity {
     */
   def farthestFirstCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(1)
-      .select(col(idCol).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cent"))
-      .checkpointOwned()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The chosen set is nlist-bounded DRIVER METADATA by contract (every
+    // round already collected it for the kernel matrix), so it accumulates
+    // in a local buffer: each round is exactly ONE distributed job — the
+    // shuffle-free corpus scan ending in TakeOrdered(1) — where the frame-
+    // union form paid three (collect the frame, scan, re-checkpoint the
+    // union) per centroid (r16 opt; e9 seed phase 3 jobs/round → 1).
+    // Arithmetic is unchanged: the kernel's csim is the max of per-pair
+    // round(·,6) similarities, order-independent over the chosen set.
+    val first = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(first.nonEmpty, "empty centroid corpus")
+    val chosen = scala.collection.mutable.ArrayBuffer(first.head)
     (2 to nlist).foreach { _ =>
-      // per-row max-similarity via the codegen'd kernel (the winner's
-      // rounded csim IS the max over chosen centroids — same per-pair
-      // round(·,6) then max as the groupBy form): each round is one
-      // shuffle-free scan ending in TakeOrdered(1) — the groupBy form
-      // exchanged corpus-sized frames once per centroid
-      val (_, mat) = collectCentroids(cents)
+      val mat = chosen.map(_._2).toArray
       val next = corpus
         .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
         .withColumn("maxsim",
           graft.functions.nearest_centroid(col("v"), mat).getField("csim"))
         .orderBy(col("maxsim").asc, col("cid").asc).limit(1)
-        .select(col("cid").as("cent_id"), col("v").as("cent"))
-      cents = cents.union(next).checkpointOwned()
+        .select(col("cid"), col("v"))
+        .collect()
+      next.foreach(r => chosen += ((r.getLong(0), r.getSeq[Double](1).toArray)))
     }
-    cents
+    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cent")
   }
 
   /** Driver-local twin of `farthestFirstCentroids` for BOUNDED samples.
@@ -1550,11 +1576,17 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var cents = farthestFirstCentroids(corpus, idCol, vecCol, nlist)
     (1 to iters).foreach { _ =>
       // nearest-centroid assignment as the codegen'd kernel (same winner
       // and tie-break as the window form): each Lloyd round scans the
-      // corpus once; only the nlist×dims mean aggregation below exchanges
+      // corpus once; only the nlist×dims mean aggregation below exchanges.
+      // The round's result is nlist rows of driver metadata — collect it
+      // into a LocalRelation instead of checkpointing a distributed frame
+      // (one job per round instead of checkpoint + next round's collect;
+      // same exact per-dimension means, same rows; r16 opt).
       val (ids, mat) = collectCentroids(cents)
       val assigned = corpus
         .select(col(idCol).as("rid"), asDouble(col(vecCol)).as("v"))
@@ -1566,7 +1598,9 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cent"))
-        .checkpointOwned() // broadcast next round / by the caller
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("cent_id", "cent")
     }
     cents
   }
@@ -1882,7 +1916,10 @@ object Similarity {
 
   private def readBooks(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(path).collect()
+    // fixed writer-controlled schema (writeBooks): stating it skips the
+    // footer-read schema-inference job per read (r16 opt)
+    val rows = spark.read.schema("s INT, c INT, cent ARRAY<DOUBLE>")
+      .parquet(path).select("s", "c", "cent").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
     val kc = rows.map(_._2).max + 1
@@ -1942,7 +1979,7 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String): Unit =
     withIndexMutation(spark, path, "appendToIvfPqIndex") {
       val g = snapshotGeometry(spark, path)
-      val cents = spark.read.parquet(g.centroids)
+      val cents = readSmall(spark, g.centroids)
       val books = readBooks(spark, s"$path/books")
       assignCellsPq(batch, idCol, vecCol, cents, books)
         .write.mode("append").partitionBy("cell").parquet(g.cells)
@@ -1963,7 +2000,7 @@ object Similarity {
       if (batchFolded(spark, path, batchId)) ()
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
-        val cents = spark.read.parquet(snapshotGeometry(spark, path).centroids)
+        val cents = readSmall(spark, snapshotGeometry(spark, path).centroids)
         val books = readBooks(spark, s"$path/books")
         assignCellsPq(batch, idCol, vecCol, cents, books)
           .withColumn("b", lit(batchId))
@@ -1989,7 +2026,7 @@ object Similarity {
       excludeBatch: Option[Long] = None): DataFrame = {
     require(rerank >= 1, "rerank must be >= 1")
     val g = snapshotGeometry(spark, path)
-    val cents = spark.read.parquet(g.centroids)
+    val cents = readSmall(spark, g.centroids)
     val books = readBooks(spark, s"$path/books")
     // probe side (tiny by contract): nprobe cells + the ADC tables
     val q = assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe)

@@ -100,4 +100,29 @@ object Bridge {
     */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Schema of a small UNPARTITIONED parquet table, read from one file
+    * footer ON THE DRIVER — what Spark's schema inference computes with a
+    * (driver-round-trip) job per `read.parquet` call. For the engine's
+    * tiny single-write metadata tables (index centroids and the like,
+    * where the id column's type follows the caller's corpus and cannot be
+    * hard-coded) this replaces inference-job + collect-job with just the
+    * collect. Matches inference semantics: mergeSchema=false reads one
+    * footer too.
+    */
+  def parquetSchemaOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val file = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .minBy(_.getPath.getName).getPath
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      .convert(footer.getFileMetaData.getSchema)
+  }
 }
