@@ -59,6 +59,16 @@ object SparkEntry {
       "source" -> "s", "n_chars" -> "i"),
     "embeddings" -> Map("vec_id" -> "i", "embedding" -> "vf", "label" -> "i"))
 
+  /** Inferred schema per testdata file, memoized for the session: the
+    * inputs are immutable within a run, and every bare `read.parquet` pays
+    * a distributed footer schema-inference JOB before any data is read —
+    * one job per table per query evaluation, ~150 of them per bench sweep
+    * (r16 opt). The memo holds SCHEMAS (metadata), never rows or results;
+    * the drift guard below still validates every load against it.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types._
     // The driver's events table has shipped with ts as TIMESTAMP(NANOS) (rounds
@@ -73,7 +83,10 @@ object SparkEntry {
     // normalization applies to EVERY table (lineitem/orders date columns are
     // untagged micros too), and every load passes the drift guard above.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/$name.parquet")
+    val fpath = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(fpath, p =>
+      org.apache.spark.sql.graftbridge.Bridge.parquetSchemaOf(s, p))
+    val raw = s.read.schema(sch).parquet(fpath)
     // ts may be ABSENT under a renaming regeneration — skip the conversion
     // and let the guard below report the named MISSING drift, instead of
     // dying here with Spark's bare "Field ts does not exist"

@@ -615,7 +615,18 @@ object LshIndex {
       excludeBatch: Option[Long]): DataFrame = {
     import org.apache.hadoop.fs.Path
     IndexLifecycle.assertNoPendingBuild(spark, path)
-    val main = spark.read.parquet(s"$path/sigs")
+    // data-file schema from ONE footer on the driver + the grid's fixed
+    // partition columns (band/sb are written as ints by every signer; the
+    // ingest side adds its int batch dir) — a bare read.parquet would pay
+    // a distributed schema-inference job per read (r16 opt); the id/word
+    // columns still follow the family via the footer.
+    val dataSchema = org.apache.spark.sql.graftbridge.Bridge
+      .parquetSchemaOf(spark, s"$path/sigs")
+    val partCols = new org.apache.spark.sql.types.StructType()
+      .add("band", "int").add("sb", "int")
+    val main = spark.read
+      .schema(org.apache.spark.sql.types.StructType(dataSchema ++ partCols))
+      .parquet(s"$path/sigs")
       .select(dataCols.map(col): _*)
     val ing = new Path(s"$path/ingest")
     val fs = fsOf(spark, path)
@@ -628,7 +639,10 @@ object LshIndex {
         (s.isDirectory && hasData(s.getPath)))
     if (!fs.exists(ing) || !hasData(ing)) main
     else {
-      val side0 = spark.read.parquet(ing.toString)
+      val side0 = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          dataSchema.add("b", "int") ++ partCols))
+        .parquet(ing.toString)
       val side = excludeBatch.fold(side0)(b => side0.filter(col("b") =!= b))
       main.unionByName(side.select(dataCols.map(col): _*))
     }

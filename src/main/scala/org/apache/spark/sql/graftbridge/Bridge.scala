@@ -115,9 +115,17 @@ object Bridge {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    val file = fs.listStatus(p)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .minBy(_.getPath.getName).getPath
+    def leaf(d: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(d).sortBy(_.getPath.getName)
+      st.collectFirst {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+      }.orElse(st.filter(_.isDirectory).iterator.flatMap(s => leaf(s.getPath))
+        .nextOption())
+    }
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else leaf(p).getOrElse(throw new java.io.FileNotFoundException(
+        s"no parquet file under $dir"))
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, file,
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
