@@ -101,6 +101,20 @@ object Bridge {
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Is this frame already a materialized leaf (checkpointed RDD or local
+    * rows)? Lets "materialize once" helpers skip re-checkpointing a frame
+    * a caller already pinned — the streaming model-screen passes its
+    * per-query checkpointed model into the batch scorer every micro-batch,
+    * and re-checkpointing there would leak one block set per batch.
+    */
+  def isMaterializedLeaf(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+
   /** Schema of a small UNPARTITIONED parquet table, read from one file
     * footer ON THE DRIVER — what Spark's schema inference computes with a
     * (driver-round-trip) job per `read.parquet` call. For the engine's
