@@ -79,7 +79,8 @@ object Dedup {
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame =
-    df.select(col(idCol).as("set_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+    Par.fanOut(df)
+      .select(col(idCol).as("set_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("set_id"),
         array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
 
@@ -99,6 +100,10 @@ object Dedup {
     // shingling happens INSIDE the expression (token array = single child
     // reference): a separate shingle-array projection here collapses into
     // the tokenizer re-evaluation trap (measured 6× on d2 at sf0.1)
+    // fanOut deliberately NOT applied: the codegen'd signer is cheap per
+    // row (~0.3 ms/doc) and its callers sign corpus SLICES — the exchange
+    // cost exceeded the single-task compute at every measured tier
+    // (d17 +1.8 s, d2 +0.4 s at sf0.1)
     df.select(col(idCol).as("mh_id"), graft.functions.minhash_shingle_sigs(
         TextAnalysis.tokens(col(textCol)), shingleSize,
         MinhashA.take(bands), MinhashC.take(bands), MinhashP).as("__sigs"))
@@ -730,7 +735,7 @@ object Dedup {
       spanTokens: Int = 10): DataFrame = {
     require(spanTokens >= 1, "spanTokens >= 1")
     val nSpans = ceil(size(col("__ws")).cast("double") / spanTokens).cast("int")
-    val spans = df
+    val spans = Par.fanOut(df)
       .select(col(idCol).as("sd_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("sd_id"), posexplode(transform(sequence(lit(0), nSpans - 1),
         i => concat_ws(" ", slice(col("__ws"), i * spanTokens + 1, lit(spanTokens))))))
@@ -784,7 +789,7 @@ object Dedup {
       windowTokens: Int = 8): DataFrame = {
     require(windowTokens >= 2, "windowTokens >= 2")
     val k = windowTokens
-    val tok = df.select(col(idCol).as("ssd_id"),
+    val tok = Par.fanOut(df).select(col(idCol).as("ssd_id"),
       TextAnalysis.tokens(col(textCol)).as("__ws"))
     val wins = tok.filter(size(col("__ws")) >= k)
       .select(col("ssd_id"),

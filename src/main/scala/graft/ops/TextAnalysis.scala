@@ -842,7 +842,7 @@ object TextAnalysis {
       buckets: Int = 4096, k: Double = 0.5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(k > 0, "smoothing k must be > 0")
-    def side(df: DataFrame, isTarget: Boolean) = df
+    def side(df: DataFrame, isTarget: Boolean) = Par.fanOut(df)
       .select(lit(isTarget).as("__t"), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(col("__t"), pmod(tokenHash32(col("word")), lit(buckets.toLong)).as("bucket"))
@@ -883,7 +883,8 @@ object TextAnalysis {
     // runs — the batch would silently vanish instead of erroring)
     val b = m.agg(max(col("__buckets"))).head
     require(!b.isNullAt(0), "dsirScore: model is empty or lacks __buckets")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    Par.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(col(idCol),
         pmod(tokenHash32(col("word")), lit(b.getLong(0))).as("bucket"))
