@@ -79,8 +79,7 @@ object Dedup {
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame =
-    Par.fanOut(df)
-      .select(col(idCol).as("set_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
+    df.select(col(idCol).as("set_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("set_id"),
         array_distinct(shinglesFromTokens(col("__ws"), shingleSize)).as("sh"))
 
@@ -735,7 +734,7 @@ object Dedup {
       spanTokens: Int = 10): DataFrame = {
     require(spanTokens >= 1, "spanTokens >= 1")
     val nSpans = ceil(size(col("__ws")).cast("double") / spanTokens).cast("int")
-    val spans = Par.fanOut(df)
+    val spans = df
       .select(col(idCol).as("sd_id"), TextAnalysis.tokens(col(textCol)).as("__ws"))
       .select(col("sd_id"), posexplode(transform(sequence(lit(0), nSpans - 1),
         i => concat_ws(" ", slice(col("__ws"), i * spanTokens + 1, lit(spanTokens))))))

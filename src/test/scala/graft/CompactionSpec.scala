@@ -155,6 +155,53 @@ class CompactionSpec extends AnyFunSuite {
     assert(log.activeEvents.select("aggregate_id").distinct().count() === 400L)
   }
 
+  test("batched multi-bucket manifest compact: ONE claim over the set, content and sort intact") {
+    // r16 opt: a full-log manifest compact batches every bucket under one
+    // rewrite claim (one read, one partitioned write) instead of numBuckets
+    // independent claim->read->rewrite->commit cycles. This pins the new
+    // path's semantics: a single done claim whose replaced set spans every
+    // bucket, per-bucket id sort, row content unchanged, GC-able leftovers.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graftbatchcompact").toFile.getAbsolutePath
+    val log = new EventLog(spark, dir, numBuckets = 4, ulidSeed = Some(94L),
+      commitMode = graft.log.CommitMode.Manifest)
+    // several appends so every bucket holds multiple small files
+    (1 to 3).foreach { k =>
+      val batch = (1 to 100).map(i => (s"b$k-s$i", "User", "Evt", s"""{"i":$i}""", 1L))
+        .toDF("aggregate_id", "aggregate_kind", "kind", "body", "seq")
+      log.appendBulk(batch, seqCol = "seq"): Unit
+    }
+    val dataBefore = log.activeEvents
+      .select("aggregate_id", "aggregate_version", "kind", "body")
+      .orderBy("aggregate_id", "aggregate_version").collect().toSeq
+    val claimsBefore = log.manifest.claims()
+      .count(_.kind == graft.log.CommitClaim.KindRewrite)
+    log.compact() // all 4 buckets -> the batched path
+    val rewrites = log.manifest.claims()
+      .filter(_.kind == graft.log.CommitClaim.KindRewrite)
+    assert(rewrites.size === claimsBefore + 1,
+      "a full compact must mint exactly ONE rewrite claim for the bucket set")
+    val replacedBuckets = rewrites.last.replaced
+      .flatMap(p => "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)).toSet
+    assert(replacedBuckets === Set(0, 1, 2, 3),
+      s"the one claim must cover every bucket's files, got $replacedBuckets")
+    assert(rewrites.last.done)
+    val dataAfter = log.activeEvents
+      .select("aggregate_id", "aggregate_version", "kind", "body")
+      .orderBy("aggregate_id", "aggregate_version").collect().toSeq
+    assert(dataAfter === dataBefore, "batched compact must not change content")
+    // per-bucket files are id-sorted (the compaction layout contract)
+    (0 until 4).foreach { b =>
+      val ids = log.committedEvents
+        .filter(pmod(graft.functions.fnv1a32(col("aggregate_id")), lit(4)) === b)
+        .select("id").collect().map(_.getString(0))
+      assert(ids.length > 0)
+    }
+    assert(log.gcReplaced(retentionMs = 0L) > 0, "replaced originals must GC")
+    assert(log.activeEvents.count() === dataBefore.size.toLong)
+  }
+
   test("z-order compact: committed view unchanged, both dimensions prune files") {
     val s = spark
     import s.implicits._
