@@ -221,7 +221,11 @@ class QualityModelSpec extends AnyFunSuite {
     val model = TextAnalysis.nbTrain(
       train.toDF("doc_id", "text", "pos"), "text", "pos")
     val dir = java.nio.file.Files.createTempDirectory("graftscreenrel").toString
-    val base = s.sparkContext.getPersistentRDDs.size
+    // track NEW block ids, not the count: earlier suites' leftover blocks can
+    // be reclaimed by the ContextCleaner mid-test, so a size comparison races
+    // with their asynchronous release (observed flaky in full-suite runs)
+    val base = s.sparkContext.getPersistentRDDs.keySet
+    def fresh() = s.sparkContext.getPersistentRDDs.keySet -- base
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = graft.streaming.StreamAggs.screenNbAtIngest(
         in.toDF().toDF("doc_id", "text"), model, "doc_id", "text") { (r, _) =>
@@ -232,15 +236,15 @@ class QualityModelSpec extends AnyFunSuite {
       (0 until 3).foreach { b =>
         in.addData((10L + b, "clean data"), (20L + b, "spam buy"))
         q.processAllAvailable()
-        assert(s.sparkContext.getPersistentRDDs.size === base + 1,
+        assert(fresh().size === 1,
           s"batch $b: exactly the model's block, flat — never per-batch growth")
       }
     } finally q.stop()
     // the termination listener fires on the async listener bus — poll
     val deadline = System.nanoTime() + 15_000_000_000L
-    while (s.sparkContext.getPersistentRDDs.size > base &&
+    while (fresh().nonEmpty &&
       System.nanoTime() < deadline) Thread.sleep(50)
-    assert(s.sparkContext.getPersistentRDDs.size === base,
+    assert(fresh().isEmpty,
       "query termination must release the model block — a long-lived " +
         "driver cycling screens would otherwise leak one block per start")
   }
