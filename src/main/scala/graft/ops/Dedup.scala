@@ -445,14 +445,27 @@ object Dedup {
     }
     // Small-star: every node links itself and its SMALLER neighbors to the
     // minimum, canonicalizing each edge to child(>)→parent(<).
+    //
+    // Both output branches — (neighbor → min) per edge and (node → min) per
+    // key — emit from the SAME joined row via one explode: the former
+    // union's second branch (`mins.select(u, m)`) referenced `mins` a
+    // second time, and since mins derives from `o`, the round's ENTIRE
+    // upstream subtree (largeStar's join included) was planned and executed
+    // once more per reference (r17 opt: one mins aggregation and one full
+    // upstream evaluation fewer per round; plans/r17/cc_round_*.txt). The
+    // (u, m) branch now emits once per edge instead of once per key —
+    // set-equal after the terminal distinct, which was already the round's
+    // set barrier.
     def smallStar(e: DataFrame): DataFrame = {
       val o = e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
       val mins = o.groupBy("u").agg(min(col("v")).as("m"))
       o.join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m")))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
@@ -487,8 +500,18 @@ object Dedup {
       // contraction holds one round's edge set in block storage, not all of
       // them (Checkpoints contract: the new checkpoint is eager, so the old
       // frame is fully consumed by the time advance releases it).
+      // Materialize the half-round: lazily fused, smallStar's plan
+      // references largeStar's output through both its join side and its
+      // mins aggregate, so the largeStar join (a full pass over the round's
+      // edge set) would execute TWICE inside one round's action. One extra
+      // driver barrier per round buys largeStar-once — at 100 TB a full
+      // recompute of a billions-of-edges join dwarfs a job launch (r17 opt;
+      // measured on d15/d16 at sf0.1 too). Blocks release right after the
+      // round's checkpoint materializes.
+      val half = largeStar(e).checkpointOwned()
       val (obs, tap) = signatureObs()
-      e = Checkpoints.advance(e, tap(smallStar(largeStar(e))))
+      e = Checkpoints.advance(e, tap(smallStar(half)))
+      Checkpoints.release(half)
       val m = obs.get
       val next = (m("n").asInstanceOf[Long], String.valueOf(m("h")))
       converged = next == sig

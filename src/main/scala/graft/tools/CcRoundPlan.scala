@@ -62,6 +62,31 @@ object CcRoundPlan {
     println(fmt(smallStar(largeStarNew(e)).observe(obs, count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("h"))))
+
+    // r17 shape: largeStar materialized per round (its join executes once,
+    // not once per reference), smallStar emits both branches from one
+    // joined row via explode (o and mins each referenced exactly once)
+    def smallStarR17(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+      o.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    println("========== r17 half-round: largeStar, materialized per round (executes ONCE) ==========")
+    println(fmt(largeStarNew(e)))
+    println("========== r17 round: smallStar over the materialized half-round, one reference to o and mins, signature as CollectMetrics ==========")
+    val half = largeStarNew(e).localCheckpoint()
+    val obs17 = org.apache.spark.sql.Observation()
+    println(fmt(smallStarR17(half).observe(obs17, count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))))
     spark.stop()
   }
 }
