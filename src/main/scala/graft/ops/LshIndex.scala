@@ -70,17 +70,21 @@ object LshIndex {
     // hashed silently match nothing. Refuse instead (IndexLifecycle parity
     // with the IVF snapshotGeometry check).
     IndexLifecycle.assertNoPendingBuild(spark, path)
-    // fixed writer-controlled schema: stating it skips the footer-read
-    // schema-inference job every meta read pays (r16 opt)
-    val r = spark.read.schema("bands INT, shingle_size INT, sig_buckets INT")
-      .parquet(s"$path/lsh_meta").collect()(0)
-    val sb = r.getInt(r.fieldIndex("sig_buckets"))
+    // one-row parameter table, read driver-side with no Spark job (r17
+    // opt; the former distributed read cost one collect job per lifecycle
+    // verb — 4 per d17-shaped lifecycle). Absence/corruption propagate
+    // exactly as before.
+    val (sch, rows) = org.apache.spark.sql.graftbridge.Bridge
+      .localParquetRows(spark, s"$path/lsh_meta")
+    val r = rows.get(0)
+    def f(n: String) = r.getInt(sch.fieldIndex(n))
+    val sb = f("sig_buckets")
     val fs = fsOf(spark, path)
     gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>
       require(g == sb,
         s"lsh index at $path: sigs grid $g != lsh_meta sig_buckets $sb — " +
           "a crashed reshard left the swap incomplete; re-run LshIndex.reshard"))
-    (r.getInt(r.fieldIndex("bands")), r.getInt(r.fieldIndex("shingle_size")), sb)
+    (f("bands"), f("shingle_size"), sb)
   }
 
   private[ops] def gridMarker(dir: org.apache.hadoop.fs.Path) =

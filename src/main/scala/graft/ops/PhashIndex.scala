@@ -48,10 +48,11 @@ object PhashIndex {
   private def meta(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     IndexLifecycle.assertNoPendingBuild(spark, path)
-    // fixed writer-controlled schema — skips the schema-inference job
-    val r = spark.read.schema("sig_buckets INT")
-      .parquet(s"$path/phash_meta").collect()(0)
-    val sb = r.getInt(r.fieldIndex("sig_buckets"))
+    // one-row parameter table, read driver-side with no Spark job (r17
+    // opt; absence/corruption propagate exactly as before)
+    val (sch, rows) = org.apache.spark.sql.graftbridge.Bridge
+      .localParquetRows(spark, s"$path/phash_meta")
+    val sb = rows.get(0).getInt(sch.fieldIndex("sig_buckets"))
     val fs = LshIndex.fsOf(spark, path)
     LshIndex.gridOf(fs, new org.apache.hadoop.fs.Path(s"$path/sigs")).foreach(g =>
       require(g == sb,

@@ -272,17 +272,22 @@ object Similarity {
   }
 
 
-  /** Read a small unpartitioned metadata table (centroid frames) with its
-    * schema taken from one footer on the driver — skips the per-read
-    * schema-inference JOB `spark.read.parquet` pays (r16 opt; the id
-    * column's type follows the caller's corpus, so it cannot be a literal
-    * schema like `sq_scale`'s).
+  /** Read a small unpartitioned metadata table (centroid frames, SQ
+    * scales) ENTIRELY ON THE DRIVER into a LocalRelation — bounded by
+    * contract (nlist centroids, a one-row scale), these tables cost a
+    * distributed scan job per read even after r16's schema fix, one per
+    * lifecycle verb. As a LocalRelation the frame also broadcasts without
+    * a distributed build job, and driver-side consumers (collectCentroids,
+    * the probe-side truncation depth) read it with no job at all (r17
+    * opt). Read failures propagate exactly as the Spark read's did —
+    * absence and corruption refuse loudly.
     */
   private def readSmall(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.schema(
-      org.apache.spark.sql.graftbridge.Bridge.parquetSchemaOf(spark, path))
-      .parquet(path)
+      path: String): DataFrame = {
+    val (schema, rows) =
+      org.apache.spark.sql.graftbridge.Bridge.localParquetRows(spark, path)
+    spark.createDataFrame(rows, schema)
+  }
 
   /** The deterministic first-`nlist` centroid seed (the e3 oracle's form). */
   def defaultCentroids(corpus: DataFrame, idCol: String, vecCol: String,
@@ -781,7 +786,7 @@ object Similarity {
         .parquet(s"$path/sq_meta")
       // read the scale back: the persisted row is the single source of truth
       // the append/probe paths will read, so the build assigns from it too
-      val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
+      val scale = readSmall(spark, s"$path/sq_scale")
       assignCellsSq(c, idCol, vecCol, cents, scale)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       IndexLifecycle.endBuild(spark, path)
@@ -799,10 +804,15 @@ object Similarity {
       path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/sq_meta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // fixed writer-controlled schema: stating it skips the footer-read
-    // schema-inference job every read of this one-row table pays (r16 opt)
-    fs.exists(p) && spark.read.schema("normalized BOOLEAN").parquet(p.toString)
-      .collect().headOption.exists(_.getBoolean(0))
+    // one-row flag table, read driver-side with no Spark job (r17 opt);
+    // corruption still propagates from the parquet reader — only absence
+    // maps to false, per the contract above
+    fs.exists(p) && {
+      val (schema, rows) =
+        org.apache.spark.sql.graftbridge.Bridge.localParquetRows(spark, p.toString)
+      val i = schema.fieldIndex("normalized")
+      !rows.isEmpty && rows.get(0).getBoolean(i)
+    }
   }
 
   /** Incrementally index a batch into an IVF-SQ index: assignments against
@@ -816,7 +826,7 @@ object Similarity {
     withIndexMutation(spark, path, "appendToIvfSqIndex") {
       val g = snapshotGeometry(spark, path)
       val cents = readSmall(spark, g.centroids)
-      val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
+      val scale = readSmall(spark, s"$path/sq_scale")
       val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
       assignCellsSq(b, idCol, vecCol, cents, scale)
         .write.mode("append").partitionBy("cell").parquet(g.cells)
@@ -844,7 +854,7 @@ object Similarity {
       else {
         IndexLifecycle.guardBatchId(spark, path, batchId)
         val cents = readSmall(spark, snapshotGeometry(spark, path).centroids)
-        val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
+        val scale = readSmall(spark, s"$path/sq_scale")
         val b = if (sqNormalized(spark, path)) withNormalized(batch, vecCol) else batch
         assignCellsSq(b, idCol, vecCol, cents, scale)
           .withColumn("b", lit(batchId))
@@ -1069,7 +1079,7 @@ object Similarity {
     require(rerank >= 1, "rerank must be >= 1")
     val g = snapshotGeometry(spark, path)
     val cents = readSmall(spark, g.centroids)
-    val scale = spark.read.schema("__s DOUBLE").parquet(s"$path/sq_scale")
+    val scale = readSmall(spark, s"$path/sq_scale")
     // a normalized index quantizes normalized queries (the persisted flag,
     // set once at build); cosine rescoring below is norm-invariant, so the
     // flag only affects the compressed-domain pre-rank
@@ -1916,11 +1926,16 @@ object Similarity {
 
   private def readBooks(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Array[Double]]] = {
-    // fixed writer-controlled schema (writeBooks): stating it skips the
-    // footer-read schema-inference job per read (r16 opt)
-    val rows = spark.read.schema("s INT, c INT, cent ARRAY<DOUBLE>")
-      .parquet(path).select("s", "c", "cent").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // bounded by contract (m·kc rows) and consumed driver-side anyway —
+    // read it ON the driver with no Spark job (r17 opt; was a distributed
+    // scan + collect per read)
+    val (schema, local) =
+      org.apache.spark.sql.graftbridge.Bridge.localParquetRows(spark, path)
+    val (si, ci, vi) =
+      (schema.fieldIndex("s"), schema.fieldIndex("c"), schema.fieldIndex("cent"))
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(local).asScala
+      .map(r => (r.getInt(si), r.getInt(ci), r.getSeq[Double](vi).toArray))
+      .toArray
     val m = rows.map(_._1).max + 1
     val kc = rows.map(_._2).max + 1
     val out = Array.ofDim[Array[Double]](m, kc)

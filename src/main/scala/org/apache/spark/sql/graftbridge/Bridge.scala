@@ -147,4 +147,84 @@ object Bridge {
       .ParquetToSparkSchemaConverter(spark.sessionState.conf)
       .convert(footer.getFileMetaData.getSchema)
   }
+
+  /** Rows of a SMALL unpartitioned engine-written parquet table, read ON
+    * THE DRIVER via parquet-hadoop — zero Spark jobs. Every distributed
+    * read of a bounded metadata table (index parameters, centroid frames,
+    * SQ scales, PQ codebooks — a handful of rows each by contract) paid a
+    * full job round trip per read, and the index lifecycles read them once
+    * per verb; at cluster scale each was a driver→cluster barrier for a
+    * few hundred bytes (r17 opt). Wrap the result in
+    * `spark.createDataFrame(rows, schema)` where a frame is needed: that
+    * is a LocalRelation, so downstream broadcasts build without a
+    * distributed job either.
+    *
+    * Failure semantics match the Spark read it replaces: a missing path
+    * throws (FileNotFoundException), a corrupt/non-parquet file throws
+    * from the parquet reader — nothing is swallowed (the corrupt-sq_meta
+    * refusal contract). Supported types are the metadata tables' closed
+    * set: boolean/int/long/float/double/string and arrays of the numeric
+    * four; anything else throws rather than mis-reading.
+    */
+  def localParquetRows(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType,
+         java.util.List[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.types._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).toSeq
+    if (files.isEmpty) throw new java.io.FileNotFoundException(
+      s"no parquet file under $dir")
+    val sparkSchema = parquetSchemaOf(spark, files.head.toString)
+
+    def primitive(g: org.apache.parquet.example.data.Group, i: Int,
+        dt: DataType): Any = dt match {
+      case BooleanType => g.getBoolean(i, 0)
+      case IntegerType => g.getInteger(i, 0)
+      case LongType => g.getLong(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case StringType => g.getString(i, 0)
+      case other => throw new UnsupportedOperationException(
+        s"localParquetRows: unsupported metadata column type $other in $dir")
+    }
+    def value(g: org.apache.parquet.example.data.Group, i: Int,
+        dt: DataType): Any = dt match {
+      case ArrayType(et, _) =>
+        // standard 3-level list: group (LIST) { repeated group list {
+        // optional <et> element } }
+        val lst = g.getGroup(i, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        (0 until n).map { j =>
+          val el = lst.getGroup(0, j)
+          if (el.getFieldRepetitionCount(0) == 0) null
+          else primitive(el, 0, et)
+        }
+      case other => primitive(g, i, other)
+    }
+
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val vals = sparkSchema.fields.zipWithIndex.map { case (fld, i) =>
+            if (g.getFieldRepetitionCount(i) == 0) null
+            else value(g, i, fld.dataType)
+          }
+          out.add(org.apache.spark.sql.Row(vals.toIndexedSeq: _*))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    (sparkSchema, out)
+  }
 }
