@@ -266,9 +266,13 @@ object Similarity {
     // default: the deterministic first-nlist seed (the e3 oracle's form);
     // pass kmeansCentroids(...) for Lloyd-refined cells with better recall
     val cents = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nlist))
+    // collected ONCE for both sides: the corpus side needs the kernel
+    // matrix anyway, and sharing it gives the probe side its truncation
+    // depth driver-side at no extra job (r17 opt)
+    val pre = collectCentroids(cents)
     ivfTopKJoin(
-      assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1),
-      assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe), k)
+      assignCells(corpus, idCol, vecCol, cents, "vec_id", "ce", 1, Some(pre)),
+      assignCells(queries, idCol, vecCol, cents, "qid", "qe", nprobe, Some(pre)), k)
   }
 
 
@@ -327,30 +331,47 @@ object Similarity {
     * top-cells window.
     */
   private def assignCells(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, outId: String, outVec: String, nCells: Int): DataFrame = {
+      cents: DataFrame, outId: String, outVec: String, nCells: Int,
+      pre: Option[(Column, Array[Array[Double]])] = None): DataFrame = {
     // every vector entering an assignment TRUNCATES to the centroid
     // dimensionality: an index built at a matryoshka depth
     // ([[buildIvfIndex]]'s `depth`) then auto-truncates every append and
     // probe to the stored prefix — the depth is carried by the centroid
     // geometry itself, no side metadata to drift. On a full-dim index the
-    // slice is the identity.
+    // slice is the identity. `pre` threads an already-collected centroid
+    // set through (ivfTopK collects once for both its sides).
     if (nCells == 1) {
-      val (ids, mat) = collectCentroids(cents)
+      val (ids, mat) = pre.getOrElse(collectCentroids(cents))
       df.select(col(idCol).as(outId),
           asDouble(slice(col(vecCol), 1, mat(0).length)).as(outVec))
         .select(col(outId), col(outVec),
           element_at(ids, graft.functions.nearest_centroid(col(outVec), mat)
             .getField("idx") + 1).as("cell"))
     } else {
-      // the matryoshka truncation depth is size(cent), read per-row from
-      // the broadcast centroid (all centroids share the dims) instead of a
-      // separate `.head` job just to fetch the dimension — one fewer
-      // driver round trip per probe (r16 opt); per-row values identical
+      // the matryoshka truncation depth (all centroids share the dims)
+      // resolves DRIVER-SIDE at zero jobs — from the caller's collected
+      // centroid set, or from the LocalRelation the driver-side metadata
+      // read produced — so the probe vector truncates ONCE per row BEFORE
+      // the broadcast join: the full-width vector never enters the join
+      // and the slice no longer runs per (row × centroid) pair (r17 opt,
+      // restoring the pre-r16 pre-join truncation without its `.head`
+      // job). Distributed centroid frames with no prior collect keep the
+      // per-pair slice (depth would cost a job there).
       val w = Window.partitionBy(col(outId))
         .orderBy(col("csim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as("__full"))
-        .join(broadcast(cents), lit(true))
-        .withColumn(outVec, slice(col("__full"), lit(1), size(col("cent"))))
+      val depth = pre.map(_._2(0).length).orElse(
+        org.apache.spark.sql.graftbridge.Bridge.localLeafArrayLen(cents, "cent"))
+      val paired = depth match {
+        case Some(d) =>
+          df.select(col(idCol).as(outId),
+              asDouble(slice(col(vecCol), 1, d)).as(outVec))
+            .join(broadcast(cents), lit(true))
+        case None =>
+          df.select(col(idCol).as(outId), asDouble(col(vecCol)).as("__full"))
+            .join(broadcast(cents), lit(true))
+            .withColumn(outVec, slice(col("__full"), lit(1), size(col("cent"))))
+      }
+      paired
         .withColumn("csim", round(cosine(col(outVec), col("cent")), 6))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= nCells)

@@ -148,6 +148,22 @@ object Bridge {
       .convert(footer.getFileMetaData.getSchema)
   }
 
+  /** First-row array length of a LocalRelation-backed frame, driver-side
+    * with no job — None when the frame is not a local leaf or is empty.
+    * Lets probe paths resolve a shared array dimensionality (matryoshka
+    * truncation depth) from a driver-local metadata frame for free.
+    */
+  def localLeafArrayLen(df: org.apache.spark.sql.DataFrame,
+      colName: String): Option[Int] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.nonEmpty =>
+        val i = lr.schema.fieldIndex(colName)
+        Option(lr.data.head.getArray(i)).map(_.numElements())
+      case _ => None
+    }
+
   /** Rows of a SMALL unpartitioned engine-written parquet table, read ON
     * THE DRIVER via parquet-hadoop — zero Spark jobs. Every distributed
     * read of a bounded metadata table (index parameters, centroid frames,
