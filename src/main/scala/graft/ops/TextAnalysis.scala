@@ -778,27 +778,36 @@ object TextAnalysis {
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    // materialize the (vocabulary-bounded by contract) model ONCE: the
-    // driver-side constants aggregate below and the broadcast score join
-    // would otherwise each execute the full model-build plan — a fresh
-    // nbTrain census ran twice per scoring call (r16 opt). A model the
-    // caller already pinned (streaming model-screens checkpoint theirs per
-    // query) passes through untouched — no per-micro-batch block leak.
-    val m = if (org.apache.spark.sql.graftbridge.Bridge.isMaterializedLeaf(model))
-      model else model.checkpointOwned()
-    // the model's constants resolve DRIVER-SIDE (one 1-row aggregate over a
-    // vocabulary-bounded frame — the bpeTokenCount convention) and refuse
-    // loudly on an empty model. In-plan guards are NOT equivalent here:
-    // AQE's empty-relation pruning can collapse the score join before any
-    // guard column evaluates, turning a bad model path into silent empties.
-    val c = m.agg(max(col("__floor_pos")), max(col("__floor_neg")),
-      max(col("__prior"))).head
-    require(!c.isNullAt(0) && !c.isNullAt(1) && !c.isNullAt(2),
+    // the model is vocabulary-bounded BY CONTRACT (broadcastable — the
+    // score join collects it to the driver anyway to build the broadcast),
+    // so collect it ONCE up front: the model plan executes exactly once,
+    // the floor/prior constants come off the collected rows with no
+    // separate aggregate job, and the join's build side becomes a
+    // LocalRelation whose broadcast builds without a distributed job.
+    // This also retires the owned checkpoint the r16 form minted and never
+    // released — a block set leaked per call on loaded models (r17 opt +
+    // ADVICE r16 fix). The empty-model refusal stays DRIVER-SIDE: AQE's
+    // empty-relation pruning could otherwise collapse the score join
+    // before any in-plan guard evaluates, turning a bad model path into
+    // silent empties.
+    val spark = docs.sparkSession
+    val proj = model.select(col("word"), col("lp_pos"), col("lp_neg"),
+      col("__floor_pos"), col("__floor_neg"), col("__prior"))
+    val rows = proj.collect()
+    def const(i: Int): Option[Double] =
+      rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i))
+        .reduceOption((a, b) => math.max(a, b))
+    val (fpO, fnO, prO) = (const(3), const(4), const(5))
+    require(fpO.nonEmpty && fnO.nonEmpty && prO.nonEmpty,
       "nbScore: model is empty or lacks its floor/prior constants")
-    val (fp, fn, pr) = (c.getDouble(0), c.getDouble(1), c.getDouble(2))
+    val (fp, fn, pr) = (fpO.get, fnO.get, prO.get)
+    val mLocal = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))): _*),
+      org.apache.spark.sql.types.StructType(proj.schema.fields.take(3)))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-      .join(broadcast(m.select("word", "lp_pos", "lp_neg")), Seq("word"), "left")
+      .join(broadcast(mLocal), Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(round(lit(pr) +
           sum(coalesce(col("lp_pos"), lit(fp)) -
@@ -871,24 +880,29 @@ object TextAnalysis {
     */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    // materialize the (buckets-bounded) model ONCE — the constants probe
-    // and the broadcast would otherwise each execute the census plan (a
-    // fresh dsirModel build ran twice per scoring call; r16 opt). Caller-
-    // pinned models pass through (the nbScore convention).
-    val m = if (org.apache.spark.sql.graftbridge.Bridge.isMaterializedLeaf(model))
-      model else model.checkpointOwned()
-    // bucket width resolves DRIVER-SIDE with the same empty-model refusal
-    // as [[nbScore]] (and for the same AQE reason: an empty build side
-    // prunes the inner join to an empty relation before any in-plan guard
-    // runs — the batch would silently vanish instead of erroring)
-    val b = m.agg(max(col("__buckets"))).head
-    require(!b.isNullAt(0), "dsirScore: model is empty or lacks __buckets")
+    // the model is buckets-bounded BY CONTRACT — collect it ONCE (the
+    // nbScore shape): census executes exactly once, the bucket width comes
+    // off the collected rows with no separate aggregate job, the join's
+    // build side broadcasts from a LocalRelation, and no owned checkpoint
+    // is minted to leak (r17 opt + ADVICE r16 fix). Empty-model refusal
+    // stays driver-side for the same AQE empty-relation-pruning reason as
+    // [[nbScore]].
+    val spark = docs.sparkSession
+    val proj = model.select(col("bucket"), col("lr"), col("__buckets"))
+    val rows = proj.collect()
+    val b = rows.iterator.filterNot(_.isNullAt(2)).map(_.getLong(2))
+      .reduceOption((a, b) => math.max(a, b))
+    require(b.nonEmpty, "dsirScore: model is empty or lacks __buckets")
+    val mLocal = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      org.apache.spark.sql.types.StructType(proj.schema.fields.take(2)))
     Par.fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(col(idCol),
-        pmod(tokenHash32(col("word")), lit(b.getLong(0))).as("bucket"))
-      .join(broadcast(m.select("bucket", "lr")), Seq("bucket"))
+        pmod(tokenHash32(col("word")), lit(b.get)).as("bucket"))
+      .join(broadcast(mLocal), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(round(sum(col("lr")), 6).as("dsir_logw"), count(lit(1)).as("n_feats"))
   }
