@@ -84,8 +84,18 @@ object SparkEntry {
     // untagged micros too), and every load passes the drift guard above.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fpath = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(fpath, p =>
-      org.apache.spark.sql.graftbridge.Bridge.parquetSchemaOf(s, p))
+    // memo key carries the file's (mtime, length): a mid-session
+    // regeneration of a testdata file re-reads its footer instead of
+    // validating the stale cached schema — Spark fills columns missing
+    // from the file as nulls, so a path-only key would let a rename/drop
+    // slip past the drift guard below (ADVICE r16 fix). One driver-side
+    // getFileStatus per load; the schema job stays eliminated.
+    val st = new org.apache.hadoop.fs.Path(fpath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .getFileStatus(new org.apache.hadoop.fs.Path(fpath))
+    val key = s"$fpath@${st.getModificationTime}:${st.getLen}"
+    val sch = schemaCache.computeIfAbsent(key, _ =>
+      org.apache.spark.sql.graftbridge.Bridge.parquetSchemaOf(s, fpath))
     val raw = s.read.schema(sch).parquet(fpath)
     // ts may be ABSENT under a renaming regeneration — skip the conversion
     // and let the guard below report the named MISSING drift, instead of

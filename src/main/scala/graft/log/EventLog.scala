@@ -1997,6 +1997,20 @@ class EventLog(
     * are preserved there). The bucket column is re-derived from
     * `aggregate_id` (both tables bucket by its FNV hash), so rows land
     * back in their own directories.
+    *
+    * OPERATIONAL TRADE-OFF (crash-recovery blast radius): batching widens
+    * what one pending claim quarantines. A compactor that dies after
+    * `tryClaim` leaves a single claim whose `replaced` set spans EVERY
+    * batched bucket's live files; later rewrite passes exclude
+    * pendingReplaced inputs, so compaction and retention rewrites stall
+    * across the whole batch until the claim is condemned (prune's
+    * stale-claim path), where the per-bucket form bounded the stall to one
+    * bucket. Readers are never affected (pending claims keep originals
+    * visible), and a full-log compact is an operator-scheduled maintenance
+    * action, so the wider-but-condemnable window is the deliberate price
+    * of the 1-claim batch; schedulers that want a bounded radius pass
+    * bucket subsets (any partition of the bucket set composes — each call
+    * claims only its slice).
     */
   private def rewriteBucketsManifest(tablePath: String,
       schema: org.apache.spark.sql.types.StructType, buckets: Seq[Int],

@@ -643,9 +643,14 @@ object LshIndex {
         (s.isDirectory && hasData(s.getPath)))
     if (!fs.exists(ing) || !hasData(ing)) main
     else {
+      // `b` is LONG: appendBatchSigned writes it from a Long batchId, and
+      // declaring INT here would make a batch id above Int.MaxValue parse
+      // as a null partition value — the excludeBatch filter would then
+      // silently drop every such ingest row from the signature frame
+      // (ADVICE r16 fix)
       val side0 = spark.read
         .schema(org.apache.spark.sql.types.StructType(
-          dataSchema.add("b", "int") ++ partCols))
+          dataSchema.add("b", "long") ++ partCols))
         .parquet(ing.toString)
       val side = excludeBatch.fold(side0)(b => side0.filter(col("b") =!= b))
       main.unionByName(side.select(dataCols.map(col): _*))

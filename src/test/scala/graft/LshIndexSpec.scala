@@ -175,6 +175,26 @@ class LshIndexSpec extends AnyFunSuite {
       "re-compacting after a folded replay must not duplicate signatures")
   }
 
+  test("a batch id above Int.MaxValue survives the ingest read and excludeBatch") {
+    // the ingest partition column `b` is written from a Long batch id; the
+    // reader must declare it LONG — an INT declaration parses an oversized
+    // id's partition value as null, and excludeBatch's `=!=` then silently
+    // drops every such ingest row from the signature frame
+    val s = spark
+    val corpus = corpusDf(10)
+    val idx = Files.createTempDirectory("lshbigbatch").toFile.getAbsolutePath
+    LshIndex.build(corpus, "doc_id", "text", idx, sigBuckets = 8)
+    val big = Int.MaxValue.toLong + 7L
+    val extra = corpusDf(14).filter(col("doc_id") >= 10)
+    LshIndex.appendBatch(s, idx, extra, "doc_id", "text", big)
+    assert(LshIndex.signatures(s, idx).count() == 14L * 4,
+      "ingest rows of an oversized batch id must be visible")
+    assert(LshIndex.signatures(s, idx, excludeBatch = Some(big)).count() == 10L * 4,
+      "excludeBatch must exclude exactly the oversized batch, not everything")
+    assert(LshIndex.signatures(s, idx, excludeBatch = Some(1L)).count() == 14L * 4,
+      "excluding a different id must keep the oversized batch's rows")
+  }
+
   test("a compact crashed after its moves leaves screens alive (empty ingest tree)") {
     val s = spark
     val corpus = corpusDf(10)
