@@ -209,13 +209,39 @@ object Dedup {
     * candidates' shingles, not the corpus's. The candidate subplan appears
     * three times but executes once (ReuseExchange).
     */
+  /** When the caller's `sets` frame is a localCheckpoint whose ACTUAL
+    * materialized size (block-manager metadata, zero jobs — never a
+    * planner estimate) fits under this many bytes, the verify legs
+    * broadcast the whole set frame instead of semi-prune + sort-merge:
+    * zero exchanges, candidates stream. The default is far under the
+    * driver/broadcast limits even after the deserialized-blocks ↔ wire
+    * inflation; production tuning goes through the conf, and any
+    * non-materialized or over-size sets frame (the 100 TB shapes) keeps
+    * the pinned SMJ plan documented above — the sf10 340M-pair corpus
+    * that killed the ungated auto-broadcast stays on sort-merge because
+    * its measured size fails the gate, not because an estimate does.
+    */
+  private val broadcastSetsMaxBytesConf = "spark.graft.jaccard.broadcastSetsMaxBytes"
+  private val broadcastSetsMaxBytesDefault = 64L * 1024 * 1024
+
   def jaccardVerifyFromSets(sets: DataFrame, candidates: DataFrame,
       threshold: Double = 0.0): DataFrame = {
-    def leg(side: String) = sets
+    val maxBytes = sets.sparkSession.conf
+      .getOption(broadcastSetsMaxBytesConf).map(_.toLong)
+      .getOrElse(broadcastSetsMaxBytesDefault)
+    val small = org.apache.spark.sql.graftbridge.Bridge
+      .materializedLeafSize(sets).exists(_ <= maxBytes)
+    def legSmj(side: String) = sets
       .join(candidates.select(col(side).as("set_id")).distinct(),
         Seq("set_id"), "semi")
       .select(col("set_id").as(side), col("sh").as(s"sh_$side"))
       .hint("merge")
+    // measured-size-gated broadcast (guide §3.1): join output is strategy-
+    // invariant, so both shapes produce identical rows
+    def leg(side: String) =
+      if (small) broadcast(
+        sets.select(col("set_id").as(side), col("sh").as(s"sh_$side")))
+      else legSmj(side)
     candidates
       .join(leg("doc_a"), Seq("doc_a"))
       .join(leg("doc_b"), Seq("doc_b"))

@@ -148,6 +148,23 @@ object Bridge {
       .convert(footer.getFileMetaData.getSchema)
   }
 
+  /** Materialized block-storage footprint (memory + disk bytes) of a frame
+    * that IS a localCheckpoint leaf — None for anything else, including a
+    * leaf whose blocks are gone. Driver-side metadata only, zero jobs:
+    * lets join-strategy gates decide on the frame's ACTUAL size instead of
+    * the planner's width estimates (which are famously wrong for array
+    * columns — the reason the jaccard verify pinned sort-merge).
+    */
+  def materializedLeafSize(df: org.apache.spark.sql.DataFrame): Option[Long] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+
   /** First-row array length of a LocalRelation-backed frame, driver-side
     * with no job — None when the frame is not a local leaf or is empty.
     * Lets probe paths resolve a shared array dimensionality (matryoshka
